@@ -1,0 +1,183 @@
+"""Catalog + metadata layer.
+
+The reference's central data structure is a JSON *metadata document*
+describing tables/columns/PKs/FKs/constraints (shape defined at
+``db_connector.py:155-167`` and ``sample_metadata.py:6-81``), built by
+introspecting a live DB and cached until reconnect
+(``db_connector.py:23,96-97,175``). Here the same document is derived
+from the Spark catalog: Parquet fixtures are registered as temp views,
+column types come from the ``StructType``, and PK/FK/description/
+constraint facts — which Spark's catalog does not model — live in a
+sidecar registry (SURVEY.md §7.3 item 4).
+
+Scale posture: registration is metadata-only (no data read besides the
+Parquet footer), and every query that consumes these views gets
+predicate pushdown / column pruning at the Parquet scan for free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table with schema normalization.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects (PARQUET_TYPE_ILLEGAL). We read nanos as long via the
+    legacy conf (runtime-settable) and truncate to microseconds — the
+    finest precision Spark timestamps carry. DuckDB oracles must CAST
+    ``ts`` to TIMESTAMP (us) for value parity.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+#: Fixture tables materialized by the driver (TESTDATA.md).
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Sidecar facts Spark's catalog cannot hold: primary keys, FK edges,
+#: human descriptions, and generation-steering constraints (mirrors the
+#: reference's ``constraints`` block, ``sample_metadata.py:76-80``).
+SIDECAR: dict[str, dict[str, Any]] = {
+    "region": {"pk": ["r_regionkey"], "fk": {}, "description": "geographic regions"},
+    "nation": {
+        "pk": ["n_nationkey"],
+        "fk": {"n_regionkey": ("region", "r_regionkey")},
+        "description": "nations, one region each",
+    },
+    "customer": {
+        "pk": ["c_custkey"],
+        "fk": {"c_nationkey": ("nation", "n_nationkey")},
+        "description": "customers with market segment",
+    },
+    "supplier": {
+        "pk": ["s_suppkey"],
+        "fk": {"s_nationkey": ("nation", "n_nationkey")},
+        "description": "suppliers",
+    },
+    "part": {"pk": ["p_partkey"], "fk": {}, "description": "parts catalog"},
+    "orders": {
+        "pk": ["o_orderkey"],
+        "fk": {"o_custkey": ("customer", "c_custkey")},
+        "description": "order headers",
+    },
+    "lineitem": {
+        "pk": ["l_orderkey", "l_linenumber"],
+        "fk": {
+            "l_orderkey": ("orders", "o_orderkey"),
+            "l_partkey": ("part", "p_partkey"),
+            "l_suppkey": ("supplier", "s_suppkey"),
+        },
+        "description": "order line items (fact table)",
+    },
+    "events": {
+        "pk": ["event_id"],
+        "fk": {},
+        "description": "timestamped user event stream; props is a JSON string",
+    },
+    "documents": {
+        "pk": ["doc_id"],
+        "fk": {},
+        "description": "text corpus with lang/source labels",
+    },
+    "embeddings": {
+        "pk": ["vec_id"],
+        "fk": {},
+        "description": "dense float vectors aligned with documents.doc_id",
+    },
+}
+
+
+@dataclass
+class Catalog:
+    """Registers fixture Parquet as named views and serves the metadata
+    document. One instance per (session, data dir); the schema walk is
+    cached like the reference's metadata cache (``db_connector.py:96-97``)."""
+
+    spark: SparkSession
+    sf_dir: str
+    constraints: dict[str, Any] = field(
+        default_factory=lambda: {
+            "soft_delete_rule": None,
+            "valid_status_values": {"orders.o_orderstatus": ["O", "F", "P"]},
+            "mandatory_filters": [],
+        }
+    )
+    _metadata_cache: dict[str, Any] | None = field(default=None, repr=False)
+
+    def path(self, name: str) -> str:
+        return f"{self.sf_dir}/{name}.parquet"
+
+    def table(self, name: str) -> DataFrame:
+        return read_table(self.spark, self.sf_dir, name)
+
+    def register_views(self, tables: tuple[str, ...] = TABLES) -> None:
+        for name in tables:
+            self.table(name).createOrReplaceTempView(name)
+
+    # -- metadata document ------------------------------------------------
+    def metadata_document(self) -> dict[str, Any]:
+        """Build the reference-shaped metadata document from Spark schemas.
+
+        Shape parity with ``db_connector.py:155-167``: ``{db_type,
+        db_version, schema_summary: {tables, relationships}, constraints}``.
+        """
+        if self._metadata_cache is not None:
+            return self._metadata_cache
+
+        tables = []
+        relationships: list[str] = []
+        for name in TABLES:
+            side = SIDECAR.get(name, {"pk": [], "fk": {}, "description": ""})
+            schema = self.table(name).schema
+            columns = []
+            for f in schema.fields:
+                col: dict[str, Any] = {
+                    "column_name": f.name,
+                    "data_type": f.dataType.simpleString(),
+                    "nullable": f.nullable,
+                    "description": "",
+                    "primary_key": f.name in side["pk"],
+                }
+                if f.name in side["fk"]:
+                    ref_table, ref_col = side["fk"][f.name]
+                    col["foreign_key"] = {"ref_table": ref_table, "ref_column": ref_col}
+                    relationships.append(f"{name}.{f.name} → {ref_table}.{ref_col}")
+                columns.append(col)
+            tables.append(
+                {"table_name": name, "description": side["description"], "columns": columns}
+            )
+
+        doc = {
+            "db_type": "spark",
+            "db_version": self.spark.version,
+            "schema_summary": {"tables": tables, "relationships": relationships},
+            "constraints": self.constraints,
+        }
+        self._metadata_cache = doc
+        return doc
+
+    def invalidate(self) -> None:
+        """Drop the cached document (reference resets on reconnect/DDL,
+        ``db_connector.py:55,88``)."""
+        self._metadata_cache = None

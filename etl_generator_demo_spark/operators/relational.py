@@ -1,0 +1,529 @@
+"""Core relational operators: scan, project, filter, join, aggregate.
+
+Covers SURVEY.md §2.1 S4/S9, §2.2 P1-P6, §2.3 J1-J7, §2.4 A1-A6 — the
+query surface the reference's generated SQL exercises against its
+shipped schemas (prompt grant ``sql_generator.py:37``; join graph
+``sample_metadata.py:68-74``; "aggregation, grouping, joins" demanded
+at ``sql_generator.py:209``), re-expressed over the driver fixtures.
+
+Scale notes (100 TB posture):
+- Dim tables (region/nation/supplier/part at fixture ratios) are far
+  below the broadcast threshold even at sf100k — every dim join below
+  is broadcastable, so the fact table never shuffles for them.
+- Fact-fact joins (orders⋈lineitem) shuffle on the join key; AQE
+  handles skew and coalesces post-shuffle partitions.
+- All aggregates are hash aggregates with map-side partial aggregation
+  (automatic) — no driver-side iteration anywhere.
+- Float aggregates are rounded identically on both engine and oracle
+  sides so summation-order differences (Spark partial aggs vs DuckDB
+  sequential) cannot flip the value hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.catalog import read_table
+from etl_generator_demo_spark.registry import register
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table (S9). Column pruning + predicate pushdown
+    reach the Parquet reader because everything stays declarative."""
+    return read_table(spark, sf_dir, name)
+
+
+_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+# ---------------------------------------------------------------------------
+# A1/A2/F6 — grouped aggregation over the fact table (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    survey_ids=("A1", "A2", "F6", "P6", "S4"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(_REVENUE), 2).alias("sum_disc_price"),
+            F.round(F.sum(_REVENUE * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 + A1 + O1 — flagship: revenue by market segment (3-way join)
+# ---------------------------------------------------------------------------
+@register(
+    "q2_revenue_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(DISTINCT o_orderkey)                        AS n_orders,
+           COUNT(DISTINCT c_custkey)                         AS n_customers
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY c_mktsegment
+    ORDER BY revenue DESC
+    """,
+    survey_ids=("J1", "J2", "A1", "A3", "O1"),
+)
+def q2_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    # customer is ~1.5% of lineitem rows -> broadcast; orders⋈lineitem
+    # is the one genuine shuffle (both sides keyed on orderkey).
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(_REVENUE), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/J6 — star join through broadcast dims: revenue by region/nation
+# ---------------------------------------------------------------------------
+@register(
+    "q3_revenue_by_nation",
+    oracle="""
+    SELECT r_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN region   ON r_regionkey = n_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """,
+    survey_ids=("J2", "J6", "A1"),
+)
+def q3_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    sup = F.broadcast(t(spark, sf_dir, "supplier"))
+    nat = F.broadcast(t(spark, sf_dir, "nation"))
+    reg = F.broadcast(t(spark, sf_dir, "region"))
+    return (
+        li.join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(reg, F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(_REVENUE), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1+J2+J6+P6 — TPC-H Q5 shape: customer and supplier in same nation
+# ---------------------------------------------------------------------------
+@register(
+    "q4_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    survey_ids=("J1", "J2", "J6", "P6", "A1", "F4"),
+)
+def q4_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    sup = F.broadcast(t(spark, sf_dir, "supplier"))
+    nat = F.broadcast(t(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            sup,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1-P6 — predicate battery: range, IN, inequality, BETWEEN, AND/OR
+# ---------------------------------------------------------------------------
+@register(
+    "p_predicates",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_totalprice BETWEEN 1000 AND 150000
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderstatus <> 'F'
+      AND (o_orderdate >= TIMESTAMP '1997-01-01' OR o_totalprice > 100000)
+    ORDER BY o_orderkey
+    """,
+    survey_ids=("P1", "P2", "P4", "P6"),
+)
+def p_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_totalprice").between(1000, 150000))
+        .filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .filter(F.col("o_orderstatus") != "F")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            | (F.col("o_totalprice") > 100000)
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — semi join: customers that have urgent orders
+# ---------------------------------------------------------------------------
+@register(
+    "j_semi_customers_with_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+    survey_ids=("J5",),
+)
+def j_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 — anti join: customers with no urgent orders
+# ---------------------------------------------------------------------------
+@register(
+    "j_anti_customers_without_urgent_orders",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    ORDER BY c_custkey
+    """,
+    survey_ids=("J5",),
+)
+def j_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    urgent = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — left outer join preserving empty groups
+# ---------------------------------------------------------------------------
+@register(
+    "j_left_customers_per_nation",
+    oracle="""
+    SELECT n_name, COUNT(c_custkey) AS n_customers
+    FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    survey_ids=("J4", "A1"),
+)
+def j_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = t(spark, sf_dir, "nation")
+    cust = t(spark, sf_dir, "customer")
+    return (
+        nat.join(cust, F.col("c_nationkey") == F.col("n_nationkey"), "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_customers"))
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3 — self join: distinct line pairs within one order
+# ---------------------------------------------------------------------------
+@register(
+    "j_self_line_pairs",
+    oracle="""
+    SELECT a.l_orderkey AS o_orderkey, COUNT(*) AS n_pairs
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    GROUP BY a.l_orderkey
+    HAVING COUNT(*) >= 3
+    ORDER BY o_orderkey
+    """,
+    survey_ids=("J3", "A4"),
+)
+def j_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+        )
+        .groupBy(F.col("a.l_orderkey").alias("o_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= 3)
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 — equi+range join: items shipped long after ordering
+# ---------------------------------------------------------------------------
+@register(
+    "j_range_late_shipments",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_late_items
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    survey_ids=("J7", "F4"),
+)
+def j_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_late_items"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7 — pure theta join (broadcast nested loop on a small side)
+# ---------------------------------------------------------------------------
+@register(
+    "j_theta_price_band",
+    oracle="""
+    SELECT s_suppkey, COUNT(*) AS n_parts_in_band
+    FROM supplier JOIN part
+      ON p_retailprice BETWEEN s_acctbal / 10 AND s_acctbal
+    GROUP BY s_suppkey
+    ORDER BY s_suppkey
+    """,
+    survey_ids=("J7",),
+)
+def j_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = F.broadcast(t(spark, sf_dir, "supplier"))  # tiny side -> BNLJ stays cheap
+    part = t(spark, sf_dir, "part")
+    return (
+        part.join(
+            sup,
+            F.col("p_retailprice").between(F.col("s_acctbal") / 10, F.col("s_acctbal")),
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts_in_band"))
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — global aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "a_global_totals",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS total_qty,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           ROUND(AVG(l_discount), 6) AS avg_discount
+    FROM lineitem
+    """,
+    survey_ids=("A2", "A6"),
+)
+def a_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_discount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 — distinct + count-distinct
+# ---------------------------------------------------------------------------
+@register(
+    "a_distinct_counts",
+    oracle="""
+    SELECT COUNT(DISTINCT o_custkey)     AS n_active_customers,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           COUNT(*)                       AS n_orders
+    FROM orders
+    """,
+    survey_ids=("A3",),
+)
+def a_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("n_active_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 at scale — approx distinct (HLL). No oracle: estimator differs by
+# engine; driver records rows-only. At 100 TB this replaces exact
+# count-distinct in dashboards (one pass, no shuffle of the key set).
+# ---------------------------------------------------------------------------
+@register("a_approx_distinct", oracle=None, survey_ids=("A3",))
+def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return t(spark, sf_dir, "lineitem").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4 — HAVING
+# ---------------------------------------------------------------------------
+@register(
+    "a_having_big_customers",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 12
+    ORDER BY o_custkey
+    """,
+    survey_ids=("A4", "A1"),
+)
+def a_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — ROLLUP
+# ---------------------------------------------------------------------------
+@register(
+    "a_rollup_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    survey_ids=("A5",),
+)
+def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 — CUBE
+# ---------------------------------------------------------------------------
+@register(
+    "a_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    survey_ids=("A5",),
+)
+def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )

@@ -1,0 +1,137 @@
+"""Execution-core tests: auto-LIMIT (O3), safety gate (D2/D3), row
+serialization (S6) — the reference-E2 lifecycle semantics (SURVEY §3/§5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+
+import pytest
+
+from etl_generator_demo_spark.engine import ExecutionEngine, scalarize
+from etl_generator_demo_spark.plans.limits import apply_auto_limit, plan_has_limit
+from etl_generator_demo_spark.plans.safety import validate_sql_safety
+
+
+@pytest.fixture()
+def engine(spark, catalog):
+    return ExecutionEngine(spark)
+
+
+class TestAutoLimit:
+    def test_select_without_limit_gets_default(self, engine):
+        res = engine.execute("SELECT o_orderkey FROM orders")
+        assert res.success and res.row_count == 10  # DEFAULT_LIMIT
+
+    def test_explicit_limit_respected(self, engine):
+        res = engine.execute("SELECT o_orderkey FROM orders LIMIT 3")
+        assert res.success and res.row_count == 3
+
+    def test_cte_gets_limit(self, engine):
+        res = engine.execute(
+            "WITH t AS (SELECT o_orderkey FROM orders) SELECT * FROM t", limit=7
+        )
+        assert res.success and res.row_count == 7
+
+    def test_substring_false_positive_fixed(self, engine, spark):
+        # The reference's substring check would see "LIMIT" inside an
+        # identifier and skip injection (db_connector.py:218-222). The
+        # plan-aware check must still inject.
+        df = spark.sql("SELECT o_orderkey AS credit_limit FROM orders")
+        assert not plan_has_limit(df)
+        assert apply_auto_limit(df, 5).count() == 5
+
+    def test_inner_limit_plus_outer_agg_not_relimited(self, engine, spark):
+        df = spark.sql("SELECT o_orderkey FROM orders LIMIT 50")
+        assert plan_has_limit(df)
+
+    def test_limit_none_means_unlimited(self, engine):
+        res = engine.execute("SELECT o_orderkey FROM orders", limit=None)
+        assert res.success and res.row_count == 1500
+
+
+class TestSafetyGate:
+    def test_select_allowed(self):
+        v = validate_sql_safety("SELECT 1")
+        assert not v.is_blocked and not v.is_write
+
+    def test_with_allowed(self):
+        assert not validate_sql_safety("WITH t AS (SELECT 1) SELECT * FROM t").is_blocked
+
+    def test_writes_blocked_by_default(self):
+        for sql in ("DROP TABLE orders", "DELETE FROM orders", "INSERT INTO t VALUES (1)",
+                    "UPDATE t SET x=1", "TRUNCATE TABLE t", "CREATE TABLE t (x INT)"):
+            v = validate_sql_safety(sql)
+            assert v.is_blocked and v.is_write, sql
+
+    def test_writes_allowed_with_opt_in(self):
+        v = validate_sql_safety("INSERT INTO t VALUES (1)", allow_writes=True)
+        assert not v.is_blocked and v.is_write
+
+    def test_identifier_containing_keyword_not_blocked(self):
+        # reference demo-mode blocklist blocks any text *containing*
+        # 'delete' (sql_generator.py:253-266); structural check doesn't.
+        assert not validate_sql_safety("SELECT is_deleted FROM users").is_blocked
+
+    def test_leading_comment_skipped(self):
+        assert validate_sql_safety("-- note\nDROP TABLE x").is_blocked
+
+    def test_empty_blocked(self):
+        assert validate_sql_safety("   ").is_blocked
+
+    def test_engine_blocks_write(self, engine):
+        res = engine.execute("DROP TABLE orders")
+        assert not res.success and res.is_blocked and "read-only" in res.block_reason
+
+
+class TestSerialization:
+    def test_scalars_pass_through(self):
+        assert scalarize(None) is None
+        assert scalarize(True) is True
+        assert scalarize(3) == 3
+        assert scalarize(2.5) == 2.5
+        assert scalarize("x") == "x"
+
+    def test_temporal_and_decimal_stringified(self):
+        assert scalarize(dt.datetime(2024, 1, 2, 3, 4, 5)) == "2024-01-02 03:04:05"
+        assert scalarize(dt.date(2024, 1, 2)) == "2024-01-02"
+        assert scalarize(decimal.Decimal("1.50")) == "1.50"
+
+    def test_containers_recurse(self):
+        assert scalarize([1, dt.date(2024, 1, 2)]) == [1, "2024-01-02"]
+        assert scalarize({"a": decimal.Decimal("2")}) == {"a": "2"}
+
+    def test_row_shape(self, engine):
+        res = engine.execute("SELECT o_orderkey, o_orderdate FROM orders LIMIT 1")
+        assert res.success and res.columns == ["o_orderkey", "o_orderdate"]
+        row = res.rows[0]
+        assert isinstance(row["o_orderkey"], int)
+        assert isinstance(row["o_orderdate"], str)  # timestamp stringified
+
+    def test_error_envelope(self, engine):
+        res = engine.execute("SELECT * FROM no_such_table")
+        assert not res.success and res.error
+
+
+class TestCatalogMetadata:
+    def test_document_shape(self, catalog):
+        doc = catalog.metadata_document()
+        assert doc["db_type"] == "spark"
+        assert {t["table_name"] for t in doc["schema_summary"]["tables"]} >= {
+            "orders", "lineitem", "customer",
+        }
+        rels = doc["schema_summary"]["relationships"]
+        assert "orders.o_custkey → customer.c_custkey" in rels
+        assert "constraints" in doc
+
+    def test_pk_flags(self, catalog):
+        doc = catalog.metadata_document()
+        orders = next(t for t in doc["schema_summary"]["tables"] if t["table_name"] == "orders")
+        pk = [c["column_name"] for c in orders["columns"] if c["primary_key"]]
+        assert pk == ["o_orderkey"]
+
+    def test_cache_and_invalidate(self, catalog):
+        d1 = catalog.metadata_document()
+        assert catalog.metadata_document() is d1
+        catalog.invalidate()
+        assert catalog.metadata_document() is not d1
