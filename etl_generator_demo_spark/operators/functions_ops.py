@@ -1,1 +1,335 @@
-"""placeholder — filled in incrementally."""
+"""Scalar function surface: null handling, dates, strings, casts,
+CASE, JSON — SURVEY.md §2.8 F1-F8.
+
+F1-F3 are the ETL transform-step vocabulary the reference *generates*
+("NULL 값 기본값 처리" / "날짜 형식 표준화" / "데이터 타입 검증",
+``sql_generator.py:303-305``); F4-F7 are reachable from its schemas;
+F8 (JSON extraction) comes from the `events.props` fixture.
+
+Engine/oracle alignment notes:
+- DuckDB `year()` returns BIGINT, Spark `year()` INT -> Spark casts up.
+- DuckDB CAST(double AS BIGINT) *rounds*, Spark truncates -> use
+  explicit FLOOR in both before casting.
+- Spark `weekday()` is 0=Monday; DuckDB `isodow` is 1=Monday -> +1.
+- JSON: Spark side uses real get_json_object; the oracle extracts the
+  same scalar with regexp so it doesn't depend on DuckDB's JSON
+  extension being loadable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.relational import t
+from etl_generator_demo_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# F4 — date extraction + rollup
+# ---------------------------------------------------------------------------
+@register(
+    "f_date_monthly_revenue",
+    oracle="""
+    SELECT CAST(YEAR(o_orderdate) AS BIGINT)  AS order_year,
+           CAST(MONTH(o_orderdate) AS BIGINT) AS order_month,
+           COUNT(*)                            AS n_orders,
+           ROUND(SUM(o_totalprice), 2)         AS revenue
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    survey_ids=("F4", "F2", "A1"),
+)
+def f_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 — date arithmetic: datediff, date_add, weekday
+# ---------------------------------------------------------------------------
+@register(
+    "f_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE)               AS due_date,
+           CAST(DATE_DIFF('day', o_orderdate, TIMESTAMP '2000-01-01') AS BIGINT) AS days_to_y2k,
+           CAST(ISODOW(o_orderdate) AS BIGINT)                        AS iso_weekday
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01' AND o_orderdate < TIMESTAMP '1999-03-01'
+    ORDER BY o_orderkey
+    """,
+    survey_ids=("F4",),
+)
+def f_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-03-01").cast("timestamp"))
+    )
+    return o.select(
+        "o_orderkey",
+        F.date_add(F.col("o_orderdate"), 30).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("timestamp"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_y2k"),
+        (F.weekday("o_orderdate") + 1).cast("long").alias("iso_weekday"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# F5 — string functions
+# ---------------------------------------------------------------------------
+@register(
+    "f_string_ops",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name)                          AS uname,
+           SUBSTR(c_name, 1, 9)                   AS prefix,
+           CAST(LENGTH(c_name) AS BIGINT)         AS name_len,
+           CONCAT(c_mktsegment, '#', c_name)      AS tagged,
+           REPLACE(c_name, 'Customer', 'Cust')    AS short_name
+    FROM customer
+    WHERE c_name LIKE 'Customer#%1'
+    ORDER BY c_custkey
+    """,
+    survey_ids=("F5", "P6"),
+)
+def f_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").filter(F.col("c_name").like("Customer#%1"))
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 9).alias("prefix"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.concat_ws("#", "c_mktsegment", "c_name").alias("tagged"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("short_name"),
+    ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# F5 — regexp extraction over part names
+# ---------------------------------------------------------------------------
+@register(
+    "f_regexp_ops",
+    oracle="""
+    SELECT p_partkey,
+           REGEXP_EXTRACT(p_name, '([0-9]+)', 1)        AS first_number,
+           REGEXP_MATCHES(p_name, '[aeiou]{2}')         AS has_double_vowel
+    FROM part
+    ORDER BY p_partkey
+    """,
+    survey_ids=("F5",),
+)
+def f_regexp_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([0-9]+)", 1).alias("first_number"),
+        F.col("p_name").rlike("[aeiou]{2}").alias("has_double_vowel"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# F7 — CASE WHEN bucketing
+# ---------------------------------------------------------------------------
+@register(
+    "f_case_price_buckets",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000  THEN 'small'
+                WHEN o_totalprice < 200000 THEN 'medium'
+                ELSE 'large' END AS bucket,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+    survey_ids=("F7", "A1"),
+)
+def f_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+        .alias("bucket")
+    )
+    return (
+        o.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 — NULL handling: nullif to synthesize, coalesce/default-fill
+# ---------------------------------------------------------------------------
+@register(
+    "f_null_handling",
+    oracle="""
+    SELECT COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_label,
+           COUNT(*)                                      AS n,
+           COUNT(NULLIF(o_orderstatus, 'O'))             AS n_non_null
+    FROM orders
+    GROUP BY 1
+    ORDER BY status_label
+    """,
+    survey_ids=("F1",),
+)
+def f_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    nul = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        o.groupBy(F.coalesce(nul, F.lit("OPEN")).alias("status_label"))
+        .agg(F.count(F.lit(1)).alias("n"), F.count(nul).alias("n_non_null"))
+        .orderBy("status_label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3 — type validation / casting (FLOOR first: DuckDB rounds on
+# double->int casts, Spark truncates)
+# ---------------------------------------------------------------------------
+@register(
+    "f_cast_validation",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+           CAST(o_orderkey AS VARCHAR)         AS key_str,
+           TRY_CAST(o_orderpriority AS BIGINT) AS bad_cast_null
+    FROM orders
+    WHERE o_orderkey <= 1000
+    ORDER BY o_orderkey
+    """,
+    survey_ids=("F3",),
+)
+def f_cast_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("long").alias("price_floor"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderpriority").try_cast("long").alias("bad_cast_null"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# F2 — date standardization ("날짜 형식 표준화"): format + parse round-trip
+# ---------------------------------------------------------------------------
+@register(
+    "f_date_standardize",
+    oracle="""
+    SELECT o_orderkey,
+           STRFTIME(o_orderdate, '%Y-%m-%d')                     AS date_iso,
+           CAST(STRPTIME(STRFTIME(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS TIMESTAMP) AS date_parsed
+    FROM orders
+    WHERE o_orderkey <= 500
+    ORDER BY o_orderkey
+    """,
+    survey_ids=("F2",),
+)
+def f_date_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    iso = F.date_format("o_orderdate", "yyyy-MM-dd")
+    return o.select(
+        "o_orderkey",
+        iso.alias("date_iso"),
+        F.to_timestamp(iso, "yyyy-MM-dd").alias("date_parsed"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# F6 — arithmetic expressions
+# ---------------------------------------------------------------------------
+@register(
+    "f_arithmetic_revenue",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged,
+           FLOOR(l_extendedprice / NULLIF(l_quantity, 0) * 100) / 100 AS unit_price,
+           ROUND(ABS(l_discount - l_tax), 4)                          AS disc_tax_gap,
+           CAST(FLOOR(l_quantity) AS BIGINT) % 7                      AS qty_mod7
+    FROM lineitem
+    WHERE l_orderkey <= 300
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    survey_ids=("F6",),
+)
+def f_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 300)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+        ).alias("charged"),
+        # floor-scale: the quotient lands on half-cent boundaries where
+        # round() direction differs between engines (see windows_sets).
+        (
+            F.floor(F.col("l_extendedprice") / F.nullif(F.col("l_quantity"), F.lit(0.0)) * 100)
+            / 100
+        ).alias("unit_price"),
+        F.round(F.abs(F.col("l_discount") - F.col("l_tax")), 4).alias("disc_tax_gap"),
+        (F.floor("l_quantity").cast("long") % 7).alias("qty_mod7"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# F8 — JSON extraction from events.props
+# ---------------------------------------------------------------------------
+@register(
+    "f_json_extract",
+    oracle="""
+    SELECT event_id,
+           CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k_value
+    FROM events
+    WHERE event_id < 200
+    ORDER BY event_id
+    """,
+    survey_ids=("F8",),
+)
+def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# F8 — full JSON parse to typed struct (from_json), aggregated
+# ---------------------------------------------------------------------------
+@register(
+    "f_json_struct_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_total,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey_ids=("F8", "A1"),
+)
+def f_json_struct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    parsed = ev.withColumn("js", F.from_json("props", "k BIGINT"))
+    return (
+        parsed.groupBy("event_type")
+        .agg(F.sum(F.col("js.k")).alias("k_total"), F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )

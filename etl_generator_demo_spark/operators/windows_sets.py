@@ -1,1 +1,294 @@
-"""placeholder — filled in incrementally."""
+"""Window functions, sort/limit/top-k, set operations, CTEs.
+
+SURVEY.md §2.5 W1-W4, §2.6 O1/O4, §2.7 U1/U2 — reachable from the
+reference's full-SQL grant (``sql_generator.py:37``) and its own
+sample prompts ("latest N orders per user", ``sql_generator.py:211``).
+
+Determinism note: every window ORDER BY carries a unique tiebreaker
+(orderkey/custkey) wherever the frame result depends on row order —
+the oracle hash compare needs bit-identical results, and ties in
+`o_orderdate`/doubles would otherwise make row_number/lag
+nondeterministic. RANK over a non-unique key stays deterministic by
+definition (ties share a rank), so `w1` exercises true tie semantics.
+
+Scale: windows shuffle once on partitionBy keys; per-customer
+partitions are tiny and skew-free. Top-k global (`o_topk`) compiles to
+TakeOrderedAndProject — no full sort at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.relational import t
+from etl_generator_demo_spark.registry import register
+
+
+# ---------------------------------------------------------------------------
+# W1 — ranking family
+# ---------------------------------------------------------------------------
+@register(
+    "w1_rank_customers_in_nation",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           RANK()       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_rank,
+           DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_dense_rank,
+           ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS bal_row
+    FROM customer
+    ORDER BY c_nationkey, bal_row
+    """,
+    survey_ids=("W1",),
+)
+def w1_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_ties = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    w_uniq = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.rank().over(w_ties).alias("bal_rank"),
+            F.dense_rank().over(w_ties).alias("bal_dense_rank"),
+            F.row_number().over(w_uniq).alias("bal_row"),
+        )
+        .orderBy("c_nationkey", "bal_row")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2 — lag/lead analytics
+# ---------------------------------------------------------------------------
+@register(
+    "w2_order_gaps",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(DATE_DIFF('day',
+                LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS BIGINT)                                             AS days_since_prev,
+           ROUND(LEAD(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2)       AS next_price
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    survey_ids=("W2", "F4"),
+)
+def w2_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+            .cast("long")
+            .alias("days_since_prev"),
+            F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — framed aggregates: running total + sliding ROWS frame
+# ---------------------------------------------------------------------------
+@register(
+    "w3_running_totals",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+           FLOOR(AVG(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100) / 100 AS moving_avg_3
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    """,
+    survey_ids=("W3",),
+)
+def w3_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(
+                F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+            ).alias("running_spend"),
+            # floor-scaling, not round: an avg over a 2-row frame of
+            # cent values lands exactly on .005, where Spark and DuckDB
+            # round opposite ways; floor on the identical binary double
+            # is boundary-free.
+            (F.floor(F.avg("o_totalprice").over(w.rowsBetween(-2, 0)) * 100) / 100).alias(
+                "moving_avg_3"
+            ),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3 — RANGE (value-based) frame
+# ---------------------------------------------------------------------------
+@register(
+    "w3_range_frame_price_band",
+    oracle="""
+    SELECT o_orderkey,
+           COUNT(*) OVER (ORDER BY o_totalprice
+                          RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS n_in_band
+    FROM orders
+    ORDER BY o_orderkey
+    """,
+    survey_ids=("W3",),
+)
+def w3_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.orderBy("o_totalprice").rangeBetween(-5000, 0)
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.count(F.lit(1)).over(w).alias("n_in_band"))
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4 — top-k per group ("latest/biggest N per user", sql_generator.py:211)
+# ---------------------------------------------------------------------------
+@register(
+    "w4_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+    survey_ids=("W4",),
+)
+def w4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1+O4 — global top-k (ORDER BY + LIMIT -> TakeOrderedAndProject)
+# ---------------------------------------------------------------------------
+@register(
+    "o_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    survey_ids=("O1", "O2", "O4"),
+)
+def o_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2 — UNION / UNION ALL
+# ---------------------------------------------------------------------------
+@register(
+    "u_union_key_accounts",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    UNION
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000
+    ORDER BY c_custkey
+    """,
+    survey_ids=("U2",),
+)
+def u_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select("c_custkey")
+    big = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return rich.union(big).distinct().orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# U2 — INTERSECT
+# ---------------------------------------------------------------------------
+@register(
+    "u_intersect_urgent_and_big",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+    ORDER BY o_custkey
+    """,
+    survey_ids=("U2",),
+)
+def u_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    big = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    return urgent.intersect(big).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# U2 — EXCEPT
+# ---------------------------------------------------------------------------
+@register(
+    "u_except_never_urgent",
+    oracle="""
+    SELECT o_custkey FROM orders
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ORDER BY o_custkey
+    """,
+    survey_ids=("U2",),
+)
+def u_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    all_cust = o.select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return all_cust.subtract(urgent).orderBy("o_custkey")  # EXCEPT = distinct semantics
+
+
+# ---------------------------------------------------------------------------
+# U1 — CTE through spark.sql (the reference's WITH recognition,
+# db_connector.py:218)
+# ---------------------------------------------------------------------------
+_CTE_SQL = """
+WITH nation_rev AS (
+    SELECT n_name, SUM(l_extendedprice * (1 - l_discount)) AS raw_rev
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    GROUP BY n_name
+)
+SELECT n_name, ROUND(raw_rev, 2) AS revenue
+FROM nation_rev
+WHERE raw_rev > (SELECT AVG(raw_rev) FROM nation_rev)
+ORDER BY revenue DESC, n_name
+"""
+
+
+@register(
+    "u_cte_above_avg_nations",
+    oracle=_CTE_SQL,
+    survey_ids=("U1", "A2"),
+)
+def u_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for name in ("lineitem", "supplier", "nation"):
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(_CTE_SQL)
