@@ -1,1 +1,121 @@
-"""placeholder — filled in incrementally."""
+"""As-of join — SURVEY.md §2.3 J8 ([EXT]; no reference counterpart).
+
+"For each right-side event, the latest left-side event at or before
+its timestamp, per key." Spark has no ASOF JOIN operator; a range join
+would be O(n*m) per key. This implementation is the scalable idiom:
+union both sides, one window sort per key, carry the last left value
+forward (`last(..., ignorenulls=True)`) — a single shuffle on the key,
+linear in total events, no range explosion. At 100 TB the shuffle is
+keyed on (user) and AQE splits skewed users.
+
+Precision: event timestamps are nanos in parquet; Spark truncates to
+micros (catalog.read_table), so the DuckDB oracle casts both sides to
+microsecond TIMESTAMP before its native ASOF JOIN. Simultaneous-
+microsecond click+purchase resolves as click-first (<= semantics) in
+both engines via the kind tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.relational import t
+from etl_generator_demo_spark.registry import register
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Generic as-of: for each `right` row, latest `left` row with
+    left_ts <= right_ts within `key`. Returns right columns + the
+    carried value_cols (null when no prior left row)."""
+    lhs = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_kind"),  # left sorts first on timestamp ties
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    rhs_cols = [c for c in right.columns]
+    rhs = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_kind"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"_v_{c}") for c in value_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in rhs_cols],
+    )
+    lhs_padded = lhs.select(
+        key, "_ts", "_kind",
+        *[F.col(f"_v_{c}") for c in value_cols],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in rhs_cols],
+    )
+    unioned = lhs_padded.unionByName(rhs)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_kind")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried: list[Column] = [
+        F.last(f"_v_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in value_cols
+    ]
+    return (
+        unioned.select("*", *carried)
+        .filter(F.col("_kind") == 1)
+        .select(*[F.col(f"_r_{c}").alias(c) for c in rhs_cols], *[f"asof_{c}" for c in value_cols])
+    )
+
+
+@register(
+    "j8_asof_purchase_last_click",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           ROUND(p.value, 2) AS purchase_value,
+           c.ts AS asof_click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    survey_ids=("J8",),
+)
+def j8_asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-style as-of: each purchase joined to the user's most
+    recent click at or before it."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.round("value", 2).alias("purchase_value"),
+    )
+    out = asof_join(
+        clicks.select("user_id", F.col("click_ts")),
+        purchases,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        value_cols=["click_ts"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        "purchase_value",
+        F.col("asof_click_ts"),
+    ).withColumnRenamed("asof_click_ts", "asof_click_ts").orderBy("event_id")

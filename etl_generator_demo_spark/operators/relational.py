@@ -34,7 +34,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
-_REVENUE = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _revenue():
+    """Lazy: module must import on executor workers (mapInPandas
+    closures), where no SparkContext is active — no Column objects at
+    import time."""
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 # ---------------------------------------------------------------------------
@@ -66,8 +70,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(_REVENUE), 2).alias("sum_disc_price"),
-            F.round(F.sum(_REVENUE * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(_revenue()), 2).alias("sum_disc_price"),
+            F.round(F.sum(_revenue() * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -107,7 +111,7 @@ def q2_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum(_REVENUE), 2).alias("revenue"),
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
             F.countDistinct("c_custkey").alias("n_customers"),
         )
@@ -144,7 +148,7 @@ def q3_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(reg, F.col("r_regionkey") == F.col("n_regionkey"))
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(F.sum(_REVENUE), 2).alias("revenue"),
+            F.round(F.sum(_revenue()), 2).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .orderBy("r_name", "n_name")
@@ -190,7 +194,7 @@ def q4_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(nat, F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum(_REVENUE), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 

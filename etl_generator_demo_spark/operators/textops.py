@@ -1,1 +1,218 @@
-"""placeholder — filled in incrementally."""
+"""Text analysis — SURVEY.md §2.12 X4 ([EXT]).
+
+Everything is built-in-function (JVM/codegen) work over `documents`:
+token counting (whitespace + BPE-ish regex), quality scoring
+(length/stopword/diversity ratios), document fingerprinting (content
+hash + min-shingle winnowing), language identification (stopword-
+profile heuristic). No Python UDFs — at 100 TB these run as one scan,
+one optional groupBy.
+
+The fixture corpus is same-vocabulary word soup, so its `lang` column
+is a label, not a property of the text; `lang_id_expr` is therefore
+unit-tested on real multilingual snippets (tests/test_textops.py)
+while the driver queries verify the deterministic computations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.dedup import doc_shingles
+from etl_generator_demo_spark.operators.relational import t
+from etl_generator_demo_spark.registry import register
+
+#: Tiny per-language stopword profiles for the n-gram/stopword
+#: heuristic language identifier. Deliberately small: lang-ID at scale
+#: is a scan-side scoring expression, not a model lookup.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un", "por", "con"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "von", "mit", "den", "ein"),
+    "fr": ("le", "la", "les", "de", "et", "est", "que", "dans", "pour", "une"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+STOPWORDS_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def _tokens(text_col: str | Column) -> Column:
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, r"\s+")
+
+
+def lang_score_expr(text_col: str, lang: str) -> Column:
+    """Count of profile stopwords present in the text's token set."""
+    toks = F.array_distinct(_tokens(F.lower(F.col(text_col))))
+    profile = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+    return F.size(F.array_intersect(toks, profile))
+
+
+def lang_id_expr(text_col: str) -> Column:
+    """Predicted language = argmax stopword-profile hits, 'und' when no
+    profile matches. Pure expression — language ID for a 100 TB corpus
+    is a single scan with no shuffle."""
+    scores = [(lang, lang_score_expr(text_col, lang)) for lang in LANG_PROFILES]
+    best = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # reversed so earlier profiles win ties deterministically
+    for lang, s in reversed(scores):
+        out = F.when((s == best) & (best > 0), lang).otherwise(out)
+    return out
+
+
+def quality_score_expr(text_col: str) -> Column:
+    """Heuristic quality in [0,1]: rewards moderate length, vocabulary
+    diversity, and a sane stopword rate — the standard cheap pre-filter
+    before expensive pipeline stages (C4/Gopher-style rules)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
+    stop = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    stop_ratio = F.size(F.array_intersect(F.array_distinct(toks), stop)) / F.lit(
+        float(len(STOPWORDS_EN))
+    )
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    return F.round((diversity + stop_ratio + len_score) / 3, 4)
+
+
+# ===========================================================================
+# Driver-checkable queries
+# ===========================================================================
+
+@register(
+    "x4_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)                 AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT)  AS n_distinct_tokens,
+           CAST(LENGTH(text) AS BIGINT)                                 AS n_chars,
+           FLOOR(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                 / LEN(STRING_SPLIT(text, ' ')) * 10000) / 10000        AS diversity
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ids=("X4",),
+)
+def x4_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics (whitespace tokenization)."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        (F.floor(n_distinct.cast("double") / n_tokens * 10000) / 10000).alias("diversity"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "x4_token_estimates",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)                    AS ws_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9]+')) AS BIGINT)      AS word_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT)                        AS bpe_estimate
+    FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    survey_ids=("X4",),
+)
+def x4_token_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, regex word tokens, and the
+    chars/4 BPE heuristic used for LLM budget estimates."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]+"), 0))
+        .cast("long")
+        .alias("word_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("bpe_estimate"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "x4_lang_source_rollup",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           FLOOR(AVG(CAST(n_chars AS DOUBLE)) * 100) / 100 AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+    survey_ids=("X4", "A1"),
+)
+def x4_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup by language and source."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            (F.floor(F.avg(F.col("n_chars").cast("double")) * 100) / 100).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "x4_fingerprints",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT(text, ' ')) AS tk,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               tk || '_' || LEAD(tk, 1) OVER w || '_' || LEAD(tk, 2) OVER w
+                  || '_' || LEAD(tk, 3) OVER w || '_' || LEAD(tk, 4) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    winnow AS (
+        SELECT doc_id, MIN(MD5(shingle)) AS min_shingle_fp
+        FROM sh WHERE shingle IS NOT NULL GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           MD5(d.text) AS content_fp,
+           w.min_shingle_fp
+    FROM documents d JOIN winnow w ON w.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    survey_ids=("X4", "X1"),
+)
+def x4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact content hash + winnowing-style
+    min-shingle hash (stable under small edits elsewhere in the doc)."""
+    docs = t(spark, sf_dir, "documents")
+    winnow = (
+        doc_shingles(docs)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("shingle")).alias("min_shingle_fp"))
+    )
+    return (
+        docs.select("doc_id", F.md5("text").alias("content_fp"))
+        .join(winnow, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+@register("x4_quality_and_lang", oracle=None, survey_ids=("X4",))
+def x4_quality_and_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score + heuristic lang-ID per document (rows-only: the
+    heuristics are engine-defined; behavior pinned by unit tests)."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        quality_score_expr("text").alias("quality"),
+        lang_id_expr("text").alias("predicted_lang"),
+    ).orderBy("doc_id")

@@ -1,1 +1,177 @@
-"""placeholder."""
+"""Time-window operators over the events stream — SURVEY.md §2.11
+([EXT]; the reference has no streaming surface).
+
+Batch-first: `F.window` / `F.session_window` produce identical results
+in batch and in Structured Streaming, so each operator here is written
+once and reused by `streaming_pipeline()` with `readStream` +
+`withWatermark` for a live source. Windowed aggregation in streaming
+mode keeps per-window partial state in the state store; the watermark
+bounds it (late events beyond 10 minutes are dropped).
+
+Oracle parity: tumbling window starts are epoch-aligned, equal to
+date_trunc on the period; sliding windows enumerate the (width/slide)
+grids; session windows are the classic gaps-and-islands rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.relational import t
+from etl_generator_demo_spark.registry import register
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "st_tumbling_hourly",
+    oracle="""
+    SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+    survey_ids=("§2.11",),
+)
+def st_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type."""
+    return tumbling_counts(t(spark, sf_dir, "events")).orderBy("window_start", "event_type")
+
+
+@register(
+    "st_sliding_windows",
+    oracle="""
+    WITH grid AS (
+        SELECT TIME_BUCKET(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS window_start, value
+        FROM events
+        UNION ALL
+        SELECT TIME_BUCKET(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '30 minutes', value
+        FROM events
+    )
+    SELECT window_start, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM grid
+    GROUP BY 1
+    ORDER BY window_start
+    """,
+    survey_ids=("§2.11",),
+)
+def st_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1-hour width, 30-minute slide (each event lands
+    in two windows; the oracle enumerates both grid positions)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+@register(
+    "st_session_windows",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                         OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                            > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+    survey_ids=("§2.11",),
+)
+def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap
+    (F.session_window; merged-session semantics match gaps-and-islands)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "st_late_data_watermark_semantics",
+    oracle="""
+    WITH mx AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS max_ts FROM events)
+    SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           COUNT(*) AS n_events
+    FROM events, mx
+    WHERE CAST(ts AS TIMESTAMP) >= mx.max_ts - INTERVAL '10 minutes'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    survey_ids=("§2.11",),
+)
+def st_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics expressed in batch: only events within the
+    10-minute watermark horizon of max event time count (what a
+    streaming query with withWatermark('ts','10 minutes') would admit
+    at end-of-stream)."""
+    ev = t(spark, sf_dir, "events")
+    horizon = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 10 MINUTES")).alias("wm")
+    )
+    return (
+        ev.join(F.broadcast(horizon))
+        .filter(F.col("ts") >= F.col("wm"))
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("window_start")
+    )
+
+
+def streaming_pipeline(spark: SparkSession, source: DataFrame | None = None):
+    """Structured Streaming assembly of the same tumbling aggregation:
+    readStream -> withWatermark -> window agg. Returns the unstarted
+    streaming DataFrame (callers attach writeStream/sink). With no
+    source, uses the rate source shaped like events."""
+    if source is None:
+        source = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 100)
+            .load()
+            .select(
+                F.col("timestamp").alias("ts"),
+                (F.col("value") % 5).cast("string").alias("event_type"),
+                (F.col("value") % 100).cast("double").alias("value"),
+            )
+        )
+    return (
+        source.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -1,0 +1,86 @@
+"""Dedup operator unit tests on tiny inline data + fixture structure."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.dedup import (
+    doc_shingles,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_one_per_key(spark):
+    df = _docs(spark, [(1, "a b c"), (2, "a b c"), (3, "x y z")])
+    out = exact_dedup(df, ["text"])
+    assert out.count() == 2
+
+
+def test_shingles_short_doc_empty(spark):
+    df = _docs(spark, [(1, "only four tokens here")])  # < 5 tokens
+    assert doc_shingles(df).count() == 0
+
+
+def test_shingles_count_and_distinct(spark):
+    df = _docs(spark, [(1, "a b c d e f"), (2, "a b c d e a b c d e")])
+    sh = doc_shingles(df)
+    # doc1: 2 shingles; doc2: 6 positions but 'a_b_c_d_e' repeats -> distinct
+    got = {r["doc_id"]: r["n"] for r in sh.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert got[1] == 2 and got[2] < 6
+
+
+def test_near_dup_detected_exact_dup_full_signature(spark):
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    near = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w13"  # one token changed
+    other = "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12"
+    df = _docs(spark, [(1, base), (2, base), (3, near), (4, other)])
+    sigs = minhash_signatures(doc_shingles(df))
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 2) in pairs          # identical docs always collide
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # unrelated never
+
+
+def test_ngram_jaccard_exact_values(spark):
+    base = "w1 w2 w3 w4 w5 w6"  # shingles: w1..w5, w2..w6
+    df = _docs(spark, [(1, base), (2, base), (3, "a b c d e f")])
+    out = ngram_jaccard_pairs(doc_shingles(df), threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"], r["jaccard"]) == (1, 2, 1.0)
+
+
+def test_simhash_identical_docs_equal_fingerprints(spark):
+    base = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = _docs(spark, [(1, base), (2, base), (3, "q r s t u v w x")])
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(doc_shingles(df)).collect()}
+    assert fps[1] == fps[2]
+    assert len(fps[1]) == 16 and set(fps[1]) <= {"0", "1"}
+    assert fps[1] != fps[3]
+
+
+def test_fixture_finds_planted_near_dups(spark, sf_dir):
+    """The sf0.001 corpus has ~28 planted near-dup pairs at Jaccard>0.5;
+    LSH must recover a large majority (deterministic given md5 seeds)."""
+    from etl_generator_demo_spark.operators.relational import t
+
+    docs = t(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(sh, threshold=0.5).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(minhash_signatures(sh)).collect()
+    }
+    assert len(exact) >= 20
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} true pairs"

@@ -1,0 +1,59 @@
+"""Multimodal plumbing tests: schema, Arrow batch shape, stub decode."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.multimodal import (
+    DECODED_SCHEMA,
+    as_media_table,
+    decode_media,
+    _fake_decode,
+)
+
+
+def test_media_schema_binary_payload(spark, sf_dir):
+    from etl_generator_demo_spark.operators.relational import t
+
+    media = as_media_table(t(spark, sf_dir, "documents"))
+    dtypes = dict(media.dtypes)
+    assert dtypes["payload"] == "binary"
+    assert dtypes["media_type"] == "string"
+    assert dtypes["meta"].startswith("struct<")
+    row = media.first()
+    assert isinstance(row["payload"], (bytes, bytearray))
+    assert row["meta"]["n_bytes"] == len(row["payload"])
+
+
+def test_decode_media_deterministic_and_complete(spark, sf_dir):
+    from etl_generator_demo_spark.operators.relational import t
+
+    media = as_media_table(t(spark, sf_dir, "documents")).limit(50)
+    out1 = {r["media_id"]: (r["width"], r["height"], r["n_frames"])
+            for r in decode_media(media).collect()}
+    out2 = {r["media_id"]: (r["width"], r["height"], r["n_frames"])
+            for r in decode_media(media).collect()}
+    assert out1 == out2 and len(out1) == 50
+    assert decode_media(media).schema == DECODED_SCHEMA
+
+
+def test_images_single_frame(spark, sf_dir):
+    from etl_generator_demo_spark.operators.relational import t
+
+    media = as_media_table(t(spark, sf_dir, "documents"))
+    frames = (
+        decode_media(media)
+        .groupBy("media_type")
+        .agg(F.max("n_frames").alias("mx"), F.min("n_frames").alias("mn"))
+        .collect()
+    )
+    by_type = {r["media_type"]: (r["mn"], r["mx"]) for r in frames}
+    assert by_type["image"] == (1, 1)       # images are one frame
+    assert by_type["video"][1] > 1          # videos sample many
+
+
+def test_fake_decode_contract():
+    assert _fake_decode(b"abc", "image")[2] == 1
+    with pytest.raises(NotImplementedError):
+        _fake_decode(b"abc", "hologram")

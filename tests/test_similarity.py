@@ -1,0 +1,76 @@
+"""Similarity-search tests: brute-force correctness on hand vectors,
+ANN structural guarantees + measured recall on the fixture."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    cosine,
+    _as_double,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_ordering_and_values(tiny_vectors):
+    out = brute_force_topk(tiny_vectors, [1.0, 0.0, 0.0], k=4).collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids == [1, 2, 3, 4]  # exact, near, orthogonal, opposite
+    assert out[0]["cosine"] == pytest.approx(1.0, abs=1e-6)
+    expected2 = 0.9 / math.sqrt(0.81 + 0.01)
+    assert out[1]["cosine"] == pytest.approx(expected2, abs=1e-5)
+    assert out[2]["cosine"] == pytest.approx(0.0, abs=1e-6)
+    assert out[3]["cosine"] == pytest.approx(-1.0, abs=1e-6)
+
+
+def test_cosine_expr_null_safe_zero_norm(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0])], "vec_id long, embedding array<float>")
+    out = df.select(
+        cosine(_as_double("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("c")
+    ).first()
+    assert out["c"] is None or math.isnan(out["c"])  # 0/0 -> null/NaN, no crash
+
+
+def test_ann_subset_of_bruteforce_with_exact_scores(spark, sf_dir):
+    from etl_generator_demo_spark.operators.relational import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"]: r["cosine"] for r in brute_force_topk(base, qv, k=500).collect()}
+    ann = ann_lsh_topk(base, qv, k=10).collect()
+    assert 0 < len(ann) <= 10
+    for r in ann:
+        # every ANN hit carries the exact cosine of the full ranking
+        assert r["vec_id"] in exact
+        assert r["cosine"] == exact[r["vec_id"]]
+
+
+def test_ann_recall_at_10(spark, sf_dir):
+    """Deterministic md5 hyperplanes -> recall is a fixed number for the
+    fixture; uniform-random vectors give moderate recall by design
+    (raise `tables` for more). Assert the floor so regressions show."""
+    from etl_generator_demo_spark.operators.relational import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    base = emb.filter(F.col("vec_id") != 0)
+    truth = {r["vec_id"] for r in brute_force_topk(base, qv, k=10).collect()}
+    got = {r["vec_id"] for r in ann_lsh_topk(base, qv, k=10).collect()}
+    recall = len(truth & got) / 10
+    assert recall >= 0.5, f"ANN recall@10 = {recall}"

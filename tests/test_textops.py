@@ -1,0 +1,73 @@
+"""Text-analysis tests: lang-ID on real multilingual snippets (the
+fixture corpus is same-vocabulary soup, so this is where the heuristic
+is actually exercised), quality scoring monotonicity, fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.textops import (
+    lang_id_expr,
+    quality_score_expr,
+)
+
+SNIPPETS = [
+    (1, "the cat sat on the mat and it was happy that the sun is warm", "en"),
+    (2, "el perro corre por la calle y los niños juegan en un parque con la pelota", "es"),
+    (3, "der hund läuft durch die stadt und das ist nicht so schlecht von den leuten", "de"),
+    (4, "le chat est dans la maison et les enfants jouent pour une heure dans le jardin", "fr"),
+    (5, "我 的 是 一个 在 家 的 人 我 有 不 少 书 就 是 了", "zh"),
+]
+
+
+def test_lang_id_on_real_snippets(spark):
+    df = spark.createDataFrame(
+        [(i, s) for i, s, _ in SNIPPETS], "id long, text string"
+    ).select("id", lang_id_expr("text").alias("lang"))
+    got = {r["id"]: r["lang"] for r in df.collect()}
+    for i, _, expected in SNIPPETS:
+        assert got[i] == expected, f"snippet {i}: got {got[i]}, want {expected}"
+
+
+def test_lang_id_unknown_text(spark):
+    df = spark.createDataFrame([(1, "xyzzy qwerty plugh 12345")], "id long, text string")
+    assert df.select(lang_id_expr("text").alias("l")).first()["l"] == "und"
+
+
+def test_quality_score_ranks_texts_sanely(spark):
+    rows = [
+        (1, "the quick brown fox jumps over a lazy dog and it runs to the hills in the morning " * 3),
+        (2, "spam spam spam spam spam spam spam spam"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["q"] for r in df.select("id", quality_score_expr("text").alias("q")).collect()}
+    assert 0.0 <= got[2] < got[1] <= 1.0
+
+
+def test_quality_score_bounds_on_fixture(spark, sf_dir):
+    from etl_generator_demo_spark.operators.relational import t
+
+    docs = t(spark, sf_dir, "documents")
+    stats = docs.select(quality_score_expr("text").alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).first()
+    assert 0.0 <= stats["lo"] <= stats["hi"] <= 1.0
+
+
+def test_fingerprint_stability_under_distant_edit(spark):
+    """min-shingle fingerprint unchanged when the edit is far from the
+    minimal shingle (the winnowing property), content hash changes."""
+    from etl_generator_demo_spark.operators.dedup import doc_shingles
+    base = "m1 m2 m3 m4 m5 tail1 tail2 tail3 tail4 tail5 tail6"
+    edited = base + " extra"
+    df = spark.createDataFrame([(1, base), (2, edited)], "doc_id long, text string")
+    fps = (
+        doc_shingles(df)
+        .groupBy("doc_id")
+        .agg(F.min(F.md5("shingle")).alias("fp"))
+        .collect()
+    )
+    by_id = {r["doc_id"]: r["fp"] for r in fps}
+    # same minimal shingle unless the edit introduced a smaller hash;
+    # with this fixed data the property holds deterministically
+    assert by_id[1] == by_id[2]
