@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line to stdout:
+    {"metric": "...", "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...}
+Everything else goes to stderr.
+
+Headline set: one representative per operator family — scan+agg, the
+flagship join, star join, 4-table join, window top-k, sessionization,
+MinHash LSH, exact Jaccard, cosine top-k, ANN, as-of join, JSON agg.
+Results are fully materialized via collect() (row counts are small by
+construction; the driver-side edge is the only place this engine ever
+collects).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q2_revenue_by_segment",
+    "q3_revenue_by_nation",
+    "q4_local_supplier_volume",
+    "w4_top3_orders_per_customer",
+    "st_session_windows",
+    "x2_minhash_lsh_pairs",
+    "x2_ngram_jaccard_pairs",
+    "x3_cosine_topk",
+    "x3_ann_lsh_topk",
+    "j8_asof_purchase_last_click",
+    "f_json_struct_agg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from etl_generator_demo_spark.registry import load_all
+    from etl_generator_demo_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    # JVM/codegen warmup on the smallest fixture so headline timings
+    # measure the queries, not JIT.
+    registry["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].fn
+        # two runs, report the min: first-run time is dominated by plan
+        # compilation + whole-stage-codegen JIT, which amortizes to zero
+        # on a long-lived cluster — steady-state is the honest number.
+        best = float("inf")
+        rows = []
+        for _ in range(2):
+            t0 = time.time()
+            rows = fn(spark, sf_dir).collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        print(f"  {name}: {best:.2f}s ({len(rows)} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_query_wall_clock_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

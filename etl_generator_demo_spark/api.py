@@ -1,0 +1,107 @@
+"""Service layer — the reference's HTTP surface re-expressed over Spark.
+
+Request/response shapes mirror the reference's pydantic models
+(``main.py:31-66``): SQLGenerateRequest/Response, QueryExecuteRequest,
+metadata + samples endpoints. Implemented as plain functions over an
+``AppState`` so the contract is testable offline; ``create_fastapi_app``
+mounts the same functions as HTTP routes when fastapi is installed
+(it is not bundled in this container).
+
+Unlike the reference — which keeps mutable connector singletons per
+gunicorn worker so state diverges across processes (SURVEY §3 caveat)
+— this layer is stateless over one SparkSession: status derives from
+the catalog, not from connection flags.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from etl_generator_demo_spark.catalog import Catalog
+from etl_generator_demo_spark.engine import DEFAULT_LIMIT, ExecutionEngine
+from etl_generator_demo_spark.generation import (
+    generate_sample_queries,
+    generate_sql,
+    resolve_metadata,
+)
+
+
+@dataclass
+class AppState:
+    spark: SparkSession
+    catalog: Catalog
+    engine: ExecutionEngine = field(init=False)
+
+    def __post_init__(self):
+        self.engine = ExecutionEngine(self.spark)
+        self.catalog.register_views()
+
+
+def status_endpoint(state: AppState) -> dict[str, Any]:
+    """GET /api/db/status — derived from the catalog, no mutable flags."""
+    doc = state.catalog.metadata_document()
+    return {
+        "connected": True,
+        "db_type": doc["db_type"],
+        "db_version": doc["db_version"],
+        "n_tables": len(doc["schema_summary"]["tables"]),
+    }
+
+
+def metadata_endpoint(state: AppState) -> dict[str, Any]:
+    """GET /api/db/metadata — the reference-shaped metadata document."""
+    return state.catalog.metadata_document()
+
+
+def generate_sql_endpoint(state: AppState, body: dict[str, Any]) -> dict[str, Any]:
+    """POST /api/generate-sql. Body: {request, database_info?, include_etl?,
+    provider?, model_name?}. Empty request -> error (main.py:87-88)."""
+    request = (body.get("request") or "").strip()
+    if not request:
+        return {"error": "request text is required", "status_code": 400}
+    metadata = resolve_metadata(body.get("database_info"), state.catalog)
+    return generate_sql(
+        request,
+        metadata,
+        include_etl=bool(body.get("include_etl")),
+        provider=body.get("provider", "demo"),
+        model_name=body.get("model_name"),
+    )
+
+
+def execute_endpoint(state: AppState, body: dict[str, Any]) -> dict[str, Any]:
+    """POST /api/db/execute. Body: {sql, limit=10}."""
+    sql = body.get("sql") or ""
+    limit = int(body.get("limit") or DEFAULT_LIMIT)
+    result = state.engine.execute(sql, limit=limit)
+    out = result.to_dict()
+    if not result.success:
+        out["status_code"] = 400
+    return out
+
+
+def samples_endpoint(state: AppState, body: dict[str, Any] | None = None) -> dict[str, Any]:
+    """POST /api/generate-samples — 10 suggested NL questions."""
+    metadata = resolve_metadata((body or {}).get("database_info"), state.catalog)
+    return {"samples": generate_sample_queries(metadata, n=10)}
+
+
+def create_fastapi_app(state: AppState):
+    """Mount the endpoints as HTTP routes (requires fastapi)."""
+    try:
+        from fastapi import FastAPI
+    except ImportError as exc:  # pragma: no cover - fastapi not bundled here
+        raise RuntimeError(
+            "fastapi is not installed; use the endpoint functions directly"
+        ) from exc
+
+    app = FastAPI(title="etl-generator-demo-spark")
+    app.get("/api/db/status")(lambda: status_endpoint(state))
+    app.get("/api/db/metadata")(lambda: metadata_endpoint(state))
+    app.post("/api/generate-sql")(lambda body: generate_sql_endpoint(state, body))
+    app.post("/api/db/execute")(lambda body: execute_endpoint(state, body))
+    app.post("/api/generate-samples")(lambda body: samples_endpoint(state, body))
+    return app

@@ -1,0 +1,130 @@
+"""ETL pipeline-spec executor — SURVEY.md §2 S7/S8, F1-F3, G3.
+
+The reference *generates* a declarative three-stage spec and renders
+it in the UI without ever executing it (``sql_generator.py:40-49``,
+demo instance ``:296-311``). Here the spec is an executable program:
+
+    {"extract":  {"source_tables": [...], "conditions": [...]} | {"sql": ...},
+     "transform": {"steps": [{"op": ..., ...}, ...]},
+     "load":     {"target_table": ..., "write_mode": "append"|"overwrite"}}
+
+Transform-step vocabulary (superset of the step strings the reference
+emits — NULL default-fill / date standardization / type validation,
+``sql_generator.py:303-305``):
+
+    fill_nulls        {"columns": {col: default}}
+    standardize_dates {"column": c, ["format": fmt], ["target": name]}
+    cast              {"columns": {col: type}}   (try_cast: bad -> null)
+    filter            {"condition": sql_bool_expr}
+    select            {"columns": [c, ...]}
+    derive            {"column": name, "expr": sql_expr}
+    dedup             {"columns": [c, ...]}
+
+Everything compiles to lazy DataFrame transformations — the whole
+pipeline is one Catalyst plan, so filters in `conditions` push down to
+the extract scan and only `load` triggers execution. Loads write
+Parquet tables (append/overwrite), the two modes the reference's spec
+contract names.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.catalog import Catalog
+
+
+class ETLSpecError(ValueError):
+    """Invalid or unsupported pipeline spec."""
+
+
+@dataclass
+class ETLResult:
+    target_table: str
+    write_mode: str
+    rows_written: int
+    steps_applied: list[str]
+
+
+class ETLPipelineExecutor:
+    """Interprets generated pipeline specs against the catalog."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog, output_dir: str):
+        self.spark = spark
+        self.catalog = catalog
+        self.output_dir = output_dir
+
+    # -- extract ---------------------------------------------------------
+    def _extract(self, spec: dict[str, Any]) -> DataFrame:
+        ex = spec.get("extract") or {}
+        if "sql" in ex:
+            df = self.spark.sql(ex["sql"])
+        else:
+            tables = ex.get("source_tables") or []
+            if not tables:
+                raise ETLSpecError("extract needs source_tables or sql")
+            if len(tables) > 1:
+                # multi-table extract without explicit SQL: join along
+                # registered FK edges would be ambiguous — require sql.
+                raise ETLSpecError("multi-table extract requires extract.sql")
+            df = self.catalog.table(tables[0])
+        for cond in ex.get("conditions") or []:
+            df = df.filter(F.expr(cond))
+        return df
+
+    # -- transform ---------------------------------------------------------
+    def _apply_step(self, df: DataFrame, step: dict[str, Any]) -> DataFrame:
+        op = step.get("op")
+        if op == "fill_nulls":
+            return df.fillna(step["columns"])
+        if op == "standardize_dates":
+            col = step["column"]
+            fmt = step.get("format", "yyyy-MM-dd")
+            target = step.get("target", col)
+            return df.withColumn(target, F.date_format(F.col(col), fmt))
+        if op == "cast":
+            out = df
+            for col, typ in step["columns"].items():
+                out = out.withColumn(col, F.col(col).try_cast(typ))
+            return out
+        if op == "filter":
+            return df.filter(F.expr(step["condition"]))
+        if op == "select":
+            return df.select(*step["columns"])
+        if op == "derive":
+            return df.withColumn(step["column"], F.expr(step["expr"]))
+        if op == "dedup":
+            return df.dropDuplicates(step["columns"])
+        raise ETLSpecError(f"unknown transform op: {op!r}")
+
+    # -- load ---------------------------------------------------------
+    def run(self, spec: dict[str, Any]) -> ETLResult:
+        df = self._extract(spec)
+        steps = (spec.get("transform") or {}).get("steps") or []
+        applied = []
+        for step in steps:
+            df = self._apply_step(df, step)
+            applied.append(step.get("op", "?"))
+
+        load = spec.get("load") or {}
+        target = load.get("target_table")
+        if not target or not target.replace("_", "").isalnum():
+            raise ETLSpecError(f"invalid load.target_table: {target!r}")
+        mode = load.get("write_mode", "append")
+        if mode not in ("append", "overwrite"):
+            raise ETLSpecError(f"write_mode must be append|overwrite, got {mode!r}")
+
+        path = f"{self.output_dir}/{target}"
+        df.write.mode(mode).parquet(path)
+        written = self.spark.read.parquet(path)
+        written.createOrReplaceTempView(target)
+        return ETLResult(
+            target_table=target,
+            write_mode=mode,
+            rows_written=written.count(),
+            steps_applied=applied,
+        )

@@ -113,6 +113,37 @@ class TestSerialization:
         assert not res.success and res.error
 
 
+class TestWriteSurface:
+    """D1: non-SELECT execution with explicit opt-in (the reference
+    commits arbitrary DML, db_connector.py:244-251; plain Spark tables
+    support CREATE/INSERT/DROP — UPDATE/DELETE need a lakehouse format
+    and are documented as out of scope)."""
+
+    def test_create_insert_select_drop(self, spark, catalog, tmp_path):
+        from etl_generator_demo_spark.engine import ExecutionEngine
+
+        eng = ExecutionEngine(spark, allow_writes=True)
+        loc = tmp_path / "t_notes"
+        r = eng.execute(
+            f"CREATE TABLE t_notes (id BIGINT, note STRING) USING parquet LOCATION '{loc}'"
+        )
+        assert r.success, r.error
+        r = eng.execute("INSERT INTO t_notes VALUES (1, 'a'), (2, 'b')")
+        assert r.success, r.error
+        r = eng.execute("SELECT id, note FROM t_notes ORDER BY id", limit=None)
+        assert r.success and r.row_count == 2 and r.rows[0] == {"id": 1, "note": "a"}
+        r = eng.execute("INSERT OVERWRITE t_notes VALUES (9, 'z')")
+        assert r.success
+        assert eng.execute("SELECT * FROM t_notes", limit=None).row_count == 1
+        assert eng.execute("DROP TABLE t_notes").success
+
+    def test_write_still_blocked_without_opt_in(self, spark, catalog):
+        from etl_generator_demo_spark.engine import ExecutionEngine
+
+        r = ExecutionEngine(spark).execute("CREATE TABLE nope (x INT)")
+        assert r.is_blocked
+
+
 class TestCatalogMetadata:
     def test_document_shape(self, catalog):
         doc = catalog.metadata_document()

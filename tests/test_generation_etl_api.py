@@ -1,0 +1,209 @@
+"""Generation layer (G1-G7), ETL executor, and API-shape tests —
+SURVEY §5 items 3-5 (golden demo SQL, blocklist, lifecycle shapes)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from etl_generator_demo_spark.generation import (
+    blocked_response,
+    build_prompt,
+    bundled_sample_metadata,
+    generate_demo_response,
+    generate_sample_queries,
+    generate_sql,
+    parse_llm_response,
+    resolve_metadata,
+)
+
+
+@pytest.fixture(scope="module")
+def metadata():
+    return bundled_sample_metadata()
+
+
+class TestDemoGeneration:
+    def test_golden_template_sql(self, metadata):
+        out = generate_demo_response("show me orders", metadata)
+        assert not out["is_blocked"]
+        assert out["sql"] == (
+            "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate"
+            "\nFROM orders\nLIMIT 10"
+        )
+        assert out["tables_used"] == ["orders"]
+
+    def test_mandatory_filters_injected(self, metadata):
+        md = json.loads(json.dumps(metadata))
+        md["constraints"]["mandatory_filters"] = ["o_orderstatus <> 'X'"]
+        md["constraints"]["soft_delete_rule"] = "o_totalprice > 0"
+        out = generate_demo_response("orders", md)
+        assert "WHERE o_orderstatus <> 'X' AND o_totalprice > 0" in out["sql"]
+
+    def test_blocklist_korean_and_english(self, metadata):
+        for req in ("please DELETE everything", "테이블 삭제해줘", "update the rows"):
+            out = generate_demo_response(req, metadata)
+            assert out["is_blocked"] and "SELECT" in out["block_reason"]
+
+    def test_etl_spec_shape(self, metadata):
+        out = generate_demo_response("orders", metadata, include_etl=True)
+        etl = out["etl_pipeline"]
+        assert set(etl) == {"extract", "transform", "load"}
+        assert etl["load"]["write_mode"] in ("append", "overwrite")
+
+    def test_empty_request_blocked(self, metadata):
+        assert generate_sql("   ", metadata)["is_blocked"]
+
+    def test_unconfigured_providers_fall_back_to_demo(self, metadata, monkeypatch):
+        monkeypatch.delenv("OPENAI_API_KEY", raising=False)
+        monkeypatch.delenv("GOOGLE_API_KEY", raising=False)
+        out = generate_sql("orders", metadata, provider="openai")
+        assert not out["is_blocked"] and out["sql"].startswith("SELECT")
+
+
+class TestParseLLMResponse:
+    def test_fenced_json(self):
+        doc = {"intent_summary": "x", "sql": "SELECT 1", "tables_used": []}
+        out = parse_llm_response(f"```json\n{json.dumps(doc)}\n```")
+        assert out["sql"] == "SELECT 1" and not out["is_blocked"]
+
+    def test_invalid_json_blocked(self):
+        out = parse_llm_response("I think the answer is SELECT 1")
+        assert out["is_blocked"] and "format error" in out["block_reason"]
+
+    def test_write_sql_from_llm_gated(self):
+        out = parse_llm_response(json.dumps({"sql": "DROP TABLE users"}))
+        assert out["is_blocked"]
+
+    def test_defaults_filled(self):
+        out = parse_llm_response(json.dumps({"sql": "SELECT 1"}))
+        assert out["assumptions"] == [] and out["safety_notes"] == []
+
+
+class TestSamplesAndMetadata:
+    def test_sample_queries_deterministic_and_capped(self, metadata):
+        s1 = generate_sample_queries(metadata)
+        s2 = generate_sample_queries(metadata)
+        assert s1 == s2 and 0 < len(s1) <= 10
+
+    def test_resolution_priority(self, metadata, catalog):
+        supplied = {"schema_summary": {"tables": [], "relationships": []}}
+        assert resolve_metadata(supplied, catalog) is supplied
+        assert resolve_metadata(None, catalog) is catalog.metadata_document()
+        assert resolve_metadata(None, None)["db_version"] == "sample"
+
+    def test_prompt_contains_schema_and_request(self, metadata):
+        p = build_prompt("top customers", metadata, include_etl=True)
+        assert "orders" in p and "top customers" in p and "etl_pipeline" in p
+
+
+class TestETLExecutor:
+    @pytest.fixture()
+    def executor(self, spark, catalog, tmp_path):
+        from etl_generator_demo_spark.etl import ETLPipelineExecutor
+
+        return ETLPipelineExecutor(spark, catalog, str(tmp_path))
+
+    def test_full_pipeline(self, executor, spark):
+        spec = {
+            "extract": {"source_tables": ["orders"], "conditions": ["o_totalprice > 100000"]},
+            "transform": {
+                "steps": [
+                    {"op": "derive", "column": "year", "expr": "year(o_orderdate)"},
+                    {"op": "select", "columns": ["o_orderkey", "o_custkey", "year"]},
+                    {"op": "dedup", "columns": ["o_orderkey"]},
+                ]
+            },
+            "load": {"target_table": "big_orders", "write_mode": "overwrite"},
+        }
+        res = executor.run(spec)
+        assert res.rows_written > 0
+        assert res.steps_applied == ["derive", "select", "dedup"]
+        assert spark.table("big_orders").columns == ["o_orderkey", "o_custkey", "year"]
+
+    def test_append_accumulates(self, executor):
+        spec = {
+            "extract": {"source_tables": ["region"]},
+            "transform": {"steps": []},
+            "load": {"target_table": "region_copy", "write_mode": "append"},
+        }
+        n1 = executor.run(spec).rows_written
+        n2 = executor.run(spec).rows_written
+        assert n2 == 2 * n1
+
+    def test_sql_extract_and_cast_and_fill(self, executor, spark):
+        spec = {
+            "extract": {"sql": "SELECT o_orderkey, o_orderpriority FROM orders"},
+            "transform": {
+                "steps": [
+                    {"op": "cast", "columns": {"o_orderpriority": "bigint"}},
+                    {"op": "fill_nulls", "columns": {"o_orderpriority": -1}},
+                ]
+            },
+            "load": {"target_table": "cast_check", "write_mode": "overwrite"},
+        }
+        executor.run(spec)
+        vals = {r["o_orderpriority"] for r in spark.table("cast_check").collect()}
+        assert vals == {-1}  # every cast fails -> null -> filled
+
+    def test_bad_specs_rejected(self, executor):
+        from etl_generator_demo_spark.etl import ETLSpecError
+
+        with pytest.raises(ETLSpecError):
+            executor.run({"extract": {}, "load": {"target_table": "x"}})
+        with pytest.raises(ETLSpecError):
+            executor.run(
+                {"extract": {"source_tables": ["orders", "customer"]},
+                 "load": {"target_table": "x"}}
+            )
+        with pytest.raises(ETLSpecError):
+            executor.run(
+                {"extract": {"source_tables": ["orders"]},
+                 "load": {"target_table": "x", "write_mode": "merge"}}
+            )
+        with pytest.raises(ETLSpecError):
+            executor.run(
+                {"extract": {"source_tables": ["orders"]},
+                 "load": {"target_table": "../evil", "write_mode": "append"}}
+            )
+
+
+class TestAPIShapes:
+    @pytest.fixture(scope="class")
+    def state(self, spark, catalog):
+        from etl_generator_demo_spark.api import AppState
+
+        return AppState(spark, catalog)
+
+    def test_status(self, state):
+        from etl_generator_demo_spark.api import status_endpoint
+
+        out = status_endpoint(state)
+        assert out["connected"] and out["n_tables"] == 10
+
+    def test_generate_then_execute_roundtrip(self, state):
+        from etl_generator_demo_spark.api import execute_endpoint, generate_sql_endpoint
+
+        gen = generate_sql_endpoint(state, {"request": "show recent orders"})
+        assert not gen.get("is_blocked") and gen["sql"]
+        res = execute_endpoint(state, {"sql": gen["sql"], "limit": 50})
+        # template targets the first catalog table (region, 5 rows) with LIMIT 10
+        assert res["success"] and 0 < res["row_count"] <= 10
+
+    def test_execute_blocked_write(self, state):
+        from etl_generator_demo_spark.api import execute_endpoint
+
+        res = execute_endpoint(state, {"sql": "DROP TABLE orders"})
+        assert res["status_code"] == 400 and res["is_blocked"]
+
+    def test_empty_request_400(self, state):
+        from etl_generator_demo_spark.api import generate_sql_endpoint
+
+        assert generate_sql_endpoint(state, {"request": ""})["status_code"] == 400
+
+    def test_samples(self, state):
+        from etl_generator_demo_spark.api import samples_endpoint
+
+        out = samples_endpoint(state)
+        assert len(out["samples"]) == 10
