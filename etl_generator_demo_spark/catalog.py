@@ -123,6 +123,14 @@ class Catalog:
             "mandatory_filters": [],
         }
     )
+    #: P5 engine-side enforcement (SURVEY §7.3 item 2): per-table
+    #: predicates auto-ANDed onto every scan of the flagged table. The
+    #: reference only *prompts* the LLM to include these
+    #: (sample_metadata.py:76-80); here the view layer enforces them, so
+    #: even hand-written SQL cannot bypass a soft-delete rule. Pure
+    #: pre-flight rewrite — no JVM extension needed, and Catalyst pushes
+    #: the injected Filter into the parquet scan.
+    table_filters: dict[str, list[str]] = field(default_factory=dict)
     _metadata_cache: dict[str, Any] | None = field(default=None, repr=False)
 
     def path(self, name: str) -> str:
@@ -133,7 +141,10 @@ class Catalog:
 
     def register_views(self, tables: tuple[str, ...] = TABLES) -> None:
         for name in tables:
-            self.table(name).createOrReplaceTempView(name)
+            df = self.table(name)
+            for pred in self.table_filters.get(name, []):
+                df = df.filter(F.expr(pred))
+            df.createOrReplaceTempView(name)
 
     # -- metadata document ------------------------------------------------
     def metadata_document(self) -> dict[str, Any]:
