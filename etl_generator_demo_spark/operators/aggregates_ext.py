@@ -1,0 +1,97 @@
+"""Extended aggregates: exact percentiles, collection aggregates,
+pivot — rounding out §2.4's generated-SQL surface (median/top-list/
+crosstab questions are staple LLM-SQL outputs).
+
+Percentiles use Spark's exact `percentile` (linear interpolation,
+same definition as DuckDB's quantile_cont); at 100 TB you swap in
+`percentile_approx` (t-digest, one pass, bounded memory) — kept here
+as the exact tier so the oracle can verify values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.relational import t
+from etl_generator_demo_spark.registry import register
+
+
+@register(
+    "a_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           FLOOR(QUANTILE_CONT(o_totalprice, 0.5) * 100) / 100  AS median_price,
+           FLOOR(QUANTILE_CONT(o_totalprice, 0.9) * 100) / 100  AS p90_price,
+           FLOOR(QUANTILE_CONT(o_totalprice, 0.99) * 100) / 100 AS p99_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    survey_ids=("A1", "A2"),
+)
+def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    def fp(p):
+        return F.floor(F.expr(f"percentile(o_totalprice, {p})") * 100) / 100
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            fp(0.5).alias("median_price"),
+            fp(0.9).alias("p90_price"),
+            fp(0.99).alias("p99_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "a_collect_sets",
+    oracle="""
+    SELECT o_custkey,
+           LIST_SORT(LIST_DISTINCT(LIST(o_orderpriority)))                      AS priorities,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(o_orderstatus))), ',')  AS status_csv
+    FROM orders
+    WHERE o_custkey <= 100
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    survey_ids=("A1",),
+)
+def a_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates: set-valued column + string_agg-style CSV
+    (sorted for determinism — collect order is partition-dependent)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("status_csv"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "a_pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0) AS O,
+           NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'F'), 0) AS F,
+           NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'P'), 0) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    survey_ids=("A1", "A5"),
+)
+def a_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crosstab via pivot with an explicit value list (no extra pass to
+    discover values; required for a stable schema at scale)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .orderBy("o_orderpriority")
+    )
