@@ -73,6 +73,38 @@ def a_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "a_unpivot_metrics",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               ROUND(SUM(l_quantity), 2)      AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               ROUND(SUM(l_discount), 2)      AS sum_disc
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS metric_value FROM m
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM m
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM m
+    ORDER BY l_returnflag, metric
+    """,
+    survey_ids=("A5", "U2"),
+)
+def a_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) of per-flag metrics."""
+    li = t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "metric", "metric_value"
+    ).orderBy("l_returnflag", "metric")
+
+
+@register(
     "a_pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,
