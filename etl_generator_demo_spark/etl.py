@@ -119,7 +119,16 @@ class ETLPipelineExecutor:
             raise ETLSpecError(f"write_mode must be append|overwrite, got {mode!r}")
 
         path = f"{self.output_dir}/{target}"
-        df.write.mode(mode).parquet(path)
+        writer = df.write.mode(mode)
+        partition_by = load.get("partition_by") or []
+        if partition_by:
+            missing = [c for c in partition_by if c not in df.columns]
+            if missing:
+                raise ETLSpecError(f"partition_by columns not in output: {missing}")
+            # hive-style layout: downstream filters on these columns
+            # become partition pruning (directories skipped, not read)
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         written = self.spark.read.parquet(path)
         written.createOrReplaceTempView(target)
         return ETLResult(

@@ -73,6 +73,91 @@ def a_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_increase,
+           COUNT(*) AS n_candidates
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    survey_ids=("A2", "P6", "F6"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + pushed-down predicates + global agg —
+    the query class where scan pruning IS the runtime."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue_increase"
+            ),
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
+    )
+
+
+@register(
+    "a_stats_moments",
+    oracle="""
+    SELECT l_returnflag,
+           FLOOR(STDDEV_SAMP(l_extendedprice) * 100) / 100          AS price_stddev,
+           FLOOR(VAR_SAMP(l_discount) * 100000000) / 100000000      AS disc_variance,
+           FLOOR(CORR(l_quantity, l_extendedprice) * 1000000) / 1000000 AS qty_price_corr
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    survey_ids=("A1", "A2"),
+)
+def a_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev/variance + Pearson
+    correlation (single-pass co-moment accumulation in both engines)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (F.floor(F.stddev_samp("l_extendedprice") * 100) / 100).alias("price_stddev"),
+            (F.floor(F.var_samp("l_discount") * 100000000) / 100000000).alias("disc_variance"),
+            (F.floor(F.corr("l_quantity", "l_extendedprice") * 1000000) / 1000000).alias(
+                "qty_price_corr"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "f_json_map_explode",
+    oracle="""
+    SELECT event_id, 'k' AS prop_key,
+           CAST(REGEXP_EXTRACT(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS prop_value
+    FROM events
+    WHERE event_id < 100
+    ORDER BY event_id
+    """,
+    survey_ids=("F8",),
+)
+def f_json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON -> MapType -> explode (key/value long form): the generic
+    path for heterogeneous JSON props (SURVEY §1.2 [EXT] MapType)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select("event_id", F.explode(m).alias("prop_key", "prop_value"))
+        .orderBy("event_id", "prop_key")
+    )
+
+
+@register(
     "a_unpivot_metrics",
     oracle="""
     WITH m AS (

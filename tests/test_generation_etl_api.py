@@ -147,6 +147,41 @@ class TestETLExecutor:
         vals = {r["o_orderpriority"] for r in spark.table("cast_check").collect()}
         assert vals == {-1}  # every cast fails -> null -> filled
 
+    def test_partitioned_load_and_pruning(self, executor, spark, tmp_path):
+        spec = {
+            "extract": {"source_tables": ["orders"]},
+            "transform": {
+                "steps": [{"op": "derive", "column": "year", "expr": "year(o_orderdate)"}]
+            },
+            "load": {
+                "target_table": "orders_by_year",
+                "write_mode": "overwrite",
+                "partition_by": ["year"],
+            },
+        }
+        res = executor.run(spec)
+        assert res.rows_written == 1500
+        pruned = spark.table("orders_by_year").filter("year = 1997")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        # hive layout -> the year filter prunes directories at the scan
+        assert "PartitionFilters: [isnotnull(year" in plan
+        assert pruned.count() > 0
+
+    def test_partition_by_unknown_column_rejected(self, executor):
+        from etl_generator_demo_spark.etl import ETLSpecError
+
+        with pytest.raises(ETLSpecError):
+            executor.run(
+                {
+                    "extract": {"source_tables": ["region"]},
+                    "load": {
+                        "target_table": "x",
+                        "write_mode": "overwrite",
+                        "partition_by": ["nope"],
+                    },
+                }
+            )
+
     def test_bad_specs_rejected(self, executor):
         from etl_generator_demo_spark.etl import ETLSpecError
 
