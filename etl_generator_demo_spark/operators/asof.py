@@ -113,9 +113,5 @@ def j8_asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["click_ts"],
     )
     return out.select(
-        "event_id",
-        "user_id",
-        "purchase_ts",
-        "purchase_value",
-        F.col("asof_click_ts"),
-    ).withColumnRenamed("asof_click_ts", "asof_click_ts").orderBy("event_id")
+        "event_id", "user_id", "purchase_ts", "purchase_value", "asof_click_ts"
+    ).orderBy("event_id")

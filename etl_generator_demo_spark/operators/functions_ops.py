@@ -259,7 +259,7 @@ def f_date_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_arithmetic_revenue",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged,
+           FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) / 100 AS charged,
            FLOOR(l_extendedprice / NULLIF(l_quantity, 0) * 100) / 100 AS unit_price,
            ROUND(ABS(l_discount - l_tax), 4)                          AS disc_tax_gap,
            CAST(FLOOR(l_quantity) AS BIGINT) % 7                      AS qty_mod7
@@ -274,8 +274,13 @@ def f_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 2
+        # floor-scale: per-row products of 2-decimal inputs land on
+        # exact half-cents where engine round() directions differ
+        (
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100
+            )
+            / 100
         ).alias("charged"),
         # floor-scale: the quotient lands on half-cent boundaries where
         # round() direction differs between engines (see windows_sets).

@@ -48,8 +48,6 @@ def running_user_stats(
     """
 
     def update(key, pdfs, state):
-        import datetime as _dt
-
         import pandas as _pd
 
         (user_id,) = key
