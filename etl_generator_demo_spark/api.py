@@ -40,6 +40,40 @@ class AppState:
         self.catalog.register_views()
 
 
+def connect_endpoint(state: AppState, body: dict[str, Any]) -> dict[str, Any]:
+    """POST /api/db/connect — wire parity with the reference's connect
+    flow (``main.py:134-149`` -> ``db_connector.connect``). With JDBC
+    coordinates it probes the remote server's version (S3); with
+    ``db_type: "spark"`` (or nothing) it binds the local catalog. No
+    mutable connector singleton — the session IS the connection."""
+    db_type = (body.get("db_type") or "spark").lower()
+    if db_type in ("postgresql", "mysql"):
+        from etl_generator_demo_spark.sources.jdbc import JDBCConnection, probe_version
+
+        try:
+            conn = JDBCConnection(
+                db_type=db_type,
+                host=body["host"],
+                database=body["database"],
+                user=body.get("user", ""),
+                password=body.get("password", ""),
+                port=body.get("port"),
+            )
+            version = probe_version(state.spark, conn)
+            return {"success": True, "db_type": db_type, "db_version": version}
+        except KeyError as missing:
+            return {"success": False, "error": f"missing field: {missing}", "status_code": 400}
+        except Exception as exc:
+            return {"success": False, "error": str(exc)[:500], "status_code": 400}
+    state.catalog.register_views()
+    return {
+        "success": True,
+        "db_type": "spark",
+        "db_version": state.spark.version,
+        "n_tables": len(state.catalog.metadata_document()["schema_summary"]["tables"]),
+    }
+
+
 def status_endpoint(state: AppState) -> dict[str, Any]:
     """GET /api/db/status — derived from the catalog, no mutable flags."""
     doc = state.catalog.metadata_document()

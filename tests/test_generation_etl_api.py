@@ -242,3 +242,58 @@ class TestAPIShapes:
 
         out = samples_endpoint(state)
         assert len(out["samples"]) == 10
+
+    def test_connect_local_catalog(self, state):
+        from etl_generator_demo_spark.api import connect_endpoint
+
+        out = connect_endpoint(state, {})
+        assert out["success"] and out["db_type"] == "spark" and out["n_tables"] == 10
+
+    def test_connect_jdbc_unreachable_error_envelope(self, state):
+        from etl_generator_demo_spark.api import connect_endpoint
+
+        out = connect_endpoint(
+            state,
+            {"db_type": "postgresql", "host": "localhost", "database": "nope",
+             "user": "u", "password": "p"},
+        )
+        assert not out["success"] and out["status_code"] == 400
+
+    def test_connect_jdbc_missing_field(self, state):
+        from etl_generator_demo_spark.api import connect_endpoint
+
+        out = connect_endpoint(state, {"db_type": "mysql", "host": "h"})
+        assert not out["success"] and "missing field" in out["error"]
+
+    def test_show_and_describe_through_execute(self, state):
+        from etl_generator_demo_spark.api import execute_endpoint
+
+        res = execute_endpoint(state, {"sql": "SHOW TABLES", "limit": 50})
+        assert res["success"]
+        names = {r.get("tableName") for r in res["rows"]}
+        assert "orders" in names
+        res = execute_endpoint(state, {"sql": "DESCRIBE orders", "limit": 50})
+        assert res["success"]
+        cols = {r["col_name"] for r in res["rows"]}
+        assert "o_orderkey" in cols
+
+    def test_concurrent_stateless_execution(self, state):
+        """Two threads sharing the session must not interfere — the
+        reference's per-worker mutable connector state (SURVEY §3
+        caveat) is exactly what this layer does not have."""
+        import concurrent.futures
+
+        from etl_generator_demo_spark.api import execute_endpoint
+
+        def run(i):
+            sql = f"SELECT COUNT(*) AS n FROM orders WHERE o_custkey % 5 = {i}"
+            return execute_endpoint(state, {"sql": sql, "limit": None})
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+            results = list(pool.map(run, range(4)))
+        assert all(r["success"] for r in results)
+        assert sum(r["rows"][0]["n"] for r in results) == sum(
+            1 for _ in range(0)
+        ) + state.spark.sql(
+            "SELECT COUNT(*) n FROM orders WHERE o_custkey % 5 < 4"
+        ).first()["n"]
