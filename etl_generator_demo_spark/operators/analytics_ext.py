@@ -1,0 +1,232 @@
+"""Second-wave analytics operators: argmax aggregates, NTILE,
+first/last frames, cross join, array functions, window-over-aggregate
+ratios, event-transition analysis — more of the generated-SQL surface
+(full-SQL grant, ``sql_generator.py:37``) exercised against the
+fixtures, each with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.relational import t
+from etl_generator_demo_spark.registry import register
+
+
+@register(
+    "a_argmax_top_customer_per_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           ARG_MAX(c_custkey, c_acctbal)            AS richest_custkey,
+           FLOOR(MAX(c_acctbal) * 100) / 100        AS top_acctbal,
+           ARG_MIN(c_custkey, c_acctbal)            AS poorest_custkey
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    survey_ids=("A1",),
+)
+def a_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (argmax aggregates) — one pass, no window needed.
+    Deterministic: fixture acctbals are distinct doubles."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.max_by("c_custkey", "c_acctbal").alias("richest_custkey"),
+            (F.floor(F.max("c_acctbal") * 100) / 100).alias("top_acctbal"),
+            F.min_by("c_custkey", "c_acctbal").alias("poorest_custkey"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "w_ntile_price_quartiles",
+    oracle="""
+    SELECT quartile, COUNT(*) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM (SELECT o_totalprice,
+                 NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+          FROM orders)
+    GROUP BY quartile
+    ORDER BY quartile
+    """,
+    survey_ids=("W1",),
+)
+def w_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("quartile")
+    )
+
+
+@register(
+    "w_first_last_order_span",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_orderkey,
+           LAST_VALUE(o_orderkey)  OVER w AS last_orderkey,
+           CAST(DATE_DIFF('day',
+                FIRST_VALUE(o_orderdate) OVER w,
+                LAST_VALUE(o_orderdate)  OVER w) AS BIGINT) AS active_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey
+    """,
+    survey_ids=("W3", "F4"),
+)
+def w_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            F.first("o_orderkey").over(w).alias("first_orderkey"),
+            F.last("o_orderkey").over(w).alias("last_orderkey"),
+            F.datediff(
+                F.last("o_orderdate").over(w), F.first("o_orderdate").over(w)
+            ).cast("long").alias("active_days"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "j_cross_region_nation_grid",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_combos
+    FROM region r CROSS JOIN nation n
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+    survey_ids=("J7",),
+)
+def j_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (small×small grid — the only place a cross
+    join belongs; anything larger is an LSH/blocking problem)."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_combos"))
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "f_array_ops",
+    oracle="""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents
+                  WHERE doc_id < 100)
+    SELECT doc_id,
+           CAST(LEN(tk) AS INT)                       AS n_tokens,
+           tk[1]                                      AS first_token,
+           tk[3:5]                                    AS mid_slice,
+           LIST_CONTAINS(tk, 'spark')                 AS mentions_spark,
+           CAST(NULLIF(LIST_POSITION(tk, 'data'), 0) AS INT) AS data_pos
+    FROM toks
+    ORDER BY doc_id
+    """,
+    survey_ids=("F5", "X4"),
+)
+def f_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over tokenized text: size, indexing, slice,
+    contains, position. Missing-element position: Spark array_position
+    and this DuckDB's LIST_POSITION both yield 0 -> nullif on BOTH
+    sides gives SQL-null semantics."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    tk = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        tk.getItem(0).alias("first_token"),
+        F.slice(tk, 3, 3).alias("mid_slice"),
+        F.array_contains(tk, "spark").alias("mentions_spark"),
+        F.nullif(F.array_position(tk, "data"), F.lit(0)).cast("int").alias("data_pos"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "w_share_of_total",
+    oracle="""
+    WITH seg AS (
+        SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS seg_revenue
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, seg_revenue,
+           FLOOR(seg_revenue / SUM(seg_revenue) OVER () * 1000000) / 1000000 AS revenue_share
+    FROM seg
+    ORDER BY c_mktsegment
+    """,
+    survey_ids=("W3", "A1"),
+)
+def w_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window over an aggregate: each group's share of the grand total
+    (one agg shuffle + one single-partition window over 5 rows)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    seg = (
+        o.join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("seg_revenue"))
+    )
+    w = Window.partitionBy()
+    return seg.select(
+        "c_mktsegment",
+        "seg_revenue",
+        (F.floor(F.col("seg_revenue") / F.sum("seg_revenue").over(w) * 1_000_000) / 1_000_000)
+        .alias("revenue_share"),
+    ).orderBy("c_mktsegment")
+
+
+@register(
+    "x4_event_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    survey_ids=("W2", "X4"),
+)
+def x4_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix (behavioral analysis over the
+    stream): lag/lead + groupBy — one shuffle on user, one on the pair."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )
