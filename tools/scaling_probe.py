@@ -1,0 +1,121 @@
+"""Scaling probe: measure headline-query wall clock across ~100x of
+data (sf0.01 -> sf0.1 -> synthetic 10x-sf0.1) to verify the plans
+scale linearly instead of quadratically.
+
+The synthetic tier unions the sf0.1 tables 10x with key offsets —
+preserving join fan-outs and group cardinalities — written once to a
+scratch dir. Near-linear wall-clock growth (at fixed parallelism)
+means no hidden O(n^2); the same plans on 1000 executors divide the
+work by the executor count.
+
+Usage: python tools/scaling_probe.py [--scratch DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+QUERIES = [
+    "q1_pricing_summary",
+    "q2_revenue_by_segment",
+    "q6_forecast_revenue",
+    "x2_minhash_lsh_pairs",
+    "j8_asof_purchase_last_click",
+    "st_session_windows",
+]
+
+KEY_COLS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "supplier": [],
+    "part": ["p_partkey"],
+    "nation": [],
+    "region": [],
+}
+
+
+def synthesize_10x(spark, src_dir: str, dst_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    from etl_generator_demo_spark.catalog import TABLES, read_table
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for name in TABLES:
+        out_path = f"{dst_dir}/{name}.parquet"
+        # a bare exists() would accept a half-written table from an
+        # interrupted run; Spark's _SUCCESS marker is the commit record
+        if os.path.exists(f"{out_path}/_SUCCESS"):
+            continue
+        df = read_table(spark, src_dir, name)
+        keys = KEY_COLS[name]
+        if not keys:  # pure dims: keep as-is (dims don't scale with facts)
+            df.write.mode("overwrite").parquet(out_path)
+            continue
+        # offset keys per replica so PK/FK relationships replicate
+        # disjointly: replica k shifts every key column by k * 10^12
+        copies = []
+        for k in range(10):
+            c = df
+            for col in keys:
+                c = c.withColumn(col, F.col(col) + F.lit(k * 10**12).cast("long"))
+            if name == "documents":
+                # perturb text so dedup stays non-degenerate across replicas
+                c = c.withColumn(
+                    "text",
+                    F.concat_ws(" ", F.lit(f"rep{k}"), F.col("text")),
+                )
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(out_path)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scratch", default="/tmp/sf1x10")
+    args = ap.parse_args()
+
+    from etl_generator_demo_spark.registry import load_all
+    from etl_generator_demo_spark.session import get_spark
+
+    spark = get_spark("scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    print("synthesizing 10x tier (one-time)...", file=sys.stderr)
+    synthesize_10x(spark, "/root/testdata/sf0.1", args.scratch)
+
+    tiers = [
+        ("sf0.01", "/root/testdata/sf0.01", 1),
+        ("sf0.1", "/root/testdata/sf0.1", 10),
+        ("sf1-synth", args.scratch, 100),
+    ]
+    results: dict[str, dict[str, float]] = {}
+    for name in QUERIES:
+        fn = registry[name].fn
+        results[name] = {}
+        for tier, path, _ in tiers:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, path).collect()
+                best = min(best, time.time() - t0)
+            results[name][tier] = round(best, 2)
+            print(f"  {name} @{tier}: {best:.2f}s", file=sys.stderr)
+
+    print(json.dumps({"tiers": {t: s for t, _, s in tiers}, "timings": results}))
+
+
+if __name__ == "__main__":
+    main()
