@@ -152,6 +152,56 @@ def ann_lsh_topk(
     )
 
 
+# --- ANN: IVF (inverted file via k-means coarse quantizer) ----------------
+
+def build_ivf_index(
+    vectors: DataFrame, n_lists: int = 16, id_col: str = "vec_id", seed: int = 42
+):
+    """Train a k-means coarse quantizer and assign every vector to its
+    nearest centroid ("list"). Returns (assigned_df, centroids) where
+    assigned_df = vectors + `ivf_list` column.
+
+    At 100 TB the assignment is written once as a partition column;
+    queries scan only the probed lists (partition pruning), and the
+    quantizer trains on a sample, not the full corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    ml_df = vectors.withColumn("_features", array_to_vector(_as_double("embedding")))
+    model = KMeans(
+        k=n_lists, seed=seed, featuresCol="_features", predictionCol="ivf_list"
+    ).fit(ml_df)
+    assigned = model.transform(ml_df).drop("_features")
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search: rank centroids by distance to the query, scan only
+    the `n_probe` nearest lists, exact cosine re-rank on candidates.
+    Recall rises with n_probe (n_probe = n_lists -> exact search)."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype="float64")
+    dists = [float(np.linalg.norm(q - np.asarray(c))) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: dists[i])[:n_probe]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("ivf_list").isin(probe))
+        .withColumn("cosine", _floor6(cosine(_as_double("embedding"), qcol)))
+        .orderBy(F.desc("cosine"), id_col)
+        .limit(k)
+    )
+
+
 # ===========================================================================
 # Driver-checkable queries
 # ===========================================================================
@@ -219,6 +269,21 @@ def x3_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("raw_cos") > 0.4)
         .select("vec_a", "vec_b", _floor6(F.col("raw_cos")).alias("cosine"))
         .orderBy("vec_a", "vec_b")
+    )
+
+
+@register("x3_ann_ivf_topk", oracle=None, survey_ids=("X3",))
+def x3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 for vec_id=0 (k-means coarse quantizer, 4-of-16
+    lists probed; rows-only — recall pinned in tests)."""
+    emb = t(spark, sf_dir, "embeddings")
+    query_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    assigned, centroids = build_ivf_index(emb.filter(F.col("vec_id") != 0))
+    return ivf_topk(assigned, centroids, query_vec, k=10).select(
+        "vec_id", "label", "ivf_list", "cosine"
     )
 
 

@@ -61,6 +61,26 @@ def test_ann_subset_of_bruteforce_with_exact_scores(spark, sf_dir):
         assert r["cosine"] == exact[r["vec_id"]]
 
 
+def test_ivf_recall_and_exactness_at_full_probe(spark, sf_dir):
+    """IVF: probing ALL lists must equal brute force exactly; probing 4
+    of 16 keeps decent recall on uniform-random data."""
+    from pyspark.sql import functions as F
+
+    from etl_generator_demo_spark.operators.relational import t
+    from etl_generator_demo_spark.operators.similarity import build_ivf_index, ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    base = emb.filter(F.col("vec_id") != 0)
+    assigned, centroids = build_ivf_index(base, n_lists=16)
+    truth = [r["vec_id"] for r in brute_force_topk(base, qv, k=10).collect()]
+    exact = [r["vec_id"] for r in ivf_topk(assigned, centroids, qv, k=10, n_probe=16).collect()]
+    assert exact == truth  # full probe == exact search
+    approx = {r["vec_id"] for r in ivf_topk(assigned, centroids, qv, k=10, n_probe=4).collect()}
+    recall = len(set(truth) & approx) / 10
+    assert recall >= 0.2, f"IVF recall@10 = {recall} (uniform data, 4/16 lists)"
+
+
 def test_ann_recall_at_10(spark, sf_dir):
     """Deterministic md5 hyperplanes -> recall is a fixed number for the
     fixture; uniform-random vectors give moderate recall by design
