@@ -1,0 +1,54 @@
+"""Oracle canary: one representative query per family is diffed
+against DuckDB inside pytest, so a refactor that breaks engine/oracle
+parity fails the suite immediately (the full 70+-query sweep lives in
+tools/oracle_check.py and the driver's gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+CANARIES = [
+    "q1_pricing_summary",        # scan + grouped agg
+    "q2_revenue_by_segment",     # joins
+    "w3_running_totals",         # window frames
+    "u_cte_above_avg_nations",   # CTE + subquery
+    "f_json_extract",            # JSON + events nanos handling
+    "x1_dedup_exact",            # dedup
+    "x2_ngram_jaccard_pairs",    # shingle pipeline
+    "x3_cosine_topk",            # vector math
+    "st_session_windows",        # sessionization
+    "j8_asof_purchase_last_click",  # as-of
+]
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    import duckdb
+
+    from etl_generator_demo_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", CANARIES)
+def test_oracle_parity(name, spark, sf_dir, duck):
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from oracle_check import rows_to_multiset
+
+    from etl_generator_demo_spark.registry import load_all
+
+    rq = load_all()[name]
+    sdf = rq.fn(spark, sf_dir)
+    s_ms, s_cols = rows_to_multiset(list(sdf.columns), [tuple(r) for r in sdf.collect()])
+    cur = duck.execute(rq.oracle)
+    d_cols = [c[0] for c in cur.description]
+    d_ms, d_cols_sorted = rows_to_multiset(d_cols, cur.fetchall())
+    assert s_cols == d_cols_sorted, f"{name}: schema mismatch"
+    assert s_ms == d_ms, f"{name}: value multiset mismatch ({len(s_ms)} vs {len(d_ms)} rows)"
