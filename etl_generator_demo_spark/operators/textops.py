@@ -206,6 +206,22 @@ def x4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("x4_sample_docs", oracle=None, survey_ids=("X4",))
+def x4_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded corpus down-sampling (~10%) + per-language stratified
+    sampling — the standard data-mixture step in training pipelines.
+    Deterministic for a fixed seed and input layout (rows-only check;
+    determinism pinned in tests)."""
+    docs = t(spark, sf_dir, "documents")
+    uniform = docs.sample(fraction=0.1, seed=42).select(
+        "doc_id", F.lit("uniform").alias("stratum")
+    )
+    by_lang = docs.sampleBy(
+        "lang", {"en": 0.2, "es": 0.1, "de": 0.1, "fr": 0.1, "zh": 0.05}, seed=42
+    ).select("doc_id", F.concat(F.lit("lang:"), F.col("lang")).alias("stratum"))
+    return uniform.unionByName(by_lang).orderBy("stratum", "doc_id")
+
+
 @register("x4_quality_and_lang", oracle=None, survey_ids=("X4",))
 def x4_quality_and_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality score + heuristic lang-ID per document (rows-only: the

@@ -54,6 +54,16 @@ def test_quality_score_bounds_on_fixture(spark, sf_dir):
     assert 0.0 <= stats["lo"] <= stats["hi"] <= 1.0
 
 
+def test_sampling_deterministic_and_bounded(spark, sf_dir):
+    from etl_generator_demo_spark.operators.textops import x4_sample_docs
+
+    r1 = [(r["doc_id"], r["stratum"]) for r in x4_sample_docs(spark, sf_dir).collect()]
+    r2 = [(r["doc_id"], r["stratum"]) for r in x4_sample_docs(spark, sf_dir).collect()]
+    assert r1 == r2  # seeded sampling is reproducible
+    n_uniform = sum(1 for _, s in r1 if s == "uniform")
+    assert 20 <= n_uniform <= 90  # ~10% of 500 docs, Bernoulli variance
+
+
 def test_fingerprint_stability_under_distant_edit(spark):
     """min-shingle fingerprint unchanged when the edit is far from the
     minimal shingle (the winnowing property), content hash changes."""
