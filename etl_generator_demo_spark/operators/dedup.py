@@ -27,7 +27,7 @@ scale, not on the full corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_generator_demo_spark.operators.relational import t
@@ -72,13 +72,23 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str = "doc_id", bands: int = BANDS
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = BANDS,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any full band of signature values are
     candidates. All bands are exploded into (band_id, band_key) rows and
     matched with ONE self-join — linear in corpus size + output pairs,
     never O(n^2), and the signature pipeline is evaluated once per join
-    side instead of once per band (~1.6x faster than per-band joins)."""
+    side instead of once per band (~1.6x faster than per-band joins).
+
+    `max_bucket_size` is the stop-band guard for corpus scale: a band
+    key shared by b documents emits b*(b-1)/2 pairs, so one boilerplate
+    bucket of 100k docs would emit 5e9 pairs. Buckets above the cap are
+    dropped (their members are boilerplate-similar, not meaningful
+    near-dups — the same reasoning as stopword removal). None = off,
+    which keeps exact oracle parity for the fixture-sized corpus."""
     num_hashes = len([c for c in signatures.columns if c.startswith("mh")])
     rows_per_band = num_hashes // bands
     band_structs = F.array(
@@ -95,6 +105,13 @@ def lsh_candidate_pairs(
     keyed = signatures.select(id_col, F.explode(band_structs).alias("bk")).select(
         id_col, "bk.band_id", "bk.band_key"
     )
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_id", "band_key")
+        keyed = (
+            keyed.withColumn("_bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     a, bb = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(bb, ["band_id", "band_key"])

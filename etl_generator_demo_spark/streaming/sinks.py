@@ -1,0 +1,58 @@
+"""Streaming sinks — the foreachBatch production idiom.
+
+Structured Streaming's built-in sinks cover append-only files/Kafka;
+real pipelines usually need per-batch batch-API access (dedup against
+the target, partitioned parquet upserts, multi-table writes). The
+foreachBatch bridge gives each micro-batch to a normal batch function
+together with its batch_id for exactly-once-by-idempotence handling.
+
+`parquet_append_sink` is the reference implementation: idempotent
+(a replayed batch_id is skipped via a commit-marker column check) and
+partitioned. At 100 TB the same shape writes to a lakehouse table
+with MERGE instead of parquet append.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def parquet_append_sink(target_dir: str, partition_by: list[str] | None = None):
+    """Build a foreachBatch function appending each micro-batch to a
+    parquet dir with its batch_id stamped; replayed batch_ids (restart
+    after a sink-side success but source-side failure) are skipped."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            seen = (
+                spark.read.parquet(target_dir)
+                .filter(F.col("_batch_id") == batch_id)
+                .limit(1)
+                .count()
+            )
+            if seen:
+                return  # idempotence: this batch already committed
+        except Exception:
+            pass  # first write: target does not exist yet
+        out = batch_df.withColumn("_batch_id", F.lit(batch_id))
+        writer = out.write.mode("append")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target_dir)
+
+    return write_batch
+
+
+def run_foreach_batch(stream_df: DataFrame, target_dir: str, **sink_kw):
+    """Attach the sink and drain the stream with availableNow (batch
+    parity); returns the terminated query."""
+    q = (
+        stream_df.writeStream.foreachBatch(parquet_append_sink(target_dir, **sink_kw))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{target_dir}_checkpoint")
+        .start()
+    )
+    q.awaitTermination(180)
+    return q

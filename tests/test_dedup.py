@@ -84,3 +84,25 @@ def test_fixture_finds_planted_near_dups(spark, sf_dir):
     assert len(exact) >= 20
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.8, f"LSH recall {recall:.2f} over {len(exact)} true pairs"
+
+
+def test_lsh_stop_band_guard(spark):
+    """A hot bucket (boilerplate shared by many docs) is dropped when it
+    exceeds max_bucket_size; genuine small buckets survive."""
+    from etl_generator_demo_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"           # 20 identical docs
+    pair = "p1 p2 p3 p4 p5 p6 p7 p8"             # 2 identical docs
+    rows = [(i, boiler) for i in range(20)] + [(100, pair), (101, pair)]
+    df = _docs(spark, rows)
+    sigs = minhash_signatures(doc_shingles(df))
+    unguarded = lsh_candidate_pairs(sigs).count()
+    assert unguarded == 20 * 19 // 2 + 1          # hot bucket dominates
+    guarded = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, max_bucket_size=5).collect()
+    }
+    assert guarded == {(100, 101)}                # boilerplate dropped
