@@ -1,0 +1,273 @@
+"""Persisted ANN indexes — the scale path for SURVEY.md §2.12 X3.
+
+Round-1 registered the ANN queries as per-query work: the LSH probe
+re-scanned the full corpus through ``mapInPandas`` and the IVF query
+re-trained k-means on every invocation. This module makes the index a
+*materialized artifact* instead, which is how both structures actually
+run at 100 TB:
+
+- **LSH index**: every vector's bucket id in each of L hash tables is
+  computed ONCE (vectorized numpy over Arrow batches) and written as
+  parquet **partitioned by (lsh_table, bucket)**. A query computes its
+  own L bucket ids driver-side (L*P dot products on one vector) and
+  probes with an OR-of-equalities filter on the two partition columns —
+  Spark's partition pruning turns that into "read L directories",
+  never a corpus scan. Candidates are deduped and exactly re-ranked
+  with the JVM cosine expression.
+- **IVF index**: the k-means coarse quantizer trains once, the list
+  assignment is written as parquet **partitioned by ivf_list**, and the
+  centroids (a few KB) land next to it as JSON. A query ranks the
+  centroids driver-side and scans only the ``n_probe`` nearest list
+  partitions (partition pruning again), then exactly re-ranks.
+
+Cost model at scale: index build is one linear pass (plus one shuffle
+for the partitioned write); each query touches
+``O(candidates)`` rows instead of ``O(corpus)``. Storage is L× for
+LSH (the standard multi-table trade) and 1× for IVF. On a real
+cluster the same layout lands in the table format's partition spec;
+here it lives in a local cache directory keyed by corpus
+fingerprint (path+size+mtime), so a regenerated fixture rebuilds
+automatically and repeated queries — the driver's correctness run,
+bench.py's min-of-2 — reuse the artifact.
+
+No reference counterpart (the reference delegates everything to
+PostgreSQL); north-star semantics per BASELINE.json / SURVEY §2.12.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.similarity import (
+    DIM,
+    _as_double,
+    _floor6,
+    _hyperplane,
+    cosine,
+)
+
+#: On-disk cache root. Lives inside the repo (gitignored) so any
+#: process — pytest, bench.py, the external driver — shares one cache
+#: regardless of cwd.
+INDEX_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".index_cache")
+
+LSH_TABLES = 8
+LSH_PLANES = 4
+IVF_LISTS = 16
+
+
+def _corpus_fingerprint(sf_dir: str, table: str = "embeddings") -> str:
+    """Fingerprint the source parquet so a regenerated fixture (same
+    path, new contents) invalidates the cache."""
+    p = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    try:
+        st = os.stat(p)
+        raw = f"{p}|{st.st_size}|{int(st.st_mtime)}"
+    except OSError:
+        raw = p
+    return hashlib.md5(raw.encode()).hexdigest()[:12]
+
+
+def _index_dir(sf_dir: str, kind: str, tag: str) -> str:
+    return os.path.join(INDEX_ROOT, _corpus_fingerprint(sf_dir), f"{kind}_{tag}")
+
+
+def _is_built(path: str) -> bool:
+    # _SUCCESS, not the directory: a crashed build leaves a partial dir
+    # (and background-shell /tmp isolation makes bare-dir checks lie).
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+# --- LSH ------------------------------------------------------------------
+
+def build_lsh_index(
+    vectors: DataFrame,
+    out_dir: str,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
+    dim: int = DIM,
+) -> None:
+    """One vectorized pass: for each row emit `tables` rows
+    (vec_id, label, embedding, lsh_table, bucket) and write them
+    partitioned by (lsh_table, bucket).
+
+    The bucket test is an Arrow-batched numpy matmul (tables*planes
+    dot products per row) — the kernel where vectorized BLAS beats
+    Spark's interpreted higher-order-function expressions ~5×. The
+    closure is self-contained (plain-data capture, local numpy
+    import) so executor workers need no package imports.
+    """
+    plane_rows = [
+        _hyperplane(tbl, p, dim) for tbl in range(tables) for p in range(planes)
+    ]  # (tables*planes) x dim
+    n_tables, n_planes = tables, planes
+
+    def assign(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        P = _np.asarray(plane_rows, dtype="float64").T  # dim x (tables*planes)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            S = (V @ P) >= 0  # n x (tables*planes)
+            frames = []
+            for tbl in range(n_tables):
+                bits = S[:, tbl * n_planes : (tbl + 1) * n_planes]
+                # 'b' prefix keeps partition discovery from type-inferring
+                # the bit string as an integer (dropping leading zeros).
+                bucket = ["b" + "".join("1" if b else "0" for b in row) for row in bits.tolist()]
+                f = pdf.copy()
+                f["lsh_table"] = tbl
+                f["bucket"] = bucket
+                frames.append(f)
+            yield _pd.concat(frames, ignore_index=True)
+
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    schema = StructType(
+        list(vectors.schema.fields)
+        + [StructField("lsh_table", IntegerType()), StructField("bucket", StringType())]
+    )
+    indexed = vectors.mapInPandas(assign, schema)
+    # tables*16 buckets of output; repartition by the partition columns so
+    # each (table, bucket) directory is written by one task, not 32.
+    (
+        indexed.repartition("lsh_table", "bucket")
+        .write.mode("overwrite")
+        .partitionBy("lsh_table", "bucket")
+        .parquet(out_dir)
+    )
+
+
+def ensure_lsh_index(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
+) -> str:
+    """Build the LSH index for this corpus if the cache is cold; return
+    its path. Idempotent and cheap when warm (one stat call)."""
+    from etl_generator_demo_spark.operators.relational import t
+
+    path = _index_dir(sf_dir, "lsh", f"t{tables}p{planes}v2")
+    if not _is_built(path):
+        build_lsh_index(t(spark, sf_dir, "embeddings"), path, tables, planes)
+    return path
+
+
+def query_buckets(query_vec: list[float], tables: int = LSH_TABLES, planes: int = LSH_PLANES) -> list[str]:
+    """Driver-side bucket ids of one query vector — tables*planes dot
+    products on a single vector, microseconds."""
+    import numpy as np
+
+    qv = np.asarray(query_vec, dtype="float64")
+    dim = len(query_vec)
+    out = []
+    for tbl in range(tables):
+        bits = [
+            "1" if float(np.dot(qv, np.asarray(_hyperplane(tbl, p, dim)))) >= 0 else "0"
+            for p in range(planes)
+        ]
+        out.append("b" + "".join(bits))
+    return out
+
+
+def lsh_probe_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """ANN top-k via the persisted index: a partition-pruned scan of the
+    query's L buckets, dedupe, exact JVM cosine re-rank. No Python runs
+    on the executors and no non-candidate row is read."""
+    path = ensure_lsh_index(spark, sf_dir, tables, planes)
+    idx = spark.read.parquet(path)
+    buckets = query_buckets(query_vec, tables, planes)
+    cond = None
+    for tbl, bucket in enumerate(buckets):
+        clause = (F.col("lsh_table") == tbl) & (F.col("bucket") == bucket)
+        cond = clause if cond is None else (cond | clause)
+    candidates = idx.filter(cond).dropDuplicates(["vec_id"])
+    if exclude_ids:
+        candidates = candidates.filter(~F.col("vec_id").isin(list(exclude_ids)))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        candidates.withColumn("cosine", _floor6(cosine(_as_double("embedding"), q)))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+# --- IVF ------------------------------------------------------------------
+
+def ensure_ivf_index(
+    spark: SparkSession, sf_dir: str, n_lists: int = IVF_LISTS, seed: int = 42
+) -> tuple[str, list[list[float]]]:
+    """Train the coarse quantizer once per corpus, persist the list
+    assignment partitioned by ivf_list plus the centroids as JSON;
+    return (path, centroids). Warm calls read only the JSON.
+
+    At 100 TB the quantizer trains on a sample (k-means cost is
+    per-point; a 1M-row sample pins the same centroids) and the
+    assignment pass stays linear; the fixture corpus is small enough
+    to train on directly.
+    """
+    from etl_generator_demo_spark.operators.relational import t
+    from etl_generator_demo_spark.operators.similarity import build_ivf_index
+
+    path = _index_dir(sf_dir, "ivf", f"l{n_lists}")
+    cj = os.path.join(path, "_CENTROIDS.json")
+    if _is_built(path) and os.path.exists(cj):
+        with open(cj) as fh:
+            return path, json.load(fh)
+    assigned, centroids = build_ivf_index(
+        t(spark, sf_dir, "embeddings"), n_lists=n_lists, seed=seed
+    )
+    (
+        assigned.repartition("ivf_list")
+        .write.mode("overwrite")
+        .partitionBy("ivf_list")
+        .parquet(path)
+    )
+    with open(cj, "w") as fh:
+        json.dump(centroids, fh)
+    return path, centroids
+
+
+def ivf_probe_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_lists: int = IVF_LISTS,
+    n_probe: int = 4,
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """IVF top-k via the persisted index: rank centroids driver-side,
+    partition-pruned scan of the n_probe nearest lists, exact re-rank."""
+    import numpy as np
+
+    path, centroids = ensure_ivf_index(spark, sf_dir, n_lists)
+    q = np.asarray(query_vec, dtype="float64")
+    dists = [float(np.linalg.norm(q - np.asarray(c))) for c in centroids]
+    probe = sorted(range(len(centroids)), key=lambda i: dists[i])[:n_probe]
+    idx = spark.read.parquet(path).filter(F.col("ivf_list").isin(probe))
+    if exclude_ids:
+        idx = idx.filter(~F.col("vec_id").isin(list(exclude_ids)))
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        idx.withColumn("cosine", _floor6(cosine(_as_double("embedding"), qcol)))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )

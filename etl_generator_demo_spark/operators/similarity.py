@@ -240,9 +240,11 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x3_cosine_neardup_pairs",
-    oracle="""
+#: All-pairs exact tier — the TEST-ONLY oracle anchor for the bucketed
+#: pipeline below. Deliberately NOT registered: a global O(n²)
+#: nested-loop join is the plan you never run corpus-wide at 100 TB;
+#: tests/test_oracle_canary.py keeps its DuckDB parity pinned.
+ALL_PAIRS_ORACLE = """
     WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
     SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
            FLOOR(LIST_DOT_PRODUCT(a.v, c.v)
@@ -252,13 +254,14 @@ def x3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE LIST_DOT_PRODUCT(a.v, c.v)
           / (SQRT(LIST_DOT_PRODUCT(a.v, a.v)) * SQRT(LIST_DOT_PRODUCT(c.v, c.v))) > 0.4
     ORDER BY vec_a, vec_b
-    """,
-    survey_ids=("X3", "X2"),
-)
+    """
+
+
 def x3_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4 — the fixture's
-    vectors are uniform random, max cosine ~0.51). Exact all-pairs tier;
-    at 100 TB this runs per LSH bucket."""
+    vectors are uniform random, max cosine ~0.51). Exact all-pairs tier,
+    test-only: the registered corpus-scale query is
+    ``x3_neardup_lsh_bucketed`` (LSH buckets → exact cosine in-bucket)."""
     emb = t(spark, sf_dir, "embeddings").select("vec_id", _as_double("embedding").alias("v"))
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
@@ -272,31 +275,134 @@ def x3_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_bucket_expr(table: int, planes: int, dim: int = DIM) -> str:
+    """DuckDB bucket expression for one hash table: the same md5-derived
+    ±1 hyperplanes as ``lsh_bucket_expr``, inlined as literal lists so
+    both engines take sign(<v, plane_p>) over identical constants."""
+    cases = []
+    for p in range(planes):
+        lits = ", ".join(f"{x:.1f}" for x in _hyperplane(table, p, dim))
+        cases.append(
+            f"(CASE WHEN LIST_DOT_PRODUCT(v, [{lits}]::DOUBLE[]) >= 0 "
+            f"THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(cases)
+
+
+def _neardup_bucketed_oracle(tables: int, planes: int) -> str:
+    per_table = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, {tbl} AS lsh_table, {_duck_bucket_expr(tbl, planes)} AS bucket FROM e"
+        for tbl in range(tables)
+    )
+    cos = (
+        "LIST_DOT_PRODUCT(ea.v, eb.v) / (SQRT(LIST_DOT_PRODUCT(ea.v, ea.v))"
+        " * SQRT(LIST_DOT_PRODUCT(eb.v, eb.v)))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bk AS (
+      {per_table}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bk a JOIN bk b
+        ON a.lsh_table = b.lsh_table AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_a, c.vec_b, FLOOR({cos} * 1000000) / 1000000 AS cosine
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.vec_a
+    JOIN e eb ON eb.vec_id = c.vec_b
+    WHERE {cos} > 0.4
+    ORDER BY vec_a, vec_b
+    """
+
+
+NEARDUP_TABLES = 8
+NEARDUP_PLANES = 4
+
+
+@register(
+    "x3_neardup_lsh_bucketed",
+    oracle=_neardup_bucketed_oracle(NEARDUP_TABLES, NEARDUP_PLANES),
+    survey_ids=("X3", "X2"),
+)
+def x3_neardup_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline embedding near-dup pipeline, 100 TB shape: hyperplane-LSH
+    bucketing (map-side, 8 tables × 4 planes) → ONE equi-join on
+    (lsh_table, bucket) → exact cosine only within buckets. Linear in
+    corpus + candidate pairs — no all-pairs nested loop anywhere; the
+    exact tier (``x3_cosine_neardup_pairs``) survives as a test-only
+    recall anchor. Expected pair recall vs exact at cos=0.4 is
+    1-(1-p^4)^8 ≈ 0.75 with p = 1 - θ/π; raise `tables` for more."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(tbl).alias("lsh_table"),
+                lsh_bucket_expr(F.col("v"), tbl, NEARDUP_PLANES).alias("bucket"),
+            )
+            for tbl in range(NEARDUP_TABLES)
+        ]
+    )
+    bk = emb.select("vec_id", "v", F.explode(structs).alias("tb")).select(
+        "vec_id", "v", F.col("tb.lsh_table").alias("lsh_table"), F.col("tb.bucket").alias("bucket")
+    )
+    a = bk.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "lsh_table", "bucket"
+    )
+    b = bk.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "lsh_table", "bucket"
+    )
+    cand = (
+        a.join(b, ["lsh_table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "va", "vb")
+        .distinct()
+    )
+    raw = cosine(F.col("va"), F.col("vb"))
+    return (
+        cand.withColumn("raw_cos", raw)
+        .filter(F.col("raw_cos") > 0.4)
+        .select("vec_a", "vec_b", _floor6(F.col("raw_cos")).alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 @register("x3_ann_ivf_topk", oracle=None, survey_ids=("X3",))
 def x3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 for vec_id=0 (k-means coarse quantizer, 4-of-16
-    lists probed; rows-only — recall pinned in tests)."""
+    """IVF ANN top-10 for vec_id=0 against the PERSISTED index
+    (etl_generator_demo_spark/operators/ann_index.py): k-means trains
+    once per corpus, the query is a partition-pruned scan of the 4
+    nearest of 16 lists + exact re-rank. Rows-only — recall pinned in
+    tests/test_similarity.py."""
+    from etl_generator_demo_spark.operators.ann_index import ivf_probe_topk
+
     emb = t(spark, sf_dir, "embeddings")
     query_vec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     ]
-    assigned, centroids = build_ivf_index(emb.filter(F.col("vec_id") != 0))
-    return ivf_topk(assigned, centroids, query_vec, k=10).select(
-        "vec_id", "label", "ivf_list", "cosine"
-    )
+    return ivf_probe_topk(
+        spark, sf_dir, query_vec, k=10, n_probe=4, exclude_ids=(0,)
+    ).select("vec_id", "label", "ivf_list", "cosine")
 
 
 @register("x3_ann_lsh_topk", oracle=None, survey_ids=("X3",))
 def x3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 for vec_id=0 via multi-table hyperplane LSH (rows-only
-    check; recall vs brute force is pytest-asserted in
-    tests/test_similarity.py)."""
+    """ANN top-10 for vec_id=0 via the PERSISTED multi-table hyperplane
+    LSH index: bucket ids precomputed corpus-wide and written as
+    partition columns; the probe reads only the query's 8 bucket
+    directories (partition pruning) and re-ranks exactly. Rows-only —
+    recall pinned in tests/test_similarity.py."""
+    from etl_generator_demo_spark.operators.ann_index import lsh_probe_topk
+
     emb = t(spark, sf_dir, "embeddings")
     query_vec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     ]
-    return ann_lsh_topk(emb.filter(F.col("vec_id") != 0), query_vec, k=10).select(
+    return lsh_probe_topk(spark, sf_dir, query_vec, k=10, exclude_ids=(0,)).select(
         "vec_id", "label", "cosine"
     )

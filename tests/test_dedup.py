@@ -106,3 +106,33 @@ def test_lsh_stop_band_guard(spark):
         for r in lsh_candidate_pairs(sigs, max_bucket_size=5).collect()
     }
     assert guarded == {(100, 101)}                # boilerplate dropped
+
+
+def test_connected_components_planted_chain(spark):
+    """A~B, B~C (no direct A~C) must collapse to ONE cluster with the
+    min id canonical; isolated docs stay singletons."""
+    from etl_generator_demo_spark.operators.dedup_clusters import (
+        connected_components,
+        dedup_corpus,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (9, "z")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(2, 3), (1, 2)], "doc_a long, doc_b long")
+    cc = {r["doc_id"]: r["cluster_id"] for r in connected_components(docs.select("doc_id"), pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 9: 9}
+    kept = {r["doc_id"] for r in dedup_corpus(docs, pairs).filter("is_keep").collect()}
+    assert kept == {1, 9}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-hop chain needs ~12 propagation rounds — exercises the
+    iteration + localCheckpoint loop beyond trivial diameters."""
+    from etl_generator_demo_spark.operators.dedup_clusters import connected_components
+
+    n = 13
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    cc = {r["doc_id"]: r["cluster_id"] for r in connected_components(nodes, pairs).collect()}
+    assert cc == {i: 0 for i in range(n)}

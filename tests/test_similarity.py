@@ -81,6 +81,83 @@ def test_ivf_recall_and_exactness_at_full_probe(spark, sf_dir):
     assert recall >= 0.2, f"IVF recall@10 = {recall} (uniform data, 4/16 lists)"
 
 
+def test_allpairs_anchor_oracle_parity_and_bucketed_recall(spark, sf_dir):
+    """The global all-pairs near-dup is deliberately NOT registered (its
+    plan is a nested-loop O(n²) join). Keep it honest here as the oracle
+    anchor, and pin the registered bucketed pipeline's recall against it:
+    every bucketed pair must be an exact pair with the identical cosine,
+    and recall must clear the LSH design floor."""
+    import duckdb
+
+    from etl_generator_demo_spark.catalog import TABLES
+    from etl_generator_demo_spark.operators.similarity import (
+        ALL_PAIRS_ORACLE,
+        x3_cosine_neardup_pairs,
+        x3_neardup_lsh_bucketed,
+    )
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    exact_duck = {(a, b): c for a, b, c in con.execute(ALL_PAIRS_ORACLE).fetchall()}
+    exact_spark = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in x3_cosine_neardup_pairs(spark, sf_dir).collect()
+    }
+    assert exact_spark == pytest.approx(exact_duck)  # test-only oracle anchor
+
+    bucketed = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in x3_neardup_lsh_bucketed(spark, sf_dir).collect()
+    }
+    assert set(bucketed) <= set(exact_spark)
+    for pair, cos in bucketed.items():
+        assert cos == exact_spark[pair]
+    recall = len(bucketed) / max(len(exact_spark), 1)
+    assert recall >= 0.5, f"bucketed near-dup recall = {recall}"
+
+
+def test_persisted_lsh_probe_prunes_and_matches_scan(spark, sf_dir):
+    """The persisted-index probe must (a) return the same result as the
+    scan-based ANN with identical hyperplanes, (b) compile to a
+    partition-pruned parquet scan with no Python on the executors."""
+    from etl_generator_demo_spark.operators.ann_index import lsh_probe_topk
+    from etl_generator_demo_spark.operators.relational import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    base = emb.filter(F.col("vec_id") != 0)
+    scan = [(r["vec_id"], r["cosine"]) for r in ann_lsh_topk(base, qv, k=10).collect()]
+    probe_df = lsh_probe_topk(spark, sf_dir, qv, k=10, exclude_ids=(0,))
+    probe = [(r["vec_id"], r["cosine"]) for r in probe_df.select("vec_id", "cosine").collect()]
+    assert probe == scan
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "PartitionFilters: [" in plan and "PartitionFilters: []" not in plan
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_persisted_ivf_probe_recall_and_pruning(spark, sf_dir):
+    from etl_generator_demo_spark.operators.ann_index import ivf_probe_topk
+    from etl_generator_demo_spark.operators.relational import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    base = emb.filter(F.col("vec_id") != 0)
+    truth = [r["vec_id"] for r in brute_force_topk(base, qv, k=10).collect()]
+    full = ivf_probe_topk(spark, sf_dir, qv, k=10, n_probe=16, exclude_ids=(0,))
+    assert [r["vec_id"] for r in full.collect()] == truth  # full probe == exact
+    part_df = ivf_probe_topk(spark, sf_dir, qv, k=10, n_probe=4, exclude_ids=(0,))
+    approx = {r["vec_id"] for r in part_df.collect()}
+    assert len(set(truth) & approx) / 10 >= 0.2
+    plan = part_df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "PartitionFilters: [ivf_list" in plan
+    assert "MapInPandas" not in plan
+
+
 def test_ann_recall_at_10(spark, sf_dir):
     """Deterministic md5 hyperplanes -> recall is a fixed number for the
     fixture; uniform-random vectors give moderate recall by design

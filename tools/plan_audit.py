@@ -30,6 +30,10 @@ EXPECTATIONS: dict[str, dict] = {
     "o_topk_orders": {"max_exchanges": 1, "take_ordered": True},
     "x2_minhash_lsh_pairs": {"max_exchanges": 6},
     "x3_cosine_topk": {"max_exchanges": 1, "take_ordered": True},
+    "x3_neardup_lsh_bucketed": {"max_exchanges": 6},
+    "x3_ann_lsh_topk": {"partition_pruned": True},
+    "x3_ann_ivf_topk": {"partition_pruned": True},
+    "x2_dedup_clusters": {"max_exchanges": 12},
     "j8_asof_purchase_last_click": {"max_exchanges": 3, "pushed": True},
     "st_session_windows": {"max_exchanges": 2},
     "f_json_struct_agg": {"max_exchanges": 2},
@@ -49,6 +53,10 @@ def audit(name: str, plan: str, exp: dict) -> list[str]:
         problems.append("no pushed filters reached the scan")
     if exp.get("take_ordered") and "TakeOrderedAndProject" not in plan:
         problems.append("global top-k did not compile to TakeOrderedAndProject")
+    if exp.get("partition_pruned") and (
+        "PartitionFilters: [" not in plan or "PartitionFilters: []" in plan
+    ):
+        problems.append("index scan is not partition-pruned")
     # codegen spans appear as "*(n) Operator" in the simple plan string
     if "*(" not in plan and "WholeStageCodegen" not in plan:
         problems.append("no whole-stage-codegen span")
