@@ -75,14 +75,56 @@ def connect_endpoint(state: AppState, body: dict[str, Any]) -> dict[str, Any]:
 
 
 def status_endpoint(state: AppState) -> dict[str, Any]:
-    """GET /api/db/status — derived from the catalog, no mutable flags."""
+    """GET /api/db/status — wire parity with ``main.py:161-172``:
+    ``{"connected": false}`` when the views are unbound (post-
+    disconnect), else ``connected`` + a ``connection_info`` object with
+    the reference's exact field names (db_type/host/database/user).
+    Still derived, not flag-based: "connected" MEANS the catalog views
+    resolve. Extra db_version/n_tables fields are additive."""
     doc = state.catalog.metadata_document()
+    doc_tables = {t["table_name"] for t in doc["schema_summary"]["tables"]}
+    views = {tbl.name for tbl in state.spark.catalog.listTables()}
+    if not doc_tables <= views:
+        return {"connected": False}
+    sc = state.spark.sparkContext
     return {
         "connected": True,
+        "connection_info": {
+            "db_type": doc["db_type"],
+            "host": sc.master,
+            "database": state.spark.catalog.currentDatabase(),
+            "user": sc.sparkUser(),
+        },
         "db_type": doc["db_type"],
         "db_version": doc["db_version"],
-        "n_tables": len(doc["schema_summary"]["tables"]),
+        "n_tables": len(doc_tables),
     }
+
+
+def disconnect_endpoint(state: AppState) -> dict[str, Any]:
+    """POST /api/db/disconnect — unbind the catalog's temp views and
+    reply with the reference's exact envelope (``main.py:152-158``).
+    ``connect_endpoint`` re-binds."""
+    doc = state.catalog.metadata_document()
+    for tbl in doc["schema_summary"]["tables"]:
+        state.spark.catalog.dropTempView(tbl["table_name"])
+    return {"success": True, "message": "연결이 해제되었습니다."}
+
+
+def sample_metadata_endpoint(db_type: str) -> dict[str, Any]:
+    """GET /api/sample-metadata/{db_type} — bundled offline metadata
+    document; unsupported types get the reference's 400 envelope
+    (``main.py:120-128``)."""
+    from etl_generator_demo_spark.generation import bundled_sample_metadata
+
+    if db_type.lower() not in ("postgresql", "mysql"):
+        return {
+            "error": "지원하지 않는 DB 타입입니다. (postgresql, mysql)",
+            "status_code": 400,
+        }
+    doc = bundled_sample_metadata()
+    doc["db_type"] = db_type.lower()
+    return doc
 
 
 def metadata_endpoint(state: AppState) -> dict[str, Any]:
@@ -135,6 +177,9 @@ def create_fastapi_app(state: AppState):
     app = FastAPI(title="etl-generator-demo-spark")
     app.get("/api/db/status")(lambda: status_endpoint(state))
     app.get("/api/db/metadata")(lambda: metadata_endpoint(state))
+    app.get("/api/sample-metadata/{db_type}")(sample_metadata_endpoint)
+    app.post("/api/db/connect")(lambda body: connect_endpoint(state, body))
+    app.post("/api/db/disconnect")(lambda: disconnect_endpoint(state))
     app.post("/api/generate-sql")(lambda body: generate_sql_endpoint(state, body))
     app.post("/api/db/execute")(lambda body: execute_endpoint(state, body))
     app.post("/api/generate-samples")(lambda body: samples_endpoint(state, body))

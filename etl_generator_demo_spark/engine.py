@@ -73,6 +73,12 @@ class ExecutionResult:
         return out
 
 
+class BlockedStatementError(RuntimeError):
+    """Raised by ``ExecutionEngine.dataframe`` when the safety gate
+    rejects a statement (``execute`` returns the blocked envelope
+    instead — its callers want the wire shape, not an exception)."""
+
+
 class ExecutionEngine:
     """SQL-string front door over one SparkSession."""
 
@@ -81,10 +87,19 @@ class ExecutionEngine:
         self.allow_writes = allow_writes
 
     def dataframe(self, sql: str, limit: int | None = DEFAULT_LIMIT) -> DataFrame:
-        """Parse + analyze + auto-limit, returning the lazy DataFrame."""
-        sql = sql.strip().rstrip(";")
-        df = self.spark.sql(sql)
+        """Parse + analyze + auto-limit, returning the lazy DataFrame.
+
+        The gate runs BEFORE ``spark.sql``: Spark executes command
+        statements (DROP/CREATE/INSERT/SET …) eagerly inside
+        ``spark.sql`` itself, so parsing first would already have run
+        the write. Both front doors — this one and ``execute`` —
+        apply the same verdict; an inconsistent front door is how
+        gates get bypassed."""
+        sql = (sql or "").strip().rstrip(";")
         verdict = validate_sql_safety(sql, self.allow_writes)
+        if verdict.is_blocked:
+            raise BlockedStatementError(verdict.block_reason)
+        df = self.spark.sql(sql)
         if not verdict.is_write and limit:
             df = apply_auto_limit(df, limit)
         return df

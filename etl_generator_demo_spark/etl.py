@@ -128,12 +128,16 @@ class ETLPipelineExecutor:
             # hive-style layout: downstream filters on these columns
             # become partition pruning (directories skipped, not read)
             writer = writer.partitionBy(*partition_by)
+        # Count THIS run's output before writing: the post-load
+        # directory count would include pre-existing rows in append
+        # mode and misreport repeated runs.
+        n_written = df.count()
         writer.parquet(path)
         written = self.spark.read.parquet(path)
         written.createOrReplaceTempView(target)
         return ETLResult(
             target_table=target,
             write_mode=mode,
-            rows_written=written.count(),
+            rows_written=n_written,
             steps_applied=applied,
         )

@@ -60,10 +60,17 @@ Allowed transform ops: fill_nulls, standardize_dates, cast, filter, select, deri
 """
 
 
-def blocked_response(reason: str) -> dict[str, Any]:
+#: Reference demo-gate message, verbatim (``sql_generator.py:262``) —
+#: a UI that string-matches the reference's Korean reply keeps working.
+DEMO_BLOCK_REASON_KO = "파괴적인 작업 요청이 감지되었습니다. SELECT 쿼리만 허용됩니다."
+
+
+def blocked_response(reason: str, intent_summary: str = "") -> dict[str, Any]:
+    # sql is None (not "") when blocked — reference wire shape
+    # (``sql_generator.py:256-266``, Optional[str] in ``main.py:43``).
     return {
-        "intent_summary": "",
-        "sql": "",
+        "intent_summary": intent_summary,
+        "sql": None,
         "assumptions": [],
         "safety_notes": [],
         "tables_used": [],
@@ -76,7 +83,12 @@ def _demo_keyword_block(request: str) -> str | None:
     low = request.lower()
     for kw in BLOCKED_KEYWORDS:
         if kw in low:
-            return f"only SELECT queries are allowed in demo mode (matched {kw!r})"
+            # Korean first (reference parity), English appended.
+            return (
+                f"{DEMO_BLOCK_REASON_KO} "
+                f"(destructive request detected — only SELECT queries are "
+                f"allowed in demo mode; matched {kw!r})"
+            )
     return None
 
 
@@ -88,7 +100,9 @@ def generate_demo_response(
     shape, plus it doubles as the test fixture for the whole layer."""
     reason = _demo_keyword_block(request)
     if reason:
-        return blocked_response(reason)
+        # reference echoes the user's request as intent_summary when
+        # the demo gate blocks (``sql_generator.py:259``)
+        return blocked_response(reason, intent_summary=request)
 
     tables = metadata.get("schema_summary", {}).get("tables", [])
     if not tables:

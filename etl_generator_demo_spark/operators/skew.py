@@ -33,8 +33,13 @@ def salted_join(
 
     Correctness: join key becomes (key, salt); every big-side row gets
     exactly one salt and the small side carries all `factor` salts, so
-    each original match survives exactly once.
+    each original match survives exactly once. That argument only
+    holds for inner/left: under right/full outer an UNMATCHED
+    small-side row would surface once per salt replica, so those modes
+    are rejected rather than silently corrupted.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left only, got {how!r}")
     big_salted = big.withColumn("_salt", (F.rand(seed=42) * factor).cast("int"))
     small_exploded = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(factor)]))

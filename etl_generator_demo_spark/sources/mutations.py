@@ -33,8 +33,30 @@ def _rm(target: str) -> None:
         os.remove(target)
 
 
+def recover_staged(path: str) -> bool:
+    """Crash recovery for the staged swap: the two-rename window in
+    ``_staged_overwrite`` is NOT atomic — a crash between
+    ``rename(path, path.old)`` and ``rename(staging, path)`` leaves the
+    data only at ``path.old``. Callers (and every mutation entry point
+    here) run this first: if the table is missing but ``.old`` exists,
+    restore it. Returns True when a restore happened."""
+    old = path + ".old"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def _staged_overwrite(spark: SparkSession, path: str, df) -> int:
-    """Write df to a staging dir, then atomically swap into `path`."""
+    """Write df to a staging dir, then swap into `path`.
+
+    The swap is two renames, so there is a small non-atomic window
+    where `path` does not exist (data parked at `path.old`); a failed
+    WRITE never touches the source, and a crash inside the window is
+    repaired by ``recover_staged``. Concurrent readers mid-swap can
+    see a missing table — single-writer semantics, like the
+    pre-lakehouse idiom this models (Delta/Iceberg replace it with a
+    manifest pointer flip)."""
     parent = os.path.dirname(os.path.abspath(path))
     staging = tempfile.mkdtemp(prefix=".staging_", dir=parent)
     try:
@@ -56,6 +78,7 @@ def update_parquet(
 ) -> int:
     """UPDATE <path> SET col=expr, ... WHERE predicate.
     Returns the number of rows that matched the predicate."""
+    recover_staged(path)
     df = spark.read.parquet(path)
     cond = F.expr(predicate)
     n_matched = df.filter(cond).count()
@@ -70,8 +93,48 @@ def update_parquet(
 
 def delete_parquet(spark: SparkSession, path: str, predicate: str) -> int:
     """DELETE FROM <path> WHERE predicate. Returns rows deleted."""
+    recover_staged(path)
     df = spark.read.parquet(path)
     cond = F.expr(predicate)
     n_deleted = df.filter(cond).count()
     _staged_overwrite(spark, path, df.filter(~cond))
     return n_deleted
+
+
+def merge_parquet(
+    spark: SparkSession,
+    path: str,
+    source,
+    key_cols: list[str],
+) -> tuple[int, int]:
+    """MERGE/upsert: rows of `source` whose key matches an existing
+    target row REPLACE it; unmatched source rows are inserted —
+    ``MERGE .. WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN
+    INSERT *`` (reference D1 parity: ``db_connector.py:244-251``
+    commits arbitrary DML to PostgreSQL; plain parquet gets the same
+    effect via anti-join + union + staged swap, the idiom lakehouse
+    MERGE replaces with a transactional commit).
+
+    Returns (n_updated, n_inserted). The source must carry exactly the
+    target's columns; a failed write leaves the target intact.
+    """
+    recover_staged(path)
+    target = spark.read.parquet(path)
+    missing = [c for c in key_cols if c not in target.columns or c not in source.columns]
+    if missing:
+        raise ValueError(f"merge key columns missing from source or target: {missing}")
+    if set(source.columns) != set(target.columns):
+        raise ValueError(
+            f"merge source columns {sorted(source.columns)} != target {sorted(target.columns)}"
+        )
+    # Duplicate source keys would make the upsert non-deterministic
+    # (which copy wins?) — reject, like ANSI MERGE's cardinality error.
+    n_src = source.count()
+    if source.select(*key_cols).distinct().count() != n_src:
+        raise ValueError("merge source has duplicate keys")
+    n_updated = target.join(source, key_cols, "left_semi").count()
+    merged = target.join(source, key_cols, "left_anti").unionByName(
+        source.select(*target.columns)
+    )
+    _staged_overwrite(spark, path, merged)
+    return n_updated, n_src - n_updated

@@ -24,6 +24,8 @@ def parquet_append_sink(target_dir: str, partition_by: list[str] | None = None):
     after a sink-side success but source-side failure) are skipped."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         try:
             seen = (
@@ -34,8 +36,12 @@ def parquet_append_sink(target_dir: str, partition_by: list[str] | None = None):
             )
             if seen:
                 return  # idempotence: this batch already committed
-        except Exception:
-            pass  # first write: target does not exist yet
+        except AnalysisException as exc:
+            # Only "target does not exist yet" may skip the probe; a
+            # transient read failure must NOT silently disable the
+            # replay check (that would double-append the batch).
+            if "PATH_NOT_FOUND" not in str(exc) and "UNABLE_TO_INFER_SCHEMA" not in str(exc):
+                raise
         out = batch_df.withColumn("_batch_id", F.lit(batch_id))
         writer = out.write.mode("append")
         if partition_by:

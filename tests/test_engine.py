@@ -166,3 +166,30 @@ class TestCatalogMetadata:
         assert catalog.metadata_document() is d1
         catalog.invalidate()
         assert catalog.metadata_document() is not d1
+
+
+class TestDataframeGate:
+    def test_dataframe_blocks_write_before_parse(self, engine, spark, catalog, tmp_path):
+        """dataframe() must gate BEFORE spark.sql — Spark executes
+        commands eagerly at parse time, so a late gate would have
+        already run the DROP."""
+        from etl_generator_demo_spark.engine import BlockedStatementError
+
+        spark.sql(f"CREATE TABLE gate_probe USING parquet LOCATION '{tmp_path}/gate_probe' AS SELECT 1 AS x")
+        try:
+            with pytest.raises(BlockedStatementError, match="read-only"):
+                engine.dataframe("DROP TABLE gate_probe")
+            assert spark.catalog.tableExists("gate_probe")  # the write never ran
+        finally:
+            spark.sql("DROP TABLE IF EXISTS gate_probe")
+
+    def test_dataframe_matches_execute_verdict(self, engine):
+        from etl_generator_demo_spark.engine import BlockedStatementError
+
+        res = engine.execute("TRUNCATE TABLE orders")
+        assert res.is_blocked
+        with pytest.raises(BlockedStatementError):
+            engine.dataframe("TRUNCATE TABLE orders")
+
+    def test_dataframe_allows_reads(self, engine):
+        assert engine.dataframe("SELECT 1 AS x").collect()[0]["x"] == 1

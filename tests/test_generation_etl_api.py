@@ -128,9 +128,12 @@ class TestETLExecutor:
             "transform": {"steps": []},
             "load": {"target_table": "region_copy", "write_mode": "append"},
         }
-        n1 = executor.run(spec).rows_written
-        n2 = executor.run(spec).rows_written
-        assert n2 == 2 * n1
+        r1 = executor.run(spec)
+        r2 = executor.run(spec)
+        # rows_written reports THIS run's output, not the accumulated
+        # directory count; the target itself accumulates
+        assert r2.rows_written == r1.rows_written
+        assert executor.spark.table("region_copy").count() == 2 * r1.rows_written
 
     def test_sql_extract_and_cast_and_fill(self, executor, spark):
         spec = {

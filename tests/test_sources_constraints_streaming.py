@@ -150,3 +150,56 @@ class TestRealStreamingExecution:
             .collect()
         }
         assert got == want and len(want) > 50
+
+
+class TestMergeAndRecovery:
+    @pytest.fixture()
+    def kv_table(self, spark, tmp_path):
+        path = str(tmp_path / "kv")
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, name string, v double"
+        ).write.parquet(path)
+        return path
+
+    def test_merge_updates_and_inserts(self, spark, kv_table):
+        from etl_generator_demo_spark.sources.mutations import merge_parquet
+
+        src = spark.createDataFrame(
+            [(2, "B", 99.0), (4, "d", 40.0)], "k long, name string, v double"
+        )
+        n_upd, n_ins = merge_parquet(spark, kv_table, src, ["k"])
+        assert (n_upd, n_ins) == (1, 1)
+        rows = {r["k"]: (r["name"], r["v"]) for r in spark.read.parquet(kv_table).collect()}
+        assert rows == {1: ("a", 10.0), 2: ("B", 99.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    def test_merge_rejects_duplicate_source_keys(self, spark, kv_table):
+        from etl_generator_demo_spark.sources.mutations import merge_parquet
+
+        src = spark.createDataFrame(
+            [(2, "B", 1.0), (2, "C", 2.0)], "k long, name string, v double"
+        )
+        with pytest.raises(ValueError, match="duplicate keys"):
+            merge_parquet(spark, kv_table, src, ["k"])
+
+    def test_merge_schema_mismatch_leaves_target_intact(self, spark, kv_table):
+        from etl_generator_demo_spark.sources.mutations import merge_parquet
+
+        src = spark.createDataFrame([(2, "B")], "k long, name string")
+        with pytest.raises(ValueError, match="columns"):
+            merge_parquet(spark, kv_table, src, ["k"])
+        assert spark.read.parquet(kv_table).count() == 3
+
+    def test_recover_staged_restores_after_crash_window(self, spark, kv_table):
+        """Simulate a crash between the two renames: table at .old only."""
+        import os
+
+        from etl_generator_demo_spark.sources.mutations import delete_parquet, recover_staged
+
+        os.rename(kv_table, kv_table + ".old")
+        assert recover_staged(kv_table) is True
+        assert spark.read.parquet(kv_table).count() == 3
+        assert not os.path.exists(kv_table + ".old")
+        # mutation entry points self-heal too
+        os.rename(kv_table, kv_table + ".old")
+        assert delete_parquet(spark, kv_table, "k = 3") == 1
+        assert spark.read.parquet(kv_table).count() == 2

@@ -97,3 +97,17 @@ class TestBucketing:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    """Right/full outer would emit each unmatched small-side row once
+    per salt replica — reject instead of silently corrupting."""
+    import pytest
+
+    from etl_generator_demo_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")], "k int, v string")
+    small = spark.createDataFrame([(1, "x")], "k int, w string")
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="inner/left"):
+            salted_join(big, small, "k", how=how)
