@@ -34,6 +34,9 @@ HEADLINE = [
     "x2_ngram_jaccard_pairs",
     "x3_cosine_topk",
     "x3_ann_lsh_topk",
+    "x3_ann_ivf_topk",
+    "x3_neardup_lsh_bucketed",
+    "x2_dedup_clusters",
     "j8_asof_purchase_last_click",
     "f_json_struct_agg",
 ]

@@ -333,41 +333,94 @@ def x3_neardup_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus + candidate pairs — no all-pairs nested loop anywhere; the
     exact tier (``x3_cosine_neardup_pairs``) survives as a test-only
     recall anchor. Expected pair recall vs exact at cos=0.4 is
-    1-(1-p^4)^8 ≈ 0.75 with p = 1 - θ/π; raise `tables` for more."""
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("v")
+    1-(1-p^4)^8 ≈ 0.75 with p = 1 - θ/π; raise `tables` for more.
+
+    Plan shape (each stage chosen for shuffle width, not convenience):
+    - bucketing is an Arrow ``mapInPandas`` numpy matmul — 32 dot
+      products/row is the interpreted-HOF slow path, BLAS is ~10×;
+    - the candidate ``distinct`` is over the NARROW (vec_a, vec_b) id
+      pair only — carrying the two 64-dim vectors through that shuffle
+      (the naive plan) moves ~1 KB/row instead of 16 B/row;
+    - vectors are joined back AFTER dedup (broadcast here; keyed
+      shuffle join at scale), and the exact re-rank is a second
+      vectorized numpy stage. Same md5 hyperplanes as the DuckDB
+      oracle, so both engines agree bucket-for-bucket.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    # closure-captured plain data: executor workers can't import this
+    # package, so the UDF must carry its constants by value
+    plane_rows = [
+        _hyperplane(tbl, p, DIM)
+        for tbl in range(NEARDUP_TABLES)
+        for p in range(NEARDUP_PLANES)
+    ]
+    n_tables, n_planes = NEARDUP_TABLES, NEARDUP_PLANES
+
+    def bucket_rows(batches):
+        import numpy as np
+        import pandas as pd
+
+        P = np.asarray(plane_rows, dtype="float64").T  # dim x (tables*planes)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            S = ((V @ P) >= 0).astype("uint8")
+            ids = pdf["vec_id"].to_numpy()
+            out = []
+            for tbl in range(n_tables):
+                bits = S[:, tbl * n_planes : (tbl + 1) * n_planes]
+                bucket = np.array(["".join(map(str, row)) for row in bits])
+                out.append(
+                    pd.DataFrame({"vec_id": ids, "lsh_table": tbl, "bucket": bucket})
+                )
+            yield pd.concat(out)
+
+    bk = emb.select("vec_id", "embedding").mapInPandas(
+        bucket_rows, "vec_id long, lsh_table int, bucket string"
     )
-    structs = F.array(
-        *[
-            F.struct(
-                F.lit(tbl).alias("lsh_table"),
-                lsh_bucket_expr(F.col("v"), tbl, NEARDUP_PLANES).alias("bucket"),
-            )
-            for tbl in range(NEARDUP_TABLES)
-        ]
-    )
-    bk = emb.select("vec_id", "v", F.explode(structs).alias("tb")).select(
-        "vec_id", "v", F.col("tb.lsh_table").alias("lsh_table"), F.col("tb.bucket").alias("bucket")
-    )
-    a = bk.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "lsh_table", "bucket"
-    )
-    b = bk.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "lsh_table", "bucket"
-    )
+    a = bk.select(F.col("vec_id").alias("vec_a"), "lsh_table", "bucket")
+    b = bk.select(F.col("vec_id").alias("vec_b"), "lsh_table", "bucket")
     cand = (
         a.join(b, ["lsh_table", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "va", "vb")
+        .select("vec_a", "vec_b")
         .distinct()
     )
-    raw = cosine(F.col("va"), F.col("vb"))
-    return (
-        cand.withColumn("raw_cos", raw)
-        .filter(F.col("raw_cos") > 0.4)
-        .select("vec_a", "vec_b", _floor6(F.col("raw_cos")).alias("cosine"))
-        .orderBy("vec_a", "vec_b")
+    ve = emb.select("vec_id", "embedding")
+    pairs = cand.join(
+        F.broadcast(ve.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))),
+        "vec_a",
+    ).join(
+        F.broadcast(ve.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))),
+        "vec_b",
     )
+
+    def exact_cosine(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["va"].to_numpy()).astype("float64")
+            B = np.stack(pdf["vb"].to_numpy()).astype("float64")
+            cos = (A * B).sum(axis=1) / (
+                np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+            )
+            keep = cos > 0.4
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "vec_a": pdf["vec_a"].to_numpy()[keep],
+                        "vec_b": pdf["vec_b"].to_numpy()[keep],
+                        "cosine": np.floor(cos[keep] * 1e6) / 1e6,
+                    }
+                )
+
+    return pairs.mapInPandas(
+        exact_cosine, "vec_a long, vec_b long, cosine double"
+    ).orderBy("vec_a", "vec_b")
 
 
 @register("x3_ann_ivf_topk", oracle=None, survey_ids=("X3",))
