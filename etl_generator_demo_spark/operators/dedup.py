@@ -50,24 +50,38 @@ def _shingle_expr(text_col: str, n: int = SHINGLE_N) -> Column:
     )
 
 
-def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct (id, shingle) pairs — the base relation for MinHash,
-    Jaccard, and SimHash."""
-    return (
-        df.select(id_col, F.explode(_shingle_expr(text_col)).alias("shingle"))
-        .distinct()
-    )
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", distinct: bool = True
+) -> DataFrame:
+    """(id, shingle) pairs — the base relation for MinHash, Jaccard,
+    and SimHash. ``distinct=True`` is required by Jaccard (set
+    cardinalities) but NOT by MinHash: min() is duplicate-invariant, so
+    the minhash path passes ``distinct=False`` and skips a full shuffle
+    of the exploded shingle relation (the groupBy's map-side partial
+    min shuffles only k values per doc)."""
+    out = df.select(id_col, F.explode(_shingle_expr(text_col)).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
     shingles: DataFrame, id_col: str = "doc_id", num_hashes: int = NUM_HASHES
 ) -> DataFrame:
-    """k MinHash values per doc: min(md5('s{i}|' || shingle)).
-    P[min-hash match] = Jaccard similarity, per the classic estimator."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{i}|"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+    """k MinHash values per doc from num_hashes/4 md5 digests: each
+    128-bit digest is sliced into four independent 8-hex-char (32-bit)
+    chunks — bit-splitting one strong hash is the standard way to get a
+    hash family without paying k full hashes per shingle (8× fewer md5
+    calls than a per-hash digest, and 8-char instead of 32-char
+    signature/band values in the shuffle). 32-bit chunks keep the
+    min-collision probability of two L-shingle docs ~2L/2^32 —
+    negligible even at 100k shingles/doc, where 16-bit slices would
+    false-positive whole bands. P[min-hash match] = Jaccard similarity,
+    per the classic estimator."""
+    assert num_hashes % 4 == 0, "hashes come in 4-per-digest slices"
+    aggs = []
+    for d in range(num_hashes // 4):
+        digest = F.md5(F.concat(F.lit(f"s{d}|"), F.col("shingle")))
+        for s in range(4):
+            aggs.append(F.min(F.substring(digest, 8 * s + 1, 8)).alias(f"mh{d * 4 + s}"))
     return shingles.groupBy(id_col).agg(*aggs)
 
 
@@ -226,8 +240,10 @@ def x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_minhash_cols() -> str:
+    # mirror of minhash_signatures: 4 slices of 8 hex chars per digest
     return ",\n           ".join(
-        f"MIN(MD5('s{i}|' || shingle)) AS mh{i}" for i in range(NUM_HASHES)
+        f"MIN(SUBSTR(MD5('s{i // 4}|' || shingle), {8 * (i % 4) + 1}, 8)) AS mh{i}"
+        for i in range(NUM_HASHES)
     )
 
 
@@ -257,7 +273,7 @@ def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands). For the fixture's planted near-dups (shingle Jaccard ~0.97)
     detection probability is 1-(1-j^4)^2 ~ 0.99."""
     docs = t(spark, sf_dir, "documents")
-    sh = doc_shingles(docs)
+    sh = doc_shingles(docs, distinct=False)  # min() ignores duplicates
     sigs = minhash_signatures(sh)
     return lsh_candidate_pairs(sigs).orderBy("doc_a", "doc_b")
 

@@ -141,7 +141,7 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's recursive-CTE transitive closure over the identical pair
     set, so cluster assignment is hash-checked exactly."""
     docs = t(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(minhash_signatures(doc_shingles(docs)))
+    pairs = lsh_candidate_pairs(minhash_signatures(doc_shingles(docs, distinct=False)))
     cc = connected_components(docs.select("doc_id"), pairs)
     return (
         cc.withColumn("is_keep", F.col("cluster_id") == F.col("doc_id"))
