@@ -321,19 +321,10 @@ NEARDUP_TABLES = 8
 NEARDUP_PLANES = 4
 
 
-@register(
-    "x3_neardup_lsh_bucketed",
-    oracle=_neardup_bucketed_oracle(NEARDUP_TABLES, NEARDUP_PLANES),
-    survey_ids=("X3", "X2"),
-)
-def x3_neardup_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Headline embedding near-dup pipeline, 100 TB shape: hyperplane-LSH
-    bucketing (map-side, 8 tables × 4 planes) → ONE equi-join on
-    (lsh_table, bucket) → exact cosine only within buckets. Linear in
-    corpus + candidate pairs — no all-pairs nested loop anywhere; the
-    exact tier (``x3_cosine_neardup_pairs``) survives as a test-only
-    recall anchor. Expected pair recall vs exact at cos=0.4 is
-    1-(1-p^4)^8 ≈ 0.75 with p = 1 - θ/π; raise `tables` for more.
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup pairs (vec_a, vec_b, cosine),
+    unordered — shared by the pair query and the cluster-resolution
+    query.
 
     Plan shape (each stage chosen for shuffle width, not convenience):
     - bucketing is an Arrow ``mapInPandas`` numpy matmul — 32 dot
@@ -418,9 +409,91 @@ def x3_neardup_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-    return pairs.mapInPandas(
-        exact_cosine, "vec_a long, vec_b long, cosine double"
-    ).orderBy("vec_a", "vec_b")
+    return pairs.mapInPandas(exact_cosine, "vec_a long, vec_b long, cosine double")
+
+
+@register(
+    "x3_neardup_lsh_bucketed",
+    oracle=_neardup_bucketed_oracle(NEARDUP_TABLES, NEARDUP_PLANES),
+    survey_ids=("X3", "X2"),
+)
+def x3_neardup_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline embedding near-dup pipeline, 100 TB shape: hyperplane-LSH
+    bucketing (map-side, 8 tables × 4 planes) → ONE equi-join on
+    (lsh_table, bucket) → exact cosine only within buckets. Linear in
+    corpus + candidate pairs — no all-pairs nested loop anywhere; the
+    exact tier (``x3_cosine_neardup_pairs``) survives as a test-only
+    recall anchor. Expected pair recall vs exact at cos=0.4 is
+    1-(1-p^4)^8 ≈ 0.75 with p = 1 - θ/π; raise `tables` for more.
+    Plan notes: see ``embedding_neardup_pairs``."""
+    return embedding_neardup_pairs(spark, sf_dir).orderBy("vec_a", "vec_b")
+
+
+def _neardup_clusters_oracle(tables: int, planes: int) -> str:
+    """Recursive-CTE transitive closure over the identical pair set —
+    exact cluster-assignment parity with the Spark min-label
+    propagation."""
+    base = _neardup_bucketed_oracle(tables, planes)
+    # reuse the pair pipeline: strip its final SELECT, name it `pairs`
+    cte_part = base[: base.index("SELECT c.vec_a")]
+    cos = (
+        "LIST_DOT_PRODUCT(ea.v, eb.v) / (SQRT(LIST_DOT_PRODUCT(ea.v, ea.v))"
+        " * SQRT(LIST_DOT_PRODUCT(eb.v, eb.v)))"
+    )
+    return (
+        cte_part.replace("WITH e AS", "WITH RECURSIVE e AS", 1)
+        + f""",
+    pairs AS (
+      SELECT c.vec_a, c.vec_b
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.vec_a
+      JOIN e eb ON eb.vec_id = c.vec_b
+      WHERE {cos} > 0.4
+    ),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION
+      SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.src, ed.dst FROM reach r JOIN edges ed ON r.dst = ed.src
+    )
+    SELECT src AS vec_id,
+           MIN(dst) AS cluster_id,
+           MIN(dst) = src AS is_keep
+    FROM reach
+    GROUP BY src
+    ORDER BY vec_id
+    """
+    )
+
+
+@register(
+    "x3_neardup_clusters",
+    oracle=_neardup_clusters_oracle(NEARDUP_TABLES, NEARDUP_PLANES),
+    survey_ids=("X3", "X2"),
+)
+def x3_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding dedup: bucketed near-dup pairs → connected
+    components (distributed min-label propagation) → per-vector
+    (cluster_id, is_keep), the mirror of ``x2_dedup_clusters`` on the
+    embedding side. The oracle recomputes the identical pair set and
+    takes its transitive closure with a recursive CTE, so cluster
+    assignment is hash-checked exactly."""
+    from etl_generator_demo_spark.operators.dedup_clusters import connected_components
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    cc = connected_components(
+        emb.select("vec_id"), pairs, id_col="vec_id", a_col="vec_a", b_col="vec_b"
+    )
+    return (
+        cc.withColumn("is_keep", F.col("cluster_id") == F.col("vec_id"))
+        .select("vec_id", "cluster_id", "is_keep")
+        .orderBy("vec_id")
+    )
 
 
 @register("x3_ann_ivf_topk", oracle=None, survey_ids=("X3",))

@@ -171,3 +171,38 @@ def test_ann_recall_at_10(spark, sf_dir):
     got = {r["vec_id"] for r in ann_lsh_topk(base, qv, k=10).collect()}
     recall = len(truth & got) / 10
     assert recall >= 0.5, f"ANN recall@10 = {recall}"
+
+
+def test_neardup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Cluster resolution over the bucketed pairs: both endpoints of
+    every near-dup pair land in one cluster, the canonical keeper is
+    the cluster minimum, and non-paired vectors stay singletons."""
+    from etl_generator_demo_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        x3_neardup_clusters,
+    )
+
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(spark, sf_dir).collect()
+    }
+    clusters = {
+        r["vec_id"]: (r["cluster_id"], r["is_keep"])
+        for r in x3_neardup_clusters(spark, sf_dir).collect()
+    }
+    assert len(pairs) > 0
+    for a, b in pairs:
+        assert clusters[a][0] == clusters[b][0]
+    # keeper of each cluster is its minimum member id, exactly one per cluster
+    members: dict[int, list[int]] = {}
+    for vid, (cid, _) in clusters.items():
+        members.setdefault(cid, []).append(vid)
+    for cid, vids in members.items():
+        assert cid == min(vids)
+        assert clusters[cid][1] is True
+        assert sum(1 for v in vids if clusters[v][1]) == 1
+    # vectors touching no pair are their own cluster
+    paired = {v for p in pairs for v in p}
+    for vid, (cid, keep) in clusters.items():
+        if vid not in paired:
+            assert cid == vid and keep is True
