@@ -85,6 +85,31 @@ def minhash_signatures(
     return shingles.groupBy(id_col).agg(*aggs)
 
 
+def banded_keys(
+    signatures: DataFrame, id_col: str = "doc_id", bands: int = BANDS
+) -> DataFrame:
+    """(id, band_id, band_key) rows — one per band per doc, map-side
+    explode of the signature columns. The joinable LSH band relation:
+    candidate pairs self-join it, incremental dedup probes a persisted
+    copy of it."""
+    num_hashes = len([c for c in signatures.columns if c.startswith("mh")])
+    rows_per_band = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat(
+                    *[F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(id_col, F.explode(band_structs).alias("bk")).select(
+        id_col, "bk.band_id", "bk.band_key"
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -103,22 +128,7 @@ def lsh_candidate_pairs(
     dropped (their members are boilerplate-similar, not meaningful
     near-dups — the same reasoning as stopword removal). None = off,
     which keeps exact oracle parity for the fixture-sized corpus."""
-    num_hashes = len([c for c in signatures.columns if c.startswith("mh")])
-    rows_per_band = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat(
-                    *[F.col(f"mh{i}") for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    keyed = signatures.select(id_col, F.explode(band_structs).alias("bk")).select(
-        id_col, "bk.band_id", "bk.band_key"
-    )
+    keyed = banded_keys(signatures, id_col=id_col, bands=bands)
     if max_bucket_size is not None:
         w = Window.partitionBy("band_id", "band_key")
         keyed = (

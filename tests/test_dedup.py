@@ -136,3 +136,54 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
     cc = {r["doc_id"]: r["cluster_id"] for r in connected_components(nodes, pairs).collect()}
     assert cc == {i: 0 for i in range(n)}
+
+
+class TestIncrementalDedup:
+    def test_batch_vs_corpus_dups_and_novel(self, spark, sf_dir):
+        """The fixture's planted near-dup pairs are positional, so the
+        mod-5 batch split leaves some batch docs with a corpus-side
+        twin: those must come back dup_of=<corpus id>, everything else
+        novel, and dup_of must never point into the batch itself."""
+        from etl_generator_demo_spark.operators.dedup_incremental import (
+            BATCH_MOD,
+            BATCH_REMAINDER,
+            x2_dedup_incremental,
+        )
+
+        rows = x2_dedup_incremental(spark, sf_dir).collect()
+        batch_n = len(rows)
+        assert batch_n > 0
+        dups = [r for r in rows if not r["is_novel"]]
+        assert 0 < len(dups) < batch_n  # some dups, not everything
+        for r in dups:
+            assert r["dup_of"] % BATCH_MOD != BATCH_REMAINDER
+        for r in rows:
+            assert r["is_novel"] == (r["dup_of"] is None)
+
+    def test_admitted_batch_is_seen_by_next_ingest(self, spark, tmp_path):
+        """Append-only index growth: after admitting batch 1, a re-run
+        of batch 1 against the index reports every doc as a dup."""
+        from etl_generator_demo_spark.operators.dedup_incremental import (
+            admit_batch_to_index,
+            document_bands,
+            incremental_dedup,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        batch = spark.createDataFrame(
+            [(100, "one two three four five six seven eight")],
+            "doc_id long, text string",
+        )
+        idx = str(tmp_path / "bands")
+        document_bands(corpus).write.parquet(idx)
+        bands = spark.read.parquet(idx)
+        first = incremental_dedup(bands, document_bands(batch)).collect()
+        assert first == []  # disjoint text: novel
+        admit_batch_to_index(idx, document_bands(batch))
+        again = incremental_dedup(
+            spark.read.parquet(idx), document_bands(batch)
+        ).collect()
+        assert [(r["doc_id"], r["dup_of"]) for r in again] == [(100, 100)]

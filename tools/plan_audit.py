@@ -34,6 +34,12 @@ EXPECTATIONS: dict[str, dict] = {
     "x3_ann_lsh_topk": {"partition_pruned": True},
     "x3_ann_ivf_topk": {"partition_pruned": True},
     "x2_dedup_clusters": {"max_exchanges": 12},
+    # corpus side must stream (broadcast the batch's band keys), so the
+    # only shuffles are the batch's own signature groupBy + hit agg
+    "x2_dedup_incremental": {"max_exchanges": 4, "min_broadcast": 1},
+    # localCheckpoint in connected_components truncates the visible
+    # plan (like x2_dedup_clusters), so only the shuffle budget applies
+    "x3_neardup_clusters": {"max_exchanges": 12},
     "j8_asof_purchase_last_click": {"max_exchanges": 3, "pushed": True},
     "st_session_windows": {"max_exchanges": 2},
     "f_json_struct_agg": {"max_exchanges": 2},
