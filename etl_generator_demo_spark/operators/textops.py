@@ -232,3 +232,118 @@ def x4_quality_and_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score_expr("text").alias("quality"),
         lang_id_expr("text").alias("predicted_lang"),
     ).orderBy("doc_id")
+
+
+#: PII patterns shared by the Spark expression and the DuckDB oracle —
+#: restricted to syntax Java regex and RE2 interpret identically.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact_pii_expr(text_col: str | Column) -> Column:
+    """Replace every PII match with a typed placeholder ([EMAIL] etc.).
+    Pure scan-side regexp_replace chain — the cheap pre-training scrub
+    pass; at 100 TB this is one map-only stage, no shuffle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    for kind, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"[{kind.upper()}]")
+    return c
+
+
+@register(
+    "x4_pii_scrub",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '\\+?[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}')) AS BIGINT)          AS n_phone,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+           MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+               '\\+?[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}', '[PHONE]', 'g'),
+               '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '[IPV4]', 'g')) AS clean_fp
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ids=("X4",),
+)
+def x4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: per-doc match counts + fingerprint of the
+    redacted text (the fingerprint keeps the compare row narrow while
+    still pinning every replaced byte). The fixture corpus contains no
+    PII — planted-PII redaction behavior is pinned in
+    tests/test_textops.py; this query proves the scan-side plan and
+    cross-engine regex parity."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_PATTERNS["email"])).cast("long").alias("n_email"),
+        F.regexp_count("text", F.lit(PII_PATTERNS["phone"])).cast("long").alias("n_phone"),
+        F.regexp_count("text", F.lit(PII_PATTERNS["ipv4"])).cast("long").alias("n_ipv4"),
+        F.md5(redact_pii_expr("text")).alias("clean_fp"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "x4_repetition_scores",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT(text, ' ')) AS tk,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               tk || '_' || LEAD(tk, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+        FROM tok
+    ),
+    counts AS (
+        SELECT doc_id, bigram, COUNT(*) AS c
+        FROM bg WHERE bigram IS NOT NULL
+        GROUP BY doc_id, bigram
+    )
+    SELECT doc_id,
+           MAX(c)                                   AS top_bigram_n,
+           SUM(c)                                   AS n_bigrams,
+           FLOOR(MAX(c) * 10000.0 / SUM(c)) / 10000 AS top_bigram_frac,
+           MAX(c) * 20 > SUM(c)                     AS is_repetitive
+    FROM counts
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    survey_ids=("X4",),
+)
+def x4_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: fraction of bigrams taken by the
+    most common bigram; >5% flags boilerplate/degenerate text. The
+    explode + two-level groupBy is the distributed shape — per-doc
+    partial counts combine map-side, nothing is ever all-pairs."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams"))
+        .select(
+            "doc_id",
+            "top_bigram_n",
+            "n_bigrams",
+            (F.floor(F.col("top_bigram_n") * 10000.0 / F.col("n_bigrams")) / 10000).alias(
+                "top_bigram_frac"
+            ),
+            (F.col("top_bigram_n") * 20 > F.col("n_bigrams")).alias("is_repetitive"),
+        )
+        .orderBy("doc_id")
+    )

@@ -81,3 +81,62 @@ def test_fingerprint_stability_under_distant_edit(spark):
     # same minimal shingle unless the edit introduced a smaller hash;
     # with this fixed data the property holds deterministically
     assert by_id[1] == by_id[2]
+
+
+class TestPIIRedaction:
+    def test_planted_pii_redacted_and_counted(self, spark):
+        from etl_generator_demo_spark.operators.textops import (
+            PII_PATTERNS,
+            redact_pii_expr,
+        )
+
+        rows = [
+            (1, "contact bob.smith+x@example.co.uk or +1 555-123-4567 now"),
+            (2, "server at 192.168.001.1 port open, mail root@host.io"),
+            (3, "no pii here at all"),
+            (4, "call 555 1234 5678 twice: 555 1234 5678"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r["clean"]
+            for r in df.select("doc_id", redact_pii_expr("text").alias("clean")).collect()
+        }
+        assert out[1] == "contact [EMAIL] or +1 [PHONE] now"
+        assert out[2] == "server at [IPV4] port open, mail [EMAIL]"
+        assert out[3] == "no pii here at all"
+        assert out[4] == "call [PHONE] twice: [PHONE]"  # replaces ALL matches
+        assert set(PII_PATTERNS) == {"email", "phone", "ipv4"}
+
+
+class TestRepetitionScores:
+    def test_degenerate_doc_flagged(self, spark, sf_dir):
+        """A doc that is one phrase repeated must flag is_repetitive;
+        the fixture's word soup must largely not."""
+        from etl_generator_demo_spark.operators.textops import x4_repetition_scores
+        import etl_generator_demo_spark.operators.textops as textops
+        from pyspark.sql import functions as F
+
+        fixture = x4_repetition_scores(spark, sf_dir).collect()
+        flagged = sum(1 for r in fixture if r["is_repetitive"])
+        assert flagged / len(fixture) < 0.2
+
+        # planted: "spam ham " * 50 -> top bigram 'spam_ham' 50/99
+        docs = spark.createDataFrame(
+            [(1, " ".join(["spam", "ham"] * 50)), (2, " ".join(f"w{i}" for i in range(80)))],
+            "doc_id long, text string",
+        )
+        docs.createOrReplaceTempView("planted")
+        toks = F.split(F.col("text"), " ")
+        bigrams = F.zip_with(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        )
+        counts = (
+            docs.select("doc_id", F.explode(bigrams).alias("bigram"))
+            .groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id")
+            .agg((F.max("c") * 20 > F.sum("c")).alias("is_repetitive"))
+        )
+        got = {r["doc_id"]: r["is_repetitive"] for r in counts.collect()}
+        assert got == {1: True, 2: False}
