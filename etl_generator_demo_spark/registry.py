@@ -49,6 +49,7 @@ def load_all() -> dict[str, RegisteredQuery]:
     import etl_generator_demo_spark.operators.dedup  # noqa: F401
     import etl_generator_demo_spark.operators.dedup_clusters  # noqa: F401
     import etl_generator_demo_spark.operators.dedup_incremental  # noqa: F401
+    import etl_generator_demo_spark.operators.packing  # noqa: F401
     import etl_generator_demo_spark.operators.similarity  # noqa: F401
     import etl_generator_demo_spark.operators.textops  # noqa: F401
     import etl_generator_demo_spark.operators.multimodal  # noqa: F401

@@ -1,0 +1,77 @@
+"""Sequence-packing tests: chunking arithmetic + greedy bin invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_chunking_arithmetic_covers_stream(spark, sf_dir):
+    """Chunk ids are dense per source, offsets stay < capacity, and a
+    doc straddles iff its span crosses a multiple of the capacity."""
+    from etl_generator_demo_spark.operators.packing import (
+        CHUNK_TOKENS,
+        x4_sequence_packing,
+    )
+
+    rows = x4_sequence_packing(spark, sf_dir).collect()
+    assert rows
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for docs in by_source.values():
+        tok_before = 0
+        for r in docs:  # already ordered by doc_id within source
+            assert r["chunk_id"] == tok_before // CHUNK_TOKENS
+            assert r["offset_in_chunk"] == tok_before % CHUNK_TOKENS
+            end = tok_before + r["n_tokens"] - 1
+            assert r["straddles_boundary"] == (
+                end >= (r["chunk_id"] + 1) * CHUNK_TOKENS
+            )
+            tok_before += r["n_tokens"]
+
+
+class TestGreedyPacking:
+    def test_invariants_and_determinism(self, spark):
+        from etl_generator_demo_spark.operators.packing import pack_documents_greedy
+
+        rows = [
+            (i, "s%d" % (i % 2), n)
+            for i, n in enumerate([100, 400, 50, 600, 30, 30, 512, 1, 511, 2])
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+        out = pack_documents_greedy(df, capacity=512).collect()
+        assert len(out) == len(rows)
+        groups: dict[tuple, list] = {}
+        for r in sorted(out, key=lambda r: (r["source"], r["doc_id"])):
+            groups.setdefault(r["source"], []).append(r)
+        for docs in groups.values():
+            # bin ids are dense and non-decreasing in doc order
+            assert docs[0]["bin_id"] == 0
+            for a, b in zip(docs, docs[1:]):
+                assert b["bin_id"] in (a["bin_id"], a["bin_id"] + 1)
+            # fill <= capacity unless the bin holds one oversized doc
+            fills: dict[int, int] = {}
+            counts: dict[int, int] = {}
+            for r in docs:
+                fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+                counts[r["bin_id"]] = counts.get(r["bin_id"], 0) + 1
+            for b, fill in fills.items():
+                assert fill <= 512 or counts[b] == 1
+        # determinism under different partitioning
+        again = pack_documents_greedy(df.repartition(7), capacity=512).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    def test_next_fit_exact_layout(self, spark):
+        from etl_generator_demo_spark.operators.packing import pack_documents_greedy
+
+        df = spark.createDataFrame(
+            [(1, "a", 300), (2, "a", 300), (3, "a", 200), (4, "a", 10)],
+            "doc_id long, source string, n_tokens long",
+        )
+        got = {
+            r["doc_id"]: r["bin_id"]
+            for r in pack_documents_greedy(df, capacity=512).collect()
+        }
+        # 300 | 300+200 would overflow? 300 -> bin0; 300 overflows (600>512) -> bin1;
+        # 200 fits with 300 (500<=512) -> bin1; 10 fits (510) -> bin1
+        assert got == {1: 0, 2: 1, 3: 1, 4: 1}
