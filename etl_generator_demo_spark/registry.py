@@ -54,6 +54,7 @@ def load_all() -> dict[str, RegisteredQuery]:
     import etl_generator_demo_spark.operators.textops  # noqa: F401
     import etl_generator_demo_spark.operators.multimodal  # noqa: F401
     import etl_generator_demo_spark.streaming.windows  # noqa: F401
+    import etl_generator_demo_spark.streaming.joins  # noqa: F401
     import etl_generator_demo_spark.operators.asof  # noqa: F401
     import etl_generator_demo_spark.operators.subqueries  # noqa: F401
     import etl_generator_demo_spark.operators.aggregates_ext  # noqa: F401

@@ -1,0 +1,84 @@
+"""Stream-stream interval join — SURVEY.md §2.11 [EXT].
+
+The canonical Structured Streaming join: two event streams, equi-key
+plus an event-time range condition. Written once as a batch-shaped
+function (``attribution_join``) and reused verbatim under streaming —
+Spark's stream-stream inner join requires exactly this shape
+(watermarks on both sides + a time-bound join condition) to know when
+buffered state can be evicted; the range bound here IS the state TTL.
+
+At scale: state per key is bounded by (gap + watermark delay) of
+events; the join shuffles both streams on user_id once. The batch
+registration gives the DuckDB-checked semantics; the pytest runs the
+same plan as a real two-stream join (file sources, availableNow) and
+asserts stream ≡ batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.relational import t
+from etl_generator_demo_spark.registry import register
+
+ATTRIBUTION_GAP_MINUTES = 30
+
+
+def attribution_join(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Purchases attributed to every click by the same user in the
+    preceding 30 minutes. Works identically over batch DataFrames and
+    watermarked streams (the time-range condition doubles as the
+    streaming state-eviction bound)."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("amount"),
+    )
+    cond = (
+        (p["user_id"] == c["c_user"])
+        & (c["click_ts"] <= p["purchase_ts"])
+        & (c["click_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {ATTRIBUTION_GAP_MINUTES} MINUTES"))
+    )
+    return p.join(c, cond).select(
+        "purchase_id", "user_id", "purchase_ts", "amount", "click_id", "click_ts"
+    )
+
+
+@register(
+    "st_stream_stream_attribution",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           CAST(p.ts AS TIMESTAMP)  AS purchase_ts,
+           p.value                  AS amount,
+           c.event_id               AS click_id,
+           CAST(c.ts AS TIMESTAMP)  AS click_ts
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL '{ATTRIBUTION_GAP_MINUTES} minutes'
+    WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id, click_id
+    """,
+    survey_ids=("§2.11", "J7"),
+)
+def st_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch registration of the stream-stream interval join (ALL
+    qualifying clicks per purchase — the as-of join's keep-latest is
+    the other discipline, ``j8_asof_purchase_last_click``). The pytest
+    runs this exact plan as a two-stream watermarked join and asserts
+    identical output."""
+    ev = t(spark, sf_dir, "events")
+    return attribution_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    ).orderBy("purchase_id", "click_id")
