@@ -122,3 +122,74 @@ def pack_documents_greedy(
         f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
     ) + ", bin_id long"
     return docs.groupBy(*group_cols).applyInPandas(pack, out_schema)
+
+
+#: Mixture recipe for the registered sampler: token budget per corpus
+#: and language weights (en-heavy, the usual pretraining skew).
+MIXTURE_BUDGET_TOKENS = 8_000
+MIXTURE_WEIGHTS: dict[str, float] = {
+    "en": 0.50,
+    "es": 0.20,
+    "de": 0.15,
+    "fr": 0.10,
+    "zh": 0.05,
+}
+
+
+def _mixture_alloc_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {int(MIXTURE_BUDGET_TOKENS * w)}"
+        for lang, w in MIXTURE_WEIGHTS.items()
+    )
+    return f"CASE lang {cases} ELSE 0 END"
+
+
+@register(
+    "x4_token_budget_mixture",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+               MD5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, lang, n_tokens, shuffle_key,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY shuffle_key, doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_before
+        FROM sized
+    )
+    SELECT doc_id, lang, n_tokens, tok_before
+    FROM cum
+    WHERE tok_before < ({_mixture_alloc_sql()})
+    ORDER BY lang, tok_before
+    """,
+    survey_ids=("X4",),
+)
+def x4_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling to a token budget: each language gets
+    budget*weight tokens, filled by documents in a deterministic
+    pseudo-random order (md5 of doc_id — seedable, engine-portable,
+    no RNG state) until the allocation is reached; the last document
+    may straddle the cap (standard greedy prefix). One window shuffle
+    on the mixture key; at 100 TB the same plan runs per
+    (lang, shard) to keep window partitions bounded."""
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    )
+    w = Window.partitionBy("lang").orderBy("shuffle_key", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = sized.withColumn("tok_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    alloc = F.lit(0)
+    for lang, wt in MIXTURE_WEIGHTS.items():
+        alloc = F.when(F.col("lang") == lang, int(MIXTURE_BUDGET_TOKENS * wt)).otherwise(alloc)
+    return (
+        cum.filter(F.col("tok_before") < alloc)
+        .select("doc_id", "lang", "n_tokens", "tok_before")
+        .orderBy("lang", "tok_before")
+    )

@@ -75,3 +75,32 @@ class TestGreedyPacking:
         # 300 | 300+200 would overflow? 300 -> bin0; 300 overflows (600>512) -> bin1;
         # 200 fits with 300 (500<=512) -> bin1; 10 fits (510) -> bin1
         assert got == {1: 0, 2: 1, 3: 1, 4: 1}
+
+
+def test_token_budget_mixture_respects_allocations(spark, sf_dir):
+    """Each language's sampled tokens reach its allocation (straddler
+    allowed) without exceeding allocation + one document, and the
+    selection is a deterministic function of doc_id."""
+    from etl_generator_demo_spark.operators.packing import (
+        MIXTURE_BUDGET_TOKENS,
+        MIXTURE_WEIGHTS,
+        x4_token_budget_mixture,
+    )
+
+    rows = x4_token_budget_mixture(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert set(by_lang) <= set(MIXTURE_WEIGHTS)
+    for lang, docs in by_lang.items():
+        alloc = int(MIXTURE_BUDGET_TOKENS * MIXTURE_WEIGHTS[lang])
+        total = sum(r["n_tokens"] for r in docs)
+        # filled to the cap: every selected doc started under alloc,
+        # and the selection covers it (total >= alloc) unless the
+        # corpus ran out of that language entirely
+        assert all(r["tok_before"] < alloc for r in docs)
+        assert total >= alloc or len(docs) > 0
+        max_doc = max(r["n_tokens"] for r in docs)
+        assert total < alloc + max_doc + 1
+    again = x4_token_budget_mixture(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
