@@ -37,6 +37,7 @@ HEADLINE = [
     "x3_ann_ivf_topk",
     "x3_neardup_lsh_bucketed",
     "x2_dedup_clusters",
+    "x2_dedup_incremental",
     "j8_asof_purchase_last_click",
     "f_json_struct_agg",
 ]
