@@ -18,6 +18,13 @@ CANARIES = [
     "x3_cosine_topk",            # vector math
     "st_session_windows",        # sessionization
     "j8_asof_purchase_last_click",  # as-of
+    "x2_dedup_clusters",         # connected components
+    "x2_dedup_incremental",      # persisted band index probe
+    "x3_neardup_lsh_bucketed",   # bucketed embedding near-dup
+    "x4_pii_scrub",              # cross-engine regex parity
+    "x4_sequence_packing",       # window-cumsum packing
+    "x4_token_budget_mixture",   # mixture sampling
+    "st_stream_stream_attribution",  # interval join
 ]
 
 
