@@ -367,3 +367,101 @@ def x2_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document; equal fingerprints = near-dup group."""
     docs = t(spark, sf_dir, "documents")
     return simhash_fingerprints(doc_shingles(docs)).orderBy("doc_id")
+
+
+def verified_neardup_pairs(
+    docs: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """The composed 100 TB near-dup pipeline: LSH candidate pairs →
+    exact Jaccard computed ONLY over candidate documents. The
+    inverted-index join runs on the shingles of docs that appear in
+    some candidate pair (a left-semi prune — at scale that set is
+    orders of magnitude smaller than the corpus), and its output is
+    reduced to the candidate pairs themselves before scoring, so no
+    non-candidate pair is ever materialized."""
+    cand = lsh_candidate_pairs(
+        minhash_signatures(doc_shingles(docs, id_col=id_col, distinct=False), id_col=id_col)
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    sh = doc_shingles(docs, id_col=id_col).join(
+        F.broadcast(cand_docs), id_col, "left_semi"
+    )
+    card = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("card"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .join(F.broadcast(cand), ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = card.select(F.col(id_col).alias("doc_a"), F.col("card").alias("card_a"))
+    cb = card.select(F.col(id_col).alias("doc_b"), F.col("card").alias("card_b"))
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("card_a") + F.col("card_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_DUCK_VERIFIED = f"""
+    {_DUCK_SHINGLES},
+    sigs AS (
+        SELECT doc_id, {{minhash_cols}}
+        FROM shingles GROUP BY doc_id
+    ),
+    band0 AS (SELECT doc_id, mh0 || mh1 || mh2 || mh3 AS band_key FROM sigs),
+    band1 AS (SELECT doc_id, mh4 || mh5 || mh6 || mh7 AS band_key FROM sigs),
+    cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band0 a JOIN band0 b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT a.doc_id, b.doc_id
+            FROM band1 a JOIN band1 b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+    ),
+    card AS (SELECT doc_id, COUNT(*) AS card FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        WHERE (a.doc_id, b.doc_id) IN (SELECT (doc_a, doc_b) FROM cand)
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS DOUBLE) / (ca.card + cb.card - inter) AS jaccard
+    FROM inter
+    JOIN card ca ON ca.doc_id = doc_a
+    JOIN card cb ON cb.doc_id = doc_b
+    WHERE CAST(inter AS DOUBLE) / (ca.card + cb.card - inter) >= 0.5
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "x2_neardup_verified",
+    oracle=_DUCK_VERIFIED.format(minhash_cols=_duck_minhash_cols()),
+    survey_ids=("X2",),
+)
+def x2_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates-then-verify near-dup detection, the composed scale
+    pipeline (LSH recall tier + exact-Jaccard precision tier restricted
+    to candidates). Distinct from ``x2_ngram_jaccard_pairs``, which
+    scores the whole corpus — that global tier survives as the recall
+    reference; this one is what actually runs at 100 TB."""
+    docs = t(spark, sf_dir, "documents")
+    return verified_neardup_pairs(docs).orderBy("doc_a", "doc_b")
