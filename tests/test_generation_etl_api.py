@@ -300,3 +300,33 @@ class TestAPIShapes:
         ) + state.spark.sql(
             "SELECT COUNT(*) n FROM orders WHERE o_custkey % 5 < 4"
         ).first()["n"]
+
+
+class TestNearDedupStep:
+    @pytest.fixture()
+    def executor(self, spark, catalog, tmp_path):
+        from etl_generator_demo_spark.etl import ETLPipelineExecutor
+
+        return ETLPipelineExecutor(spark, catalog, str(tmp_path))
+
+    def test_near_dedup_keeps_one_per_cluster(self, executor, spark, sf_dir):
+        """Planted near-identical docs collapse to the canonical
+        (minimum-id) survivor; unrelated docs pass through."""
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        rows = [
+            (10, base),
+            (11, base + " extra"),          # near-dup of 10
+            (12, "completely different words " + " ".join(f"t{i}" for i in range(12))),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+            "nd_docs"
+        )
+        spec = {
+            "extract": {"sql": "SELECT * FROM nd_docs"},
+            "transform": {"steps": [{"op": "near_dedup"}]},
+            "load": {"target_table": "nd_out", "write_mode": "overwrite"},
+        }
+        res = executor.run(spec)
+        assert res.steps_applied == ["near_dedup"]
+        kept = sorted(r["doc_id"] for r in spark.table("nd_out").collect())
+        assert kept == [10, 12]
