@@ -185,3 +185,62 @@ def x5_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+@register(
+    "x5_frame_samples",
+    oracle="""
+    WITH vid AS (
+        SELECT doc_id AS media_id,
+               CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+        FROM documents
+        WHERE doc_id % 3 = 2
+    ),
+    sized AS (
+        SELECT media_id,
+               1 + (n_bytes % 240) AS n_frames,
+               CAST(CEIL((1 + (n_bytes % 240)) / 8.0) AS BIGINT) AS stride
+        FROM vid
+    )
+    SELECT media_id,
+           UNNEST(RANGE(0, n_frames, stride)) AS frame_idx,
+           UNNEST(RANGE(0, n_frames, stride)) * 33 AS frame_ts_ms,
+           MD5(media_id || ':' || UNNEST(RANGE(0, n_frames, stride))) AS frame_fp
+    FROM sized
+    ORDER BY media_id, frame_idx
+    """,
+    survey_ids=("X5",),
+)
+def x5_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: uniform-stride policy capped at 8 frames
+    per item (stride = ceil(n_frames/8)), one output row per sampled
+    frame. The SAMPLING PLAN — which frame indexes/timestamps to pull —
+    is exact and oracle-checked; pulling the actual frame bytes is the
+    stubbed codec step (``_fake_decode`` supplies n_frames here, and
+    the fingerprint stands in for the frame payload hash). At 100 TB
+    the explode is map-side over the pruned (media_id, n_bytes)
+    projection — payload bytes are never read to PLAN the sampling."""
+    media = as_media_table(t(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "video"
+    )
+    sized = media.select(
+        "media_id",
+        (F.lit(1) + F.col("meta.n_bytes") % 240).alias("n_frames"),
+    ).withColumn("stride", F.ceil(F.col("n_frames") / 8.0).cast("long"))
+    return (
+        sized.select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_frames") - 1, F.col("stride"))
+            ).alias("frame_idx"),
+        )
+        .select(
+            "media_id",
+            "frame_idx",
+            (F.col("frame_idx") * 33).alias("frame_ts_ms"),
+            F.md5(F.concat(F.col("media_id").cast("string"), F.lit(":"), F.col("frame_idx").cast("string"))).alias(
+                "frame_fp"
+            ),
+        )
+        .orderBy("media_id", "frame_idx")
+    )

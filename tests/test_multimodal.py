@@ -57,3 +57,24 @@ def test_fake_decode_contract():
     assert _fake_decode(b"abc", "image")[2] == 1
     with pytest.raises(NotImplementedError):
         _fake_decode(b"abc", "hologram")
+
+
+def test_frame_sampling_policy_caps_and_covers(spark, sf_dir):
+    """Every video yields 1..8 sampled frames, stride-uniform from 0,
+    never exceeding n_frames-1."""
+    from etl_generator_demo_spark.operators.multimodal import x5_frame_samples
+
+    rows = x5_frame_samples(spark, sf_dir).collect()
+    per_media: dict[int, list] = {}
+    for r in rows:
+        per_media.setdefault(r["media_id"], []).append(r)
+    assert per_media
+    for mid, frames in per_media.items():
+        assert mid % 3 == 2  # videos only
+        idxs = [f["frame_idx"] for f in frames]
+        assert 1 <= len(idxs) <= 8
+        assert idxs[0] == 0
+        strides = {b - a for a, b in zip(idxs, idxs[1:])}
+        assert len(strides) <= 1  # uniform
+        for f in frames:
+            assert f["frame_ts_ms"] == f["frame_idx"] * 33
