@@ -247,3 +247,29 @@ def a_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .orderBy("o_orderpriority")
     )
+
+
+@register("a_percentiles_approx", oracle=None, survey_ids=("A1", "A3"))
+def a_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale tier of ``a_percentiles``: ``approx_percentile`` (KLL-type
+    mergeable sketch, single pass, bounded memory) with accuracy 10000
+    (max rank error 1/10000). Exact ``percentile`` buffers every group
+    value — fine per-priority at sf0.1, not at 100 TB; the sketch is
+    what runs there. Rows-only: sketch internals are engine-specific;
+    agreement with the exact tier is pinned by pytest tolerance."""
+    o = t(spark, sf_dir, "orders")
+
+    def ap(p):
+        return F.floor(
+            F.expr(f"approx_percentile(o_totalprice, {p}, 10000)") * 100
+        ) / 100
+
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            ap(0.5).alias("median_price"),
+            ap(0.9).alias("p90_price"),
+            ap(0.99).alias("p99_price"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -347,3 +347,67 @@ def x4_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x4_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df
+        FROM tok GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               FLOOR(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df) * 1000000) / 1000000
+                   AS tfidf
+        FROM tf JOIN df USING (term), n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tfidf,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, rk
+    FROM ranked
+    WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+    survey_ids=("X4",),
+)
+def x4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Distributed shape: term
+    frequencies and document frequencies are two groupBys with
+    map-side combine; the document-count scalar broadcasts; ranking is
+    one window shuffle on doc_id. Scores are floor-scaled to 1e-6 and
+    ranked on the SCALED value (term as tiebreak) so both engines rank
+    identical keys despite summation-order float wobble."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar: one job, broadcast as a literal
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        (F.floor(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")) * 1e6) / 1e6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
