@@ -187,3 +187,54 @@ class TestIncrementalDedup:
             spark.read.parquet(idx), document_bands(batch)
         ).collect()
         assert [(r["doc_id"], r["dup_of"]) for r in again] == [(100, 100)]
+
+
+class TestConnectedComponentsProperty:
+    def test_matches_union_find_on_random_graphs(self, spark):
+        """Distributed min-label propagation ≡ driver-side union-find
+        on a batch of random graphs (each with its own node count and
+        edge density), including singletons and multi-chains."""
+        import random
+
+        from etl_generator_demo_spark.operators.dedup_clusters import (
+            connected_components,
+        )
+
+        rng = random.Random(20260813)
+        for trial in range(6):
+            n = rng.randint(1, 40)
+            m = rng.randint(0, 60)
+            edges = [
+                (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+            ]
+            edges = [(a, b) for a, b in edges if a != b]
+
+            parent = list(range(n))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in edges:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            # canonical root = min node id of the component
+            want = {}
+            for v in range(n):
+                root = find(v)
+                want[v] = min(u for u in range(n) if find(u) == root)
+
+            nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+            pairs = spark.createDataFrame(
+                edges or [(0, 0)], "doc_a long, doc_b long"
+            )
+            if not edges:
+                pairs = pairs.filter("doc_a <> doc_b")  # empty edge set
+            got = {
+                r["doc_id"]: r["cluster_id"]
+                for r in connected_components(nodes, pairs).collect()
+            }
+            assert got == want, f"trial {trial}: n={n} edges={edges}"
