@@ -82,3 +82,18 @@ def st_stream_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
     ).orderBy("purchase_id", "click_id")
+
+
+def streaming_exact_dedup(
+    stream: DataFrame, key_cols: list[str], watermark_col: str = "ts", delay: str = "10 minutes"
+) -> DataFrame:
+    """Streaming tier of X1 exact dedup: keep the first arrival of each
+    key, with the watermark bounding how long a key is remembered —
+    ``dropDuplicatesWithinWatermark`` evicts key state once the
+    watermark passes it, so state is O(keys per delay window), not
+    O(all keys ever seen). Exactly the at-most-once admission an
+    ingest pipeline puts in front of the corpus. Batch DataFrames get
+    plain dropDuplicates (no watermark state to bound)."""
+    if not stream.isStreaming:
+        return stream.dropDuplicates(key_cols)
+    return stream.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(key_cols)

@@ -263,3 +263,36 @@ class TestStreamStreamJoin:
         # ...while a tight watermark may legitimately drop disordered
         # rows as late — never invent rows
         assert run("attrib_tight", "10 minutes") <= want
+
+
+class TestStreamingDedup:
+    def test_duplicate_events_admitted_once(self, spark, sf_dir, tmp_path):
+        """A stream carrying every event twice (second copy staged in a
+        later file) admits each event_id exactly once."""
+        from etl_generator_demo_spark.catalog import read_table
+        from etl_generator_demo_spark.streaming.joins import streaming_exact_dedup
+
+        ev = read_table(spark, sf_dir, "events").select("event_id", "ts")
+        src = str(tmp_path / "dup_src")
+        ev.coalesce(1).write.parquet(src)
+        ev.coalesce(1).write.mode("append").parquet(src)  # replay copy
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            streaming_exact_dedup(stream, ["event_id"], delay="365 days")
+            .writeStream.format("memory")
+            .queryName("dedup_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = [r["event_id"] for r in spark.sql("SELECT event_id FROM dedup_stream").collect()]
+        assert len(got) == len(set(got)) == ev.count()
+        # batch fallback path
+        n = streaming_exact_dedup(spark.read.parquet(src), ["event_id"]).count()
+        assert n == ev.count()
