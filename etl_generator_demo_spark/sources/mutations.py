@@ -138,3 +138,36 @@ def merge_parquet(
     )
     _staged_overwrite(spark, path, merged)
     return n_updated, n_src - n_updated
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> tuple[int, int]:
+    """Small-files compaction: rewrite `path` with file count sized to
+    total bytes / target (min 1) via the staged swap. The #1 silent
+    performance killer of long-lived ingest tables — every micro-batch
+    append leaves another tiny file, and a 100 TB table with 10M files
+    spends its scan time in file-open overhead and footer reads, not
+    data. Returns (files_before, files_after).
+
+    At lakehouse scale this is OPTIMIZE/rewrite_data_files; the plain-
+    parquet idiom is the same read → repartition → atomic-ish swap.
+    """
+    recover_staged(path)
+    import glob
+
+    parts_before = glob.glob(os.path.join(path, "*.parquet")) + glob.glob(
+        os.path.join(path, "part-*")
+    )
+    n_before = len(set(parts_before))
+    total_bytes = sum(os.path.getsize(p) for p in set(parts_before))
+    n_target = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))  # ceil
+    df = spark.read.parquet(path).repartition(int(n_target))
+    _staged_overwrite(spark, path, df)
+    n_after = len(
+        set(
+            glob.glob(os.path.join(path, "*.parquet"))
+            + glob.glob(os.path.join(path, "part-*"))
+        )
+    )
+    return n_before, n_after

@@ -193,3 +193,42 @@ class TestDataframeGate:
 
     def test_dataframe_allows_reads(self, engine):
         assert engine.dataframe("SELECT 1 AS x").collect()[0]["x"] == 1
+
+
+class TestSQLSurfaceBreadth:
+    """The SQL front door inherits Spark SQL's full surface; pin the
+    constructs reference users reach for beyond the generated shapes."""
+
+    def test_tablesample(self, engine):
+        res = engine.execute(
+            "SELECT count(*) AS n FROM orders TABLESAMPLE (10 PERCENT) REPEATABLE (42)",
+            limit=None,
+        )
+        n = res.rows[0]["n"]
+        assert 0 < n < 15000  # sf0.001: 1500 orders; sampled strictly less
+
+    def test_lateral_view_explode(self, engine):
+        res = engine.execute(
+            "SELECT doc_id, tok FROM documents "
+            "LATERAL VIEW explode(split(text, ' ')) AS tok "
+            "WHERE doc_id = 0",
+            limit=None,
+        )
+        assert len(res.rows) > 5
+        assert all(r["doc_id"] == 0 for r in res.rows)
+
+    def test_window_qualify_style_dedup(self, engine):
+        res = engine.execute(
+            "SELECT * FROM (SELECT o_custkey, o_orderkey, "
+            "row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rk "
+            "FROM orders) WHERE rk = 1",
+            limit=None,
+        )
+        custs = [r["o_custkey"] for r in res.rows]
+        assert len(custs) == len(set(custs)) > 100
+
+    def test_values_inline_table(self, engine):
+        res = engine.execute(
+            "SELECT t.a + t.b AS s FROM VALUES (1, 2), (3, 4) AS t(a, b)", limit=None
+        )
+        assert sorted(r["s"] for r in res.rows) == [3, 7]

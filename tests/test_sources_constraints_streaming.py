@@ -296,3 +296,19 @@ class TestStreamingDedup:
         # batch fallback path
         n = streaming_exact_dedup(spark.read.parquet(src), ["event_id"]).count()
         assert n == ev.count()
+
+
+class TestCompaction:
+    def test_many_small_files_become_few(self, spark, tmp_path):
+        from etl_generator_demo_spark.sources.mutations import compact_parquet
+
+        path = str(tmp_path / "frag")
+        df = spark.range(0, 10_000).withColumnRenamed("id", "k")
+        df.repartition(64).write.parquet(path)  # 64 tiny files
+        before_rows = spark.read.parquet(path).count()
+        n_before, n_after = compact_parquet(spark, path, target_file_mb=128)
+        assert n_before >= 64
+        assert n_after == 1  # well under one 128 MB target file
+        assert spark.read.parquet(path).count() == before_rows
+        got = sorted(r["k"] for r in spark.read.parquet(path).collect())
+        assert got == list(range(10_000))
