@@ -153,12 +153,27 @@ class ETLPipelineExecutor:
             # hive-style layout: downstream filters on these columns
             # become partition pruning (directories skipped, not read)
             writer = writer.partitionBy(*partition_by)
+        fmt = load.get("format", "parquet")
+        if fmt not in ("parquet", "csv", "json"):
+            raise ETLSpecError(f"format must be parquet|csv|json, got {fmt!r}")
         # Count THIS run's output before writing: the post-load
         # directory count would include pre-existing rows in append
         # mode and misreport repeated runs.
         n_written = df.count()
-        writer.parquet(path)
-        written = self.spark.read.parquet(path)
+        if fmt == "csv":
+            writer.option("header", "true").csv(path)
+        elif fmt == "json":
+            writer.json(path)
+        else:
+            writer.parquet(path)
+        if fmt == "csv":
+            written = self.spark.read.option("header", "true").option(
+                "inferSchema", "true"
+            ).csv(path)
+        elif fmt == "json":
+            written = self.spark.read.json(path)
+        else:
+            written = self.spark.read.parquet(path)
         written.createOrReplaceTempView(target)
         return ETLResult(
             target_table=target,
