@@ -193,3 +193,134 @@ def x4_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_tokens", "tok_before")
         .orderBy("lang", "tok_before")
     )
+
+
+def _corpus_pipeline_oracle() -> str:
+    from etl_generator_demo_spark.operators.dedup import _DUCK_SHINGLES, _duck_minhash_cols
+
+    # identical staged discipline as the Spark plan; shingles/sigs are
+    # computed over quality+exact-dedup SURVIVORS (stage order matters
+    # and must match bit-for-bit)
+    return f"""
+    WITH qual AS (
+        SELECT doc_id, source, text,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                   / LEN(STRING_SPLIT(text, ' ')) AS diversity
+        FROM documents
+        WHERE LEN(STRING_SPLIT(text, ' ')) >= 30
+          AND CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                   / LEN(STRING_SPLIT(text, ' ')) >= 0.3
+    ),
+    exact AS (
+        SELECT q.* FROM qual q
+        JOIN (SELECT MD5(text) AS h, MIN(doc_id) AS keep_id FROM qual GROUP BY MD5(text)) k
+          ON MD5(q.text) = k.h AND q.doc_id = k.keep_id
+    ),
+    tok AS (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT(text, ' ')) AS tk,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+        FROM exact
+    ),
+    sh AS (
+        SELECT doc_id,
+               tk || '_' || LEAD(tk, 1) OVER w || '_' || LEAD(tk, 2) OVER w
+                  || '_' || LEAD(tk, 3) OVER w || '_' || LEAD(tk, 4) OVER w AS shingle
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    shingles AS (SELECT doc_id, shingle FROM sh WHERE shingle IS NOT NULL),
+    sigs AS (
+        SELECT doc_id, {_duck_minhash_cols()}
+        FROM shingles GROUP BY doc_id
+    ),
+    band0 AS (SELECT doc_id, mh0 || mh1 || mh2 || mh3 AS band_key FROM sigs),
+    band1 AS (SELECT doc_id, mh4 || mh5 || mh6 || mh7 AS band_key FROM sigs),
+    dropped AS (
+        SELECT DISTINCT doc_b AS doc_id FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band0 a JOIN band0 b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT a.doc_id, b.doc_id
+            FROM band1 a JOIN band1 b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+    ),
+    kept AS (
+        SELECT e.doc_id, e.source, e.n_tokens
+        FROM exact e
+        WHERE e.doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_before
+        FROM kept
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR(tok_before / {CHUNK_TOKENS}) AS BIGINT) AS chunk_id
+    FROM cum
+    ORDER BY source, doc_id
+    """
+
+
+@register("x4_corpus_pipeline", oracle=_corpus_pipeline_oracle(), survey_ids=("X4", "X2", "X1"))
+def x4_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus pipeline end to end, one DataFrame plan:
+
+    1. quality gate  — n_tokens >= 30 and vocabulary diversity >= 0.3
+                       (scan-side, no shuffle);
+    2. exact dedup   — keep the minimum doc_id per content hash;
+    3. near-dup drop — greedy keep-first: any doc that LSH-pairs with
+                       a SMALLER surviving id is dropped (the
+                       transitive-closure discipline is
+                       ``x2_dedup_clusters``; keep-first is the cheap
+                       single-pass variant real ingest uses);
+    4. packing       — concat-and-chunk chunk ids per source.
+
+    Every stage is the registered standalone operator's logic inlined
+    in the same order, so the composition is oracle-checked exactly —
+    the point is proving the stages COMPOSE without collecting
+    anything driver-side between them."""
+    from etl_generator_demo_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    qual = (
+        docs.select(
+            "doc_id",
+            "source",
+            "text",
+            F.size(toks).cast("long").alias("n_tokens"),
+            (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("diversity"),
+        )
+        .filter((F.col("n_tokens") >= 30) & (F.col("diversity") >= 0.3))
+    )
+    keep = qual.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("keep_id"))
+    exact = qual.join(
+        keep,
+        (F.md5(qual["text"]) == keep["h"]) & (qual["doc_id"] == keep["keep_id"]),
+    ).select("doc_id", "source", "text", "n_tokens")
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(doc_shingles(exact, distinct=False))
+    )
+    dropped = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    kept = exact.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_tokens"
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = kept.withColumn("tok_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        cum.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(F.col("tok_before") / CHUNK_TOKENS).cast("long").alias("chunk_id"),
+        )
+        .orderBy("source", "doc_id")
+    )

@@ -104,3 +104,50 @@ def test_token_budget_mixture_respects_allocations(spark, sf_dir):
         assert total < alloc + max_doc + 1
     again = x4_token_budget_mixture(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_corpus_pipeline_stage_semantics(spark, sf_dir):
+    """Survivors satisfy the quality gates, contain no exact-hash or
+    LSH-pair duplicates among themselves, and chunk ids are dense."""
+    from pyspark.sql import functions as F
+
+    from etl_generator_demo_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from etl_generator_demo_spark.operators.packing import x4_corpus_pipeline
+    from etl_generator_demo_spark.operators.relational import t
+
+    out = x4_corpus_pipeline(spark, sf_dir).collect()
+    assert out
+    kept_ids = {r["doc_id"] for r in out}
+    docs = t(spark, sf_dir, "documents")
+    full = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(kept_ids) < len(full)  # something was filtered
+
+    for r in out:
+        toks = full[r["doc_id"]].split(" ")
+        assert len(toks) >= 30
+        assert len(set(toks)) / len(toks) >= 0.3
+        assert r["n_tokens"] == len(toks)
+
+    # no two survivors share a content hash
+    texts = [full[i] for i in kept_ids]
+    assert len(set(texts)) == len(texts)
+
+    # no LSH pair has both endpoints surviving
+    survivors = docs.filter(F.col("doc_id").isin(list(kept_ids)))
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(doc_shingles(survivors, distinct=False))
+    ).collect()
+    assert pairs == []
+
+    # chunk ids dense from 0 per source
+    per_source: dict[str, list] = {}
+    for r in out:
+        per_source.setdefault(r["source"], []).append(r["chunk_id"])
+    for chunks in per_source.values():
+        assert chunks[0] == 0
+        for a, b in zip(chunks, chunks[1:]):
+            assert b in (a, a + 1)
