@@ -381,7 +381,9 @@ def verified_neardup_pairs(
     non-candidate pair is ever materialized."""
     cand = lsh_candidate_pairs(
         minhash_signatures(doc_shingles(docs, id_col=id_col, distinct=False), id_col=id_col)
-    )
+    ).localCheckpoint(eager=True)  # consumed twice (doc prune + pair filter):
+    # materialize the candidate pairs once instead of re-running the
+    # whole shingle->minhash->band pipeline per consumer
     cand_docs = (
         cand.select(F.col("doc_a").alias(id_col))
         .union(cand.select(F.col("doc_b").alias(id_col)))

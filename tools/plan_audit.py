@@ -37,6 +37,16 @@ EXPECTATIONS: dict[str, dict] = {
     # corpus side must stream (broadcast the batch's band keys), so the
     # only shuffles are the batch's own signature groupBy + hit agg
     "x2_dedup_incremental": {"max_exchanges": 4, "min_broadcast": 1},
+    # candidates-then-verify: candidate pairs materialized once
+    # (localCheckpoint) then broadcast into the semi joins; inverted
+    # index runs only on the pruned shingle relation
+    "x2_neardup_verified": {"max_exchanges": 7, "min_broadcast": 2},
+    # 4-stage composition stays one distributed plan: quality is
+    # scan-side, each groupBy/window is one exchange
+    "x4_corpus_pipeline": {"max_exchanges": 9},
+    "x4_tfidf_top_terms": {"max_exchanges": 5},
+    "x4_sequence_packing": {"max_exchanges": 2},
+    "st_stream_stream_attribution": {"max_exchanges": 3, "pushed": True},
     # localCheckpoint in connected_components truncates the visible
     # plan (like x2_dedup_clusters), so only the shuffle budget applies
     "x3_neardup_clusters": {"max_exchanges": 12},
