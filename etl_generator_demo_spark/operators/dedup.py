@@ -467,3 +467,29 @@ def x2_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference; this one is what actually runs at 100 TB."""
     docs = t(spark, sf_dir, "documents")
     return verified_neardup_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "x1_dedup_normalized",
+    oracle="""
+    SELECT MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS norm_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    ORDER BY keep_id
+    """,
+    survey_ids=("X1",),
+)
+def x1_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup: case-fold, trim, collapse runs of
+    whitespace BEFORE hashing — catches the re-encoded/re-wrapped
+    copies byte-exact dedup misses, still one scan + one shuffle.
+    (Near-dup tiers catch edits; this tier catches formatting.)"""
+    docs = t(spark, sf_dir, "documents")
+    norm = F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    return (
+        docs.groupBy(norm.alias("norm_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_id")
+    )

@@ -324,3 +324,37 @@ def x4_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "doc_id")
     )
+
+
+@register(
+    "x4_train_val_test_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 3) < 'e66' THEN 'train'
+                WHEN SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 3) < 'f33' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+    survey_ids=("X4",),
+)
+def x4_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~90/5/5 train/val/test assignment by hashing the
+    document id and comparing the first 3 hex chars (4096 buckets:
+    'e66' = 3686/4096 = 90.0%, 'f33' = 3891/4096 = 95.0%) — stable
+    under corpus growth (a doc never changes split when new docs
+    arrive, unlike row_number- or sample()-based splits), reproducible
+    across engines with plain string comparison (no hex->int builtin
+    needed), no RNG state. Scan-side expression, no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 3)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.when(pfx < "e66", "train").when(pfx < "f33", "val").otherwise("test").alias(
+                "split"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -151,3 +151,32 @@ def test_corpus_pipeline_stage_semantics(spark, sf_dir):
         assert chunks[0] == 0
         for a, b in zip(chunks, chunks[1:]):
             assert b in (a, a + 1)
+
+
+def test_split_ratios_and_stability(spark, sf_dir):
+    """Split fractions near 90/5/5, and assignment is a pure function
+    of doc_id (stable under corpus growth: recompute on a subset gives
+    identical labels)."""
+    from pyspark.sql import functions as F
+
+    from etl_generator_demo_spark.operators.packing import x4_train_val_test_split
+
+    rows = x4_train_val_test_split(spark, sf_dir).collect()
+    n = len(rows)
+    frac = {s: sum(1 for r in rows if r["split"] == s) / n for s in ("train", "val", "test")}
+    assert abs(frac["train"] - 0.90) < 0.05
+    assert abs(frac["val"] - 0.05) < 0.03
+    assert abs(frac["test"] - 0.05) < 0.03
+    full = {r["doc_id"]: r["split"] for r in rows}
+    # "growth stability": the label depends only on doc_id, so any
+    # subset recomputation must agree
+    import random
+
+    sample_ids = random.Random(7).sample(sorted(full), 50)
+    again = {
+        r["doc_id"]: r["split"]
+        for r in x4_train_val_test_split(spark, sf_dir)
+        .filter(F.col("doc_id").isin(sample_ids))
+        .collect()
+    }
+    assert all(again[i] == full[i] for i in sample_ids)
