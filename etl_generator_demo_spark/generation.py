@@ -195,9 +195,16 @@ def generate_sql(
 ) -> dict[str, Any]:
     """G1 provider dispatch. 'demo' (or a missing API key) uses the
     deterministic template; 'openai'/'gemini' call out only when their
-    SDK + key are available, mirroring ``sql_generator.py:74-82``."""
+    SDK + key are available, mirroring ``sql_generator.py:74-82``. A
+    CALLABLE provider is the bring-your-own-LLM hook: it receives the
+    assembled prompt and returns raw model text, which flows through
+    the same parse + post-parse safety validation as the SDK paths —
+    this is also what makes the full live-path contract testable
+    without any SDK."""
     if not request or not request.strip():
         return blocked_response("empty request")
+    if callable(provider):
+        return parse_llm_response(provider(build_prompt(request, metadata, include_etl)))
     if provider == "openai" and os.environ.get("OPENAI_API_KEY"):
         return _generate_openai(request, metadata, include_etl, model_name)
     if provider == "gemini" and os.environ.get("GOOGLE_API_KEY"):

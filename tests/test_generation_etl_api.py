@@ -330,3 +330,45 @@ class TestNearDedupStep:
         assert res.steps_applied == ["near_dedup"]
         kept = sorted(r["doc_id"] for r in spark.table("nd_out").collect())
         assert kept == [10, 12]
+
+
+class TestCallableProvider:
+    """The bring-your-own-LLM hook exercises the LIVE code path
+    (prompt assembly -> model call -> JSON parse -> post-parse safety
+    gate) with a deterministic fake model."""
+
+    def test_prompt_carries_schema_and_request(self, catalog):
+        from etl_generator_demo_spark.generation import generate_sql
+
+        seen = {}
+
+        def fake_model(prompt: str) -> str:
+            seen["prompt"] = prompt
+            return '{"intent_summary": "s", "sql": "SELECT 1 AS one"}'
+
+        out = generate_sql("show one", catalog.metadata_document(), provider=fake_model)
+        assert out["sql"] == "SELECT 1 AS one" and out["is_blocked"] is False
+        assert "## Database metadata" in seen["prompt"]
+        assert "show one" in seen["prompt"]
+        assert "orders" in seen["prompt"]  # schema made it into the prompt
+
+    def test_model_emitting_write_sql_is_blocked_post_parse(self, catalog):
+        """Even a compromised/hallucinating model cannot get a write
+        through: the gate validates the PARSED SQL, not the request."""
+        from etl_generator_demo_spark.generation import generate_sql
+
+        out = generate_sql(
+            "innocent request",
+            catalog.metadata_document(),
+            provider=lambda p: '{"intent_summary": "x", "sql": "DROP TABLE orders"}',
+        )
+        assert out["is_blocked"] is True
+        assert out["block_reason"]
+
+    def test_malformed_model_output_degrades_to_error_shape(self, catalog):
+        from etl_generator_demo_spark.generation import generate_sql
+
+        out = generate_sql(
+            "q", catalog.metadata_document(), provider=lambda p: "not json at all"
+        )
+        assert out["is_blocked"] is True or out["sql"] in ("", None)
