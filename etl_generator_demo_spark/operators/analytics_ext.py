@@ -230,3 +230,83 @@ def x4_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "x4_funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS v_ts
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS c_ts
+        FROM events e JOIN v ON v.user_id = e.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.v_ts
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+        FROM events e JOIN c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.c_ts
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase,
+           FLOOR((SELECT COUNT(*) FROM c) * 10000.0 / (SELECT COUNT(*) FROM v)) / 10000
+               AS click_rate,
+           FLOOR((SELECT COUNT(*) FROM p) * 10000.0
+                 / GREATEST((SELECT COUNT(*) FROM c), 1)) / 10000 AS purchase_rate
+    """,
+    survey_ids=("X4", "A2"),
+)
+def x4_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: each stage counts users
+    whose FIRST qualifying event strictly follows their entry into the
+    previous stage (the classic product-analytics sequencing, not
+    set-intersection). Distributed shape: one groupBy per stage keyed
+    on user_id — the stage joins are all on the same key, so at scale
+    they co-partition after the first shuffle; no window over the full
+    event stream is needed."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
+    )
+    return counts.select(
+        "n_view",
+        "n_view_click",
+        "n_view_click_purchase",
+        (F.floor(F.col("n_view_click") * 10000.0 / F.col("n_view")) / 10000).alias(
+            "click_rate"
+        ),
+        (
+            F.floor(
+                F.col("n_view_click_purchase")
+                * 10000.0
+                / F.greatest(F.col("n_view_click"), F.lit(1))
+            )
+            / 10000
+        ).alias("purchase_rate"),
+    )
