@@ -310,3 +310,93 @@ def x4_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("purchase_rate"),
     )
+
+
+@register(
+    "x4_value_outliers",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type,
+               AVG(value) AS mu,
+               STDDEV_SAMP(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           FLOOR((s.mu + 3 * s.sigma) * 1000000) / 1000000 AS threshold
+    FROM events e JOIN stats s ON s.event_type = e.event_type
+    WHERE e.value > FLOOR((s.mu + 3 * s.sigma) * 1000000) / 1000000
+    ORDER BY e.event_id
+    """,
+    survey_ids=("X4", "A1"),
+)
+def x4_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group 3-sigma outliers (the standard cheap data-cleaning
+    gate): one groupBy for the moments (map-side combined), broadcast
+    back, scan-side comparison. The threshold is floor-scaled BEFORE
+    comparing so both engines cut at the identical boundary despite
+    summation-order float wobble in mean/stddev."""
+    ev = t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    thr = F.floor((F.col("mu") + 3 * F.col("sigma")) * 1e6) / 1e6
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("threshold", thr)
+        .filter(F.col("value") > F.col("threshold"))
+        .select("event_id", "event_type", "value", "threshold")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "x4_cohort_retention",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(DATE_TRUNC('week', MIN(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               f.cohort_week,
+               CAST(DATE_DIFF('day', f.cohort_week,
+                              DATE_TRUNC('week', CAST(e.ts AS TIMESTAMP))) / 7 AS BIGINT)
+                   AS week_offset
+        FROM events e JOIN first_seen f ON f.user_id = e.user_id
+    )
+    SELECT cohort_week, week_offset, COUNT(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+    survey_ids=("X4", "A1", "F4"),
+)
+def x4_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week,
+    counted once per (cohort, weeks-since-cohort) they were active in.
+    Three shuffles all keyed on user_id/cohort — co-partitioned after
+    the first; the distinct collapses per-user event volume BEFORE the
+    final count so the last aggregation is tiny."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
