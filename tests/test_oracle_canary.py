@@ -25,6 +25,10 @@ CANARIES = [
     "x4_sequence_packing",       # window-cumsum packing
     "x4_token_budget_mixture",   # mixture sampling
     "st_stream_stream_attribution",  # interval join
+    "x4_corpus_pipeline",        # 4-stage composition
+    "x4_train_val_test_split",   # hash-bucket split
+    "x4_funnel_conversion",      # ordered funnel
+    "x4_cohort_retention",       # cohort weeks
 ]
 
 
