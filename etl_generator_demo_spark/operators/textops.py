@@ -411,3 +411,80 @@ def x4_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tfidf", "rk")
         .orderBy("doc_id", "rk")
     )
+
+
+@register(
+    "x4_profile_documents",
+    oracle="""
+    SELECT 'doc_id' AS column_name,
+           COUNT(*) - COUNT(doc_id)          AS n_nulls,
+           COUNT(DISTINCT doc_id)            AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR)      AS min_value,
+           CAST(MAX(doc_id) AS VARCHAR)      AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'lang', COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+           MIN(lang), MAX(lang) FROM documents
+    UNION ALL
+    SELECT 'source', COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+           MIN(source), MAX(source) FROM documents
+    UNION ALL
+    SELECT 'n_chars', COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    ORDER BY column_name
+    """,
+    survey_ids=("X4", "S5"),
+)
+def x4_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling report (the ETL 'describe my table' op): one
+    output row per column with null count, exact distinct count, and
+    min/max rendered as strings. ONE pass over the table — all column
+    aggregates run in a single Aggregate operator, then the wide row
+    is melted; at 100 TB swap exact distincts for approx_count_distinct
+    (same shape, one pass, bounded memory)."""
+    docs = t(spark, sf_dir, "documents")
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__n_nulls"),
+            F.count_distinct(c).alias(f"{c}__n_distinct"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    wide = docs.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n_nulls, {c}__n_distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)"
+    ).orderBy("column_name")
+
+
+@register(
+    "x4_heavy_hitter_tokens",
+    oracle="""
+    SELECT tk AS token, COUNT(*) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tk FROM documents)
+    GROUP BY tk
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    survey_ids=("X4",),
+)
+def x4_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 tokens (vocabulary heavy hitters — the input
+    to stopword lists and tokenizer audits): explode → groupBy with
+    map-side combine → TakeOrderedAndProject; only 20 rows cross the
+    final stage. At 100 TB the same plan holds — partial counts bound
+    the shuffle to the vocabulary size, not the corpus."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
