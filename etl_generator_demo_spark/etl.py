@@ -99,6 +99,31 @@ class ETLPipelineExecutor:
             return df.withColumn(step["column"], F.expr(step["expr"]))
         if op == "dedup":
             return df.dropDuplicates(step["columns"])
+        if op == "join":
+            # {"op": "join", "table": "nation", "on": ["n_nationkey"],
+            #  "how": "left", "broadcast": true}
+            how = step.get("how", "inner")
+            if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "left_anti"):
+                raise ETLSpecError(f"join how must be inner/left/semi/anti, got {how!r}")
+            other = self.catalog.table(step["table"])
+            if step.get("broadcast", False):
+                other = F.broadcast(other)
+            return df.join(other, step["on"], how)
+        if op == "expect":
+            # {"op": "expect", "condition": "o_totalprice > 0",
+            #  "max_violations": 0} — data-quality gate: violations
+            # above the budget FAIL the pipeline before anything is
+            # written (a load that silently ships bad rows is worse
+            # than no load).
+            cond = step["condition"]
+            budget = int(step.get("max_violations", 0))
+            n_bad = df.filter(~F.expr(cond)).count()
+            if n_bad > budget:
+                raise ETLSpecError(
+                    f"expectation failed: {n_bad} rows violate {cond!r} "
+                    f"(budget {budget})"
+                )
+            return df
         if op == "near_dedup":
             # {"op": "near_dedup", "id_col": "doc_id", "text_col": "text"}
             # — the full MinHash-LSH -> connected-components pipeline as

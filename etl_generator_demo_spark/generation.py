@@ -56,7 +56,7 @@ ETL_PROMPT_ADDITION = """Additionally include an "etl_pipeline" object:
 {"extract": {"source_tables": [str], "conditions": [str]},
  "transform": {"steps": [{"op": str, ...}]},
  "load": {"target_table": str, "write_mode": "append"|"overwrite"}}
-Allowed transform ops: fill_nulls, standardize_dates, cast, filter, select, derive, dedup, near_dedup.
+Allowed transform ops: fill_nulls, standardize_dates, cast, filter, select, derive, dedup, near_dedup, join, expect.
 """
 
 

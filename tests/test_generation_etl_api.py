@@ -372,3 +372,71 @@ class TestCallableProvider:
             "q", catalog.metadata_document(), provider=lambda p: "not json at all"
         )
         assert out["is_blocked"] is True or out["sql"] in ("", None)
+
+
+class TestJoinAndExpectSteps:
+    @pytest.fixture()
+    def executor(self, spark, catalog, tmp_path):
+        from etl_generator_demo_spark.etl import ETLPipelineExecutor
+
+        return ETLPipelineExecutor(spark, catalog, str(tmp_path))
+
+    def test_join_step_enriches_and_broadcasts(self, executor, spark):
+        spec = {
+            "extract": {"source_tables": ["customer"]},
+            "transform": {
+                "steps": [
+                    {"op": "select", "columns": ["c_custkey", "c_nationkey"]},
+                    {
+                        "op": "derive",
+                        "column": "n_nationkey",
+                        "expr": "c_nationkey",
+                    },
+                    {"op": "join", "table": "nation", "on": ["n_nationkey"],
+                     "how": "left", "broadcast": True},
+                    {"op": "select", "columns": ["c_custkey", "n_name"]},
+                ]
+            },
+            "load": {"target_table": "cust_nation", "write_mode": "overwrite"},
+        }
+        res = executor.run(spec)
+        out = spark.table("cust_nation")
+        assert res.rows_written == 150
+        assert out.filter("n_name IS NULL").count() == 0
+
+    def test_join_rejects_outer_modes(self, executor):
+        from etl_generator_demo_spark.etl import ETLSpecError
+
+        with pytest.raises(ETLSpecError, match="join how"):
+            executor.run(
+                {
+                    "extract": {"source_tables": ["region"]},
+                    "transform": {"steps": [{"op": "join", "table": "nation",
+                                             "on": ["r_regionkey"], "how": "full"}]},
+                    "load": {"target_table": "x", "write_mode": "overwrite"},
+                }
+            )
+
+    def test_expect_gate_passes_and_fails(self, executor, spark, tmp_path):
+        ok = {
+            "extract": {"source_tables": ["orders"]},
+            "transform": {"steps": [{"op": "expect", "condition": "o_totalprice > 0"}]},
+            "load": {"target_table": "orders_ok", "write_mode": "overwrite"},
+        }
+        assert executor.run(ok).rows_written == 1500
+
+        from etl_generator_demo_spark.etl import ETLSpecError
+
+        bad = {
+            "extract": {"source_tables": ["orders"]},
+            "transform": {
+                "steps": [{"op": "expect", "condition": "o_totalprice > 100000"}]
+            },
+            "load": {"target_table": "orders_bad", "write_mode": "overwrite"},
+        }
+        with pytest.raises(ETLSpecError, match="expectation failed"):
+            executor.run(bad)
+        # gate fired BEFORE load: nothing was written
+        import os
+
+        assert not os.path.exists(str(tmp_path / "orders_bad"))
