@@ -5,18 +5,19 @@ closure (A~B, B~C ⇒ {A,B,C} are one group) and a canonical survivor
 per group. This module finishes the X2 pipeline (SURVEY.md §2.12; no
 reference counterpart — the reference has no dedup at all):
 
-- ``connected_components``: iterative min-label propagation, pure
-  DataFrame ops. Every vertex starts labeled with its own id; each
-  round every vertex takes the min of its own and its neighbors'
-  labels; fixpoint = component ids (the min doc_id of the component).
-  Convergence is O(graph diameter) rounds — near-dup graphs are
-  unions of LSH-bucket cliques, so the diameter is tiny in practice
-  (the planted fixture chains converge in 2-3). Each round is one
-  shuffle (groupBy on src) + one broadcast-able join; lineage is cut
-  per round with ``localCheckpoint`` so the plan stays O(1) deep
-  instead of growing by ~4 operators per iteration. At 100 TB you
-  swap this for the O(log n)-round large-star/small-star variant —
-  same building blocks, alternating label pushes.
+- ``connected_components``: iterative min-label propagation WITH
+  pointer doubling, pure DataFrame ops. Every vertex starts labeled
+  with its own id; each round every vertex takes the min of its own
+  and its neighbors' labels, then compresses through its current
+  label (label <- label-of-label); fixpoint = component ids (the min
+  doc_id of the component). The compression step halves the
+  remaining label-chain length every round, so convergence is
+  O(log n) even on adversarial long chains (a 300-doc path converges
+  in ~8 rounds; pure propagation would need 300) — the same bound
+  the large-star/small-star formulation gives. Each round is two
+  narrow joins + one groupBy; lineage is cut per round with
+  ``localCheckpoint`` so the plan stays O(1) deep instead of growing
+  per iteration.
 - ``dedup_corpus``: attach cluster_id to the corpus and mark the
   minimum id of each cluster as the canonical keeper. Downstream,
   training pipelines ``filter(is_keep)``.
@@ -66,11 +67,25 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
+        labels = labels.join(nbr_min, labels["id"] == nbr_min["src"], "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+        )
+        # pointer doubling (label <- label-of-label): propagation alone
+        # moves the min ONE hop per round (O(diameter) rounds — a
+        # 300-doc near-dup chain would blow max_iter); compressing
+        # through the current label halves the remaining distance each
+        # round, giving O(log n) convergence — the same guarantee the
+        # large-star/small-star formulation buys, with one extra narrow
+        # self-join per round.
+        lbl2 = labels.select(
+            F.col("id").alias("l_id"), F.col("label").alias("l_label")
+        )
         labels = (
-            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            labels.join(lbl2, labels["label"] == lbl2["l_id"], "left")
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce("nbr_min", "label")).alias("label"),
+                F.least(F.col("label"), F.coalesce("l_label", "label")).alias("label"),
             )
             .localCheckpoint(eager=True)  # cut lineage: O(1)-deep plan per round
         )

@@ -238,3 +238,21 @@ class TestConnectedComponentsProperty:
                 for r in connected_components(nodes, pairs).collect()
             }
             assert got == want, f"trial {trial}: n={n} edges={edges}"
+
+
+def test_connected_components_long_chain_converges_logarithmically(spark):
+    """A 300-node path graph (diameter 299) must converge well inside
+    max_iter — pointer doubling makes rounds O(log n), where pure
+    propagation would need one round per hop."""
+    from etl_generator_demo_spark.operators.dedup_clusters import connected_components
+
+    n = 300
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(nodes, pairs, max_iter=25).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
