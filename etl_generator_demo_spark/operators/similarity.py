@@ -532,3 +532,55 @@ def x3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_probe_topk(spark, sf_dir, query_vec, k=10, exclude_ids=(0,)).select(
         "vec_id", "label", "cosine"
     )
+
+
+@register(
+    "x3_label_centroids",
+    oracle="""
+    WITH dims AS (
+        SELECT label,
+               UNNEST(embedding::DOUBLE[]) AS v,
+               GENERATE_SUBSCRIPTS(embedding::DOUBLE[], 1) AS pos
+        FROM embeddings
+    ),
+    per_dim AS (
+        SELECT label, pos, FLOOR(AVG(v) * 1000000) / 1000000 AS dim_mean
+        FROM dims GROUP BY label, pos
+    ),
+    counts AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
+    SELECT p.label,
+           c.n_vectors,
+           ARRAY_AGG(p.dim_mean ORDER BY p.pos) AS centroid
+    FROM per_dim p JOIN counts c ON c.label = p.label
+    GROUP BY p.label, c.n_vectors
+    ORDER BY p.label
+    """,
+    survey_ids=("X3",),
+)
+def x3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (centroid): posexplode → one
+    (label, dim) groupBy with map-side partial sums → re-assemble the
+    array in dim order. The distributed shape for ANY per-group vector
+    mean — nothing ever holds more than one dimension of one group;
+    at 100 TB the shuffle carries |labels|×dim partial rows, not
+    vectors. Per-dim means floor-scaled at 1e-6 (summation order)."""
+    emb = t(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(_as_double("embedding")).alias("pos", "v")
+    )
+    per_dim = dims.groupBy("label", "pos").agg(
+        (F.floor(F.avg("v") * 1e6) / 1e6).alias("dim_mean")
+    )
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "dim_mean"))),
+                lambda s: s["dim_mean"],
+            ).alias("centroid")
+        )
+        .join(F.broadcast(counts), "label")
+        .select("label", "n_vectors", "centroid")
+        .orderBy("label")
+    )
