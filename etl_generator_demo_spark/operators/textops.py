@@ -488,3 +488,38 @@ def x4_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(20)
     )
+
+
+@register(
+    "x4_balanced_sample_per_lang",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, rk
+    FROM ranked
+    WHERE rk <= 20
+    ORDER BY lang, rk
+    """,
+    survey_ids=("X4",),
+)
+def x4_balanced_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group sampling (k=20 per language): rank by the
+    md5 of the id (deterministic pseudo-random, growth-stable ORDER —
+    unlike reservoir sampling, re-runs and engines agree exactly) and
+    keep the first k. One window shuffle on the group key; the
+    balanced-eval-set idiom."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 20)
+        .orderBy("lang", "rk")
+    )
