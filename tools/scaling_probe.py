@@ -26,6 +26,7 @@ QUERIES = [
     "q2_revenue_by_segment",
     "q6_forecast_revenue",
     "x2_minhash_lsh_pairs",
+    "x2_dedup_clusters",
     "j8_asof_purchase_last_click",
     "st_session_windows",
 ]
