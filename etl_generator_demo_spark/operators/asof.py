@@ -115,3 +115,105 @@ def j8_asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "purchase_ts", "purchase_value", "asof_click_ts"
     ).orderBy("event_id")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Forward as-of: for each `right` row, the EARLIEST `left` row
+    with left_ts >= right_ts within `key` (at-or-after, the mirror of
+    the backward join's at-or-before). Same single-shuffle union +
+    window idiom, with the frame looking forward: first non-null left
+    value in [current, end) of the per-key timeline. Left rows sort
+    before right rows on timestamp ties so an equal-timestamp left
+    event matches (>= semantics) in both directions."""
+    lhs = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_kind"),  # left first on ties: equal ts matches
+        *[F.col(c).alias(f"_v_{c}") for c in value_cols],
+    )
+    rhs_cols = list(right.columns)
+    rhs = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_kind"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"_v_{c}") for c in value_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in rhs_cols],
+    )
+    lhs_padded = lhs.select(
+        key, "_ts", "_kind",
+        *[F.col(f"_v_{c}") for c in value_cols],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in rhs_cols],
+    )
+    unioned = lhs_padded.unionByName(rhs)
+    # NOTE the tie order: at equal _ts the LEFT row (kind 0) sorts
+    # first, so it sits inside the forward frame of the right row.
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_kind")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = [
+        F.first(f"_v_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+        for c in value_cols
+    ]
+    return (
+        unioned.select("*", *carried)
+        .filter(F.col("_kind") == 1)
+        .select(
+            *[F.col(f"_r_{c}").alias(c) for c in rhs_cols],
+            *[f"asof_{c}" for c in value_cols],
+        )
+    )
+
+
+@register(
+    "j8_asof_forward_next_view",
+    oracle="""
+    WITH views AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'view'
+    ),
+    purchases AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           MIN(v.ts) AS asof_view_ts
+    FROM purchases p
+    LEFT JOIN views v ON v.user_id = p.user_id AND v.ts >= p.ts
+    GROUP BY p.event_id, p.user_id, p.ts
+    ORDER BY p.event_id
+    """,
+    survey_ids=("J8",),
+)
+def j8_asof_forward_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase joined to the user's NEXT page view
+    at or after it (post-conversion behavior — the mirror query of
+    last-click attribution). The oracle states the semantics as a
+    min-over-range aggregate; the engine runs the linear union+window
+    plan, never a per-row range probe."""
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    out = asof_join_forward(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="view_ts",
+        right_ts="purchase_ts",
+        value_cols=["view_ts"],
+    )
+    return out.select(
+        "event_id", "user_id", "purchase_ts", F.col("asof_view_ts").alias("asof_view_ts")
+    ).orderBy("event_id")
