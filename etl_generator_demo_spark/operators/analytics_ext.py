@@ -400,3 +400,55 @@ def x4_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "d_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+        SELECT o_orderkey,
+               MD5(CAST(o_orderstatus AS VARCHAR) || CHR(31)
+                   || CAST(o_totalprice AS VARCHAR)) AS d
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    new_snap AS (
+        SELECT o_orderkey,
+               MD5(CAST(o_orderstatus AS VARCHAR) || CHR(31)
+                   || CAST(CASE WHEN o_orderkey % 5 = 0
+                                THEN FLOOR(o_totalprice * 110) / 100
+                                ELSE o_totalprice END AS VARCHAR)) AS d
+        FROM orders WHERE o_orderkey % 7 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.d IS NULL THEN 'insert'
+                WHEN n.d IS NULL THEN 'delete'
+                WHEN o.d <> n.d THEN 'update'
+                ELSE 'unchanged' END AS change_type
+    FROM old_snap o FULL OUTER JOIN new_snap n USING (o_orderkey)
+    ORDER BY o_orderkey
+    """,
+    survey_ids=("D1", "S7"),
+)
+def d_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff CDC over two simulated versions of `orders` (the
+    old snapshot misses keys %3=0; the new one misses %7=0 and reprices
+    keys %5=0): every key classified insert/update/delete/unchanged
+    via one full-outer join of per-row digests —
+    `sources/mutations.snapshot_diff`. Prices floor-scaled so both
+    engines render the digest input identically."""
+    from etl_generator_demo_spark.sources.mutations import snapshot_diff
+
+    o = t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.floor(F.col("o_totalprice") * 110) / 100
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"]).orderBy("o_orderkey")

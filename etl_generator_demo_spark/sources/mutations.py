@@ -171,3 +171,37 @@ def compact_parquet(
         )
     )
     return n_before, n_after
+
+
+def snapshot_diff(
+    old: "DataFrame", new: "DataFrame", key_cols: list[str]
+) -> "DataFrame":
+    """Change-data-capture between two table snapshots: one full outer
+    join on the key classifies every row as insert (new only), delete
+    (old only), update (both, differing), or unchanged. The comparison
+    hashes all non-key columns into one value so the join carries two
+    narrow digests instead of 2x the row width — at 100 TB the diff
+    is one co-partitioned shuffle on the key.
+    """
+    from pyspark.sql import functions as F
+
+    def digest(df):
+        data_cols = [c for c in df.columns if c not in key_cols]
+        return df.select(
+            *key_cols,
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in data_cols])).alias(
+                "_digest"
+            ),
+        )
+
+    o = digest(old).withColumnRenamed("_digest", "_old_digest")
+    n = digest(new).withColumnRenamed("_digest", "_new_digest")
+    joined = o.join(n, key_cols, "full_outer")
+    return joined.select(
+        *key_cols,
+        F.when(F.col("_old_digest").isNull(), "insert")
+        .when(F.col("_new_digest").isNull(), "delete")
+        .when(F.col("_old_digest") != F.col("_new_digest"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
