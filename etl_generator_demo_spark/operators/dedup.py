@@ -493,3 +493,41 @@ def x1_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
         .orderBy("keep_id")
     )
+
+
+@register(
+    "x2_minhash_lsh_pairs_guarded",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    sigs AS (
+        SELECT doc_id, {_duck_minhash_cols()}
+        FROM shingles GROUP BY doc_id
+    ),
+    keyed AS (
+        SELECT doc_id, 0 AS band_id, mh0 || mh1 || mh2 || mh3 AS band_key FROM sigs
+        UNION ALL
+        SELECT doc_id, 1 AS band_id, mh4 || mh5 || mh6 || mh7 AS band_key FROM sigs
+    ),
+    sized AS (
+        SELECT doc_id, band_id, band_key,
+               COUNT(*) OVER (PARTITION BY band_id, band_key) AS bucket_n
+        FROM keyed
+    ),
+    guarded AS (SELECT * FROM sized WHERE bucket_n <= 2)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM guarded a JOIN guarded b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ORDER BY doc_a, doc_b
+    """,
+    survey_ids=("X2",),
+)
+def x2_minhash_lsh_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stop-band guard as a registered, oracle-checked path:
+    `max_bucket_size=2` drops any band bucket shared by 3+ documents
+    before pairing (at corpus scale those are boilerplate families
+    that would emit O(bucket^2) pairs; cap=2 on the fixture actually
+    fires on the planted 3-chains, so the guarded result differs from
+    the unguarded one and the pruning itself is hash-verified)."""
+    docs = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(doc_shingles(docs, distinct=False))
+    return lsh_candidate_pairs(sigs, max_bucket_size=2).orderBy("doc_a", "doc_b")
