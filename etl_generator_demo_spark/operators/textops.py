@@ -523,3 +523,40 @@ def x4_balanced_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .orderBy("lang", "rk")
     )
+
+
+@register(
+    "x4_token_length_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(LEN(STRING_SPLIT(text, ' ')) / 25) AS BIGINT) AS bin,
+           CAST(FLOOR(LEN(STRING_SPLIT(text, ' ')) / 25) AS BIGINT) * 25 AS bin_lo,
+           COUNT(*) AS n_docs,
+           MIN(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) AS min_tokens,
+           MAX(CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT)) AS max_tokens
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY bin
+    """,
+    survey_ids=("X4",),
+)
+def x4_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram in fixed 25-token bins (the corpus
+    length profile that picks packing capacity and length filters):
+    fixed-width binning needs no global min/max pass, so the whole
+    histogram is ONE map-combined groupBy over the scan."""
+    docs = t(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " ")).cast("long")
+    bin_col = F.floor(n / 25).cast("long")
+    return (
+        docs.select(n.alias("n_tokens"), bin_col.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .select(
+            "bin", (F.col("bin") * 25).alias("bin_lo"), "n_docs", "min_tokens", "max_tokens"
+        )
+        .orderBy("bin")
+    )
