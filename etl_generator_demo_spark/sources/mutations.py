@@ -205,3 +205,23 @@ def snapshot_diff(
         .otherwise("unchanged")
         .alias("change_type"),
     )
+
+
+def cleanup_stale_staging(path: str) -> list[str]:
+    """Remove leftovers of interrupted mutations around `path`: orphan
+    ``.staging_*`` temp dirs (a crash mid-write) and a ``.old`` backup
+    whose table is intact (a crash after the swap completed). Run
+    after ``recover_staged`` — never before, since ``.old`` IS the
+    recovery source while the table is missing. Returns removed paths."""
+    removed = []
+    parent = os.path.dirname(os.path.abspath(path))
+    for name in os.listdir(parent):
+        if name.startswith(".staging_"):
+            full = os.path.join(parent, name)
+            _rm(full)
+            removed.append(full)
+    old = path + ".old"
+    if os.path.exists(path) and os.path.exists(old):
+        _rm(old)
+        removed.append(old)
+    return removed

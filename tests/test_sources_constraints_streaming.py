@@ -364,3 +364,31 @@ class TestCheckpointRestart:
         assert out.count() == ev.count()  # no loss
         ids = [r["event_id"] for r in out.select("event_id").collect()]
         assert len(ids) == len(set(ids))  # no duplicates
+
+
+class TestStagingCleanup:
+    def test_orphans_removed_recovery_source_kept(self, spark, tmp_path):
+        import os
+
+        from etl_generator_demo_spark.sources.mutations import (
+            cleanup_stale_staging,
+            recover_staged,
+        )
+
+        path = str(tmp_path / "tbl")
+        spark.range(5).write.parquet(path)
+        os.mkdir(str(tmp_path / ".staging_abc"))  # orphan temp dir
+        # completed-swap leftover: table present AND .old present
+        spark.range(3).write.parquet(path + ".old")
+        removed = cleanup_stale_staging(path)
+        assert len(removed) == 2
+        assert not os.path.exists(path + ".old")
+        assert spark.read.parquet(path).count() == 5
+
+        # crash-window state: table missing, .old holds the data —
+        # cleanup must NOT touch it; recovery restores it
+        os.rename(path, path + ".old")
+        cleanup_stale_staging(path)
+        assert os.path.exists(path + ".old")
+        assert recover_staged(path) is True
+        assert spark.read.parquet(path).count() == 5
