@@ -584,3 +584,46 @@ def x3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "n_vectors", "centroid")
         .orderBy("label")
     )
+
+
+@register(
+    "x3_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id,
+               (SELECT MAX(ABS(x)) FROM UNNEST(embedding::DOUBLE[]) AS t(x)) AS max_abs
+        FROM embeddings
+    )
+    SELECT e.vec_id,
+           FLOOR(s.max_abs * 1000000) / 1000000 AS scale,
+           LIST_TRANSFORM(e.embedding::DOUBLE[],
+                          x -> CAST(FLOOR(x / s.max_abs * 127) AS BIGINT)) AS q
+    FROM embeddings e JOIN scaled s ON s.vec_id = e.vec_id
+    ORDER BY e.vec_id
+    """,
+    survey_ids=("X3",),
+)
+def x3_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (max-abs scaling,
+    values in [-127, 127]) — the standard 4x storage/bandwidth cut for
+    a 100 TB vector store; the scale column restores approximate
+    floats for re-ranking. Pure scan-side expression, no shuffle;
+    quantized values floor-scaled identically cross-engine."""
+    emb = t(spark, sf_dir, "embeddings")
+    v = _as_double("embedding")
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return (
+        emb.select(
+            "vec_id",
+            max_abs.alias("max_abs"),
+            v.alias("v"),
+        )
+        .select(
+            "vec_id",
+            (F.floor(F.col("max_abs") * 1e6) / 1e6).alias("scale"),
+            F.transform(
+                "v", lambda x: F.floor(x / F.col("max_abs") * 127).cast("long")
+            ).alias("q"),
+        )
+        .orderBy("vec_id")
+    )
