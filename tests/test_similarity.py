@@ -206,3 +206,38 @@ def test_neardup_clusters_consistent_with_pairs(spark, sf_dir):
     for vid, (cid, keep) in clusters.items():
         if vid not in paired:
             assert cid == vid and keep is True
+
+
+def test_int8_quantization_preserves_topk_recall(spark, sf_dir):
+    """Dequantized int8 vectors must keep >= 8/10 of the exact cosine
+    top-10 for the probe vector — the quality bar that makes the 4x
+    storage cut usable for candidate generation."""
+    from pyspark.sql import functions as F
+
+    from etl_generator_demo_spark.operators.relational import t
+    from etl_generator_demo_spark.operators.similarity import (
+        brute_force_topk,
+        x3_quantize_int8,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    exact = {
+        r["vec_id"]
+        for r in brute_force_topk(emb.filter(F.col("vec_id") != 0), qv, k=10).collect()
+    }
+    deq = (
+        x3_quantize_int8(spark, sf_dir)
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            F.transform(
+                "q", lambda x: x.cast("double") / 127 * F.col("scale")
+            ).alias("embedding"),
+        )
+    )
+    approx = {r["vec_id"] for r in brute_force_topk(deq, qv, k=10).collect()}
+    assert len(exact & approx) >= 8
