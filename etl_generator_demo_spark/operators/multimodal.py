@@ -244,3 +244,59 @@ def x5_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "frame_idx")
     )
+
+
+@register(
+    "x5_resize_plan",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id AS media_id,
+               CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    dims AS (
+        SELECT media_id,
+               64 + (n_bytes % 512)        AS width,
+               64 + ((n_bytes // 7) % 512) AS height
+        FROM img
+    )
+    SELECT media_id, width, height,
+           CASE WHEN GREATEST(width, height) <= 224 THEN width
+                ELSE CAST(FLOOR(width * 224.0 / GREATEST(width, height)) AS BIGINT) END
+               AS new_width,
+           CASE WHEN GREATEST(width, height) <= 224 THEN height
+                ELSE CAST(FLOOR(height * 224.0 / GREATEST(width, height)) AS BIGINT) END
+               AS new_height
+    FROM dims
+    ORDER BY media_id
+    """,
+    survey_ids=("X5",),
+)
+def x5_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize PLAN (fit longest side to 224, preserve aspect,
+    never upscale): the arithmetic every multimodal preprocessing job
+    runs before touching pixels, computed scan-side from metadata
+    alone — payloads are read only by the (stubbed) resize executor.
+    Dimensions come from the deterministic fake decode
+    (``_fake_decode``), so the plan is oracle-exact."""
+    media = as_media_table(t(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "image"
+    )
+    n = F.col("meta.n_bytes")
+    dims = media.select(
+        "media_id",
+        (F.lit(64) + n % 512).alias("width"),
+        (F.lit(64) + (n / 7).cast("long") % 512).alias("height"),
+    )
+    longest = F.greatest("width", "height")
+    return dims.select(
+        "media_id",
+        "width",
+        "height",
+        F.when(longest <= 224, F.col("width"))
+        .otherwise(F.floor(F.col("width") * 224.0 / longest).cast("long"))
+        .alias("new_width"),
+        F.when(longest <= 224, F.col("height"))
+        .otherwise(F.floor(F.col("height") * 224.0 / longest).cast("long"))
+        .alias("new_height"),
+    ).orderBy("media_id")

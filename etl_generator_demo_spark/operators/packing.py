@@ -358,3 +358,25 @@ def x4_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("x4_pack_bins_greedy", oracle=None, survey_ids=("X4",))
+def x4_pack_bins_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document next-fit bins over the corpus (rows-only: the
+    sequential bin boundary is not SQL-expressible; invariants and
+    partitioning-independence pinned in tests/test_packing.py).
+    Returns per-bin occupancy — the padding-waste report that decides
+    between chunk-packing and whole-doc packing."""
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    packed = pack_documents_greedy(sized)
+    return (
+        packed.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("fill_tokens"),
+        )
+        .orderBy("source", "bin_id")
+    )
