@@ -452,3 +452,52 @@ def d_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("o_totalprice"),
     )
     return snapshot_diff(old, new, ["o_orderkey"]).orderBy("o_orderkey")
+
+
+@register(
+    "x4_rolling_7d_user_spend",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_id, user_id, ts,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+           ), 2) AS spend_7d,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+           ) AS n_purchases_7d
+    FROM p
+    ORDER BY event_id
+    """,
+    survey_ids=("W3", "X4"),
+)
+def x4_rolling_7d_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-user spend at every purchase — the
+    feature-store staple (point-in-time correct rolling aggregates,
+    no leakage: the frame ends AT the current event). Spark expresses
+    the time-range frame as rangeBetween over epoch seconds; one
+    shuffle on user_id. ROUND(…, 2) of a sum of 2-decimal inputs is
+    boundary-safe cross-engine."""
+    from pyspark.sql import Window
+
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return p.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w), 2).alias("spend_7d"),
+        F.count(F.lit(1)).over(w).alias("n_purchases_7d"),
+    ).orderBy("event_id")
