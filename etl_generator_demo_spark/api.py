@@ -113,13 +113,16 @@ def disconnect_endpoint(state: AppState) -> dict[str, Any]:
 
 def sample_metadata_endpoint(db_type: str) -> dict[str, Any]:
     """GET /api/sample-metadata/{db_type} — bundled offline metadata
-    document; unsupported types get the reference's 400 envelope
-    (``main.py:120-128``)."""
+    document. Unsupported types match the reference's wire shape
+    (``main.py:120-128``): it raises ``HTTPException(400, detail=...)``,
+    which serializes as HTTP 400 with body ``{"detail": ...}`` — so the
+    function layer returns ``detail`` + ``status_code`` and the HTTP
+    mount re-raises it as a real ``HTTPException``."""
     from etl_generator_demo_spark.generation import bundled_sample_metadata
 
     if db_type.lower() not in ("postgresql", "mysql"):
         return {
-            "error": "지원하지 않는 DB 타입입니다. (postgresql, mysql)",
+            "detail": "지원하지 않는 DB 타입입니다. (postgresql, mysql)",
             "status_code": 400,
         }
     doc = bundled_sample_metadata()
@@ -166,21 +169,61 @@ def samples_endpoint(state: AppState, body: dict[str, Any] | None = None) -> dic
 
 
 def create_fastapi_app(state: AppState):
-    """Mount the endpoints as HTTP routes (requires fastapi)."""
+    """Mount the endpoints as HTTP routes (requires fastapi).
+
+    POST bodies are declared ``body: dict = Body(...)`` — a bare
+    un-annotated param would be treated by FastAPI as a required QUERY
+    parameter and 422 every JSON request (ADVICE r2). Error envelopes
+    with a ``status_code`` are re-raised as ``HTTPException`` so the
+    wire shape (status + ``detail``) matches the reference."""
     try:
-        from fastapi import FastAPI
+        from fastapi import Body, FastAPI, HTTPException
     except ImportError as exc:  # pragma: no cover - fastapi not bundled here
         raise RuntimeError(
             "fastapi is not installed; use the endpoint functions directly"
         ) from exc
 
+    def _raise_on_error(out: dict[str, Any]) -> dict[str, Any]:
+        if isinstance(out, dict) and out.get("status_code", 200) >= 400:
+            status = out.pop("status_code")
+            raise HTTPException(
+                status_code=status,
+                detail=out.get("detail") or out.get("error") or out,
+            )
+        return out
+
     app = FastAPI(title="etl-generator-demo-spark")
-    app.get("/api/db/status")(lambda: status_endpoint(state))
-    app.get("/api/db/metadata")(lambda: metadata_endpoint(state))
-    app.get("/api/sample-metadata/{db_type}")(sample_metadata_endpoint)
-    app.post("/api/db/connect")(lambda body: connect_endpoint(state, body))
-    app.post("/api/db/disconnect")(lambda: disconnect_endpoint(state))
-    app.post("/api/generate-sql")(lambda body: generate_sql_endpoint(state, body))
-    app.post("/api/db/execute")(lambda body: execute_endpoint(state, body))
-    app.post("/api/generate-samples")(lambda body: samples_endpoint(state, body))
+
+    @app.get("/api/db/status")
+    def http_status():
+        return status_endpoint(state)
+
+    @app.get("/api/db/metadata")
+    def http_metadata():
+        return metadata_endpoint(state)
+
+    @app.get("/api/sample-metadata/{db_type}")
+    def http_sample_metadata(db_type: str):
+        return _raise_on_error(sample_metadata_endpoint(db_type))
+
+    @app.post("/api/db/connect")
+    def http_connect(body: dict = Body(...)):
+        return _raise_on_error(connect_endpoint(state, body))
+
+    @app.post("/api/db/disconnect")
+    def http_disconnect():
+        return disconnect_endpoint(state)
+
+    @app.post("/api/generate-sql")
+    def http_generate_sql(body: dict = Body(...)):
+        return _raise_on_error(generate_sql_endpoint(state, body))
+
+    @app.post("/api/db/execute")
+    def http_execute(body: dict = Body(...)):
+        return execute_endpoint(state, body)
+
+    @app.post("/api/generate-samples")
+    def http_samples(body: dict | None = Body(default=None)):
+        return samples_endpoint(state, body)
+
     return app

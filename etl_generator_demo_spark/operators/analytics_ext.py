@@ -407,16 +407,18 @@ def x4_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH old_snap AS (
         SELECT o_orderkey,
-               MD5(CAST(o_orderstatus AS VARCHAR) || CHR(31)
-                   || CAST(o_totalprice AS VARCHAR)) AS d
+               MD5(COALESCE(CAST(o_orderstatus AS VARCHAR), CHR(0) || 'NULL')
+                   || CHR(31)
+                   || COALESCE(CAST(o_totalprice AS VARCHAR), CHR(0) || 'NULL')) AS d
         FROM orders WHERE o_orderkey % 3 <> 0
     ),
     new_snap AS (
         SELECT o_orderkey,
-               MD5(CAST(o_orderstatus AS VARCHAR) || CHR(31)
-                   || CAST(CASE WHEN o_orderkey % 5 = 0
+               MD5(COALESCE(CAST(o_orderstatus AS VARCHAR), CHR(0) || 'NULL')
+                   || CHR(31)
+                   || COALESCE(CAST(CASE WHEN o_orderkey % 5 = 0
                                 THEN FLOOR(o_totalprice * 110) / 100
-                                ELSE o_totalprice END AS VARCHAR)) AS d
+                                ELSE o_totalprice END AS VARCHAR), CHR(0) || 'NULL')) AS d
         FROM orders WHERE o_orderkey % 7 <> 0
     )
     SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
@@ -479,9 +481,13 @@ def x4_rolling_7d_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day per-user spend at every purchase — the
     feature-store staple (point-in-time correct rolling aggregates,
     no leakage: the frame ends AT the current event). Spark expresses
-    the time-range frame as rangeBetween over epoch seconds; one
-    shuffle on user_id. ROUND(…, 2) of a sum of 2-decimal inputs is
-    boundary-safe cross-engine."""
+    the time-range frame as rangeBetween over MICROSECOND epoch —
+    matching the oracle's RANGE INTERVAL over microsecond timestamps
+    exactly: second-granularity ordering would both blur the 7-day
+    boundary by up to ~1s and pull later same-second purchases into
+    the frame as RANGE peers (leakage). One shuffle on user_id.
+    ROUND(…, 2) of a sum of 2-decimal inputs is boundary-safe
+    cross-engine."""
     from pyspark.sql import Window
 
     p = (
@@ -491,8 +497,8 @@ def x4_rolling_7d_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-7 * 86400, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-7 * 86400 * 1_000_000, 0)
     )
     return p.select(
         "event_id",

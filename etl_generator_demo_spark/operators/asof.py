@@ -129,20 +129,21 @@ def asof_join_forward(
     with left_ts >= right_ts within `key` (at-or-after, the mirror of
     the backward join's at-or-before). Same single-shuffle union +
     window idiom, with the frame looking forward: first non-null left
-    value in [current, end) of the per-key timeline. Left rows sort
-    before right rows on timestamp ties so an equal-timestamp left
-    event matches (>= semantics) in both directions."""
+    value in [current, end) of the per-key timeline. The RIGHT row
+    sorts first on timestamp ties so an equal-timestamp left event
+    falls inside the right row's forward frame (>= semantics) — the
+    mirror of the backward join, where the left row sorts first."""
     lhs = left.select(
         F.col(key),
         F.col(left_ts).alias("_ts"),
-        F.lit(0).alias("_kind"),  # left first on ties: equal ts matches
+        F.lit(1).alias("_kind"),  # left AFTER right on ties: equal ts matches
         *[F.col(c).alias(f"_v_{c}") for c in value_cols],
     )
     rhs_cols = list(right.columns)
     rhs = right.select(
         F.col(key),
         F.col(right_ts).alias("_ts"),
-        F.lit(1).alias("_kind"),
+        F.lit(0).alias("_kind"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"_v_{c}") for c in value_cols],
         *[F.col(c).alias(f"_r_{c}") for c in rhs_cols],
     )
@@ -152,8 +153,9 @@ def asof_join_forward(
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in rhs_cols],
     )
     unioned = lhs_padded.unionByName(rhs)
-    # NOTE the tie order: at equal _ts the LEFT row (kind 0) sorts
-    # first, so it sits inside the forward frame of the right row.
+    # NOTE the tie order: at equal _ts the RIGHT row (kind 0) sorts
+    # first, so the equal-ts left row (kind 1) sits inside the right
+    # row's forward frame [current, unboundedFollowing).
     w = (
         Window.partitionBy(key)
         .orderBy("_ts", "_kind")
@@ -165,7 +167,7 @@ def asof_join_forward(
     ]
     return (
         unioned.select("*", *carried)
-        .filter(F.col("_kind") == 1)
+        .filter(F.col("_kind") == 0)
         .select(
             *[F.col(f"_r_{c}").alias(c) for c in rhs_cols],
             *[f"asof_{c}" for c in value_cols],

@@ -182,16 +182,30 @@ def snapshot_diff(
     hashes all non-key columns into one value so the join carries two
     narrow digests instead of 2x the row width — at 100 TB the diff
     is one co-partitioned shuffle on the key.
+
+    NULLs are encoded explicitly per column (coalesce to a sentinel
+    that no cast-to-string can produce) BEFORE the concat: concat_ws
+    silently drops NULL elements, which would make ('x', NULL) and
+    (NULL, 'x') — and NULL vs '' — digest-equal, misclassifying real
+    updates as unchanged. Oracles must mirror with COALESCE.
     """
     from pyspark.sql import functions as F
+
+    _NULL = "\x00NULL"
 
     def digest(df):
         data_cols = [c for c in df.columns if c not in key_cols]
         return df.select(
             *key_cols,
-            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in data_cols])).alias(
-                "_digest"
-            ),
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    *[
+                        F.coalesce(F.col(c).cast("string"), F.lit(_NULL))
+                        for c in data_cols
+                    ],
+                )
+            ).alias("_digest"),
         )
 
     o = digest(old).withColumnRenamed("_digest", "_old_digest")

@@ -103,8 +103,10 @@ class TestSampleMetadataContract:
         from etl_generator_demo_spark.api import sample_metadata_endpoint
 
         out = sample_metadata_endpoint("oracle")
+        # reference raises HTTPException(400, detail=...) -> wire shape
+        # is status 400 + {"detail": ...} (main.py:120-128)
         assert out["status_code"] == 400
-        assert out["error"] == "지원하지 않는 DB 타입입니다. (postgresql, mysql)"
+        assert out["detail"] == "지원하지 않는 DB 타입입니다. (postgresql, mysql)"
 
 
 class TestExecuteContract:

@@ -314,6 +314,45 @@ class TestCompaction:
         assert got == list(range(10_000))
 
 
+class TestSnapshotDiffNulls:
+    def test_null_bearing_updates_detected(self, spark):
+        """ADVICE r2: concat_ws drops NULLs, so ('x', NULL) vs
+        (NULL, 'x') and NULL vs '' would digest-equal. The NULL
+        sentinel must keep them distinct."""
+        from etl_generator_demo_spark.sources.mutations import snapshot_diff
+
+        schema = "k long, a string, b string"
+        old = spark.createDataFrame(
+            [
+                (1, "x", None),   # -> swapped to (None, 'x'): update
+                (2, None, "y"),   # -> NULL becomes '': update
+                (3, None, None),  # unchanged (both NULL)
+                (4, "p", "q"),    # unchanged
+                (5, "z", "z"),    # deleted
+            ],
+            schema,
+        )
+        new = spark.createDataFrame(
+            [
+                (1, None, "x"),
+                (2, "", "y"),
+                (3, None, None),
+                (4, "p", "q"),
+                (6, "w", "w"),    # inserted
+            ],
+            schema,
+        )
+        got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+        assert got == {
+            1: "update",
+            2: "update",
+            3: "unchanged",
+            4: "unchanged",
+            5: "delete",
+            6: "insert",
+        }
+
+
 class TestCheckpointRestart:
     def test_offsets_survive_restart_no_loss_no_dup(self, spark, sf_dir, tmp_path):
         """Two-phase run against one checkpoint: phase 1 sees half the

@@ -71,6 +71,37 @@ def test_asof_join_semantics(spark):
     assert got[103] is None
 
 
+def test_asof_join_forward_tie_semantics(spark):
+    """Equal-timestamp left event must match (>= semantics) — the tie
+    case ADVICE flagged: second-granularity data has ties even though
+    the nanosecond fixture does not."""
+    from etl_generator_demo_spark.operators.asof import asof_join_forward
+
+    views = spark.createDataFrame(
+        [(7, _ts(10)), (7, _ts(20)), (8, _ts(5))], "user_id long, view_ts timestamp"
+    )
+    purchases = spark.createDataFrame(
+        [
+            (200, 7, _ts(10)),   # tie: view at the SAME ts must match
+            (201, 7, _ts(15)),   # next view strictly after = 00:20
+            (202, 7, _ts(25)),   # no later view -> null
+            (203, 8, _ts(5)),    # tie on a different key
+            (204, 9, _ts(0)),    # key with no views -> null
+        ],
+        "event_id long, user_id long, purchase_ts timestamp",
+    )
+    out = asof_join_forward(
+        views, purchases, key="user_id",
+        left_ts="view_ts", right_ts="purchase_ts", value_cols=["view_ts"],
+    )
+    got = {r["event_id"]: r["asof_view_ts"] for r in out.collect()}
+    assert got[200] == _ts(10)
+    assert got[201] == _ts(20)
+    assert got[202] is None
+    assert got[203] == _ts(5)
+    assert got[204] is None
+
+
 def test_streaming_pipeline_is_streaming(spark):
     sdf = streaming_pipeline(spark)
     assert sdf.isStreaming
