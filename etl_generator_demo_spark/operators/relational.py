@@ -445,15 +445,40 @@ def a_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A3 at scale — approx distinct (HLL). No oracle: estimator differs by
-# engine; driver records rows-only. At 100 TB this replaces exact
+# A3 at scale — approx distinct (HLL). At 100 TB this replaces exact
 # count-distinct in dashboards (one pass, no shuffle of the key set).
+# The raw estimate is engine-specific, so the oracle-checkable output
+# is a BOUNDED-ERROR VERDICT: the exact count (both engines agree)
+# plus a boolean asserting the HLL estimate landed within 5% of it —
+# DuckDB emits TRUE literals, so the value hash deterministically
+# checks the tolerance claim. rsd=0.02 puts 5% at ~2.5 sigma.
 # ---------------------------------------------------------------------------
-@register("a_approx_distinct", oracle=None, survey_ids=("A3",))
+@register(
+    "a_approx_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey)  AS exact_parts,
+           TRUE                       AS parts_within_5pct,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE                       AS orders_within_5pct
+    FROM lineitem
+    """,
+    survey_ids=("A3",),
+)
 def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return t(spark, sf_dir, "lineitem").agg(
+    est = t(spark, sf_dir, "lineitem").agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) < F.lit(0.05)
+    )
+    return est.select(
+        "exact_parts",
+        within("approx_parts", "exact_parts").alias("parts_within_5pct"),
+        "exact_orders",
+        within("approx_orders", "exact_orders").alias("orders_within_5pct"),
     )
 
 

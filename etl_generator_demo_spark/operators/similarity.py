@@ -496,13 +496,39 @@ def x3_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x3_ann_ivf_topk", oracle=None, survey_ids=("X3",))
+@register(
+    "x3_ann_ivf_topk",
+    oracle="""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+        SELECT vec_id, label,
+               FLOOR(LIST_DOT_PRODUCT(embedding::DOUBLE[], qv)
+                     / (SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * SQRT(LIST_DOT_PRODUCT(qv, qv))) * 1000000) / 1000000 AS cosine
+        FROM embeddings, q
+        WHERE vec_id <> 0
+    )
+    SELECT vec_id, label, cosine, TRUE AS ivf_recall_ge_030
+    FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    survey_ids=("X3",),
+)
 def x3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 for vec_id=0 against the PERSISTED index
-    (etl_generator_demo_spark/operators/ann_index.py): k-means trains
-    once per corpus, the query is a partition-pruned scan of the 4
-    nearest of 16 lists + exact re-rank. Rows-only — recall pinned in
-    tests/test_similarity.py."""
+    """IVF ANN against the PERSISTED index as a BOUNDED-ERROR VERDICT
+    the oracle can hash: the output rows are the EXACT brute-force
+    top-10 (value-verified by DuckDB, column for column), and the
+    ``ivf_recall_ge_030`` flag asserts the partition-pruned probe — 4
+    of 16 lists via ``ann_index.ivf_probe_topk`` — recovered at least
+    3 of those 10. DuckDB emits TRUE literals, so the value hash
+    deterministically checks the recall claim. The floor is 0.3
+    because the fixture's embeddings are uniform random (measured
+    0.4–1.0 across sf; real corpora cluster, raising IVF recall);
+    pruning itself (PartitionFilters on ivf_list, no corpus scan) is
+    asserted in tests/test_similarity.py."""
     from etl_generator_demo_spark.operators.ann_index import ivf_probe_topk
 
     emb = t(spark, sf_dir, "embeddings")
@@ -510,9 +536,20 @@ def x3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     ]
-    return ivf_probe_topk(
+    exact = brute_force_topk(emb.filter(F.col("vec_id") != 0), query_vec, k=10)
+    ivf_ids = ivf_probe_topk(
         spark, sf_dir, query_vec, k=10, n_probe=4, exclude_ids=(0,)
-    ).select("vec_id", "label", "ivf_list", "cosine")
+    ).select("vec_id")
+    verdict = (
+        exact.select("vec_id")
+        .join(ivf_ids, "vec_id")
+        .agg((F.count(F.lit(1)) / F.lit(10.0) >= 0.3).alias("ivf_recall_ge_030"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(verdict))  # 1-row verdict fan-out
+        .select("vec_id", "label", "cosine", "ivf_recall_ge_030")
+        .orderBy(F.desc("cosine"), "vec_id")
+    )
 
 
 @register("x3_ann_lsh_topk", oracle=None, survey_ids=("X3",))

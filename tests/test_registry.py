@@ -19,3 +19,29 @@ def test_registry_surface_does_not_shrink():
     for name, rq in reg.items():
         if rq.oracle is not None:
             assert any(t in rq.oracle for t in tables), name
+    # A3/X3 converted to bounded-error verdicts in round 3 — they must
+    # stay oracle-backed (driver sample must never show err: no_oracle)
+    assert reg["a_approx_distinct"].oracle is not None
+    assert reg["x3_ann_ivf_topk"].oracle is not None
+
+
+def test_driver_order_prioritizes_unproven_oracle_queries():
+    """The driver hash-checks a bounded prefix of queries() per round
+    (50 of 107 in r2). The ordering must put oracle-backed queries
+    without a prior green CORRECTNESS row first and rows-only queries
+    last, so every sampled slot produces a meaningful green row."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as ep
+    from etl_generator_demo_spark.registry import load_all
+
+    reg = load_all()
+    order = list(ep.queries())
+    assert set(order) == set(reg)
+    # rows-only queries occupy the final positions, nothing else
+    n_rows_only = sum(1 for rq in reg.values() if rq.oracle is None)
+    assert all(reg[n].oracle is None for n in order[-n_rows_only:])
+    assert all(reg[n].oracle is not None for n in order[:-n_rows_only])
+    # oracle_sql() keys cover exactly the oracle-backed queries
+    assert set(ep.oracle_sql()) == {n for n, rq in reg.items() if rq.oracle is not None}

@@ -32,7 +32,10 @@ EXPECTATIONS: dict[str, dict] = {
     "x3_cosine_topk": {"max_exchanges": 1, "take_ordered": True},
     "x3_neardup_lsh_bucketed": {"max_exchanges": 6},
     "x3_ann_lsh_topk": {"partition_pruned": True},
-    "x3_ann_ivf_topk": {"partition_pruned": True},
+    # bounded-error verdict: the exact brute-force tier scans the
+    # corpus (by design, that IS the ground truth), so only require
+    # the IVF index branch itself to prune on its partition column
+    "x3_ann_ivf_topk": {"partition_pruned_on": "ivf_list"},
     "x2_dedup_clusters": {"max_exchanges": 12},
     # corpus side must stream (broadcast the batch's band keys), so the
     # only shuffles are the batch's own signature groupBy + hit agg
@@ -73,6 +76,13 @@ def audit(name: str, plan: str, exp: dict) -> list[str]:
         "PartitionFilters: [" not in plan or "PartitionFilters: []" in plan
     ):
         problems.append("index scan is not partition-pruned")
+    if exp.get("partition_pruned_on") and (
+        f"PartitionFilters: [{exp['partition_pruned_on']}" not in plan
+        and f"PartitionFilters: [isnotnull({exp['partition_pruned_on']}" not in plan
+    ):
+        problems.append(
+            f"no partition filter on {exp['partition_pruned_on']} in any scan"
+        )
     # codegen spans appear as "*(n) Operator" in the simple plan string
     if "*(" not in plan and "WholeStageCodegen" not in plan:
         problems.append("no whole-stage-codegen span")
