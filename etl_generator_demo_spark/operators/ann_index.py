@@ -190,20 +190,49 @@ def lsh_probe_topk(
 ) -> DataFrame:
     """ANN top-k via the persisted index: a partition-pruned scan of the
     query's L buckets, dedupe, exact JVM cosine re-rank. No Python runs
-    on the executors and no non-candidate row is read."""
+    on the executors and no non-candidate row is read.
+
+    The read lists ONLY the L probed bucket directories (basePath keeps
+    the partition columns) instead of discovering all tables×2^planes
+    directories — at toy scale that discovery dominated the probe
+    (bench r2: 0.79 s → ~0.45 s), and on an object store at 100 TB
+    per-query listing of every partition is exactly the overhead a
+    probe must not pay. The equality filter stays on top: it is a no-op
+    on the pruned paths but keeps the plan's PartitionFilters explicit
+    (asserted in tests) and guards against a stale directory listing.
+    """
     path = ensure_lsh_index(spark, sf_dir, tables, planes)
-    idx = spark.read.parquet(path)
     buckets = query_buckets(query_vec, tables, planes)
+    probe_dirs = [
+        d
+        for tbl, bucket in enumerate(buckets)
+        if os.path.isdir(d := os.path.join(path, f"lsh_table={tbl}", f"bucket={bucket}"))
+    ]
+    if not probe_dirs:  # every probed bucket empty -> no candidates
+        empty = spark.read.parquet(path).limit(0)
+        return empty.withColumn("cosine", F.lit(0.0)).limit(0)
+    idx = spark.read.option("basePath", path).parquet(*probe_dirs)
     cond = None
     for tbl, bucket in enumerate(buckets):
         clause = (F.col("lsh_table") == tbl) & (F.col("bucket") == bucket)
         cond = clause if cond is None else (cond | clause)
-    candidates = idx.filter(cond).dropDuplicates(["vec_id"])
+    candidates = idx.filter(cond)
     if exclude_ids:
         candidates = candidates.filter(~F.col("vec_id").isin(list(exclude_ids)))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    return (
+    # Rank BEFORE deduping: a vector appears in <= `tables` buckets with
+    # the identical cosine, so the top k*tables ranked copies are
+    # guaranteed to contain >= k distinct vectors. The global rank
+    # compiles to one TakeOrderedAndProject over the pruned scan (no
+    # full shuffle); the dedup then touches <= k*tables rows instead of
+    # exchanging every candidate.
+    ranked = (
         candidates.withColumn("cosine", _floor6(cosine(_as_double("embedding"), q)))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k * tables)
+    )
+    return (
+        ranked.dropDuplicates(["vec_id"])
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)
     )

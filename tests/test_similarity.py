@@ -173,6 +173,25 @@ def test_ann_recall_at_10(spark, sf_dir):
     assert recall >= 0.5, f"ANN recall@10 = {recall}"
 
 
+def test_warm_index_is_not_rebuilt(spark, sf_dir):
+    """bench.py times the steady-state probe: a warm ensure_* call must
+    be a stat, never a rebuild (the _SUCCESS artifact stays untouched)."""
+    import os
+
+    from etl_generator_demo_spark.operators.ann_index import (
+        ensure_ivf_index,
+        ensure_lsh_index,
+    )
+
+    lsh = ensure_lsh_index(spark, sf_dir)
+    ivf, _ = ensure_ivf_index(spark, sf_dir)
+    stamps = {p: os.path.getmtime(os.path.join(p, "_SUCCESS")) for p in (lsh, ivf)}
+    assert ensure_lsh_index(spark, sf_dir) == lsh
+    assert ensure_ivf_index(spark, sf_dir)[0] == ivf
+    for p, t0 in stamps.items():
+        assert os.path.getmtime(os.path.join(p, "_SUCCESS")) == t0, f"{p} rebuilt"
+
+
 def test_neardup_clusters_consistent_with_pairs(spark, sf_dir):
     """Cluster resolution over the bucketed pairs: both endpoints of
     every near-dup pair land in one cluster, the canonical keeper is
