@@ -249,27 +249,58 @@ def a_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a_percentiles_approx", oracle=None, survey_ids=("A1", "A3"))
+@register(
+    "a_percentiles_approx",
+    oracle="""
+    SELECT o_orderpriority,
+           FLOOR(QUANTILE_CONT(o_totalprice, 0.5) * 100) / 100  AS exact_median,
+           TRUE AS median_within_2pct,
+           FLOOR(QUANTILE_CONT(o_totalprice, 0.9) * 100) / 100  AS exact_p90,
+           TRUE AS p90_within_2pct,
+           FLOOR(QUANTILE_CONT(o_totalprice, 0.99) * 100) / 100 AS exact_p99,
+           TRUE AS p99_within_2pct
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    survey_ids=("A1", "A3"),
+)
 def a_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale tier of ``a_percentiles``: ``approx_percentile`` (KLL-type
-    mergeable sketch, single pass, bounded memory) with accuracy 10000
-    (max rank error 1/10000). Exact ``percentile`` buffers every group
-    value — fine per-priority at sf0.1, not at 100 TB; the sketch is
-    what runs there. Rows-only: sketch internals are engine-specific;
-    agreement with the exact tier is pinned by pytest tolerance."""
+    """Scale tier of ``a_percentiles`` — ``approx_percentile`` (KLL-type
+    mergeable sketch, single pass, bounded memory, max rank error
+    1/10000) — stated as a BOUNDED-ERROR VERDICT the oracle can hash:
+    each group's EXACT interpolated percentiles (value-verified by
+    DuckDB's QUANTILE_CONT) plus per-percentile flags asserting the
+    sketch estimate lands within 2% relative error. DuckDB emits TRUE
+    literals, so the value hash deterministically checks the tolerance
+    claim. Exact ``percentile`` buffers every group value — fine
+    per-priority at sf0.1, not at 100 TB; the sketch is what runs
+    there."""
     o = t(spark, sf_dir, "orders")
 
-    def ap(p):
-        return F.floor(
-            F.expr(f"approx_percentile(o_totalprice, {p}, 10000)") * 100
-        ) / 100
+    def ex(p):
+        return F.floor(F.expr(f"percentile(o_totalprice, {p})") * 100) / 100
 
-    return (
-        o.groupBy("o_orderpriority")
-        .agg(
-            ap(0.5).alias("median_price"),
-            ap(0.9).alias("p90_price"),
-            ap(0.99).alias("p99_price"),
-        )
-        .orderBy("o_orderpriority")
+    def ap(p):
+        return F.expr(f"approx_percentile(o_totalprice, {p}, 10000)")
+
+    est = o.groupBy("o_orderpriority").agg(
+        ex(0.5).alias("exact_median"),
+        ap(0.5).alias("approx_median"),
+        ex(0.9).alias("exact_p90"),
+        ap(0.9).alias("approx_p90"),
+        ex(0.99).alias("exact_p99"),
+        ap(0.99).alias("approx_p99"),
     )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) < F.lit(0.02)
+    )
+    return est.select(
+        "o_orderpriority",
+        "exact_median",
+        within("approx_median", "exact_median").alias("median_within_2pct"),
+        "exact_p90",
+        within("approx_p90", "exact_p90").alias("p90_within_2pct"),
+        "exact_p99",
+        within("approx_p99", "exact_p99").alias("p99_within_2pct"),
+    ).orderBy("o_orderpriority")

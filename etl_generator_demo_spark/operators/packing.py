@@ -360,23 +360,67 @@ def x4_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x4_pack_bins_greedy", oracle=None, survey_ids=("X4",))
+@register(
+    "x4_pack_bins_greedy",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens,
+           TRUE AS no_doc_dropped,
+           TRUE AS fills_within_capacity,
+           TRUE AS bins_le_2opt_plus1
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    survey_ids=("X4",),
+)
 def x4_pack_bins_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whole-document next-fit bins over the corpus (rows-only: the
-    sequential bin boundary is not SQL-expressible; invariants and
-    partitioning-independence pinned in tests/test_packing.py).
-    Returns per-bin occupancy — the padding-waste report that decides
-    between chunk-packing and whole-doc packing."""
+    """Whole-document next-fit packing stated as an INVARIANT VERDICT
+    the oracle can hash: per source, the exact doc/token totals
+    (value-verified by DuckDB) plus flags asserting (a) every document
+    landed in exactly one bin, (b) every bin fits the {CHUNK_TOKENS}-
+    token capacity unless it holds a single oversized doc, and (c) the
+    bin count respects next-fit's 2·OPT+1 guarantee against the
+    ceil(total/capacity) lower bound. DuckDB emits TRUE literals, so
+    the value hash deterministically checks each invariant. The
+    sequential bin boundary itself is not SQL-expressible; exact bin
+    assignments and partitioning-independence are pinned in
+    tests/test_packing.py."""
     docs = t(spark, sf_dir, "documents")
     sized = docs.select(
         "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
     )
     packed = pack_documents_greedy(sized)
+    per_bin = packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("bin_docs"),
+        F.sum("n_tokens").alias("fill_tokens"),
+    )
+    cap = F.lit(CHUNK_TOKENS)
     return (
-        packed.groupBy("source", "bin_id")
+        per_bin.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("fill_tokens"),
+            F.sum("bin_docs").alias("n_docs"),
+            F.sum("fill_tokens").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_bins"),
+            F.min(
+                (F.col("fill_tokens") <= cap) | (F.col("bin_docs") == 1)
+            ).alias("fills_within_capacity"),
         )
-        .orderBy("source", "bin_id")
+        .join(
+            sized.groupBy("source").agg(F.count(F.lit(1)).alias("corpus_docs")),
+            "source",
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            (F.col("n_docs") == F.col("corpus_docs")).alias("no_doc_dropped"),
+            "fills_within_capacity",
+            (
+                F.col("n_bins")
+                <= 2 * F.ceil(F.col("total_tokens") / cap) + 1
+            ).alias("bins_le_2opt_plus1"),
+        )
+        .orderBy("source")
     )

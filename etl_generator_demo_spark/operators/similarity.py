@@ -552,13 +552,41 @@ def x3_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x3_ann_lsh_topk", oracle=None, survey_ids=("X3",))
+@register(
+    "x3_ann_lsh_topk",
+    oracle="""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+        SELECT vec_id, label,
+               FLOOR(LIST_DOT_PRODUCT(embedding::DOUBLE[], qv)
+                     / (SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * SQRT(LIST_DOT_PRODUCT(qv, qv))) * 1000000) / 1000000 AS cosine
+        FROM embeddings, q
+        WHERE vec_id <> 0
+    )
+    SELECT vec_id, label, cosine, TRUE AS lsh_recall_ge_030
+    FROM scored
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+    survey_ids=("X3",),
+)
 def x3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 for vec_id=0 via the PERSISTED multi-table hyperplane
-    LSH index: bucket ids precomputed corpus-wide and written as
+    LSH index (bucket ids precomputed corpus-wide and written as
     partition columns; the probe reads only the query's 8 bucket
-    directories (partition pruning) and re-ranks exactly. Rows-only —
-    recall pinned in tests/test_similarity.py."""
+    directories, partition-pruned, and re-ranks exactly), stated as a
+    BOUNDED-ERROR VERDICT the oracle can hash: the output rows are the
+    EXACT brute-force top-10 (value-verified by DuckDB column for
+    column), and ``lsh_recall_ge_030`` asserts the index probe
+    recovered at least 3 of those 10. DuckDB emits TRUE literals, so
+    the value hash deterministically checks the recall claim. The 0.3
+    floor reflects uniform-random fixture embeddings (real corpora
+    cluster, raising LSH recall); tighter recall and the
+    partition-pruning plan shape are pinned in
+    tests/test_similarity.py."""
     from etl_generator_demo_spark.operators.ann_index import lsh_probe_topk
 
     emb = t(spark, sf_dir, "embeddings")
@@ -566,8 +594,19 @@ def x3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     ]
-    return lsh_probe_topk(spark, sf_dir, query_vec, k=10, exclude_ids=(0,)).select(
-        "vec_id", "label", "cosine"
+    exact = brute_force_topk(emb.filter(F.col("vec_id") != 0), query_vec, k=10)
+    lsh_ids = lsh_probe_topk(spark, sf_dir, query_vec, k=10, exclude_ids=(0,)).select(
+        "vec_id"
+    )
+    verdict = (
+        exact.select("vec_id")
+        .join(lsh_ids, "vec_id")
+        .agg((F.count(F.lit(1)) / F.lit(10.0) >= 0.3).alias("lsh_recall_ge_030"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(verdict))  # 1-row verdict fan-out
+        .select("vec_id", "label", "cosine", "lsh_recall_ge_030")
+        .orderBy(F.desc("cosine"), "vec_id")
     )
 
 

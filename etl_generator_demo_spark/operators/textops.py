@@ -73,7 +73,9 @@ def quality_score_expr(text_col: str) -> Column:
         float(len(STOPWORDS_EN))
     )
     len_score = F.least(n / F.lit(100.0), F.lit(1.0))
-    return F.round((diversity + stop_ratio + len_score) / 3, 4)
+    # floor-truncate (not round): bit-identical across engines, so the
+    # DuckDB oracle can hash the value exactly
+    return F.floor((diversity + stop_ratio + len_score) / 3 * 10000) / 10000
 
 
 # ===========================================================================
@@ -206,26 +208,126 @@ def x4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x4_sample_docs", oracle=None, survey_ids=("X4",))
+#: Per-language sampling rates for the stratified tier, expressed as
+#: 4096-bucket hex thresholds (first 3 md5 hex chars < threshold):
+#: identical arithmetic-free comparison in Spark and DuckDB.
+SAMPLE_LANG_THRESHOLDS: dict[str, tuple[float, str]] = {
+    "en": (0.20, "333"),  # 819/4096 = 19.995%
+    "es": (0.10, "19a"),  # 410/4096 = 10.010%
+    "de": (0.10, "19a"),
+    "fr": (0.10, "19a"),
+    "zh": (0.05, "0cd"),  # 205/4096 =  5.005%
+}
+
+
+def _sample_lang_case_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN '{thr}'"
+        for lang, (_, thr) in SAMPLE_LANG_THRESHOLDS.items()
+    )
+    return f"CASE lang {cases} ELSE '000' END"
+
+
+@register(
+    "x4_sample_docs",
+    oracle=f"""
+    WITH uniform AS (
+        SELECT doc_id, 'uniform' AS stratum
+        FROM documents
+        WHERE SUBSTR(MD5('u:' || CAST(doc_id AS VARCHAR)), 1, 3) < '19a'
+    ),
+    by_lang AS (
+        SELECT doc_id, 'lang:' || lang AS stratum
+        FROM documents
+        WHERE SUBSTR(MD5('s:' || CAST(doc_id AS VARCHAR)), 1, 3)
+              < ({_sample_lang_case_sql()})
+    )
+    SELECT doc_id, stratum FROM uniform
+    UNION ALL
+    SELECT doc_id, stratum FROM by_lang
+    ORDER BY stratum, doc_id
+    """,
+    survey_ids=("X4",),
+)
 def x4_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded corpus down-sampling (~10%) + per-language stratified
-    sampling — the standard data-mixture step in training pipelines.
-    Deterministic for a fixed seed and input layout (rows-only check;
-    determinism pinned in tests)."""
+    """Corpus down-sampling (~10% uniform) + per-language stratified
+    sampling — the standard data-mixture step in training pipelines —
+    via DETERMINISTIC HASH GATES (first 3 md5 hex chars of a salted
+    doc_id against a 4096-bucket threshold) rather than seeded RNG:
+    ``df.sample(seed=...)`` draws per-partition, so its output changes
+    whenever the input layout changes — unacceptable for reproducible
+    corpus curation at 100 TB. Hash gating is layout-independent,
+    stable under corpus growth (a doc never flips in/out when new docs
+    arrive), cross-engine reproducible (exact DuckDB oracle, not just
+    a tolerance check), and pure scan-side work with no shuffle. The
+    'u:'/'s:' salts decorrelate the uniform and stratified tiers."""
     docs = t(spark, sf_dir, "documents")
-    uniform = docs.sample(fraction=0.1, seed=42).select(
+
+    def gate(salt: str) -> Column:
+        return F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("doc_id").cast("string"))), 1, 3
+        )
+
+    uniform = docs.filter(gate("u:") < "19a").select(
         "doc_id", F.lit("uniform").alias("stratum")
     )
-    by_lang = docs.sampleBy(
-        "lang", {"en": 0.2, "es": 0.1, "de": 0.1, "fr": 0.1, "zh": 0.05}, seed=42
-    ).select("doc_id", F.concat(F.lit("lang:"), F.col("lang")).alias("stratum"))
+    thr = F.lit("000")
+    for lang, (_, hex_thr) in reversed(SAMPLE_LANG_THRESHOLDS.items()):
+        thr = F.when(F.col("lang") == lang, hex_thr).otherwise(thr)
+    by_lang = docs.filter(gate("s:") < thr).select(
+        "doc_id", F.concat(F.lit("lang:"), F.col("lang")).alias("stratum")
+    )
     return uniform.unionByName(by_lang).orderBy("stratum", "doc_id")
 
 
-@register("x4_quality_and_lang", oracle=None, survey_ids=("X4",))
+def _quality_and_lang_oracle() -> str:
+    """DuckDB translation of quality_score_expr + lang_id_expr — the
+    heuristics are deterministic built-in-function arithmetic, so the
+    oracle recomputes them exactly (list ops + IEEE doubles agree
+    bit-for-bit when the expression shape matches)."""
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    score = {
+        lang: (
+            "LEN(LIST_INTERSECT(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(LOWER(text),"
+            " '\\s+')), ["
+            + ", ".join(f"'{w}'" for w in words)
+            + "]))"
+        )
+        for lang, words in LANG_PROFILES.items()
+    }
+    best = "GREATEST(" + ", ".join(score[l] for l in LANG_PROFILES) + ")"
+    lang_case = " ".join(
+        f"WHEN {score[lang]} = {best} THEN '{lang}'" for lang in LANG_PROFILES
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, text, REGEXP_SPLIT_TO_ARRAY(text, '\\s+') AS tk
+        FROM documents
+    )
+    SELECT doc_id,
+           FLOOR((
+               CAST(LEN(LIST_DISTINCT(tk)) AS DOUBLE) / GREATEST(LEN(tk), 1)
+             + CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(tk), [{stop_list}])) AS DOUBLE)
+               / {float(len(STOPWORDS_EN))}
+             + LEAST(LEN(tk) / 100.0, 1.0)
+           ) / 3 * 10000) / 10000 AS quality,
+           CASE WHEN {best} = 0 THEN 'und' {lang_case} ELSE 'und' END
+               AS predicted_lang
+    FROM toks
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "x4_quality_and_lang", oracle=_quality_and_lang_oracle(), survey_ids=("X4",)
+)
 def x4_quality_and_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality score + heuristic lang-ID per document (rows-only: the
-    heuristics are engine-defined; behavior pinned by unit tests)."""
+    """Quality score + heuristic lang-ID per document. Both heuristics
+    are pure scan-side expression arithmetic, so the DuckDB oracle
+    recomputes them exactly — floor-truncated scores and the same
+    first-profile-wins tie order. Multilingual behavior of the lang-ID
+    is additionally pinned on real snippets in tests/test_textops.py
+    (the fixture corpus is same-vocabulary word soup)."""
     docs = t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
