@@ -93,10 +93,50 @@ def incremental_dedup(
     )
 
 
-def admit_batch_to_index(index_path: str, batch_bands: DataFrame) -> None:
+#: Auto-OPTIMIZE threshold: once appends have fragmented the index
+#: into more than this many part files, admission triggers compaction.
+#: Small next to real fan-out (each daily append adds the batch's
+#: write-parallelism in files; a year of ingests would otherwise leave
+#: thousands of tiny files and the probe's scan time goes to
+#: file-open/footer overhead, not data).
+COMPACT_AFTER_FILES = 16
+
+
+def _index_part_files(index_path: str) -> int:
+    import glob
+
+    return len(glob.glob(os.path.join(index_path, "part-*")))
+
+
+def compact_band_index(
+    spark: SparkSession, index_path: str, target_file_mb: int = 128
+) -> tuple[int, int]:
+    """OPTIMIZE pass for the append-only band index: rewrite to
+    byte-sized files via the staged swap (`sources.mutations.
+    compact_parquet` — same crash-recovery contract as the mutation
+    paths). Pure layout change: probe results are identical pre/post
+    (pinned in tests/test_dedup.py). Returns (files_before, after)."""
+    from etl_generator_demo_spark.sources.mutations import compact_parquet
+
+    return compact_parquet(spark, index_path, target_file_mb=target_file_mb)
+
+
+def admit_batch_to_index(
+    index_path: str,
+    batch_bands: DataFrame,
+    compact_after_files: int | None = COMPACT_AFTER_FILES,
+) -> None:
     """After a batch is admitted, append its band rows so the next
-    ingest dedups against it too — append-only parquet, no rebuild."""
+    ingest dedups against it too — append-only parquet, no rebuild.
+    When fragmentation crosses ``compact_after_files`` part files the
+    index is auto-compacted (None disables); amortized over ingests
+    the index stays one linear well-sized scan forever."""
     batch_bands.write.mode("append").parquet(index_path)
+    if (
+        compact_after_files is not None
+        and _index_part_files(index_path) > compact_after_files
+    ):
+        compact_band_index(batch_bands.sparkSession, index_path)
 
 
 # ===========================================================================

@@ -188,6 +188,80 @@ class TestIncrementalDedup:
         ).collect()
         assert [(r["doc_id"], r["dup_of"]) for r in again] == [(100, 100)]
 
+    def test_compaction_preserves_probe_results(self, spark, tmp_path):
+        """OPTIMIZE is a pure layout change: after many fragmented
+        appends, compaction collapses the file count and a probe
+        returns byte-for-byte the same verdicts as before."""
+        from etl_generator_demo_spark.operators.dedup_incremental import (
+            _index_part_files,
+            admit_batch_to_index,
+            compact_band_index,
+            document_bands,
+            incremental_dedup,
+        )
+
+        texts = [
+            (i, f"w{i} x{i} y{i} z{i} common tail words here") for i in range(8)
+        ]
+        corpus = spark.createDataFrame(texts, "doc_id long, text string")
+        idx = str(tmp_path / "bands")
+        document_bands(corpus).write.parquet(idx)
+        # fragment: admit each doc again as its own 1-doc batch
+        for i, txt in texts:
+            admit_batch_to_index(
+                idx,
+                document_bands(
+                    spark.createDataFrame(
+                        [(100 + i, txt)], "doc_id long, text string"
+                    )
+                ),
+                compact_after_files=None,  # no auto-pass; compact explicitly below
+            )
+        probe = document_bands(
+            spark.createDataFrame(
+                [(500, texts[3][1]), (501, "totally disjoint novel words")],
+                "doc_id long, text string",
+            )
+        )
+        before = sorted(
+            map(tuple, incremental_dedup(spark.read.parquet(idx), probe).collect())
+        )
+        n_before = _index_part_files(idx)
+        n_b, n_a = compact_band_index(spark, idx)
+        assert n_b == n_before and _index_part_files(idx) < n_before
+        after = sorted(
+            map(tuple, incremental_dedup(spark.read.parquet(idx), probe).collect())
+        )
+        assert after == before and before[0][0] == 500  # doc 3's twin found
+
+    def test_admit_auto_compacts_past_threshold(self, spark, tmp_path):
+        """The wired-in pass: admission itself fires compaction once
+        fragmentation crosses the threshold."""
+        from etl_generator_demo_spark.operators.dedup_incremental import (
+            _index_part_files,
+            admit_batch_to_index,
+            document_bands,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, text string",
+        )
+        idx = str(tmp_path / "bands")
+        document_bands(corpus).write.parquet(idx)
+        for i in range(6):
+            admit_batch_to_index(
+                idx,
+                document_bands(
+                    spark.createDataFrame(
+                        [(10 + i, f"unique words number {i} in this batch")],
+                        "doc_id long, text string",
+                    )
+                ),
+                compact_after_files=3,
+            )
+        assert _index_part_files(idx) <= 3 + 1  # stays bounded, not 7+
+
 
 class TestConnectedComponentsProperty:
     def test_matches_union_find_on_random_graphs(self, spark):
