@@ -270,6 +270,18 @@ def x4_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     they co-partition after the first shuffle; no window over the full
     event stream is needed."""
     ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return funnel_counts(ev)
+
+
+def funnel_counts(ev: DataFrame) -> DataFrame:
+    """The funnel pipeline over any (user_id, ts, event_type) relation.
+
+    Hot-user skew posture: every stage is a groupBy(user_id).min —
+    partial aggregation (map-side combine) collapses a hot user's
+    events to ONE row per map partition before any shuffle, and the
+    stage joins run on post-aggregate relations (≤1 row per user), so
+    no skewed key ever crosses an exchange at volume. Asserted against
+    a planted hot user in tests/test_skew_hotuser.py."""
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")

@@ -294,6 +294,77 @@ def f_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F4/F2 — TIME type mapping (SURVEY §1.2: the reference maps SQL TIME to a
+# string, `sample_metadata.py:119-121`; Spark has no TIME type either, so the
+# engine's documented mapping is string 'HH:mm:ss' + seconds arithmetic)
+# ---------------------------------------------------------------------------
+@register(
+    "f_time_of_day_mapping",
+    oracle="""
+    WITH tod AS (
+        SELECT event_type,
+               STRFTIME(CAST(ts AS TIMESTAMP), '%H:%M:%S') AS tod_str
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(tod_str) AS first_tod,
+           MAX(tod_str) AS last_tod,
+           CAST(EXTRACT(EPOCH FROM CAST(MAX(tod_str) AS TIME))
+                - EXTRACT(EPOCH FROM CAST(MIN(tod_str) AS TIME)) AS BIGINT)
+               AS active_span_secs,
+           CAST(FLOOR(AVG(EXTRACT(EPOCH FROM CAST(tod_str AS TIME)))) AS BIGINT)
+               AS avg_tod_secs
+    FROM tod
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    survey_ids=("F4", "F2"),
+)
+def f_time_of_day_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-encoded TIME round-trip: format each event's time-of-day
+    as 'HH:mm:ss' (the engine's TIME representation), then parse the
+    STRING back into seconds-since-midnight for span/average
+    arithmetic. The oracle goes through DuckDB's genuine TIME type
+    (CAST(.. AS TIME) + EXTRACT(EPOCH ..)), so the hash proves the
+    string mapping is value-equivalent to a real TIME column — closing
+    the one documented type-mapping gap (no fixture column is TIME-
+    typed). AVG over seconds is exact in IEEE doubles (integer sums
+    << 2^53), so FLOOR agrees across engines."""
+    ev = t(spark, sf_dir, "events")
+    tod_str = F.date_format("ts", "HH:mm:ss")
+
+    def secs(c: F.Column) -> F.Column:
+        return (
+            F.substring(c, 1, 2).cast("long") * 3600
+            + F.substring(c, 4, 2).cast("long") * 60
+            + F.substring(c, 7, 2).cast("long")
+        )
+
+    per_ev = ev.select("event_type", tod_str.alias("tod_str"))
+    return (
+        per_ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("tod_str").alias("first_tod"),
+            F.max("tod_str").alias("last_tod"),
+            F.avg(secs(F.col("tod_str"))).alias("_avg_secs"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "first_tod",
+            "last_tod",
+            (secs(F.col("last_tod")) - secs(F.col("first_tod"))).alias(
+                "active_span_secs"
+            ),
+            F.floor("_avg_secs").cast("long").alias("avg_tod_secs"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # F8 — JSON extraction from events.props
 # ---------------------------------------------------------------------------
 @register(

@@ -120,15 +120,121 @@ def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst already prunes the scan to (user_id, ts) through the
     nanos-ts normalization (the explicit select just documents it)."""
     ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    return user_sessions(ev).orderBy("user_id", "session_start")
+
+
+def user_sessions(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """(user_id, session_start, n_events) via F.session_window.
+
+    Hot-user skew: session semantics are a per-user total order, so
+    Spark's plan shuffles every event of a user to one task
+    (MergingSessions is a single sorted linear pass — a hot user costs
+    O(n log n) in that task, never quadratic). When one user carries
+    enough volume to straggle, use ``user_sessions_salted`` — result-
+    identical, skew-spread (tests/test_skew_hotuser.py)."""
     return (
-        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        events.groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
             F.col("w.start").alias("session_start"),
             "n_events",
         )
-        .orderBy("user_id", "session_start")
+    )
+
+
+def user_sessions_salted(
+    events: DataFrame, gap: str = "30 minutes", bucket_secs: int = 86400
+) -> DataFrame:
+    """Two-phase sessionization that spreads a hot user across tasks —
+    the salting answer for session windows, where plain salt-and-join
+    would corrupt the per-user order.
+
+    Phase 1 sessionizes within ``(user_id, time-bucket)``: the bucket
+    id is a deterministic time-derived salt, so one user's events
+    shuffle to as many tasks as buckets they span. Phase 2 repairs the
+    bucket-boundary splits: per user, adjacent phase-1 sessions merge
+    when the next starts inside the previous session's gap extension —
+    a gaps-and-islands pass over SESSION SUMMARIES (orders of magnitude
+    fewer rows than events; session ends are nondecreasing in start
+    order, so lag(end) is the running max and chain merges compose).
+
+    Exactly ``user_sessions`` semantics: intra-bucket splits are
+    F.session_window's own; extra splits exist only at bucket edges and
+    phase 2 merges precisely those whose inter-session gap is inside
+    ``gap`` (strict ``<``, matching session_window's half-open
+    [start, last+gap) windows). Equivalence pinned on planted hot-user
+    data and on the real fixture in tests/test_skew_hotuser.py."""
+    bucket = F.floor(F.unix_micros("ts") / F.lit(int(bucket_secs) * 1_000_000))
+    phase1 = (
+        events.groupBy(
+            "user_id",
+            bucket.alias("_b"),
+            F.session_window("ts", gap).alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n_events",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("s_start")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        phase1.withColumn("_prev_end", F.lag("s_end").over(w))
+        .withColumn(
+            "_new",
+            (
+                F.col("_prev_end").isNull()
+                | (F.col("s_start") >= F.col("_prev_end"))
+            ).cast("long"),
+        )
+        .withColumn("_sess_no", F.sum("_new").over(run))
+        .groupBy("user_id", "_sess_no")
+        .agg(
+            F.min("s_start").alias("session_start"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .select("user_id", "session_start", "n_events")
+    )
+
+
+@register(
+    "st_session_windows_salted",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                         OR CAST(ts AS TIMESTAMP) - LAG(CAST(ts AS TIMESTAMP)) OVER w
+                            > INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+    survey_ids=("§2.11",),
+)
+def st_session_windows_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-user-safe tier of ``st_session_windows``: two-phase
+    salted sessionization (1-hour salt buckets at fixture scale; a day
+    in production). Same oracle as the plain tier — the session set is
+    identical by construction, so the hash proves the salting repair
+    step exact."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    return user_sessions_salted(ev, bucket_secs=3600).orderBy(
+        "user_id", "session_start"
     )
 
 
