@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_generator_demo_spark.operators.relational import t
@@ -607,6 +607,78 @@ def x3_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.crossJoin(F.broadcast(verdict))  # 1-row verdict fan-out
         .select("vec_id", "label", "cosine", "lsh_recall_ge_030")
         .orderBy(F.desc("cosine"), "vec_id")
+    )
+
+
+#: Batched-retrieval fixture split: the first N_QUERY vectors play the
+#: query batch, the rest are the corpus.
+N_QUERY, BATCH_K = 5, 3
+
+_BATCH_COS = (
+    "FLOOR(LIST_DOT_PRODUCT(v, qv)"
+    " / (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(qv, qv)))"
+    " * 1000000) / 1000000"
+)
+
+
+@register(
+    "x3_ann_batch_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {N_QUERY}
+    ),
+    c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id >= {N_QUERY}
+    ),
+    scored AS (
+        SELECT qid, vec_id, {_BATCH_COS} AS cosine FROM c, q
+    ),
+    ranked AS (
+        SELECT qid, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT qid, vec_id, cosine FROM ranked
+    WHERE rk <= {BATCH_K}
+    ORDER BY qid, cosine DESC, vec_id
+    """,
+    survey_ids=("X3",),
+)
+def x3_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED retrieval — exact top-{BATCH_K} neighbors for a whole
+    query SET in one job, expressed as a join rather than the
+    per-query driver loop the single-vector probes use (a retrieval
+    service answers batches; N driver round-trips would serialize N
+    scans).
+
+    100 TB shape: the query batch BROADCASTS (it is tiny next to the
+    corpus), the corpus is scanned once with |Q| JVM-codegen cosine
+    evaluations per row — a deliberate bounded fan-out, not an
+    accidental cartesian — and the only shuffle carries the narrow
+    (qid, vec_id, cosine) triples into the per-query ranking window.
+    At larger |Q|, bucket both sides with ``lsh_bucket_expr`` and join
+    on (table, bucket) to cut the fan-out to same-bucket pairs."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY).select(
+        F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= N_QUERY).select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "vec_id",
+        _floor6(cosine(F.col("v"), F.col("qv"))).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BATCH_K)
+        .select("qid", "vec_id", "cosine")
+        .orderBy("qid", F.desc("cosine"), "vec_id")
     )
 
 
