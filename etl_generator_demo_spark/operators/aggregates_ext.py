@@ -49,8 +49,8 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a_collect_sets",
     oracle="""
     SELECT o_custkey,
-           LIST_SORT(LIST_DISTINCT(LIST(o_orderpriority)))                      AS priorities,
-           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(o_orderstatus))), ',')  AS status_csv
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(o_orderpriority))), ',') AS priorities_csv,
+           ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(LIST(o_orderstatus))), ',')   AS status_csv
     FROM orders
     WHERE o_custkey <= 100
     GROUP BY o_custkey
@@ -59,13 +59,20 @@ def a_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("A1",),
 )
 def a_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Collection aggregates: set-valued column + string_agg-style CSV
-    (sorted for determinism — collect order is partition-dependent)."""
+    """Collection aggregates: collect_set / string_agg-style CSVs
+    (sorted for determinism — collect order is partition-dependent).
+    Both set columns are emitted as deterministic CSV strings: the
+    driver's pandas canonicalizer cannot sort/hash array cells, so
+    registered queries never return array-typed columns (the
+    array-returning form is the plain ``F.collect_set`` library
+    call)."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
     return (
         o.groupBy("o_custkey")
         .agg(
-            F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+            F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+                "priorities_csv"
+            ),
             F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias("status_csv"),
         )
         .orderBy("o_custkey")

@@ -49,7 +49,7 @@ CHUNK_TOKENS = 512
     )
     SELECT doc_id, source, n_tokens,
            CAST(FLOOR(tok_before / {CHUNK_TOKENS}) AS BIGINT) AS chunk_id,
-           tok_before % {CHUNK_TOKENS}                        AS offset_in_chunk,
+           CAST(tok_before % {CHUNK_TOKENS} AS BIGINT)        AS offset_in_chunk,
            tok_before + n_tokens - 1 >= (FLOOR(tok_before / {CHUNK_TOKENS}) + 1) * {CHUNK_TOKENS}
                AS straddles_boundary
     FROM cum
@@ -159,7 +159,7 @@ def _mixture_alloc_sql() -> str:
                                    ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_before
         FROM sized
     )
-    SELECT doc_id, lang, n_tokens, tok_before
+    SELECT doc_id, lang, n_tokens, CAST(tok_before AS BIGINT) AS tok_before
     FROM cum
     WHERE tok_before < ({_mixture_alloc_sql()})
     ORDER BY lang, tok_before

@@ -692,13 +692,13 @@ def x3_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ),
     per_dim AS (
-        SELECT label, pos, FLOOR(AVG(v) * 1000000) / 1000000 AS dim_mean
+        SELECT label, pos, CAST(FLOOR(AVG(v) * 1000000) AS BIGINT) AS dim_mean_micro
         FROM dims GROUP BY label, pos
     ),
     counts AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
     SELECT p.label,
            c.n_vectors,
-           ARRAY_AGG(p.dim_mean ORDER BY p.pos) AS centroid
+           ARRAY_TO_STRING(ARRAY_AGG(p.dim_mean_micro ORDER BY p.pos), ',') AS centroid_micro_csv
     FROM per_dim p JOIN counts c ON c.label = p.label
     GROUP BY p.label, c.n_vectors
     ORDER BY p.label
@@ -711,26 +711,47 @@ def x3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     array in dim order. The distributed shape for ANY per-group vector
     mean — nothing ever holds more than one dimension of one group;
     at 100 TB the shuffle carries |labels|×dim partial rows, not
-    vectors. Per-dim means floor-scaled at 1e-6 (summation order)."""
+    vectors. The centroid is emitted as a CSV of per-dim micro-units
+    (floor(mean*1e6) as int): the driver's canonicalizer rejects
+    array-typed cells, and integer CSV sidesteps cross-engine float
+    string formatting. Callers wanting the real vector use
+    :func:`label_centroids`."""
     emb = t(spark, sf_dir, "embeddings")
-    dims = emb.select(
-        "label", F.posexplode(_as_double("embedding")).alias("pos", "v")
-    )
-    per_dim = dims.groupBy("label", "pos").agg(
-        (F.floor(F.avg("v") * 1e6) / 1e6).alias("dim_mean")
-    )
     counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
     return (
-        per_dim.groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "dim_mean"))),
-                lambda s: s["dim_mean"],
-            ).alias("centroid")
+        label_centroids(emb, micro_int=True)
+        .withColumn(
+            "centroid_micro_csv",
+            F.array_join(F.transform("centroid", lambda x: x.cast("string")), ","),
         )
         .join(F.broadcast(counts), "label")
-        .select("label", "n_vectors", "centroid")
+        .select("label", "n_vectors", "centroid_micro_csv")
         .orderBy("label")
+    )
+
+
+def label_centroids(
+    emb: DataFrame, vec_col: str = "embedding", label_col: str = "label",
+    micro_int: bool = False,
+) -> DataFrame:
+    """Library form of the per-label centroid: returns (label,
+    centroid array<double>) — or array<long> of floor(mean*1e6)
+    micro-units when ``micro_int`` (the deterministic cross-engine
+    encoding the registered query hashes)."""
+    dims = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(_as_double(vec_col)).alias("pos", "v"),
+    )
+    mean = F.avg("v")
+    dim_mean = (
+        F.floor(mean * 1e6).cast("long") if micro_int else mean
+    ).alias("dim_mean")
+    per_dim = dims.groupBy("label", "pos").agg(dim_mean)
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "dim_mean"))),
+            lambda s: s["dim_mean"],
+        ).alias("centroid")
     )
 
 
@@ -744,8 +765,10 @@ def x3_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.vec_id,
            FLOOR(s.max_abs * 1000000) / 1000000 AS scale,
-           LIST_TRANSFORM(e.embedding::DOUBLE[],
-                          x -> CAST(FLOOR(x / s.max_abs * 127) AS BIGINT)) AS q
+           ARRAY_TO_STRING(
+               LIST_TRANSFORM(e.embedding::DOUBLE[],
+                              x -> CAST(FLOOR(x / s.max_abs * 127) AS BIGINT)),
+               ',') AS q_csv
     FROM embeddings e JOIN scaled s ON s.vec_id = e.vec_id
     ORDER BY e.vec_id
     """,
@@ -756,22 +779,29 @@ def x3_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     values in [-127, 127]) — the standard 4x storage/bandwidth cut for
     a 100 TB vector store; the scale column restores approximate
     floats for re-ranking. Pure scan-side expression, no shuffle;
-    quantized values floor-scaled identically cross-engine."""
+    quantized values floor-scaled identically cross-engine. The int8
+    codes are hashed as a CSV string (driver's canonicalizer rejects
+    array cells); :func:`quantize_int8` is the array-returning
+    library form."""
     emb = t(spark, sf_dir, "embeddings")
-    v = _as_double("embedding")
-    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
     return (
-        emb.select(
-            "vec_id",
-            max_abs.alias("max_abs"),
-            v.alias("v"),
-        )
+        quantize_int8(emb)
         .select(
             "vec_id",
             (F.floor(F.col("max_abs") * 1e6) / 1e6).alias("scale"),
-            F.transform(
-                "v", lambda x: F.floor(x / F.col("max_abs") * 127).cast("long")
-            ).alias("q"),
+            F.array_join(F.transform("q", lambda x: x.cast("string")), ",").alias("q_csv"),
         )
         .orderBy("vec_id")
+    )
+
+
+def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Library form: (vec_id, max_abs double, q array<long>) with
+    q = floor(x / max_abs * 127) ∈ [-127, 127]."""
+    v = _as_double(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return emb.select(
+        "vec_id",
+        max_abs.alias("max_abs"),
+        F.transform(v, lambda x: F.floor(x / max_abs * 127).cast("long")).alias("q"),
     )

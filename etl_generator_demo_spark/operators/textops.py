@@ -465,7 +465,7 @@ def x4_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            MAX(c)                                   AS top_bigram_n,
-           SUM(c)                                   AS n_bigrams,
+           CAST(SUM(c) AS BIGINT)                   AS n_bigrams,
            FLOOR(MAX(c) * 10000.0 / SUM(c)) / 10000 AS top_bigram_frac,
            MAX(c) * 20 > SUM(c)                     AS is_repetitive
     FROM counts
