@@ -139,7 +139,7 @@ def j_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(LEN(tk) AS INT)                       AS n_tokens,
            tk[1]                                      AS first_token,
-           tk[3:5]                                    AS mid_slice,
+           ARRAY_TO_STRING(tk[3:5], ' ')              AS mid_slice_csv,
            LIST_CONTAINS(tk, 'spark')                 AS mentions_spark,
            CAST(NULLIF(LIST_POSITION(tk, 'data'), 0) AS INT) AS data_pos
     FROM toks
@@ -151,14 +151,16 @@ def f_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array functions over tokenized text: size, indexing, slice,
     contains, position. Missing-element position: Spark array_position
     and this DuckDB's LIST_POSITION both yield 0 -> nullif on BOTH
-    sides gives SQL-null semantics."""
+    sides gives SQL-null semantics. The slice is emitted re-joined as
+    a string (the driver's canonicalizer rejects array-typed cells —
+    registered queries never return arrays)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     tk = F.split("text", " ")
     return d.select(
         "doc_id",
         F.size(tk).alias("n_tokens"),
         tk.getItem(0).alias("first_token"),
-        F.slice(tk, 3, 3).alias("mid_slice"),
+        F.array_join(F.slice(tk, 3, 3), " ").alias("mid_slice_csv"),
         F.array_contains(tk, "spark").alias("mentions_spark"),
         F.nullif(F.array_position(tk, "data"), F.lit(0)).cast("int").alias("data_pos"),
     ).orderBy("doc_id")
@@ -509,7 +511,10 @@ def x4_rolling_7d_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_micros("ts"))
+        # cast first: unix_micros requires TIMESTAMP and the parquet
+        # column may infer as TIMESTAMP_NTZ; under the UTC session tz
+        # the NTZ->LTZ cast is wall-clock identity either way
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-7 * 86400 * 1_000_000, 0)
     )
     return p.select(

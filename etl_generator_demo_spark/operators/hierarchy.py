@@ -1,0 +1,186 @@
+"""Hierarchy traversal over self-referential FKs — SURVEY.md §2 J-family.
+
+The reference's schemas ground two self-referential FKs
+(``sample_metadata.py:99`` employees.manager_id -> employees.id,
+``:41`` categories.parent_id -> categories.id); "who reports to whom,
+transitively" is the first real query a user of that HR schema runs.
+The fixture has no employees table, so the registered queries derive a
+deterministic tree over ``customer``: parent(c) = c DIV 10 (NULL when
+0), giving 9 roots and depth ~ log10(max custkey) — the same shape at
+every SF, closed under the table (every parent id exists).
+
+Both traversals are ITERATIVE pointer-doubling DataFrame loops, not
+per-row recursion — O(log depth) rounds, each a narrow join +
+``localCheckpoint`` to cut lineage (same discipline as
+``dedup_clusters.connected_components``):
+
+- ``ancestor_walk``: (id, root_id, depth) — each round composes the
+  current "known ancestor at distance d" with THAT ancestor's state,
+  doubling the compressed distance until everyone points at a root.
+- ``ancestor_pairs``: the materialized transitive closure
+  (id, anc_id, dist >= 1) — P_{k+1} = P_k ∪ (P_k ∘ P_k), the classic
+  log-rounds path-doubling construction; on a tree (one parent per
+  node) the closure has exactly sum(depth) rows, so the output is
+  linear in the input for log-depth hierarchies.
+
+At 100 TB: every round shuffles on the ancestor id only (two long
+columns + a small int), never the payload; depth of a corporate
+hierarchy or category tree is tens at worst, so rounds ~ 5-6. The
+oracle side is DuckDB ``WITH RECURSIVE`` — the exact SQL a warehouse
+user would write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.relational import t
+from etl_generator_demo_spark.registry import register
+
+
+def ancestor_walk(
+    nodes: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(id, root_id, depth) for every node of a forest given
+    (id, parent) rows, parent NULL at roots. Pointer doubling: the
+    state row (id, anc, depth) means "anc is my ancestor exactly
+    `depth` hops up"; composing with anc's own state doubles the
+    compressed distance per round, so convergence is O(log depth).
+    Fixpoint = unchanged SUM(depth) (depths only grow, bounded by the
+    true depth). Raises after `max_iter` rounds rather than silently
+    returning a partial walk. Parents must exist as node ids (a
+    dangling FK drops the subtree, exactly like the recursive-CTE
+    formulation never reaching it)."""
+    state = nodes.select(
+        F.col(id_col).alias("id"),
+        F.coalesce(F.col(parent_col), F.col(id_col)).alias("anc"),
+        F.when(F.col(parent_col).isNull(), F.lit(0)).otherwise(F.lit(1)).alias("depth"),
+    ).localCheckpoint(eager=True)
+    prev_sum = None
+    for _ in range(max_iter):
+        hop = state.select(
+            F.col("id").alias("h_id"),
+            F.col("anc").alias("h_anc"),
+            F.col("depth").alias("h_depth"),
+        )
+        state = (
+            state.join(hop, state["anc"] == hop["h_id"])
+            .select(
+                "id",
+                F.col("h_anc").alias("anc"),
+                (F.col("depth") + F.col("h_depth")).alias("depth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = state.agg(F.sum("depth")).first()[0]
+        if cur_sum == prev_sum:
+            return state.select("id", F.col("anc").alias("root_id"), "depth")
+        prev_sum = cur_sum
+    raise RuntimeError(f"ancestor_walk did not converge in {max_iter} rounds")
+
+
+def ancestor_pairs(
+    nodes: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Materialized transitive closure (id, anc_id, dist >= 1) of a
+    forest: every (node, proper ancestor) pair with its hop count.
+    Path doubling — P ∪ (P ∘ P) per round — reaches all distances in
+    O(log depth) rounds; the distinct() collapses the re-derived
+    short paths (pair count is monotone, so an unchanged COUNT is the
+    fixpoint)."""
+    pairs = (
+        nodes.filter(F.col(parent_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(parent_col).alias("anc_id"),
+            F.lit(1).alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    prev_n = None
+    for _ in range(max_iter):
+        up = pairs.select(
+            F.col("id").alias("u_id"),
+            F.col("anc_id").alias("u_anc"),
+            F.col("dist").alias("u_dist"),
+        )
+        composed = pairs.join(up, pairs["anc_id"] == up["u_id"]).select(
+            "id", F.col("u_anc").alias("anc_id"), (F.col("dist") + F.col("u_dist")).alias("dist")
+        )
+        pairs = pairs.unionByName(composed).distinct().localCheckpoint(eager=True)
+        cur_n = pairs.count()
+        if cur_n == prev_n:
+            return pairs
+        prev_n = cur_n
+    raise RuntimeError(f"ancestor_pairs did not converge in {max_iter} rounds")
+
+
+def _customer_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic forest over customer: parent = c_custkey DIV 10,
+    NULL when DIV yields 0 — custkey 0..9 are the roots (0 would
+    otherwise be its own parent: DIV 10 of 0 is 0)."""
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("id"),
+        F.nullif((F.col("c_custkey") / 10).cast("long"), F.lit(0)).alias("parent"),
+    )
+
+
+# ===========================================================================
+# Driver-checkable queries
+# ===========================================================================
+
+@register(
+    "j_hierarchy_depth",
+    oracle="""
+    WITH RECURSIVE tree AS (
+        SELECT c_custkey AS id, c_custkey AS root_id, 0 AS depth
+        FROM customer WHERE c_custkey // 10 = 0
+        UNION ALL
+        SELECT c.c_custkey, tr.root_id, tr.depth + 1
+        FROM customer c JOIN tree tr ON c.c_custkey // 10 = tr.id
+        WHERE c.c_custkey >= 10  -- custkey 0: 0 // 10 = 0 would self-loop forever
+    )
+    SELECT id, root_id, depth
+    FROM tree
+    ORDER BY id
+    """,
+    survey_ids=("J3", "U1"),
+)
+def j_hierarchy_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Org-chart depth: every node's root ancestor and level, computed
+    by the O(log depth) pointer-doubling walk vs the warehouse-native
+    recursive CTE. Grounding: sample_metadata.py:99 manager chains."""
+    return ancestor_walk(_customer_tree(spark, sf_dir)).orderBy("id")
+
+
+@register(
+    "j_hierarchy_ancestors",
+    oracle="""
+    WITH RECURSIVE anc AS (
+        SELECT c_custkey AS id, c_custkey // 10 AS anc_id, 1 AS dist
+        FROM customer WHERE c_custkey // 10 >= 1
+        UNION ALL
+        SELECT a.id, c.c_custkey // 10, a.dist + 1
+        FROM anc a JOIN customer c ON c.c_custkey = a.anc_id
+        WHERE c.c_custkey // 10 >= 1
+    )
+    SELECT id, anc_id, dist
+    FROM anc
+    ORDER BY id, dist
+    """,
+    survey_ids=("J3", "U1"),
+)
+def j_hierarchy_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive "reports-to" closure: every (node, proper ancestor,
+    hop count) pair — the materialized form a warehouse keeps for
+    subtree filters (`WHERE anc_id = X` selects X's whole org). Path
+    doubling vs recursive CTE."""
+    return ancestor_pairs(_customer_tree(spark, sf_dir)).orderBy("id", "dist")

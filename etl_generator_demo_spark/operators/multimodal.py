@@ -169,11 +169,34 @@ def x5_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@register("x5_decode_features", oracle=None, survey_ids=("X5",))
+@register(
+    "x5_decode_features",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    )
+    SELECT media_type,
+           COUNT(*) AS n_items,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(CASE WHEN media_type = 'image' THEN 1
+                         ELSE 1 + (n_bytes % 240) END) AS BIGINT) AS total_frames
+    FROM m
+    GROUP BY media_type
+    ORDER BY media_type
+    """,
+    survey_ids=("X5",),
+)
 def x5_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode pipeline with the deterministic fake codec
-    (rows-only: not SQL-expressible; behavior pinned in
-    tests/test_multimodal.py)."""
+    """mapInPandas decode pipeline with the deterministic fake codec.
+    Oracle-backed: the stub codec is pure OCTET_LENGTH arithmetic
+    (``_fake_decode``), so DuckDB reproduces width/height/n_frames
+    exactly — a real codec swap would move this back to rows-only +
+    pytest. Batch plumbing also pinned in tests/test_multimodal.py."""
     media = as_media_table(t(spark, sf_dir, "documents"))
     return (
         decode_media(media)

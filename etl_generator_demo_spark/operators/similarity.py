@@ -321,7 +321,12 @@ NEARDUP_TABLES = 8
 NEARDUP_PLANES = 4
 
 
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+BROADCAST_VECTORS_MAX_ROWS = 2_000_000  # ~1 GB of 64-dim doubles
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, broadcast_vectors: bool | None = None
+) -> DataFrame:
     """Bucketed embedding near-dup pairs (vec_a, vec_b, cosine),
     unordered — shared by the pair query and the cluster-resolution
     query.
@@ -332,12 +337,19 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     - the candidate ``distinct`` is over the NARROW (vec_a, vec_b) id
       pair only — carrying the two 64-dim vectors through that shuffle
       (the naive plan) moves ~1 KB/row instead of 16 B/row;
-    - vectors are joined back AFTER dedup (broadcast here; keyed
-      shuffle join at scale), and the exact re-rank is a second
-      vectorized numpy stage. Same md5 hyperplanes as the DuckDB
-      oracle, so both engines agree bucket-for-bucket.
+    - vectors are joined back AFTER dedup, and the exact re-rank is a
+      second vectorized numpy stage. The rejoin strategy is SIZED, not
+      hard-coded: broadcasting the whole embeddings table is only legal
+      while it fits in an executor (<= BROADCAST_VECTORS_MAX_ROWS, a
+      cheap parquet-footer count) — above that the plan falls back to a
+      keyed shuffle join on vec_id, which is the 100 TB shape. Pass
+      ``broadcast_vectors`` to force either plan. Same md5 hyperplanes
+      as the DuckDB oracle, so both engines agree bucket-for-bucket.
     """
     emb = t(spark, sf_dir, "embeddings")
+    if broadcast_vectors is None:
+        # parquet row count comes from footers — metadata-only job
+        broadcast_vectors = emb.count() <= BROADCAST_VECTORS_MAX_ROWS
     # closure-captured plain data: executor workers can't import this
     # package, so the UDF must carry its constants by value
     plane_rows = [
@@ -352,23 +364,29 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         P = np.asarray(plane_rows, dtype="float64").T  # dim x (tables*planes)
+        pow2 = 1 << np.arange(n_planes - 1, -1, -1)
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.stack(pdf["embedding"].to_numpy()).astype("float64")
-            S = ((V @ P) >= 0).astype("uint8")
+            S = ((V @ P) >= 0).astype("int64")
             ids = pdf["vec_id"].to_numpy()
-            out = []
-            for tbl in range(n_tables):
-                bits = S[:, tbl * n_planes : (tbl + 1) * n_planes]
-                bucket = np.array(["".join(map(str, row)) for row in bits])
-                out.append(
-                    pd.DataFrame({"vec_id": ids, "lsh_table": tbl, "bucket": bucket})
-                )
-            yield pd.concat(out)
+            n = len(ids)
+            # pack each table's sign bits into ONE int bucket id —
+            # fully vectorized (the old per-row "".join string encode
+            # was the slowest Python in this stage); equality-by-bucket
+            # is all the join needs, so the encoding is engine-private
+            buckets = S.reshape(n, n_tables, n_planes) @ pow2
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_tables),
+                    "lsh_table": np.tile(np.arange(n_tables, dtype="int32"), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
 
     bk = emb.select("vec_id", "embedding").mapInPandas(
-        bucket_rows, "vec_id long, lsh_table int, bucket string"
+        bucket_rows, "vec_id long, lsh_table int, bucket long"
     )
     a = bk.select(F.col("vec_id").alias("vec_a"), "lsh_table", "bucket")
     b = bk.select(F.col("vec_id").alias("vec_b"), "lsh_table", "bucket")
@@ -379,11 +397,14 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ve = emb.select("vec_id", "embedding")
+    # merge hint on the fallback path: without it Catalyst's size stats
+    # would re-introduce the broadcast we're explicitly avoiding
+    _side = F.broadcast if broadcast_vectors else (lambda df: df.hint("merge"))
     pairs = cand.join(
-        F.broadcast(ve.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))),
+        _side(ve.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))),
         "vec_a",
     ).join(
-        F.broadcast(ve.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))),
+        _side(ve.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))),
         "vec_b",
     )
 

@@ -165,7 +165,11 @@ def user_sessions_salted(
     ``gap`` (strict ``<``, matching session_window's half-open
     [start, last+gap) windows). Equivalence pinned on planted hot-user
     data and on the real fixture in tests/test_skew_hotuser.py."""
-    bucket = F.floor(F.unix_micros("ts") / F.lit(int(bucket_secs) * 1_000_000))
+    # cast: unix_micros requires TIMESTAMP; the parquet ts column may
+    # infer as TIMESTAMP_NTZ (wall-clock identical under UTC session tz)
+    bucket = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(int(bucket_secs) * 1_000_000)
+    )
     phase1 = (
         events.groupBy(
             "user_id",

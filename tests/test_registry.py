@@ -10,9 +10,9 @@ def test_registry_surface_does_not_shrink():
     from etl_generator_demo_spark.registry import load_all
 
     reg = load_all()
-    assert len(reg) >= 107, f"registry shrank to {len(reg)} queries"
+    assert len(reg) >= 113, f"registry shrank to {len(reg)} queries"
     n_oracle = sum(1 for rq in reg.values() if rq.oracle is not None)
-    assert n_oracle >= 99, f"oracle coverage shrank to {n_oracle}"
+    assert n_oracle >= 113, f"oracle coverage shrank to {n_oracle}"
     # every oracle mentions at least one fixture table it reads
     tables = ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings")
@@ -40,8 +40,10 @@ def test_driver_order_prioritizes_unproven_oracle_queries():
     order = list(ep.queries())
     assert set(order) == set(reg)
     # rows-only queries occupy the final positions, nothing else
+    # (since round 4 every query is oracle-backed, so this may be empty)
     n_rows_only = sum(1 for rq in reg.values() if rq.oracle is None)
-    assert all(reg[n].oracle is None for n in order[-n_rows_only:])
-    assert all(reg[n].oracle is not None for n in order[:-n_rows_only])
+    if n_rows_only:
+        assert all(reg[n].oracle is None for n in order[-n_rows_only:])
+        assert all(reg[n].oracle is not None for n in order[:-n_rows_only])
     # oracle_sql() keys cover exactly the oracle-backed queries
     assert set(ep.oracle_sql()) == {n for n, rq in reg.items() if rq.oracle is not None}

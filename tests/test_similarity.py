@@ -227,6 +227,33 @@ def test_neardup_clusters_consistent_with_pairs(spark, sf_dir):
             assert cid == vid and keep is True
 
 
+def test_neardup_vector_rejoin_plan_is_sized(spark, sf_dir):
+    """The vector rejoin after candidate dedup must be broadcast ONLY
+    while the embeddings table is small: forced broadcast shows
+    BroadcastHashJoin/BroadcastExchange, forced shuffle shows none on
+    the vec_a/vec_b joins — the 100 TB path must not broadcast the
+    corpus (round-3 VERDICT defect, similarity.py rejoin)."""
+    from etl_generator_demo_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    bc_plan = embedding_neardup_pairs(
+        spark, sf_dir, broadcast_vectors=True
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [vec_a" in bc_plan
+    assert "BroadcastHashJoin [vec_b" in bc_plan
+
+    # the bucket self-join may still broadcast by Catalyst size stats —
+    # only the vec_a/vec_b vector rejoins must not
+    sh_plan = embedding_neardup_pairs(
+        spark, sf_dir, broadcast_vectors=False
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin [vec_a" not in sh_plan
+    assert "BroadcastHashJoin [vec_b" not in sh_plan
+    assert "SortMergeJoin [vec_a" in sh_plan
+    assert "SortMergeJoin [vec_b" in sh_plan
+
+
 def test_int8_quantization_preserves_topk_recall(spark, sf_dir):
     """Dequantized int8 vectors must keep >= 8/10 of the exact cosine
     top-10 for the probe vector — the quality bar that makes the 4x
