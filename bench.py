@@ -12,6 +12,13 @@ MinHash LSH, exact Jaccard, cosine top-k, ANN, as-of join, JSON agg.
 Results are fully materialized via collect() (row counts are small by
 construction; the driver-side edge is the only place this engine ever
 collects).
+
+ANN honesty: the benched ANN entries are the PROBE-ONLY paths
+(x3_ann_lsh_probe is the registered hash-exact probe; x3_ann_ivf_probe
+is the same probe the registered x3_ann_ivf_topk verdict uses, timed
+without the brute-force recall side). Round 3 benched the bounded-error
+verdict queries, which compute the exact full-scan answer inside the
+query — correctness-gold but a dishonest ANN latency number.
 """
 
 from __future__ import annotations
@@ -33,8 +40,8 @@ HEADLINE = [
     "x2_minhash_lsh_pairs",
     "x2_ngram_jaccard_pairs",
     "x3_cosine_topk",
-    "x3_ann_lsh_topk",
-    "x3_ann_ivf_topk",
+    "x3_ann_lsh_probe",
+    "x3_ann_ivf_probe",
     "x3_neardup_lsh_bucketed",
     "x2_dedup_clusters",
     "x2_dedup_incremental",
@@ -75,9 +82,34 @@ def main() -> None:
     ensure_ivf_index(spark, sf_dir)
     ensure_corpus_band_index(spark, sf_dir)
 
+    # IVF probe-only wrapper: the registered x3_ann_ivf_topk is a
+    # bounded-error verdict (exact scan + probe + recall join); the
+    # number worth tracking is the probe alone. k-means centroids are
+    # not SQL-reproducible, so this wrapper is bench-only — the LSH
+    # probe, whose hyperplanes ARE SQL-reproducible, is registered and
+    # hash-checked as x3_ann_lsh_probe.
+    def _ivf_probe_bench(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from etl_generator_demo_spark.operators.ann_index import ivf_probe_topk
+        from etl_generator_demo_spark.operators.relational import t
+
+        qv = [
+            float(x)
+            for x in t(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .first()["embedding"]
+        ]
+        return ivf_probe_topk(spark, sf_dir, qv, k=10, n_probe=4, exclude_ids=(0,)).select(
+            "vec_id", "label", "cosine"
+        )
+
+    extra = {"x3_ann_ivf_probe": _ivf_probe_bench}
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = registry[name].fn
+        fn = registry[name].fn if name in registry else extra[name]
         # two runs, report the min: first-run time is dominated by plan
         # compilation + whole-stage-codegen JIT, which amortizes to zero
         # on a long-lived cluster — steady-state is the honest number.

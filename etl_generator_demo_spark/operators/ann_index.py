@@ -46,10 +46,12 @@ from pyspark.sql import functions as F
 from etl_generator_demo_spark.operators.similarity import (
     DIM,
     _as_double,
+    _duck_bucket_expr,
     _floor6,
     _hyperplane,
     cosine,
 )
+from etl_generator_demo_spark.registry import register
 
 #: On-disk cache root. Lives inside the repo (gitignored) so any
 #: process — pytest, bench.py, the external driver — shares one cache
@@ -299,4 +301,67 @@ def ivf_probe_topk(
         idx.withColumn("cosine", _floor6(cosine(_as_double("embedding"), qcol)))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)
+    )
+
+
+# ===========================================================================
+# Driver-checkable query: the probe itself, hash-exact
+# ===========================================================================
+
+def _lsh_probe_oracle(tables: int, planes: int) -> str:
+    """Exact DuckDB replica of the LSH probe: candidates = corpus rows
+    sharing the query's bucket in ANY table (same md5-derived
+    hyperplanes, inlined as literals on both the corpus and the query
+    vector), then the identical floor-scaled cosine re-rank."""
+    match = " OR ".join(
+        f"({_duck_bucket_expr(tbl, planes, col='e.v')}"
+        f" = {_duck_bucket_expr(tbl, planes, col='q.qv')})"
+        for tbl in range(tables)
+    )
+    return f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id <> 0
+    ),
+    cand AS (
+        SELECT e.vec_id, e.label, e.v, q.qv FROM e, q
+        WHERE {match}
+    )
+    SELECT vec_id, label,
+           FLOOR(LIST_DOT_PRODUCT(v, qv)
+                 / (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(qv, qv)))
+                 * 1000000) / 1000000 AS cosine
+    FROM cand
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register(
+    "x3_ann_lsh_probe",
+    oracle=_lsh_probe_oracle(LSH_TABLES, LSH_PLANES),
+    survey_ids=("X3",),
+)
+def x3_ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION ANN path, hash-exact: top-10 for vec_id=0 via the
+    persisted partition-pruned LSH index — only the query's 8 bucket
+    directories are read, never the corpus. Unlike the bounded-error
+    ``x3_ann_lsh_topk`` verdict query (which computes the exact
+    brute-force answer to prove a recall floor), this registers the
+    probe OUTPUT itself: DuckDB recomputes the same candidate set from
+    the same hyperplane constants, so the approximate result is
+    value-checked row for row. This is also the query bench.py times —
+    the benched ANN number measures the probe, not a full scan."""
+    from etl_generator_demo_spark.operators.relational import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    query_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    return lsh_probe_topk(spark, sf_dir, query_vec, k=10, exclude_ids=(0,)).select(
+        "vec_id", "label", "cosine"
     )

@@ -275,7 +275,7 @@ def x3_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_bucket_expr(table: int, planes: int, dim: int = DIM) -> str:
+def _duck_bucket_expr(table: int, planes: int, dim: int = DIM, col: str = "v") -> str:
     """DuckDB bucket expression for one hash table: the same md5-derived
     ±1 hyperplanes as ``lsh_bucket_expr``, inlined as literal lists so
     both engines take sign(<v, plane_p>) over identical constants."""
@@ -283,7 +283,7 @@ def _duck_bucket_expr(table: int, planes: int, dim: int = DIM) -> str:
     for p in range(planes):
         lits = ", ".join(f"{x:.1f}" for x in _hyperplane(table, p, dim))
         cases.append(
-            f"(CASE WHEN LIST_DOT_PRODUCT(v, [{lits}]::DOUBLE[]) >= 0 "
+            f"(CASE WHEN LIST_DOT_PRODUCT({col}, [{lits}]::DOUBLE[]) >= 0 "
             f"THEN '1' ELSE '0' END)"
         )
     return " || ".join(cases)
