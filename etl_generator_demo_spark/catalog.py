@@ -26,19 +26,28 @@ from pyspark.sql import functions as F
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table with schema normalization.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects (PARQUET_TYPE_ILLEGAL). We read nanos as long via the
-    legacy conf (runtime-settable) and truncate to microseconds — the
-    finest precision Spark timestamps carry. DuckDB oracles must CAST
-    ``ts`` to TIMESTAMP (us) for value parity.
+    Two generations of the fixture writer exist: ``events.ts`` as
+    parquet TIMESTAMP(NANOS) — which Spark's vectorized reader rejects
+    (PARQUET_TYPE_ILLEGAL), so we read nanos as long via the legacy
+    conf and truncate to microseconds — and as micro-precision with
+    isAdjustedToUTC=false, which Spark infers as TIMESTAMP_NTZ. NTZ
+    breaks event-time operations (withWatermark, unix_micros require
+    TIMESTAMP), so any NTZ column is normalized to TIMESTAMP at the
+    read edge; under the UTC session timezone the cast is wall-clock
+    identity, preserving DuckDB oracle parity (oracles CAST ts to
+    TIMESTAMP either way).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 #: Fixture tables materialized by the driver (TESTDATA.md).

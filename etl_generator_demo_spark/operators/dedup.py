@@ -531,3 +531,63 @@ def x2_minhash_lsh_pairs_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     sigs = minhash_signatures(doc_shingles(docs, distinct=False))
     return lsh_candidate_pairs(sigs, max_bucket_size=2).orderBy("doc_a", "doc_b")
+
+
+@register(
+    "x2_shingle_dup_coverage",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    stats AS (
+        SELECT shingle, COUNT(*) AS docs_with
+        FROM shingles GROUP BY shingle
+    ),
+    per_doc AS (
+        SELECT s.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN st.docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared
+        FROM shingles s JOIN stats st USING (shingle)
+        GROUP BY s.doc_id
+    )
+    SELECT doc_id, n_shingles, n_shared,
+           FLOOR(n_shared * 1000000.0 / n_shingles) / 1000000 AS dup_frac
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    survey_ids=("X2", "X4"),
+)
+def x2_shingle_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication coverage: for every document, the
+    fraction of its distinct 5-token shingles that also occur in at
+    least one OTHER document — the signal substring/line-level dedup
+    (boilerplate stripping, memorization risk) thresholds on, one
+    level finer than whole-doc near-dup. Plan: the existing shingle
+    relation feeds one map-combined count per shingle, joined back
+    co-partitioned on the shingle key, then one per-doc aggregate —
+    linear in total shingles, no pairwise anything. At 100 TB the
+    shingle-count table is the big intermediate; it shuffles once and
+    is never collected."""
+    return shingle_dup_coverage(t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def shingle_dup_coverage(docs: DataFrame) -> DataFrame:
+    """Library form over any (doc_id, text) relation: per-doc distinct
+    shingle count, shared-shingle count, and dup_frac (floor-scaled)."""
+    sh = doc_shingles(docs)  # distinct (doc_id, shingle)
+    stats = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("docs_with"))
+    per_doc = (
+        sh.join(stats, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("docs_with") > 1).cast("long")).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        (F.floor(F.col("n_shared") * 1000000.0 / F.col("n_shingles")) / 1_000_000).alias(
+            "dup_frac"
+        ),
+    )

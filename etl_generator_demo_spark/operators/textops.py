@@ -718,3 +718,87 @@ def x4_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "x4_bigram_lm_quality",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT(text, ' ')) AS tk,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, tk,
+               LEAD(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM tok
+    ),
+    bigrams AS (SELECT doc_id, tk, nxt FROM big WHERE nxt IS NOT NULL),
+    c_bigram AS (
+        SELECT tk, nxt, COUNT(*) AS cb FROM bigrams GROUP BY tk, nxt
+    ),
+    c_prefix AS (
+        SELECT tk, COUNT(*) AS cp FROM bigrams GROUP BY tk
+    ),
+    scored AS (
+        SELECT b.doc_id,
+               LN(cb * 1.0 / cp) AS lp
+        FROM bigrams b
+        JOIN c_bigram cb ON cb.tk = b.tk AND cb.nxt = b.nxt
+        JOIN c_prefix cp ON cp.tk = b.tk
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               FLOOR(AVG(lp) * 10000) / 10000 AS avg_logprob
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_logprob,
+           avg_logprob < -3.9 AS low_quality
+    FROM per_doc
+    ORDER BY doc_id
+    """,
+    survey_ids=("X4",),
+)
+def x4_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality score (perplexity proxy): train corpus
+    bigram MLE counts in-plan, score every document by its mean bigram
+    log-probability ln(c(a,b)/c(a·)), flag the improbable tail — the
+    classic cheap quality gate between heuristics and a neural scorer.
+    No smoothing needed: every scored bigram is in the counts by
+    construction (cb, cp >= 1). Plan: one doc_id-partitioned window
+    for adjacency, two map-combined count aggregates (vocab-bounded
+    relations), two co-keyed joins back, one per-doc aggregate —
+    linear scans + vocab²-bounded intermediates; nothing pairwise,
+    nothing collected. Score floor-scaled at 1e-4 (mean of logs is
+    summation-order sensitive at ~1e-15; the coarse grid absorbs it),
+    and the low_quality flag thresholds the FLOORED value so the
+    boundary is engine-identical."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tk"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        tok.withColumn("nxt", F.lead("tk").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", "tk", "nxt")
+    )
+    c_bigram = bigrams.groupBy("tk", "nxt").agg(F.count(F.lit(1)).alias("cb"))
+    c_prefix = bigrams.groupBy("tk").agg(F.count(F.lit(1)).alias("cp"))
+    scored = (
+        bigrams.join(c_bigram, ["tk", "nxt"])
+        .join(c_prefix, "tk")
+        .select("doc_id", F.log(F.col("cb") * 1.0 / F.col("cp")).alias("lp"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.floor(F.avg("lp") * 10000) / 10000).alias("avg_logprob"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logprob",
+        (F.col("avg_logprob") < -3.9).alias("low_quality"),
+    ).orderBy("doc_id")

@@ -96,4 +96,8 @@ def streaming_exact_dedup(
     plain dropDuplicates (no watermark state to bound)."""
     if not stream.isStreaming:
         return stream.dropDuplicates(key_cols)
+    if dict(stream.dtypes).get(watermark_col) == "timestamp_ntz":
+        # withWatermark requires TIMESTAMP; NTZ sources are wall-clock
+        # identical under the UTC session timezone
+        stream = stream.withColumn(watermark_col, F.col(watermark_col).cast("timestamp"))
     return stream.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(key_cols)

@@ -289,6 +289,10 @@ def streaming_pipeline(spark: SparkSession, source: DataFrame | None = None):
                 (F.col("value") % 100).cast("double").alias("value"),
             )
         )
+    if dict(source.dtypes).get("ts") == "timestamp_ntz":
+        # withWatermark requires TIMESTAMP; NTZ parquet sources are
+        # wall-clock identical under the UTC session timezone
+        source = source.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         source.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour"), "event_type")

@@ -330,3 +330,30 @@ def test_connected_components_long_chain_converges_logarithmically(spark):
         for r in connected_components(nodes, pairs, max_iter=25).collect()
     }
     assert got == {i: 0 for i in range(n)}
+
+
+def test_shingle_dup_coverage_exact_dupes_fully_covered(spark, sf_dir):
+    """A document with an exact-text twin shares every shingle
+    (dup_frac exactly 1.0); a unique document shares none; and
+    n_shared <= n_shingles always — planted corpus, plus the fixture
+    run for the invariant."""
+    from etl_generator_demo_spark.operators.dedup import (
+        shingle_dup_coverage,
+        x2_shingle_dup_coverage,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    planted = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact twin of 1
+            (3, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in shingle_dup_coverage(planted).collect()}
+    assert got[1]["dup_frac"] == 1.0 and got[2]["dup_frac"] == 1.0
+    assert got[3]["n_shared"] == 0 and got[3]["dup_frac"] == 0.0
+
+    rows = x2_shingle_dup_coverage(spark, sf_dir).collect()
+    assert rows and all(r["n_shared"] <= r["n_shingles"] for r in rows)

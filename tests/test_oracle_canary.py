@@ -51,15 +51,13 @@ def test_oracle_parity(name, spark, sf_dir, duck):
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
-    from oracle_check import rows_to_multiset
+    from oracle_check import canon  # driver-faithful: dtype-exact, rejects arrays
 
     from etl_generator_demo_spark.registry import load_all
 
     rq = load_all()[name]
-    sdf = rq.fn(spark, sf_dir)
-    s_ms, s_cols = rows_to_multiset(list(sdf.columns), [tuple(r) for r in sdf.collect()])
-    cur = duck.execute(rq.oracle)
-    d_cols = [c[0] for c in cur.description]
-    d_ms, d_cols_sorted = rows_to_multiset(d_cols, cur.fetchall())
-    assert s_cols == d_cols_sorted, f"{name}: schema mismatch"
-    assert s_ms == d_ms, f"{name}: value multiset mismatch ({len(s_ms)} vs {len(d_ms)} rows)"
+    s_cols, s_rows = canon(rq.fn(spark, sf_dir).toPandas())
+    d_cols, d_rows = canon(duck.execute(rq.oracle).fetchdf())
+    assert s_cols == d_cols, f"{name}: schema mismatch ({s_cols} vs {d_cols})"
+    assert len(s_rows) == len(d_rows), f"{name}: rowcount {len(s_rows)} vs {len(d_rows)}"
+    assert s_rows == d_rows, f"{name}: value mismatch"

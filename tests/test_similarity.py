@@ -263,7 +263,7 @@ def test_int8_quantization_preserves_topk_recall(spark, sf_dir):
     from etl_generator_demo_spark.operators.relational import t
     from etl_generator_demo_spark.operators.similarity import (
         brute_force_topk,
-        x3_quantize_int8,
+        quantize_int8,
     )
 
     emb = t(spark, sf_dir, "embeddings")
@@ -275,13 +275,15 @@ def test_int8_quantization_preserves_topk_recall(spark, sf_dir):
         r["vec_id"]
         for r in brute_force_topk(emb.filter(F.col("vec_id") != 0), qv, k=10).collect()
     }
+    # library (array-returning) form; the registered query emits the
+    # same codes as a CSV string for the driver's canonicalizer
     deq = (
-        x3_quantize_int8(spark, sf_dir)
+        quantize_int8(emb)
         .filter(F.col("vec_id") != 0)
         .select(
             "vec_id",
             F.transform(
-                "q", lambda x: x.cast("double") / 127 * F.col("scale")
+                "q", lambda x: x.cast("double") / 127 * F.col("max_abs")
             ).alias("embedding"),
         )
     )

@@ -168,3 +168,25 @@ class TestDecontaminate:
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
         rows = [(r["doc_id"], r["n_shared_shingles"]) for r in out.collect()]
         assert rows == [(33, 2)]
+
+
+def test_bigram_lm_quality_invariants(spark, sf_dir):
+    """MLE bigram log-probs are <= 0 (cb <= cp by construction), every
+    doc with >= 2 tokens is scored, and n_bigrams = token_count - 1."""
+    from pyspark.sql import functions as F
+
+    from etl_generator_demo_spark.operators.relational import t
+    from etl_generator_demo_spark.operators.textops import x4_bigram_lm_quality
+
+    out = x4_bigram_lm_quality(spark, sf_dir)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert all(r["avg_logprob"] <= 0 for r in rows.values())
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in t(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    for did, n in toks.items():
+        if n >= 2:
+            assert rows[did]["n_bigrams"] == n - 1

@@ -70,6 +70,16 @@ EXPECTATIONS: dict[str, dict] = {
     # ranking window + output ordering
     "x3_ann_batch_topk": {"max_exchanges": 2, "min_broadcast": 1},
     "f_time_of_day_mapping": {"max_exchanges": 2},
+    # probe-only ANN (the benched entry): pruned index scan, top-k, no
+    # corpus scan — shuffles only for the tiny dedupe + output ordering
+    "x3_ann_lsh_probe": {"partition_pruned_on": "lsh_table", "max_exchanges": 3},
+    # pointer-doubling output: the per-round joins are behind
+    # localCheckpoint lineage cuts, so the visible plan is the final
+    # ordered projection
+    "j_hierarchy_depth": {"max_exchanges": 2},
+    "j_hierarchy_ancestors": {"max_exchanges": 2},
+    # decode agg: one groupBy exchange + ordered output
+    "x5_decode_features": {"max_exchanges": 2},
 }
 
 
@@ -91,10 +101,12 @@ def audit(name: str, plan: str, exp: dict) -> list[str]:
         "PartitionFilters: [" not in plan or "PartitionFilters: []" in plan
     ):
         problems.append("index scan is not partition-pruned")
-    if exp.get("partition_pruned_on") and (
-        f"PartitionFilters: [{exp['partition_pruned_on']}" not in plan
-        and f"PartitionFilters: [isnotnull({exp['partition_pruned_on']}" not in plan
+    if exp.get("partition_pruned_on") and not re.search(
+        r"PartitionFilters: \[[^\]]*" + re.escape(exp["partition_pruned_on"]), plan
     ):
+        # column may appear anywhere inside the (possibly paren-heavy,
+        # possibly toString-truncated) filter list — match the bracket
+        # contents, not a literal prefix
         problems.append(
             f"no partition filter on {exp['partition_pruned_on']} in any scan"
         )
