@@ -365,3 +365,128 @@ def x3_ann_lsh_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_probe_topk(spark, sf_dir, query_vec, k=10, exclude_ids=(0,)).select(
         "vec_id", "label", "cosine"
     )
+
+
+def lsh_probe_batch_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vecs: dict[int, list[float]],
+    k: int = 3,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
+    min_corpus_id: int = 0,
+) -> DataFrame:
+    """Batched ANN against the persisted LSH index: ONE partition-pruned
+    scan serves every query in the batch. The (qid, lsh_table, bucket)
+    probe relation and the query vectors are broadcast (a batch is
+    thousands of rows; the corpus is the big side); candidates join on
+    the partition columns, dedupe per (qid, vec_id), and re-rank with
+    one per-qid window. This is the serving shape at 100 TB — per-query
+    driver loops would issue |batch| scans; this plan issues one."""
+    path = ensure_lsh_index(spark, sf_dir, tables, planes)
+    probe_rows = [
+        (qid, tbl, bucket)
+        for qid, qv in query_vecs.items()
+        for tbl, bucket in enumerate(query_buckets(qv, tables, planes))
+    ]
+    probe = spark.createDataFrame(probe_rows, "qid long, lsh_table int, bucket string")
+    dirs = sorted(
+        {
+            d
+            for _, tbl, bucket in probe_rows
+            if os.path.isdir(d := os.path.join(path, f"lsh_table={tbl}", f"bucket={bucket}"))
+        }
+    )
+    if not dirs:
+        empty = spark.read.parquet(path).limit(0)
+        return empty.select(
+            F.lit(0).cast("long").alias("qid"), "vec_id", F.lit(0.0).alias("cosine")
+        ).limit(0)
+    idx = spark.read.option("basePath", path).parquet(*dirs)
+    qdf = spark.createDataFrame(
+        [(qid, [float(x) for x in qv]) for qid, qv in query_vecs.items()],
+        "qid long, qv array<double>",
+    )
+    cand = (
+        idx.filter(F.col("vec_id") >= min_corpus_id)
+        .join(F.broadcast(probe), ["lsh_table", "bucket"])
+        .dropDuplicates(["qid", "vec_id"])
+        .join(F.broadcast(qdf), "qid")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        cand.withColumn("cosine", _floor6(cosine(_as_double("embedding"), F.col("qv"))))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", "vec_id", "cosine")
+    )
+
+
+def _lsh_batch_probe_oracle(tables: int, planes: int, n_query: int, k: int) -> str:
+    match = " OR ".join(
+        f"({_duck_bucket_expr(tbl, planes, col='e.v')}"
+        f" = {_duck_bucket_expr(tbl, planes, col='q.qv')})"
+        for tbl in range(tables)
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {n_query}
+    ),
+    e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id >= {n_query}
+    ),
+    cand AS (
+        SELECT q.qid, e.vec_id, e.v, q.qv FROM e, q
+        WHERE {match}
+    ),
+    scored AS (
+        SELECT qid, vec_id,
+               FLOOR(LIST_DOT_PRODUCT(v, qv)
+                     / (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(qv, qv)))
+                     * 1000000) / 1000000 AS cosine
+        FROM cand
+    ),
+    ranked AS (
+        SELECT qid, vec_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored
+    )
+    SELECT qid, vec_id, cosine FROM ranked WHERE rk <= {k}
+    ORDER BY qid, cosine DESC, vec_id
+    """
+
+
+#: mirror x3_ann_batch_topk's fixture split (queries 0..4, corpus 5+)
+BATCH_PROBE_NQ, BATCH_PROBE_K = 5, 3
+
+
+@register(
+    "x3_ann_batch_probe",
+    oracle=_lsh_batch_probe_oracle(LSH_TABLES, LSH_PLANES, BATCH_PROBE_NQ, BATCH_PROBE_K),
+    survey_ids=("X3",),
+)
+def x3_ann_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched retrieval through the persisted index, hash-exact: the
+    first 5 vectors play the query batch against the 5+ corpus, ONE
+    pruned scan + broadcast probe relation serves all of them (compare
+    ``x3_ann_batch_topk``, the exact brute-force tier of the same
+    split). DuckDB recomputes every query's candidate set from the
+    same hyperplane constants, so the approximate batch result is
+    value-checked row for row."""
+    from etl_generator_demo_spark.operators.relational import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    qvs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < BATCH_PROBE_NQ)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    return lsh_probe_batch_topk(
+        spark, sf_dir, qvs, k=BATCH_PROBE_K, min_corpus_id=BATCH_PROBE_NQ
+    ).orderBy("qid", F.desc("cosine"), "vec_id")

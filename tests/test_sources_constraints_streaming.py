@@ -431,3 +431,19 @@ class TestStagingCleanup:
         assert os.path.exists(path + ".old")
         assert recover_staged(path) is True
         assert spark.read.parquet(path).count() == 5
+
+
+def test_read_table_normalizes_event_time_to_timestamp(spark, sf_dir):
+    """Both generations of the fixture writer (TIMESTAMP(NANOS) read
+    as long, and micro-precision isAdjustedToUTC=false read as
+    TIMESTAMP_NTZ) must surface ts as plain TIMESTAMP: event-time
+    operations (withWatermark, unix_micros) reject NTZ, and the UTC
+    session makes the cast wall-clock identity."""
+    from etl_generator_demo_spark.catalog import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # sanity: event-time ops now resolve
+    from pyspark.sql import functions as F
+
+    ev.select(F.unix_micros("ts")).limit(1).collect()

@@ -29,6 +29,15 @@ QUERIES = [
     "x2_dedup_clusters",
     "j8_asof_purchase_last_click",
     "st_session_windows",
+    # round-4 additions: substring-dup coverage + bigram LM (linear
+    # scans + vocab-bounded intermediates), probe-only ANN (index
+    # probe must stay ~flat as the corpus scales). j_hierarchy_depth
+    # is excluded: the synth tier's key offsets break the derived
+    # parent = id DIV 10 tree (dangling parents), so its timing there
+    # would measure a mostly-empty walk.
+    "x2_shingle_dup_coverage",
+    "x4_bigram_lm_quality",
+    "x3_ann_lsh_probe",
 ]
 
 KEY_COLS = {
