@@ -30,18 +30,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _driver_priority_order(reg) -> list[str]:
     """Order the registry so the driver's bounded per-round sample (50
-    of 107 in round 2) yields the most informative CORRECTNESS record:
+    per round) yields the most informative CORRECTNESS record:
 
     1. oracle-backed queries that have never hash-matched in any prior
        ``CORRECTNESS_r*.json`` (new queries + previously unsampled),
        so every query accumulates a driver-green row across rounds;
     2. oracle-backed queries already proven green (regression guard);
-    3. declared rows-only queries (``oracle None``) last — they would
-       occupy a sampled slot only to record ``err: no_oracle``.
+    3. declared rows-only queries (``oracle None``) last — since round
+       4 the registry has none (118/118 oracle-backed).
 
     Within each group, registration order is preserved (deterministic).
-    The full-registry gate is ``tools/oracle_check.py`` regardless of
-    what the driver samples.
+    Round-3 evidence shows the driver does NOT take a strict prefix,
+    so this is a bias, not a guarantee. The full-registry gate is
+    ``tools/oracle_check.py`` regardless of what the driver samples.
     """
     import glob
     import json

@@ -47,6 +47,9 @@ HEADLINE = [
     "x2_dedup_incremental",
     "j8_asof_purchase_last_click",
     "f_json_struct_agg",
+    # round-4 operators: substring-dup coverage + bigram-LM quality
+    "x2_shingle_dup_coverage",
+    "x4_bigram_lm_quality",
 ]
 
 

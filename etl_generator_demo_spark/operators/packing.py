@@ -424,3 +424,65 @@ def x4_pack_bins_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+TEMP_ALPHA = 0.5
+TEMP_SAMPLE_TOTAL = 200
+
+
+@register(
+    "x4_temperature_mixture",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    z AS (SELECT SUM(POW(n, {TEMP_ALPHA})) AS z FROM counts),
+    targets AS (
+        SELECT lang, n,
+               CAST(FLOOR(POW(n, {TEMP_ALPHA}) / z.z * {TEMP_SAMPLE_TOTAL}) AS BIGINT)
+                   AS target
+        FROM counts, z
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang, t.target AS lang_quota
+    FROM ranked r JOIN targets t USING (lang)
+    WHERE r.rk <= t.target
+    ORDER BY r.lang, r.doc_id
+    """,
+    survey_ids=("X4",),
+)
+def x4_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted language mixture (alpha=0.5): sampling
+    quotas proportional to n_lang^alpha — the standard multilingual-LM
+    upsampling curve that flattens head languages and boosts the tail
+    (alpha=1 is proportional, alpha=0 uniform). Quotas derive from one
+    tiny per-lang count aggregate; selection is the deterministic
+    md5-rank gate (layout-independent, reproducible at any scale —
+    seeded .sample() is not). Compare ``x4_token_budget_mixture``,
+    which allocates a TOKEN budget given fixed weights; this derives
+    the weights from corpus statistics. One count shuffle + one
+    per-lang window; the quota relation broadcasts."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    z = counts.agg(F.sum(F.pow("n", TEMP_ALPHA)).alias("z"))
+    targets = counts.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.floor(F.pow("n", TEMP_ALPHA) / F.col("z") * TEMP_SAMPLE_TOTAL)
+        .cast("long")
+        .alias("lang_quota"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.join(F.broadcast(targets), "lang")
+        .filter(F.col("rk") <= F.col("lang_quota"))
+        .select("doc_id", "lang", "lang_quota")
+        .orderBy("lang", "doc_id")
+    )

@@ -324,6 +324,24 @@ NEARDUP_PLANES = 4
 BROADCAST_VECTORS_MAX_ROWS = 2_000_000  # ~1 GB of 64-dim doubles
 
 
+def _embeddings_rows(sf_dir: str, table: str = "embeddings") -> int:
+    """Row count from the parquet footer, driver-side — no Spark job
+    (the sizing decision must not cost a scan). Falls back to a very
+    large number (forcing the shuffle plan, the safe default) when the
+    footer isn't readable."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        if os.path.isdir(path):
+            return pq.ParquetDataset(path).count_rows()
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return 1 << 62
+
+
 def embedding_neardup_pairs(
     spark: SparkSession, sf_dir: str, broadcast_vectors: bool | None = None
 ) -> DataFrame:
@@ -348,8 +366,7 @@ def embedding_neardup_pairs(
     """
     emb = t(spark, sf_dir, "embeddings")
     if broadcast_vectors is None:
-        # parquet row count comes from footers — metadata-only job
-        broadcast_vectors = emb.count() <= BROADCAST_VECTORS_MAX_ROWS
+        broadcast_vectors = _embeddings_rows(sf_dir) <= BROADCAST_VECTORS_MAX_ROWS
     # closure-captured plain data: executor workers can't import this
     # package, so the UDF must carry its constants by value
     plane_rows = [

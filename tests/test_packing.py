@@ -180,3 +180,39 @@ def test_split_ratios_and_stability(spark, sf_dir):
         .collect()
     }
     assert all(again[i] == full[i] for i in sample_ids)
+
+
+def test_temperature_mixture_flattens_the_head(spark, sf_dir):
+    """alpha=0.5 quotas: sub-linear in language size (a lang with 4x
+    the docs gets at most ~2x the quota), total within the sample
+    budget, and selection deterministic across invocations."""
+    from pyspark.sql import functions as F
+
+    from etl_generator_demo_spark.operators.packing import (
+        TEMP_SAMPLE_TOTAL,
+        x4_temperature_mixture,
+    )
+    from etl_generator_demo_spark.operators.relational import t
+
+    out = x4_temperature_mixture(spark, sf_dir)
+    quotas = {
+        r["lang"]: r["lang_quota"]
+        for r in out.select("lang", "lang_quota").distinct().collect()
+    }
+    counts = {
+        r["lang"]: r["n"]
+        for r in t(spark, sf_dir, "documents").groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(quotas.values()) <= TEMP_SAMPLE_TOTAL
+    for a in quotas:
+        for b in quotas:
+            if counts[a] >= 4 * counts[b] and quotas[b] > 0:
+                # sqrt curve: 4x docs -> ~2x quota (+1 for floor slack)
+                assert quotas[a] <= 2 * quotas[b] + 1
+    # per-lang selection honors the quota exactly when enough docs exist
+    sel = out.groupBy("lang").agg(F.count("*").alias("got")).collect()
+    for r in sel:
+        assert r["got"] == min(quotas[r["lang"]], counts[r["lang"]])
+    # determinism
+    again = {tuple(r) for r in x4_temperature_mixture(spark, sf_dir).collect()}
+    assert again == {tuple(r) for r in out.collect()}
