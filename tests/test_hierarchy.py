@@ -79,3 +79,13 @@ def test_walk_raises_instead_of_partial_result(spark):
     rows = [(1, 2), (2, 1)]
     with pytest.raises(RuntimeError, match="converge"):
         ancestor_walk(_tree(spark, rows), max_iter=5)
+
+
+def test_walk_drops_dangling_subtrees_like_recursive_cte(spark):
+    """A node whose parent id doesn't exist is unreachable from any
+    root — the walk drops it (inner join), exactly like the
+    recursive-CTE formulation never reaching it."""
+    rows = [(1, None), (2, 1), (5, 99)]
+    out = ancestor_walk(_tree(spark, rows))
+    got = {r["id"]: (r["root_id"], r["depth"]) for r in out.collect()}
+    assert got == {1: (1, 0), 2: (1, 1)}
