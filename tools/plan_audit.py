@@ -80,6 +80,19 @@ EXPECTATIONS: dict[str, dict] = {
     "j_hierarchy_ancestors": {"max_exchanges": 2},
     # decode agg: one groupBy exchange + ordered output
     "x5_decode_features": {"max_exchanges": 2},
+    # shingle counts + co-keyed join back + per-doc agg + output order
+    "x2_shingle_dup_coverage": {"max_exchanges": 5},
+    # adjacency window + two count aggs + joins back + per-doc agg
+    "x4_bigram_lm_quality": {"max_exchanges": 6, "min_broadcast": 1},
+    # per-lang count + quota broadcast + md5-rank window + output order
+    "x4_temperature_mixture": {"max_exchanges": 5, "min_broadcast": 1},
+    # one pruned index scan serves the whole batch; probe relation and
+    # query vectors broadcast
+    "x3_ann_batch_probe": {
+        "partition_pruned_on": "lsh_table",
+        "max_exchanges": 3,
+        "min_broadcast": 2,
+    },
 }
 
 
