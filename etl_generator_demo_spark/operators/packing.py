@@ -486,3 +486,60 @@ def x4_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "lang_quota")
         .orderBy("lang", "doc_id")
     )
+
+
+CHUNK_LEN, CHUNK_STRIDE = 128, 96  # 32-token overlap
+
+
+@register(
+    "x4_chunk_with_overlap",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, UNNEST(RANGE(0, n, {CHUNK_STRIDE})) AS start_tok, n
+        FROM sized
+    )
+    SELECT doc_id,
+           CAST(start_tok // {CHUNK_STRIDE} AS BIGINT)              AS chunk_idx,
+           CAST(start_tok AS BIGINT)                                AS start_tok,
+           CAST(LEAST(start_tok + {CHUNK_LEN}, n) - start_tok AS BIGINT)
+               AS chunk_tokens,
+           MD5(doc_id || ':' || start_tok)                          AS chunk_fp
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    survey_ids=("X4",),
+)
+def x4_chunk_with_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunk plan: 128-token chunks on a 96-token
+    stride (32-token overlap) per document — the standard RAG /
+    long-document pretraining chunker, the overlapping complement of
+    ``x4_sequence_packing``'s concat-and-chunk. The PLAN (which token
+    spans become chunks, with a deterministic fingerprint per chunk)
+    is computed scan-side from token counts alone: explode of a
+    per-doc arithmetic sequence, NO shuffle except output order, and
+    at 100 TB the chunk text itself is sliced in the downstream map
+    stage reading only [start, start+len) — planning never touches
+    payload bytes."""
+    d = t(spark, sf_dir, "documents")
+    sized = d.select("doc_id", F.size(F.split("text", " ")).alias("n"))
+    chunks = sized.select(
+        "doc_id",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))).alias("_s"),
+    ).withColumn("start_tok", F.col("_s").cast("long"))
+    return chunks.select(
+        "doc_id",
+        (F.col("start_tok") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        "start_tok",
+        (F.least(F.col("start_tok") + CHUNK_LEN, F.col("n")) - F.col("start_tok"))
+        .cast("long")
+        .alias("chunk_tokens"),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), F.col("start_tok").cast("string")
+            )
+        ).alias("chunk_fp"),
+    ).orderBy("doc_id", "chunk_idx")

@@ -216,3 +216,37 @@ def test_temperature_mixture_flattens_the_head(spark, sf_dir):
     # determinism
     again = {tuple(r) for r in x4_temperature_mixture(spark, sf_dir).collect()}
     assert again == {tuple(r) for r in out.collect()}
+
+
+def test_chunk_with_overlap_spans_cover_every_token(spark, sf_dir):
+    """Chunk spans tile each document: starts advance by the stride,
+    consecutive chunks overlap by len-stride, the final chunk ends at
+    n_tokens, and every token index is covered."""
+    from pyspark.sql import functions as F
+
+    from etl_generator_demo_spark.operators.packing import (
+        CHUNK_LEN,
+        CHUNK_STRIDE,
+        x4_chunk_with_overlap,
+    )
+    from etl_generator_demo_spark.operators.relational import t
+
+    chunks = {}
+    for r in x4_chunk_with_overlap(spark, sf_dir).collect():
+        chunks.setdefault(r["doc_id"], []).append(r)
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in t(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    for did, rows in chunks.items():
+        rows.sort(key=lambda r: r["chunk_idx"])
+        n = toks[did]
+        assert [r["start_tok"] for r in rows] == list(range(0, n, CHUNK_STRIDE))
+        covered = set()
+        for r in rows:
+            end = r["start_tok"] + r["chunk_tokens"]
+            assert end == min(r["start_tok"] + CHUNK_LEN, n)
+            covered.update(range(r["start_tok"], end))
+        assert covered == set(range(n))

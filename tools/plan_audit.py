@@ -93,6 +93,9 @@ EXPECTATIONS: dict[str, dict] = {
         "max_exchanges": 3,
         "min_broadcast": 2,
     },
+    # scan-side explode of an arithmetic sequence; only the output
+    # ordering shuffles
+    "x4_chunk_with_overlap": {"max_exchanges": 1},
 }
 
 
