@@ -591,3 +591,97 @@ def shingle_dup_coverage(docs: DataFrame) -> DataFrame:
             "dup_frac"
         ),
     )
+
+
+SIMHASH_BANDS, SIMHASH_MAX_HAMMING = 4, 3  # pigeonhole: d<=3 -> >=1 equal band
+
+
+def _duck_simhash_pairs_sql() -> str:
+    band_w = SIMHASH_BITS // SIMHASH_BANDS
+    bands = "\n        UNION ALL\n        ".join(
+        f"SELECT doc_id, {k} AS band_id, SUBSTR(simhash, {1 + k * band_w}, {band_w}) AS band_key FROM fp"
+        for k in range(SIMHASH_BANDS)
+    )
+    hamming = " + ".join(
+        f"(CASE WHEN SUBSTR(fa.simhash, {i}, 1) <> SUBSTR(fb.simhash, {i}, 1) THEN 1 ELSE 0 END)"
+        for i in range(1, SIMHASH_BITS + 1)
+    )
+    return f"""
+    {_duck_simhash_sql().rsplit("SELECT doc_id,", 1)[0]}
+    , fp AS (
+        SELECT doc_id, {_duck_simhash_sql().rsplit("SELECT doc_id,", 1)[1].split("AS simhash")[0]} AS simhash
+        FROM votes
+    ),
+    bands AS (
+        {bands}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, CAST({hamming} AS BIGINT) AS hamming
+    FROM cand c
+    JOIN fp fa ON fa.doc_id = c.doc_a
+    JOIN fp fb ON fb.doc_id = c.doc_b
+    WHERE {hamming} <= {SIMHASH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@register(
+    "x2_simhash_neardup_pairs",
+    oracle=_duck_simhash_pairs_sql(),
+    survey_ids=("X2",),
+)
+def x2_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS at hamming distance <= 3: the banded
+    completion of ``x2_simhash_fingerprints`` (equal-fingerprint
+    grouping only catches distance 0). Pigeonhole: 16 bits in 4 bands
+    means any pair within distance 3 agrees on at least one whole
+    band, so candidates come from ONE equi-join on (band_id,
+    band_key) — never an all-pairs XOR — and the exact 16-position
+    hamming check runs only inside buckets. The third, mutually
+    independent near-dup family next to MinHash-Jaccard and
+    embedding-LSH; same bucketed join shape, so the same 100 TB
+    posture."""
+    docs = t(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(doc_shingles(docs)).localCheckpoint(eager=True)
+    band_w = SIMHASH_BITS // SIMHASH_BANDS
+    bands = None
+    for k in range(SIMHASH_BANDS):
+        b = fp.select(
+            "doc_id",
+            F.lit(k).alias("band_id"),
+            F.substring("simhash", 1 + k * band_w, band_w).alias("band_key"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+    )
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    hamming = sum(
+        F.when(
+            F.substring("sh_a", i, 1) != F.substring("sh_b", i, 1), 1
+        ).otherwise(0)
+        for i in range(1, SIMHASH_BITS + 1)
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

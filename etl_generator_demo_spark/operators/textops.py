@@ -802,3 +802,89 @@ def x4_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_logprob",
         (F.col("avg_logprob") < -3.9).alias("low_quality"),
     ).orderBy("doc_id")
+
+
+WINNOW_K, WINNOW_W = 5, 4  # k-gram size, winnowing window
+
+
+@register(
+    "x4_winnowing_fingerprints",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT(text, ' ')) AS tk,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    kg AS (
+        SELECT doc_id, pos,
+               MD5(tk || '_' || LEAD(tk, 1) OVER w || '_' || LEAD(tk, 2) OVER w
+                   || '_' || LEAD(tk, 3) OVER w || '_' || LEAD(tk, 4) OVER w) AS h
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    hashes AS (
+        SELECT doc_id, pos, h,
+               COUNT(*) OVER (PARTITION BY doc_id) AS n_kgrams
+        FROM kg WHERE h IS NOT NULL
+    ),
+    wins AS (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING)
+                   AS fp,
+               pos, n_kgrams
+        FROM hashes
+    )
+    SELECT DISTINCT doc_id, fp
+    FROM wins
+    WHERE pos <= n_kgrams - {WINNOW_W} + 1
+    ORDER BY doc_id, fp
+    """,
+    survey_ids=("X4",),
+)
+def x4_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every 5-token k-gram, slide a window of 4
+    consecutive hashes, keep each window's minimum — guaranteeing any
+    shared run of >= k+w-1 tokens between two documents shares a
+    selected fingerprint, at ~2/(w+1) the density of keeping every
+    hash. The selection the plagiarism/near-dup index stores instead
+    of all k-grams. Plan: one doc_id-partitioned window pass for
+    adjacency + one for the sliding min, distinct over the selected
+    set — a single shuffle on doc_id; at 100 TB the fingerprint index
+    is ~40% the size of the full k-gram relation."""
+    return winnowing_fingerprints(t(spark, sf_dir, "documents")).orderBy("doc_id", "fp")
+
+
+def winnowing_fingerprints(d: DataFrame) -> DataFrame:
+    """Library form over any (doc_id, text) relation: the distinct
+    winnowing-selected (doc_id, fp) fingerprint set."""
+    from pyspark.sql import Window
+
+    tok = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tk"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    kgram = F.concat_ws(
+        "_", F.col("tk"), *[F.lead("tk", i).over(w) for i in range(1, WINNOW_K)]
+    )
+    # concat_ws skips NULLs, so tail positions would yield short grams:
+    # gate on the furthest lead instead
+    kg = tok.select(
+        "doc_id",
+        "pos",
+        F.when(F.lead("tk", WINNOW_K - 1).over(w).isNotNull(), F.md5(kgram)).alias("h"),
+    ).filter(F.col("h").isNotNull())
+    n = Window.partitionBy("doc_id")
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    wins = kg.select(
+        "doc_id",
+        "pos",
+        F.count(F.lit(1)).over(n).alias("n_kgrams"),
+        F.min("h").over(win).alias("fp"),
+    )
+    return (
+        # posexplode is 0-based (DuckDB subscripts are 1-based, hence
+        # the oracle's `- w + 1`): full windows start at pos <= n - w
+        wins.filter(F.col("pos") <= F.col("n_kgrams") - WINNOW_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )

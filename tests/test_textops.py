@@ -190,3 +190,46 @@ def test_bigram_lm_quality_invariants(spark, sf_dir):
     for did, n in toks.items():
         if n >= 2:
             assert rows[did]["n_bigrams"] == n - 1
+
+
+def test_winnowing_guarantees_shared_fingerprint_for_shared_runs(spark, sf_dir):
+    """The winnowing theorem: two documents sharing a run of at least
+    k+w-1 (= 8) tokens must share at least one selected fingerprint;
+    unrelated texts share none; and selection is sparser than the full
+    k-gram set."""
+    from pyspark.sql import functions as F
+
+    from etl_generator_demo_spark.operators.textops import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+        x4_winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {shared} three four five six"),
+            (2, f"red blue green {shared} yellow purple orange pink"),
+            (3, "completely different words with nothing in common here at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {}
+    for r in winnowing_fingerprints(docs).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "shared 8-token run must share a fingerprint"
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+
+    # density: selected set strictly smaller than the full k-gram set
+    out = x4_winnowing_fingerprints(spark, sf_dir)
+    per_doc = {r["doc_id"]: r["n"] for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    for did, n_fp in per_doc.items():
+        n_kgrams = toks[did] - WINNOW_K + 1
+        assert 0 < n_fp <= max(1, n_kgrams - WINNOW_W + 1)

@@ -96,6 +96,11 @@ EXPECTATIONS: dict[str, dict] = {
     # scan-side explode of an arithmetic sequence; only the output
     # ordering shuffles
     "x4_chunk_with_overlap": {"max_exchanges": 1},
+    # fingerprint groupBy (behind localCheckpoint) + band self-join +
+    # pair distinct + rejoin + output order
+    "x2_simhash_neardup_pairs": {"max_exchanges": 7},
+    # one doc_id window shuffle + distinct + output order
+    "x4_winnowing_fingerprints": {"max_exchanges": 3},
 }
 
 
