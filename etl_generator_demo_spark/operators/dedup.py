@@ -11,7 +11,8 @@ whole-stage-codegen; no Python UDFs anywhere):
 - n-gram Jaccard: inverted-index join on distinct shingles -> exact
                   Jaccard on candidates (verification tier; pairs
                   sharing zero shingles never materialize)
-- SimHash:        16-bit sign-of-sum fingerprint -> exact-match groups
+- SimHash:        sign-of-sum fingerprints (16-bit demo groups; 64-bit
+                  4x16-band Manku-setting hamming<=3 pairs)
 
 Determinism: all hashing is md5 (identical semantics in Spark and
 DuckDB), so every operator here has an exact SQL oracle. MinHash uses
@@ -204,19 +205,21 @@ def ngram_jaccard_pairs(
 SIMHASH_BITS = 16
 
 
-def simhash_fingerprints(shingles: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def simhash_fingerprints(
+    shingles: DataFrame, id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
     """SimHash without hex->int: bit b uses an independent md5 family
     ('b{b}|' prefix); a shingle votes +1 when the digest's first hex
     char has its MSB set ('8'-'f'), else -1; the bit is 1 when the vote
     sum is positive. One shuffle (the per-doc groupBy)."""
     vote_aggs = []
-    for b in range(SIMHASH_BITS):
+    for b in range(bits):
         first = F.substring(F.md5(F.concat(F.lit(f"b{b}|"), F.col("shingle"))), 1, 1)
         vote = F.when(first >= "8", 1).otherwise(-1)
         vote_aggs.append(F.sum(vote).alias(f"v{b}"))
     votes = shingles.groupBy(id_col).agg(*vote_aggs)
-    bits = [F.when(F.col(f"v{b}") > 0, "1").otherwise("0") for b in range(SIMHASH_BITS)]
-    return votes.select(id_col, F.concat(*bits).alias("simhash"))
+    bit_exprs = [F.when(F.col(f"v{b}") > 0, "1").otherwise("0") for b in range(bits)]
+    return votes.select(id_col, F.concat(*bit_exprs).alias("simhash"))
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -341,14 +344,14 @@ def x2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(doc_shingles(docs)).orderBy("doc_a", "doc_b")
 
 
-def _duck_simhash_sql() -> str:
+def _duck_simhash_sql(bits: int = SIMHASH_BITS) -> str:
     votes = ",\n           ".join(
         f"SUM(CASE WHEN SUBSTR(MD5('b{b}|' || shingle), 1, 1) >= '8' "
         f"THEN 1 ELSE -1 END) AS v{b}"
-        for b in range(SIMHASH_BITS)
+        for b in range(bits)
     )
-    bits = " || ".join(
-        f"(CASE WHEN v{b} > 0 THEN '1' ELSE '0' END)" for b in range(SIMHASH_BITS)
+    bit_sql = " || ".join(
+        f"(CASE WHEN v{b} > 0 THEN '1' ELSE '0' END)" for b in range(bits)
     )
     return f"""
     {_DUCK_SHINGLES},
@@ -356,7 +359,7 @@ def _duck_simhash_sql() -> str:
         SELECT doc_id, {votes}
         FROM shingles GROUP BY doc_id
     )
-    SELECT doc_id, {bits} AS simhash
+    SELECT doc_id, {bit_sql} AS simhash
     FROM votes
     ORDER BY doc_id
     """
@@ -593,24 +596,33 @@ def shingle_dup_coverage(docs: DataFrame) -> DataFrame:
     )
 
 
-SIMHASH_BANDS, SIMHASH_MAX_HAMMING = 4, 3  # pigeonhole: d<=3 -> >=1 equal band
+# Production SimHash-LSH setting (Manku et al., WWW'07): 64-bit
+# fingerprints, 4 bands of 16 bits, hamming <= 3. Pigeonhole: any pair
+# within distance 3 agrees on at least one whole 16-bit band, and each
+# band key draws from 2^16 buckets — bucket size ~ n/65536, so the
+# band self-join stays near-linear. (The 16-bit demo fingerprint of
+# ``x2_simhash_fingerprints`` would give only 2^4 buckets per band —
+# O(n^2/16) pair generation — which is why the pairs operator uses its
+# own width.)
+SIMHASH_PAIR_BITS, SIMHASH_BANDS, SIMHASH_MAX_HAMMING = 64, 4, 3
 
 
 def _duck_simhash_pairs_sql() -> str:
-    band_w = SIMHASH_BITS // SIMHASH_BANDS
+    bits, band_w = SIMHASH_PAIR_BITS, SIMHASH_PAIR_BITS // SIMHASH_BANDS
     bands = "\n        UNION ALL\n        ".join(
         f"SELECT doc_id, {k} AS band_id, SUBSTR(simhash, {1 + k * band_w}, {band_w}) AS band_key FROM fp"
         for k in range(SIMHASH_BANDS)
     )
     hamming = " + ".join(
         f"(CASE WHEN SUBSTR(fa.simhash, {i}, 1) <> SUBSTR(fb.simhash, {i}, 1) THEN 1 ELSE 0 END)"
-        for i in range(1, SIMHASH_BITS + 1)
+        for i in range(1, bits + 1)
     )
+    # reuse the parameterized fingerprint SQL as a subquery (strip its
+    # trailing ORDER BY — CTE bodies don't need it)
+    fp_sql = _duck_simhash_sql(bits).rsplit("ORDER BY doc_id", 1)[0]
     return f"""
-    {_duck_simhash_sql().rsplit("SELECT doc_id,", 1)[0]}
-    , fp AS (
-        SELECT doc_id, {_duck_simhash_sql().rsplit("SELECT doc_id,", 1)[1].split("AS simhash")[0]} AS simhash
-        FROM votes
+    WITH fp AS (
+        {fp_sql}
     ),
     bands AS (
         {bands}
@@ -636,19 +648,19 @@ def _duck_simhash_pairs_sql() -> str:
     survey_ids=("X2",),
 )
 def x2_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup PAIRS at hamming distance <= 3: the banded
-    completion of ``x2_simhash_fingerprints`` (equal-fingerprint
-    grouping only catches distance 0). Pigeonhole: 16 bits in 4 bands
-    means any pair within distance 3 agrees on at least one whole
-    band, so candidates come from ONE equi-join on (band_id,
-    band_key) — never an all-pairs XOR — and the exact 16-position
-    hamming check runs only inside buckets. The third, mutually
-    independent near-dup family next to MinHash-Jaccard and
-    embedding-LSH; same bucketed join shape, so the same 100 TB
-    posture."""
+    """SimHash near-dup PAIRS at the production LSH setting (Manku et
+    al.): 64-bit fingerprints, 4 bands of 16 bits, hamming <= 3 — the
+    banded completion of ``x2_simhash_fingerprints`` (equal-fingerprint
+    grouping only catches distance 0). Pigeonhole guarantees any pair
+    within distance 3 agrees on one whole band, so candidates come
+    from ONE equi-join on (band_id, band_key) over 2^16-ary buckets —
+    never an all-pairs XOR, bucket size ~ n/65536 — and the exact
+    64-position hamming check runs only inside buckets. The third,
+    mutually independent near-dup family next to MinHash-Jaccard and
+    embedding-LSH."""
+    bits, band_w = SIMHASH_PAIR_BITS, SIMHASH_PAIR_BITS // SIMHASH_BANDS
     docs = t(spark, sf_dir, "documents")
-    fp = simhash_fingerprints(doc_shingles(docs)).localCheckpoint(eager=True)
-    band_w = SIMHASH_BITS // SIMHASH_BANDS
+    fp = simhash_fingerprints(doc_shingles(docs), bits=bits).localCheckpoint(eager=True)
     bands = None
     for k in range(SIMHASH_BANDS):
         b = fp.select(
@@ -657,12 +669,8 @@ def x2_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("simhash", 1 + k * band_w, band_w).alias("band_key"),
         )
         bands = b if bands is None else bands.unionByName(b)
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), "band_id", "band_key"
-    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     cand = (
         a.join(b, ["band_id", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -672,10 +680,8 @@ def x2_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
     fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
     hamming = sum(
-        F.when(
-            F.substring("sh_a", i, 1) != F.substring("sh_b", i, 1), 1
-        ).otherwise(0)
-        for i in range(1, SIMHASH_BITS + 1)
+        F.when(F.substring("sh_a", i, 1) != F.substring("sh_b", i, 1), 1).otherwise(0)
+        for i in range(1, bits + 1)
     )
     return (
         cand.join(fa, "doc_a")
