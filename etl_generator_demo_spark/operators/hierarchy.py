@@ -184,3 +184,85 @@ def j_hierarchy_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtree filters (`WHERE anc_id = X` selects X's whole org). Path
     doubling vs recursive CTE."""
     return ancestor_pairs(_customer_tree(spark, sf_dir)).orderBy("id", "dist")
+
+
+PAGERANK_ITERS, PAGERANK_DAMPING = 3, 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank SQL: each iteration is one
+    CTE (no recursive aggregate needed). Edges: child -> parent,
+    out-degree 1; root (dangling) mass is NOT redistributed — the
+    'lossy' PageRank variant, identical on both engines."""
+    d, iters = PAGERANK_DAMPING, PAGERANK_ITERS
+    sql = """
+    WITH nodes AS (
+        SELECT c_custkey AS id,
+               CASE WHEN c_custkey // 10 = 0 THEN NULL
+                    ELSE c_custkey // 10 END AS parent
+        FROM customer
+    ),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (SELECT id, parent, 1.0 / n.n AS rank FROM nodes, n)
+    """
+    prev = "r0"
+    for k in range(1, iters + 1):
+        sql += f""",
+    r{k} AS (
+        SELECT cur.id, cur.parent,
+               (1.0 - {d}) / n.n
+               + {d} * COALESCE(SUM(child.rank), 0) AS rank
+        FROM {prev} cur
+        LEFT JOIN {prev} child ON child.parent = cur.id
+        CROSS JOIN n
+        GROUP BY cur.id, cur.parent, n.n
+    )
+    """
+        prev = f"r{k}"
+    sql += f"""
+    SELECT r.id,
+           FLOOR(r.rank * n.n * 1000000) / 1000000 AS rank_scaled
+    FROM {prev} r, n
+    ORDER BY r.id
+    """
+    return sql
+
+
+@register("g_pagerank_tree", oracle=_pagerank_oracle(), survey_ids=("J3", "U1"))
+def g_pagerank_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (3 rounds, d=0.85) over the customer
+    tree — the iterative numeric-fixpoint shape (contrast the boolean
+    fixpoints of connected components / ancestor walk). Each round is
+    ONE aggregate-join on the parent key: contributions group by
+    target BEFORE joining rank state, so the shuffle carries one row
+    per node, and ``localCheckpoint`` cuts lineage per round exactly
+    like the other iterative operators. Root (dangling) mass is not
+    redistributed — the lossy variant, mirrored exactly by the
+    unrolled-CTE oracle; ranks are reported scaled by N (≈1.0) and
+    floor-scaled for cross-engine hashing."""
+    nodes = _customer_tree(spark, sf_dir).localCheckpoint(eager=True)
+    n = nodes.count()
+    d = PAGERANK_DAMPING
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            ranks.filter(F.col("parent").isNotNull())
+            .groupBy("parent")
+            .agg(F.sum("rank").alias("child_mass"))
+            .select(F.col("parent").alias("_target"), "child_mass")
+        )
+        ranks = (
+            ranks.join(contrib, ranks["id"] == contrib["_target"], "left")
+            .select(
+                "id",
+                "parent",
+                (
+                    F.lit((1.0 - d) / n)
+                    + F.lit(d) * F.coalesce(F.col("child_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        "id", (F.floor(F.col("rank") * n * 1_000_000) / 1_000_000).alias("rank_scaled")
+    ).orderBy("id")

@@ -89,3 +89,28 @@ def test_walk_drops_dangling_subtrees_like_recursive_cte(spark):
     out = ancestor_walk(_tree(spark, rows))
     got = {r["id"]: (r["root_id"], r["depth"]) for r in out.collect()}
     assert got == {1: (1, 0), 2: (1, 1)}
+
+
+def test_pagerank_tree_mass_and_monotonicity(spark, sf_dir):
+    """Sanity of the lossy fixed-iteration PageRank: every rank
+    positive, leaves sit at the (1-d)/N floor, and nodes with more
+    children outrank nodes with fewer at the same level."""
+    from etl_generator_demo_spark.operators.hierarchy import (
+        PAGERANK_DAMPING,
+        g_pagerank_tree,
+        j_hierarchy_ancestors,
+    )
+
+    ranks = {r["id"]: r["rank_scaled"] for r in g_pagerank_tree(spark, sf_dir).collect()}
+    n = len(ranks)
+    assert all(v > 0 for v in ranks.values())
+    # leaves (no inbound edges) hold exactly the teleport floor * N,
+    # floor-scaled: (1-d)/N * N = 1-d
+    children = {}
+    for r in j_hierarchy_ancestors(spark, sf_dir).filter("dist = 1").collect():
+        children.setdefault(r["anc_id"], set()).add(r["id"])
+    leaves = set(ranks) - set(children)
+    floor_val = 1.0 - PAGERANK_DAMPING
+    assert leaves and all(abs(ranks[l] - floor_val) < 1e-4 for l in leaves)
+    # any parent outranks any leaf
+    assert min(ranks[p] for p in children) > max(ranks[l] for l in leaves)
