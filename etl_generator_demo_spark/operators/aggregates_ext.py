@@ -311,3 +311,34 @@ def a_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_p99",
         within("approx_p99", "exact_p99").alias("p99_within_2pct"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# A5 — explicit GROUPING SETS (rollup/cube's general form)
+# ---------------------------------------------------------------------------
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+@register(
+    "a_grouping_sets",
+    oracle=_GROUPING_SETS_SQL,
+    survey_ids=("A5",),
+)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form rollup/cube sugar over
+    (SURVEY §2.4 A5): per-flag totals, per-status totals, and the full
+    cross, in ONE aggregation pass (Spark expands the sets into a
+    single Expand + hash aggregate, not three scans). GROUPING()
+    markers disambiguate subtotal NULLs from data NULLs. The exact SQL
+    text runs on both engines."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)

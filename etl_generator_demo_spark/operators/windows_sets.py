@@ -292,3 +292,41 @@ def u_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("lineitem", "supplier", "nation"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_CTE_SQL)
+
+
+# ---------------------------------------------------------------------------
+# W1+ — distribution window functions (percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+@register(
+    "w_cume_dist_percent_rank",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           FLOOR(PERCENT_RANK() OVER w * 1000000) / 1000000 AS pct_rank,
+           FLOOR(CUME_DIST()    OVER w * 1000000) / 1000000 AS cume
+    FROM orders
+    WHERE o_custkey <= 20
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    ORDER BY o_orderpriority, o_totalprice, o_orderkey
+    """,
+    survey_ids=("W1",),
+)
+def w_cume_dist_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution functions PERCENT_RANK ((rank-1)/(n-1)) and
+    CUME_DIST (n_peers_at_or_below/n) — the "where does this order sit
+    in its priority class" question. Both are tie-aware by definition
+    (peers share a value), so a non-unique ORDER BY key stays
+    deterministic; output floor-scaled to 1e-6 since the division is
+    the only float step. One window shuffle on the partition key."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 20)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    fl6 = lambda c: F.floor(c * 1000000) / 1000000  # noqa: E731
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            fl6(F.percent_rank().over(w)).alias("pct_rank"),
+            fl6(F.cume_dist().over(w)).alias("cume"),
+        )
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    )
