@@ -1,0 +1,293 @@
+"""Embedding-space clustering for data curation: fixed-iteration
+Lloyd's k-means and SemDeDup-style within-cluster semantic dedup
+(SURVEY §2.12 X3 — no reference counterpart; the reference delegates
+everything to PostgreSQL, ``db_connector.py:227-228``).
+
+Exactness design — the whole pipeline is ORDER-INDEPENDENT INTEGER
+arithmetic, so a DuckDB oracle can hash it value-for-value:
+
+- vectors are quantized once at the scan: q_i = FLOOR(v_i · 10⁴) as
+  BIGINT (float step happens per-element on identical doubles, no
+  summation);
+- distances are Σ(q_i − c_i)² in BIGINT — exact, no float ever;
+- centroid updates are SUM(BIGINT)/COUNT with FLOOR — SUM over longs
+  is order-independent, so Spark's partition-merge order and DuckDB's
+  scan order produce bit-identical centroids;
+- SemDeDup's cosine threshold compares (dot² ≥ τ²·|a|²·|b|²) where
+  dot/|a|²/|b|² are exact BIGINTs — the only float ops are two IEEE
+  multiplications of exactly-representable inputs, identical in both
+  engines.
+
+Float k-means (mean of raw doubles) would NOT hash across engines:
+group-sum order differs run to run. Quantization at 1e-4 changes the
+clustering immeasurably and buys determinism.
+
+Scale shape: each Lloyd round is one broadcast join (k×dim centroid
+model, a few KB) + one (cluster, dim) map-combined groupBy — linear
+scans, no all-pairs. The centroid model is collected driver-side
+between rounds (k·dim values — model state, not data; same class as
+the ANN query vector ``.first()``). SemDeDup's pair stage self-joins
+WITHIN clusters only, co-keyed on cluster_id; production SemDeDup
+(Abbas et al. 2023) sizes k ~ √N precisely so cluster cardinality
+stays bounded — K here is a fixture-sized instance of that knob.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.relational import t
+from etl_generator_demo_spark.operators.similarity import DIM
+from etl_generator_demo_spark.registry import register
+
+#: Quantization scale: 4 decimal digits of each embedding coordinate.
+QSCALE = 10_000
+#: Cluster count (fixture-sized; scale-rule is k ~ √N, see module doc).
+KMEANS_K = 8
+#: Fixed Lloyd rounds (centroid updates) before the final assignment.
+KMEANS_ROUNDS = 2
+#: SemDeDup cosine threshold: drop the higher-id member of any
+#: within-cluster pair with cos ≥ τ. τ² is what the integer compare uses.
+SEMDEDUP_TAU = 0.30
+
+
+def _quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings → (vec_id, label, q: array<long>) with q_i = ⌊v_i·10⁴⌋."""
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.floor(x * QSCALE).cast("long"),
+        ).alias("q"),
+    )
+
+
+def _sqdist(q: str, c: str):
+    """Exact integer squared L2 distance between two long arrays."""
+    return F.aggregate(
+        F.zip_with(q, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+
+
+def _assign(emb: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: broadcast the k-row centroid
+    relation, exact integer distances, ties broken by lowest
+    cluster_id (min over (d, cluster_id) structs)."""
+    scored = emb.crossJoin(F.broadcast(cdf)).withColumn("d", _sqdist("q", "c"))
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("d"), F.col("cluster_id"))).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cluster_id").alias("cluster_id"),
+            F.col("m.d").alias("dist_q"),
+        )
+    )
+
+
+def kmeans_assignments(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    rounds: int = KMEANS_ROUNDS,
+) -> DataFrame:
+    """Run `rounds` Lloyd updates from the deterministic md5-seeded
+    init, then return the final assignment (vec_id, label, cluster_id,
+    dist_q). Every number is an exact integer (see module doc)."""
+    emb = _quantized(spark, sf_dir)
+    seed = (
+        emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = [(i, list(r.q)) for i, r in enumerate(seed)]
+    for _ in range(rounds):
+        cdf = spark.createDataFrame(cents, "cluster_id int, c array<bigint>")
+        assigned = _assign(emb, cdf)
+        upd = (
+            assigned.join(emb, "vec_id")
+            .select("cluster_id", F.posexplode("q").alias("pos", "qv"))
+            .groupBy("cluster_id", "pos")
+            .agg(
+                F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cv")
+            )
+            .collect()  # k·dim rows — the model, not the data
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in upd:
+            by_cluster.setdefault(r.cluster_id, {})[r.pos] = r.cv
+        cents = [
+            (cid, [dims[p] for p in sorted(dims)])
+            for cid, dims in sorted(by_cluster.items())
+        ]
+    cdf = spark.createDataFrame(cents, "cluster_id int, c array<bigint>")
+    return _assign(emb, cdf).join(
+        emb.select("vec_id", "label"), "vec_id"
+    ).select("vec_id", "label", "cluster_id", "dist_q")
+
+
+def _kmeans_cte(k: int, rounds: int, dim: int) -> str:
+    """The shared CTE chain: e (quantized) … aN (final assignment).
+    Unrolled per round — the oracle is the same fixed-iteration
+    computation, not an approximation."""
+    parts = [
+        f"""e AS (
+        SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(FLOOR(x * {QSCALE}) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    init AS (
+        SELECT vec_id, q, md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM e ORDER BY h, vec_id LIMIT {k}
+    ),
+    c0 AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS INT) AS cluster_id, q AS c
+        FROM init
+    )"""
+    ]
+    dist = (
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS BIGINT)"
+    )
+    for r in range(rounds + 1):
+        parts.append(f"""d{r} AS (
+        SELECT e.vec_id, c.cluster_id, {dist} AS d FROM e, c{r} c
+    ),
+    a{r} AS (
+        SELECT vec_id, cluster_id, d FROM (
+            SELECT vec_id, cluster_id, d,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
+            FROM d{r}
+        ) WHERE rn = 1
+    )""")
+        if r < rounds:
+            parts.append(f"""u{r + 1} AS (
+        SELECT a{r}.cluster_id, i.i AS pos,
+               CAST(FLOOR(CAST(SUM(e.q[i.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+        FROM a{r} JOIN e USING (vec_id) CROSS JOIN range(1, {dim + 1}) AS i(i)
+        GROUP BY a{r}.cluster_id, i.i
+    ),
+    c{r + 1} AS (
+        SELECT cluster_id, list(cv ORDER BY pos) AS c FROM u{r + 1} GROUP BY cluster_id
+    )""")
+    return ",\n    ".join(parts)
+
+
+def _kmeans_oracle(k: int = KMEANS_K, rounds: int = KMEANS_ROUNDS, dim: int = DIM) -> str:
+    return f"""
+    WITH {_kmeans_cte(k, rounds, dim)}
+    SELECT a.vec_id, e.label, a.cluster_id, a.d AS dist_q
+    FROM a{rounds} a JOIN e USING (vec_id)
+    ORDER BY vec_id
+    """
+
+
+@register("x3_kmeans_clusters", oracle=_kmeans_oracle(), survey_ids=("X3",))
+def x3_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration k-means (k=8, 2 Lloyd rounds, md5-seeded init)
+    over integer-quantized embeddings; vs an unrolled-CTE DuckDB oracle
+    running the identical exact-integer computation."""
+    return kmeans_assignments(spark, sf_dir).orderBy("vec_id")
+
+
+def _semdedup_oracle(
+    k: int = KMEANS_K, rounds: int = KMEANS_ROUNDS, dim: int = DIM
+) -> str:
+    tau2 = SEMDEDUP_TAU * SEMDEDUP_TAU
+    dot = (
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> (ea.q[i] * eb.q[i]))) AS BIGINT)"
+    )
+    n2 = (
+        "CAST(list_sum(list_transform(range(1, {d}),"
+        " i -> ({e}.q[i] * {e}.q[i]))) AS BIGINT)"
+    )
+    na2 = n2.format(d=dim + 1, e="ea")
+    nb2 = n2.format(d=dim + 1, e="eb")
+    return f"""
+    WITH {_kmeans_cte(k, rounds, dim)},
+    sim AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM a{rounds} a JOIN a{rounds} b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        JOIN e ea ON ea.vec_id = a.vec_id
+        JOIN e eb ON eb.vec_id = b.vec_id
+        WHERE {dot} > 0
+          AND CAST({dot} AS DOUBLE) * {dot} >= {tau2!r} * (CAST({na2} AS DOUBLE) * {nb2})
+    )
+    SELECT a.vec_id, a.cluster_id,
+           (s.vec_b IS NULL) AS keep
+    FROM a{rounds} a
+    LEFT JOIN (SELECT DISTINCT vec_b FROM sim) s ON s.vec_b = a.vec_id
+    ORDER BY vec_id
+    """
+
+
+@register("x3_semdedup_keep", oracle=_semdedup_oracle(), survey_ids=("X3", "X2"))
+def x3_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space, then within each cluster drop every vector whose
+    cosine to a LOWER-id cluster-mate is ≥ τ — semantic near-dups that
+    exact/MinHash text dedup cannot see. Output is one row per vector
+    with its keep/drop verdict.
+
+    The cosine gate is exact integer arithmetic: dot > 0 AND
+    dot² ≥ τ²·|a|²·|b|², with dot/|a|²/|b|² BIGINTs from quantized
+    vectors (module doc). Pairs exist only WITHIN a cluster (the whole
+    point of clustering first): the self-join is co-keyed on
+    cluster_id, never corpus-wide."""
+    assigned = kmeans_assignments(spark, sf_dir).select("vec_id", "cluster_id")
+    emb = _quantized(spark, sf_dir).select("vec_id", "q")
+    side = assigned.join(emb, "vec_id")
+    a = side.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+    )
+    b = side.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+    )
+
+    def idot(x: str, y: str):
+        return F.aggregate(
+            F.zip_with(x, y, lambda u, v: u * v),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+
+    tau2 = SEMDEDUP_TAU * SEMDEDUP_TAU
+    pairs = (
+        a.join(b, ["cluster_id"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dot", idot("qa", "qb"))
+        .withColumn("na2", idot("qa", "qa"))
+        .withColumn("nb2", idot("qb", "qb"))
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot").cast("double") * F.col("dot")
+                >= F.lit(tau2)
+                * (F.col("na2").cast("double") * F.col("nb2"))
+            )
+        )
+    )
+    dropped = pairs.select("vec_b").distinct()
+    return (
+        assigned.join(dropped, assigned.vec_id == dropped.vec_b, "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.col("vec_b").isNull().alias("keep"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1,0 +1,90 @@
+"""K-means / SemDeDup semantics on planted embeddings — the oracle
+gate proves cross-engine hash identity; these prove the clustering
+separates what it should and the dedup drops what it claims."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def blobs(spark, tmp_path_factory):
+    """Two well-separated blobs in 64-dim: ids 0-9 near +e1, ids 10-19
+    near -e1 (tiny deterministic per-id jitter on the second axis),
+    plus one exact-duplicate pair inside blob A (ids 8 and 9)."""
+    out = str(tmp_path_factory.mktemp("blobs"))
+    rows = []
+    for i in range(20):
+        base = 1.0 if i < 10 else -1.0
+        v = [0.0] * 64
+        v[0] = base
+        v[1] = 0.001 * (i % 7)  # jitter so vectors aren't all identical
+        if i in (8, 9):
+            v = [0.0] * 64
+            v[0] = 1.0
+            v[1] = 0.003  # ids 8 and 9: exact duplicates
+        rows.append((i, [float(x) for x in v], i % 3))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(out + "/embeddings.parquet")
+    return out
+
+
+def test_kmeans_separates_planted_blobs(spark, blobs):
+    from etl_generator_demo_spark.operators.clustering import kmeans_assignments
+
+    got = kmeans_assignments(spark, blobs, k=2, rounds=2).collect()
+    by_id = {r.vec_id: r.cluster_id for r in got}
+    assert len(by_id) == 20
+    blob_a = {by_id[i] for i in range(10)}
+    blob_b = {by_id[i] for i in range(10, 20)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+
+
+def test_kmeans_is_deterministic_across_runs(spark, blobs):
+    from etl_generator_demo_spark.operators.clustering import kmeans_assignments
+
+    a = sorted(map(tuple, kmeans_assignments(spark, blobs, k=2, rounds=2).collect()))
+    b = sorted(map(tuple, kmeans_assignments(spark, blobs, k=2, rounds=2).collect()))
+    assert a == b  # exact-integer pipeline: bit-identical, not just close
+
+
+def test_semdedup_drops_higher_id_of_near_identical_pair(spark, tmp_path_factory):
+    from etl_generator_demo_spark.operators.clustering import x3_semdedup_keep
+
+    out = str(tmp_path_factory.mktemp("dup"))
+    rows = []
+    for i in range(12):
+        v = [0.0] * 64
+        v[i] = 1.0  # pairwise orthogonal base corpus
+        rows.append((i, [float(x) for x in v], 0))
+    # id 12 duplicates id 3 exactly: the ONLY above-threshold pair
+    v = [0.0] * 64
+    v[3] = 1.0
+    rows.append((12, [float(x) for x in v], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(out + "/embeddings.parquet")
+    got = {r.vec_id: r.keep for r in x3_semdedup_keep(spark, out).collect()}
+    # identical vectors always share a k-means cluster, so the pair is
+    # visible to the within-cluster join; lower id survives
+    assert got[3] is True
+    assert got[12] is False
+    assert sum(1 for k in got.values() if not k) == 1  # nothing else dropped
+
+
+def test_semdedup_keeps_orthogonal_vectors(spark, tmp_path_factory):
+    from etl_generator_demo_spark.operators.clustering import x3_semdedup_keep
+
+    out = str(tmp_path_factory.mktemp("ortho"))
+    rows = []
+    for i in range(12):
+        v = [0.0] * 64
+        v[i] = 1.0  # pairwise orthogonal: cosine 0 < tau for every pair
+        rows.append((i, [float(x) for x in v], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(out + "/embeddings.parquet")
+    got = x3_semdedup_keep(spark, out).collect()
+    assert all(r.keep for r in got)
