@@ -50,6 +50,9 @@ HEADLINE = [
     # round-4 operators: substring-dup coverage + bigram-LM quality
     "x2_shingle_dup_coverage",
     "x4_bigram_lm_quality",
+    # round-4 additions: BM25 retrieval + SemDeDup (k-means inside)
+    "x4_bm25_topk",
+    "x3_semdedup_keep",
 ]
 
 

@@ -244,46 +244,53 @@ def x3_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors (module doc). Pairs exist only WITHIN a cluster (the whole
     point of clustering first): the self-join is co-keyed on
     cluster_id, never corpus-wide."""
-    assigned = kmeans_assignments(spark, sf_dir).select("vec_id", "cluster_id")
+    # The assignment feeds BOTH the pair stage and the output row set;
+    # localCheckpoint materializes it once (it is |corpus| rows of two
+    # ids — tiny) instead of re-running the Lloyd assignment plan per
+    # consumer. Same pattern as dedup_clusters' per-round checkpoint.
+    assigned = (
+        kmeans_assignments(spark, sf_dir)
+        .select("vec_id", "cluster_id")
+        .localCheckpoint(eager=True)
+    )
     emb = _quantized(spark, sf_dir).select("vec_id", "q")
     side = assigned.join(emb, "vec_id")
-    a = side.select(
-        F.col("cluster_id"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("q").alias("qa"),
-    )
-    b = side.select(
-        F.col("cluster_id"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("q").alias("qb"),
-    )
-
-    def idot(x: str, y: str):
-        return F.aggregate(
-            F.zip_with(x, y, lambda u, v: u * v),
-            F.lit(0).cast("long"),
-            lambda s, v: s + v,
-        )
 
     tau2 = SEMDEDUP_TAU * SEMDEDUP_TAU
-    pairs = (
-        a.join(b, ["cluster_id"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("dot", idot("qa", "qb"))
-        .withColumn("na2", idot("qa", "qa"))
-        .withColumn("nb2", idot("qb", "qb"))
-        .filter(
-            (F.col("dot") > 0)
-            & (
-                F.col("dot").cast("double") * F.col("dot")
-                >= F.lit(tau2)
-                * (F.col("na2").cast("double") * F.col("nb2"))
-            )
-        )
+
+    def dropped_in_cluster(pdf):
+        # Self-contained Arrow-grouped closure (local imports only: no
+        # SparkContext on executor workers). One exact int64 Gram
+        # matrix per cluster replaces C(m,2) interpreted 64-wide
+        # zip_with reductions — numpy integer matmul is the same exact
+        # arithmetic the oracle's per-pair list_sum computes, and the
+        # τ gate repeats the oracle's two IEEE double multiplications
+        # bit-for-bit.
+        import numpy as np
+        import pandas as pd
+
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        q = np.stack(pdf["q"].to_numpy()[order]).astype(np.int64)
+        g = q @ q.T  # exact: |dot| <= 64·(5·10³·10)² « 2⁶³
+        n2 = np.diag(g).astype(np.float64)
+        dotf = g.astype(np.float64)
+        mask = (g > 0) & (dotf * dotf >= tau2 * (n2[:, None] * n2[None, :]))
+        np.fill_diagonal(mask, False)
+        # ids are sorted, so upper-triangle j-indices ARE the higher-id
+        # (dropped) members of each qualifying pair
+        _, j = np.where(np.triu(mask, k=1))
+        return pd.DataFrame({"vec_id": np.unique(ids[j])})
+
+    dropped = side.groupBy("cluster_id").applyInPandas(
+        dropped_in_cluster, "vec_id long"
     )
-    dropped = pairs.select("vec_b").distinct()
     return (
-        assigned.join(dropped, assigned.vec_id == dropped.vec_b, "left")
+        assigned.join(
+            dropped.withColumnRenamed("vec_id", "vec_b"),
+            assigned.vec_id == F.col("vec_b"),
+            "left",
+        )
         .select(
             "vec_id",
             "cluster_id",

@@ -101,6 +101,26 @@ EXPECTATIONS: dict[str, dict] = {
     "x2_simhash_neardup_pairs": {"max_exchanges": 7},
     # one doc_id window shuffle + distinct + output order
     "x4_winnowing_fingerprints": {"max_exchanges": 3},
+    # query-term stats and the scalar stats row broadcast; corpus-keyed
+    # shuffles: token tf/dl groupBys, the scalar-stats SinglePartition,
+    # the doc_id join repartition, and the final per-doc agg — every
+    # one keyed and linear, none all-pairs
+    "x4_bm25_topk": {"max_exchanges": 7, "min_broadcast": 2, "take_ordered": True},
+    # vocab broadcasts; pairs are generated per-doc (co-keyed self-join)
+    "x4_pmi_cooccurrence": {"max_exchanges": 7, "min_broadcast": 3},
+    # final Lloyd assignment: centroid model broadcast, one groupBy per
+    # assignment + label rejoin + output order (earlier rounds run in
+    # their own jobs behind the driver-side model collect)
+    "x3_kmeans_clusters": {"max_exchanges": 5, "min_broadcast": 1},
+    # within-cluster pairs via ONE Arrow-grouped exact-integer Gram
+    # stage (keyed on cluster_id, never corpus-wide); centroid model
+    # broadcast; assignment behind a localCheckpoint lineage cut
+    "x3_semdedup_keep": {"max_exchanges": 4, "min_broadcast": 1},
+    # single window shuffle on the partition key + output ordering
+    "w_cume_dist_percent_rank": {"max_exchanges": 2, "pushed": True},
+    # GROUPING SETS expand into ONE hash aggregate (Expand node), not
+    # one scan per set
+    "a_grouping_sets": {"max_exchanges": 2},
 }
 
 
