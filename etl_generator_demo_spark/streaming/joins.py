@@ -101,3 +101,60 @@ def streaming_exact_dedup(
         # identical under the UTC session timezone
         stream = stream.withColumn(watermark_col, F.col(watermark_col).cast("timestamp"))
     return stream.withWatermark(watermark_col, delay).dropDuplicatesWithinWatermark(key_cols)
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join — the most common production streaming
+# pattern: a fact stream joined to a slowly-changing dimension.
+# ---------------------------------------------------------------------------
+def enrich_purchases_with_segment(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Purchases enriched with the customer's market segment, rolled up
+    to hourly revenue per segment. The same plan runs over a batch
+    DataFrame (registered query) and a streaming `events` source: a
+    stream-STATIC equi-join needs no watermark on the static side —
+    Spark broadcasts/rescans the dimension per micro-batch, state-free
+    (only the window aggregate holds state, bounded by the watermark).
+
+    At 100 TB/day of events the dimension is the small side by orders
+    of magnitude — broadcast, so the stream never shuffles for the
+    join; the only stateful shuffle is the windowed aggregate."""
+    purchases = events.filter(F.col("event_type") == "purchase")
+    dim = customer.select("c_custkey", "c_mktsegment")
+    return (
+        purchases.join(F.broadcast(dim), purchases.user_id == dim.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_purchases",
+            "revenue",
+        )
+    )
+
+
+@register(
+    "st_stream_static_enrich",
+    oracle="""
+    SELECT DATE_TRUNC('hour', CAST(e.ts AS TIMESTAMP)) AS window_start,
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n_purchases,
+           ROUND(SUM(e.value), 2) AS revenue
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+    ORDER BY window_start, segment
+    """,
+    survey_ids=("§2.11", "J1", "J6"),
+)
+def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch registration of the stream-static dimension join; the
+    pytest runs the identical plan as a real watermarked stream
+    (file source, availableNow) and asserts stream ≡ batch."""
+    return enrich_purchases_with_segment(
+        t(spark, sf_dir, "events"), t(spark, sf_dir, "customer")
+    ).orderBy("window_start", "segment")

@@ -447,3 +447,47 @@ def test_read_table_normalizes_event_time_to_timestamp(spark, sf_dir):
     from pyspark.sql import functions as F
 
     ev.select(F.unix_micros("ts")).limit(1).collect()
+
+
+class TestStreamStaticEnrich:
+    def test_stream_static_join_matches_batch(self, spark, sf_dir, tmp_path):
+        """The registered stream-static enrichment plan, run as a REAL
+        stream: events from a micro-batched file source with a
+        watermark, customer as the static dimension — output must
+        equal the batch computation (the dimension join adds no
+        streaming state; only the window aggregate is stateful)."""
+        from etl_generator_demo_spark.catalog import read_table
+        from etl_generator_demo_spark.streaming.joins import (
+            enrich_purchases_with_segment,
+        )
+
+        ev_batch = read_table(spark, sf_dir, "events")
+        cust = read_table(spark, sf_dir, "customer")
+        src = tmp_path / "enrich_src"
+        ev_batch.repartition(4).write.parquet(str(src))
+
+        ev_stream = (
+            spark.readStream.schema(ev_batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", "10 minutes")
+        )
+        q = (
+            enrich_purchases_with_segment(ev_stream, cust)
+            .writeStream.format("memory")
+            .queryName("enriched")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.window_start, r.segment): (r.n_purchases, r.revenue)
+            for r in spark.sql("SELECT * FROM enriched").collect()
+        }
+        want = {
+            (r.window_start, r.segment): (r.n_purchases, r.revenue)
+            for r in enrich_purchases_with_segment(ev_batch, cust).collect()
+        }
+        assert got == want and len(want) > 100

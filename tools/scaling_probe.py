@@ -38,6 +38,12 @@ QUERIES = [
     "x2_shingle_dup_coverage",
     "x4_bigram_lm_quality",
     "x3_ann_lsh_probe",
+    # round-4 additions: BM25 (linear keyed shuffles), k-means +
+    # SemDeDup (per-round broadcast+groupBy; within-cluster Gram
+    # stage — watch it stay ~linear as clusters grow with the corpus)
+    "x4_bm25_topk",
+    "x3_kmeans_clusters",
+    "x3_semdedup_keep",
 ]
 
 KEY_COLS = {
