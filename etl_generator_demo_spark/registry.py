@@ -62,6 +62,7 @@ def load_all() -> dict[str, RegisteredQuery]:
     import etl_generator_demo_spark.operators.hierarchy  # noqa: F401
     import etl_generator_demo_spark.operators.retrieval  # noqa: F401
     import etl_generator_demo_spark.operators.clustering  # noqa: F401
+    import etl_generator_demo_spark.operators.skew  # noqa: F401
     import etl_generator_demo_spark.operators.ann_index  # noqa: F401
 
     return REGISTRY

@@ -118,6 +118,14 @@ EXPECTATIONS: dict[str, dict] = {
     "x3_semdedup_keep": {"max_exchanges": 4, "min_broadcast": 1},
     # single window shuffle on the partition key + output ordering
     "w_cume_dist_percent_rank": {"max_exchanges": 2, "pushed": True},
+    # dim broadcast + ONE stateful window-agg shuffle + output order —
+    # the stream-static join itself must add no exchange
+    "st_stream_static_enrich": {"max_exchanges": 2, "min_broadcast": 1, "pushed": True},
+    # key-count groupBy + the rank window over the KEY relation (single
+    # partition by design: |keys| << |rows|) + scalar agg
+    "x4_key_skew_audit": {"max_exchanges": 4},
+    # vocab groupBy + vocab-sized rank window + scalar regression agg
+    "x4_zipf_slope": {"max_exchanges": 4},
     # GROUPING SETS expand into ONE hash aggregate (Expand node), not
     # one scan per set
     "a_grouping_sets": {"max_exchanges": 2},
