@@ -723,7 +723,8 @@ def x4_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x4_bigram_lm_quality",
     oracle="""
-    WITH tok AS (
+    WITH """
+    + (_BIGRAM_PERDOC_CHAIN := """tok AS (
         SELECT doc_id,
                UNNEST(STRING_SPLIT(text, ' ')) AS tk,
                GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
@@ -753,7 +754,8 @@ def x4_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_bigrams,
                FLOOR(AVG(lp) * 10000) / 10000 AS avg_logprob
         FROM scored GROUP BY doc_id
-    )
+    )""")
+    + """
     SELECT doc_id, n_bigrams, avg_logprob,
            avg_logprob < -3.9 AS low_quality
     FROM per_doc
@@ -975,4 +977,63 @@ def x4_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("slope_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style per-language quality buckets over the bigram-LM score
+# ---------------------------------------------------------------------------
+@register(
+    "x4_quality_buckets",
+    oracle="""
+    WITH """
+    + _BIGRAM_PERDOC_CHAIN
+    + """,
+    lang_scored AS (
+        SELECT d.lang, p.doc_id, p.avg_logprob
+        FROM per_doc p JOIN documents d USING (doc_id)
+    ),
+    bucketed AS (
+        SELECT lang, avg_logprob,
+               NTILE(3) OVER (PARTITION BY lang
+                              ORDER BY avg_logprob DESC, doc_id) AS bucket
+        FROM lang_scored
+    )
+    SELECT lang, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(avg_logprob) AS worst_score,
+           MAX(avg_logprob) AS best_score
+    FROM bucketed
+    GROUP BY lang, bucket
+    ORDER BY lang, bucket
+    """,
+    survey_ids=("X4", "W1"),
+)
+def x4_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality split (Wenzek et al. 2020):
+    rank documents per language by the bigram-LM score and NTILE them
+    into three equal buckets — bucket 1 = head (highest quality). The
+    downstream pipeline trains on head+middle and discards or
+    re-filters the tail. Reuses the x4_bigram_lm_quality scoring chain
+    verbatim (shared SQL constant), adds one lang join + one ranked
+    window over per-doc rows + the rollup.
+
+    Determinism: NTILE runs over (floored score, doc_id) — a total
+    order — and bucket counts/extremes aggregate the already-floored
+    scores, so no new float surface is introduced."""
+    from pyspark.sql import Window
+
+    scores = x4_bigram_lm_quality(spark, sf_dir).select("doc_id", "avg_logprob")
+    langs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), "doc_id")
+    return (
+        scores.join(langs, "doc_id")
+        .withColumn("bucket", F.ntile(3).over(w))
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("avg_logprob").alias("worst_score"),
+            F.max("avg_logprob").alias("best_score"),
+        )
+        .orderBy("lang", "bucket")
     )
