@@ -342,3 +342,33 @@ def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     text runs on both engines."""
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "a_bool_aggregates",
+    oracle="""
+    SELECT o_custkey,
+           BOOL_AND(o_orderpriority = '1-URGENT') AS all_urgent,
+           BOOL_OR(o_totalprice > 200000)         AS any_big,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished
+    FROM orders
+    WHERE o_custkey <= 200
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+    survey_ids=("A1",),
+)
+def a_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) + a FILTER-clause conditional
+    count — the "did ALL/ANY of this customer's orders ..." question
+    class. All three are single-pass map-combinable aggregates."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.bool_and(F.col("o_orderpriority") == "1-URGENT").alias("all_urgent"),
+            F.bool_or(F.col("o_totalprice") > 200000).alias("any_big"),
+            F.count_if(F.col("o_orderstatus") == "F").cast("long").alias("n_finished"),
+        )
+        .orderBy("o_custkey")
+    )

@@ -409,3 +409,35 @@ def f_json_struct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("js.k")).alias("k_total"), F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "f_bitwise_ops",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255                      AS low_byte,
+           o_orderkey | 4096                     AS with_flag,
+           XOR(o_orderkey, 21845)                AS xored,
+           CAST(o_orderkey // 1024 AS BIGINT)    AS shifted_right,
+           CAST(BIT_COUNT(o_orderkey) AS BIGINT) AS popcount
+    FROM orders
+    WHERE o_custkey <= 50
+    ORDER BY o_orderkey
+    """,
+    survey_ids=("F6",),
+)
+def f_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise arithmetic over keys (F6 surface): mask, flag-set, XOR,
+    shift (expressed as integer division so both engines agree on
+    semantics for non-negative keys), popcount. Bit tricks are the
+    bread and butter of hash/bucket/bloom code — all scan-side."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.floor(k / 1024).cast("long").alias("shifted_right"),
+        F.bit_count(k).cast("long").alias("popcount"),
+    ).orderBy("o_orderkey")

@@ -330,3 +330,34 @@ def w_cume_dist_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# O2+ — keyset-free pagination (LIMIT ... OFFSET)
+# ---------------------------------------------------------------------------
+@register(
+    "o_limit_offset_page",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, o_totalprice
+    FROM orders
+    ORDER BY o_orderdate DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+    survey_ids=("O1", "O2"),
+)
+def o_limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page 3 of the most recent orders (LIMIT 20 OFFSET 40) — the
+    pagination idiom every result-table UI (the reference's included)
+    emits. The ORDER BY carries a unique tiebreaker so page boundaries
+    are deterministic. At scale OFFSET still sorts/skips the prefix —
+    keyset pagination (WHERE (date, key) < last-seen) is the 100 TB
+    path; this registers the SQL-surface semantics."""
+    o = t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders
+        ORDER BY o_orderdate DESC, o_orderkey
+        LIMIT 20 OFFSET 40
+        """
+    )
