@@ -298,3 +298,74 @@ def x3_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-projection dimensionality reduction (Johnson–Lindenstrauss)
+# ---------------------------------------------------------------------------
+RP_OUT_DIM = 16
+
+
+def _rp_signs(out_dim: int = RP_OUT_DIM, dim: int = DIM) -> list[list[int]]:
+    """Deterministic ±1 projection matrix (Achlioptas 2003: Rademacher
+    entries satisfy the JL lemma like Gaussians do) — one md5 bit per
+    cell, reproducible in any engine with md5."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp|{r}|{j}".encode()).hexdigest()[0], 16) >= 8 else -1
+            for j in range(dim)
+        ]
+        for r in range(out_dim)
+    ]
+
+
+def _rp_oracle(out_dim: int = RP_OUT_DIM, dim: int = DIM) -> str:
+    rows = _rp_signs(out_dim, dim)
+    comps = []
+    for r, signs in enumerate(rows):
+        terms = " + ".join(
+            f"{'' if s > 0 else '-'}q[{j + 1}]" for j, s in enumerate(signs)
+        ).replace("+ -", "- ")
+        comps.append(f"CAST({terms} AS BIGINT)")
+    proj_csv = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in comps)
+    return f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(FLOOR(x * {QSCALE}) AS BIGINT)) AS q
+        FROM embeddings
+    )
+    SELECT vec_id, {proj_csv} AS proj_csv
+    FROM e
+    ORDER BY vec_id
+    """
+
+
+@register("x3_random_projection", oracle=_rp_oracle(), survey_ids=("X3",))
+def x3_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-dim → 16-dim Rademacher random projection: each output
+    component is a signed SUM of the BIGINT-quantized input — exact
+    integer arithmetic end to end, emitted as a deterministic CSV
+    column (the driver canonicalizer cannot hash arrays). The ±1
+    matrix is md5-derived, so the DuckDB oracle inlines the identical
+    signs as literal expressions.
+
+    This is the cheap front half of the embedding toolbox: project
+    once at ingest (scan-side, zero shuffle), then run coarse
+    clustering / LSH / top-k candidate generation in 16 dims and
+    re-rank survivors in the original space. JL distortion for the
+    fixture scale is pinned by pytest on planted geometry."""
+    emb = _quantized(spark, sf_dir)
+    rows = _rp_signs()
+    comps = []
+    for signs in rows:
+        comp = None
+        for j, s in enumerate(signs):
+            term = F.col("q").getItem(j) if s > 0 else -F.col("q").getItem(j)
+            comp = term if comp is None else comp + term
+        comps.append(comp.cast("long").cast("string"))
+    return emb.select(
+        "vec_id", F.concat_ws(",", *comps).alias("proj_csv")
+    ).orderBy("vec_id")

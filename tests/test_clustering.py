@@ -88,3 +88,51 @@ def test_semdedup_keeps_orthogonal_vectors(spark, tmp_path_factory):
     ).write.mode("overwrite").parquet(out + "/embeddings.parquet")
     got = x3_semdedup_keep(spark, out).collect()
     assert all(r.keep for r in got)
+
+
+def test_kmeans_handles_degenerate_corpus_fewer_points_than_k(spark, tmp_path_factory):
+    """k=8 over 3 distinct vectors: most clusters go empty after the
+    first update — the loop must drop them (both engines do) and still
+    produce a deterministic total assignment."""
+    from etl_generator_demo_spark.operators.clustering import kmeans_assignments
+
+    out = str(tmp_path_factory.mktemp("degen"))
+    rows = []
+    for i in range(9):
+        v = [0.0] * 64
+        v[i % 3] = 1.0  # only 3 distinct positions
+        rows.append((i, [float(x) for x in v], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(out + "/embeddings.parquet")
+    got = kmeans_assignments(spark, out, k=8, rounds=2).collect()
+    assert len(got) == 9
+    # identical vectors always land in the same cluster
+    by_axis = {}
+    for r in got:
+        by_axis.setdefault(r.vec_id % 3, set()).add(r.cluster_id)
+    assert all(len(s) == 1 for s in by_axis.values())
+
+
+def test_random_projection_matches_numpy_exactly(spark, sf_dir):
+    """The projection is exact integer arithmetic: recompute every
+    output component with numpy int64 from the same md5 sign matrix
+    and the same quantization — must be equal, not close."""
+    import numpy as np
+
+    from etl_generator_demo_spark.operators.clustering import (
+        QSCALE,
+        _rp_signs,
+        x3_random_projection,
+    )
+    from etl_generator_demo_spark.catalog import read_table
+
+    got = {
+        r.vec_id: [int(x) for x in r.proj_csv.split(",")]
+        for r in x3_random_projection(spark, sf_dir).collect()
+    }
+    signs = np.array(_rp_signs(), dtype=np.int64)  # (16, 64)
+    for row in read_table(spark, sf_dir, "embeddings").limit(20).collect():
+        q = np.floor(np.array(row.embedding, dtype=np.float64) * QSCALE).astype(np.int64)
+        want = (signs @ q).tolist()
+        assert got[row.vec_id] == want

@@ -126,6 +126,8 @@ EXPECTATIONS: dict[str, dict] = {
     "x4_key_skew_audit": {"max_exchanges": 4},
     # vocab groupBy + vocab-sized rank window + scalar regression agg
     "x4_zipf_slope": {"max_exchanges": 4},
+    # pure scan-side projection: only the output ordering may shuffle
+    "x3_random_projection": {"max_exchanges": 1},
     # GROUPING SETS expand into ONE hash aggregate (Expand node), not
     # one scan per set
     "a_grouping_sets": {"max_exchanges": 2},
