@@ -1037,3 +1037,118 @@ def x4_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy hitters — the third mergeable sketch next to
+# HLL (a_approx_distinct) and KLL (a_percentiles_approx)
+# ---------------------------------------------------------------------------
+CMS_DEPTH = 4      # independent hash rows
+CMS_WIDTH_HEX = 2  # bucket id = first 2 md5 hex chars -> 256 buckets
+
+
+@register(
+    "x4_heavy_hitters_cms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tk FROM documents
+    ),
+    rb AS (
+        SELECT tk, r.r AS r,
+               SUBSTR(MD5('cms' || r.r || '|' || tk), 1, {CMS_WIDTH_HEX}) AS bucket
+        FROM tok CROSS JOIN range(0, {CMS_DEPTH}) AS r(r)
+    ),
+    sketch AS (
+        SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM rb GROUP BY r, bucket
+    ),
+    true_top AS (
+        SELECT tk, CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM tok GROUP BY tk
+        ORDER BY true_n DESC, tk LIMIT 20
+    ),
+    est AS (
+        SELECT t.tk, t.true_n, CAST(MIN(s.c) AS BIGINT) AS cms_n
+        FROM true_top t
+        CROSS JOIN range(0, {CMS_DEPTH}) AS r(r)
+        JOIN sketch s
+          ON s.r = r.r
+         AND s.bucket = SUBSTR(MD5('cms' || r.r || '|' || t.tk), 1, {CMS_WIDTH_HEX})
+        GROUP BY t.tk, t.true_n
+    )
+    SELECT tk AS token, true_n, cms_n,
+           cms_n >= true_n  AS never_underestimates,
+           cms_n - true_n   AS overcount
+    FROM est
+    ORDER BY true_n DESC, token
+    """,
+    survey_ids=("X4", "A3"),
+)
+def x4_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) heavy-hitter
+    estimates as a bounded-error verdict: the exact top-20 token
+    counts (hash-verified value-for-value) next to the sketch's
+    estimate, its guaranteed-nonnegative overcount, and the
+    never-underestimates invariant — computed, not asserted, in BOTH
+    engines, so the flags hash no matter what the collisions do.
+
+    The sketch is {CMS_DEPTH}×{16 ** CMS_WIDTH_HEX} BIGINT counters —
+    CONSTANT memory however large the token stream — built in one
+    map-side fan-out ({CMS_DEPTH} (row, bucket) emissions per token,
+    md5-derived buckets identical in both engines) + one map-combined
+    groupBy. Estimates probe the broadcast sketch. At 100 TB you keep
+    ONLY the sketch and candidate tokens; the exact side exists here
+    because the verdict needs ground truth (same pattern as the ANN
+    recall verdicts)."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("tk"))
+
+    def bucket(r, col):
+        return F.substring(
+            F.md5(F.concat(F.lit(f"cms{r}|"), col)), 1, CMS_WIDTH_HEX
+        )
+
+    fanout = F.array(
+        *[
+            F.struct(F.lit(r).cast("long").alias("r"), bucket(r, F.col("tk")).alias("bucket"))
+            for r in range(CMS_DEPTH)
+        ]
+    )
+    sketch = (
+        tok.select(F.explode(fanout).alias("rb"))
+        .groupBy("rb.r", "rb.bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(F.col("r"), F.col("bucket"), "c")
+    )
+    true_top = (
+        tok.groupBy("tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+        .orderBy(F.desc("true_n"), "tk")
+        .limit(20)
+    )
+    probes = true_top.select(
+        "tk",
+        "true_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("r"),
+                        bucket(r, F.col("tk")).alias("bucket"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rb"),
+    ).select("tk", "true_n", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("tk", "true_n")
+        .agg(F.min("c").cast("long").alias("cms_n"))
+    )
+    return est.select(
+        F.col("tk").alias("token"),
+        "true_n",
+        "cms_n",
+        (F.col("cms_n") >= F.col("true_n")).alias("never_underestimates"),
+        (F.col("cms_n") - F.col("true_n")).alias("overcount"),
+    ).orderBy(F.desc("true_n"), "token")

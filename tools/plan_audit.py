@@ -128,6 +128,9 @@ EXPECTATIONS: dict[str, dict] = {
     "x4_zipf_slope": {"max_exchanges": 4},
     # pure scan-side projection: only the output ordering may shuffle
     "x3_random_projection": {"max_exchanges": 1},
+    # sketch groupBy + exact-side groupBy; the 4x(row,bucket) fan-out
+    # is map-side and the sketch probes via broadcast
+    "x4_heavy_hitters_cms": {"max_exchanges": 3, "min_broadcast": 1},
     # GROUPING SETS expand into ONE hash aggregate (Expand node), not
     # one scan per set
     "a_grouping_sets": {"max_exchanges": 2},
