@@ -323,3 +323,65 @@ def x5_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor(F.col("height") * 224.0 / longest).cast("long"))
         .alias("new_height"),
     ).orderBy("media_id")
+
+
+@register(
+    "x5_clip_duration_buckets",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               OCTET_LENGTH(ENCODE(text)) AS n
+        FROM documents
+    ),
+    feat AS (
+        SELECT media_id, media_type,
+               CAST(64 + (n % 512) AS BIGINT) AS width,
+               CASE WHEN media_type = 'image' THEN 1 ELSE 1 + (n % 240) END AS n_frames
+        FROM m
+        WHERE media_type <> 'image'
+    )
+    SELECT media_type,
+           CASE WHEN width >= 320 THEN 'hd' ELSE 'sd' END AS res_class,
+           CAST(n_frames // 24 AS BIGINT) // 2 * 2 AS dur_bucket_s,
+           CAST(COUNT(*) AS BIGINT) AS n_clips,
+           CAST(SUM(n_frames) AS BIGINT) AS total_frames
+    FROM feat
+    GROUP BY 1, 2, 3
+    ORDER BY media_type, res_class, dur_bucket_s
+    """,
+    survey_ids=("X5", "A1"),
+)
+def x5_clip_duration_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip-length profiling for audio/video curation: 2-second
+    duration buckets (stub codec's frame count at 24 fps) crossed with
+    a resolution class — the "what does my video corpus look like"
+    rollup that decides frame-sampling budgets before any real decode
+    runs. Pure metadata arithmetic (the stub's OCTET_LENGTH algebra),
+    so the whole profile is one scan + one map-combined groupBy and
+    the oracle recomputes it exactly; with a real codec the same
+    rollup runs over the decode stage's output columns."""
+    media = as_media_table(t(spark, sf_dir, "documents")).filter(
+        F.col("media_type") != "image"
+    )
+    n = F.length("payload")
+    n_frames = F.when(F.col("media_type") == "image", F.lit(1)).otherwise(
+        1 + (n % 240)
+    )
+    width = (F.lit(64) + n % 512).cast("long")
+    feat = media.select(
+        "media_type",
+        F.when(width >= 320, "hd").otherwise("sd").alias("res_class"),
+        (F.floor(F.floor(n_frames / 24) / 2) * 2).cast("long").alias("dur_bucket_s"),
+        n_frames.cast("long").alias("n_frames"),
+    )
+    return (
+        feat.groupBy("media_type", "res_class", "dur_bucket_s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.sum("n_frames").cast("long").alias("total_frames"),
+        )
+        .orderBy("media_type", "res_class", "dur_bucket_s")
+    )
