@@ -691,3 +691,116 @@ def x2_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH tuning diagnostic: precision of the candidate tier by band votes
+# ---------------------------------------------------------------------------
+@register(
+    "x2_lsh_precision_report",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    sigs AS (
+        SELECT doc_id, {_duck_minhash_cols()}
+        FROM shingles GROUP BY doc_id
+    ),
+    band0 AS (SELECT doc_id, mh0 || mh1 || mh2 || mh3 AS band_key FROM sigs),
+    band1 AS (SELECT doc_id, mh4 || mh5 || mh6 || mh7 AS band_key FROM sigs),
+    cand AS (
+        SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS bands_matched FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band0 a JOIN band0 b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT a.doc_id, b.doc_id
+            FROM band1 a JOIN band1 b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        ) GROUP BY doc_a, doc_b
+    ),
+    card AS (SELECT doc_id, COUNT(*) AS card FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    j AS (
+        SELECT c.bands_matched,
+               COALESCE(CAST(FLOOR(i.inter * 1000000.0
+                   / (ca.card + cb.card - i.inter)) AS BIGINT), 0) AS j_e6
+        FROM cand c
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        LEFT JOIN card ca ON ca.doc_id = c.doc_a
+        LEFT JOIN card cb ON cb.doc_id = c.doc_b
+    )
+    SELECT bands_matched,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN j_e6 >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dups,
+           CAST(FLOOR(CAST(SUM(j_e6) AS DOUBLE) / COUNT(*)) AS BIGINT) AS avg_jaccard_e6
+    FROM j GROUP BY bands_matched ORDER BY bands_matched
+    """,
+    survey_ids=("X2",),
+)
+def x2_lsh_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning report: candidate pairs bucketed by how many bands
+    voted for them, with exact-Jaccard verification per bucket —
+    candidate count, how many are true near-dups (J ≥ 0.5), and the
+    mean Jaccard. This is the measurement you read before moving the
+    (hashes, bands) operating point on the S-curve: 2-band votes
+    should be near-pure, 1-band votes show the false-positive tail.
+
+    Per-pair Jaccard floor-scales to BIGINT micro-units BEFORE the
+    bucket mean (SUM(int)/count — order-independent); pairs that
+    collide on a band without sharing any shingle verify to 0. The
+    verification join runs on the candidate-restricted relation in
+    production (``x2_neardup_verified``); here it reuses the full
+    inverted index so the oracle stays one mechanical chain."""
+    docs = t(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    sigs = minhash_signatures(sh)
+    keyed = banded_keys(sigs)
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("bands_matched"))
+    )
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("card"))
+    sa, sb = sh.alias("sa"), sh.alias("sb")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("sa.doc_id") < F.col("sb.doc_id"))
+        .groupBy(F.col("sa.doc_id").alias("doc_a"), F.col("sb.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("card").alias("card_a"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("card").alias("card_b"))
+    j = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(ca, "doc_a", "left")
+        .join(cb, "doc_b", "left")
+        .select(
+            "bands_matched",
+            F.coalesce(
+                F.floor(
+                    F.col("inter") * 1000000.0
+                    / (F.col("card_a") + F.col("card_b") - F.col("inter"))
+                ).cast("long"),
+                F.lit(0),
+            ).alias("j_e6"),
+        )
+    )
+    return (
+        j.groupBy("bands_matched")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("j_e6") >= 500000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_dups"),
+            F.floor(F.sum("j_e6").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("avg_jaccard_e6"),
+        )
+        .orderBy("bands_matched")
+    )

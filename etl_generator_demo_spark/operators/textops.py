@@ -1152,3 +1152,53 @@ def x4_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cms_n") >= F.col("true_n")).alias("never_underestimates"),
         (F.col("cms_n") - F.col("true_n")).alias("overcount"),
     ).orderBy(F.desc("true_n"), "token")
+
+
+@register(
+    "x4_vocab_growth",
+    oracle="""
+    WITH firsts AS (
+        SELECT tk, MIN(doc_id) AS first_doc
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tk FROM documents)
+        GROUP BY tk
+    ),
+    b AS (
+        SELECT CAST(first_doc // 50 AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_new_tokens
+        FROM firsts GROUP BY 1
+    )
+    SELECT bucket, n_new_tokens,
+           CAST(SUM(n_new_tokens) OVER (ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+    FROM b
+    ORDER BY bucket
+    """,
+    survey_ids=("X4", "W3"),
+)
+def x4_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: new-token count per 50-doc
+    ingest bucket plus the running vocabulary size. A flattening curve
+    says more data is re-treading the same vocabulary (diminishing
+    lexical returns); a linear one says the corpus is still diverse —
+    the cheap signal for when to stop crawling a source. Token first
+    occurrences are one map-combined groupBy (vocabulary-sized
+    output); the cumulative sum is a window over the bucket relation
+    only."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents")
+    firsts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
+        .groupBy("tk")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    b = (
+        firsts.groupBy(F.floor(F.col("first_doc") / 50).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_tokens"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return b.select(
+        "bucket",
+        "n_new_tokens",
+        F.sum("n_new_tokens").over(w).cast("long").alias("vocab_size"),
+    ).orderBy("bucket")

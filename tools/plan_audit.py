@@ -131,6 +131,12 @@ EXPECTATIONS: dict[str, dict] = {
     # sketch groupBy + exact-side groupBy; the 4x(row,bucket) fan-out
     # is map-side and the sketch probes via broadcast
     "x4_heavy_hitters_cms": {"max_exchanges": 3, "min_broadcast": 1},
+    # token first-occurrence groupBy + bucket groupBy + cumulative
+    # window over the bucket relation
+    "x4_vocab_growth": {"max_exchanges": 4},
+    # band join + inverted-index verify + per-bucket agg — the verify
+    # tier reuses the shingle relation, so budget covers both chains
+    "x2_lsh_precision_report": {"max_exchanges": 10},
     # GROUPING SETS expand into ONE hash aggregate (Expand node), not
     # one scan per set
     "a_grouping_sets": {"max_exchanges": 2},
