@@ -524,3 +524,47 @@ def x4_rolling_7d_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value").over(w), 2).alias("spend_7d"),
         F.count(F.lit(1)).over(w).alias("n_purchases_7d"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# D+ — SCD2-style temporal state table from an event stream
+# ---------------------------------------------------------------------------
+@register(
+    "d_scd2_user_state",
+    oracle="""
+    SELECT user_id,
+           event_type AS state,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           LEAD(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM events
+    WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, valid_from, state
+    """,
+    survey_ids=("D1", "W2"),
+)
+def d_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: each user's event stream
+    becomes closed [valid_from, valid_to) state intervals with an
+    is_current flag on the open row — the standard temporal-dimension
+    shape a warehouse derives from CDC feeds (the closing UPDATE of the
+    previous row is exactly one lead() window, no self-join). Ties on
+    ts break by event_id so interval boundaries are deterministic.
+    One window shuffle on the natural key; at 100 TB the partition is
+    per-user and skew-free."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "valid_from", "state")
+    )

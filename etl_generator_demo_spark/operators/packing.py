@@ -195,14 +195,14 @@ def x4_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _corpus_pipeline_oracle() -> str:
-    from etl_generator_demo_spark.operators.dedup import _DUCK_SHINGLES, _duck_minhash_cols
+def _pipeline_chain_sql() -> str:
+    from etl_generator_demo_spark.operators.dedup import _duck_minhash_cols
 
     # identical staged discipline as the Spark plan; shingles/sigs are
     # computed over quality+exact-dedup SURVIVORS (stage order matters
-    # and must match bit-for-bit)
-    return f"""
-    WITH qual AS (
+    # and must match bit-for-bit). Shared by the pipeline oracle and
+    # the attrition-report oracle.
+    return f"""qual AS (
         SELECT doc_id, source, text,
                CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
                CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
@@ -249,7 +249,12 @@ def _corpus_pipeline_oracle() -> str:
         SELECT e.doc_id, e.source, e.n_tokens
         FROM exact e
         WHERE e.doc_id NOT IN (SELECT doc_id FROM dropped)
-    ),
+    )"""
+
+
+def _corpus_pipeline_oracle() -> str:
+    return f"""
+    WITH {_pipeline_chain_sql()},
     cum AS (
         SELECT doc_id, source, n_tokens,
                SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
@@ -263,24 +268,12 @@ def _corpus_pipeline_oracle() -> str:
     """
 
 
-@register("x4_corpus_pipeline", oracle=_corpus_pipeline_oracle(), survey_ids=("X4", "X2", "X1"))
-def x4_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The training-corpus pipeline end to end, one DataFrame plan:
-
-    1. quality gate  — n_tokens >= 30 and vocabulary diversity >= 0.3
-                       (scan-side, no shuffle);
-    2. exact dedup   — keep the minimum doc_id per content hash;
-    3. near-dup drop — greedy keep-first: any doc that LSH-pairs with
-                       a SMALLER surviving id is dropped (the
-                       transitive-closure discipline is
-                       ``x2_dedup_clusters``; keep-first is the cheap
-                       single-pass variant real ingest uses);
-    4. packing       — concat-and-chunk chunk ids per source.
-
-    Every stage is the registered standalone operator's logic inlined
-    in the same order, so the composition is oracle-checked exactly —
-    the point is proving the stages COMPOSE without collecting
-    anything driver-side between them."""
+def corpus_survivor_stages(spark: SparkSession, sf_dir: str):
+    """The staged survivor relations of the corpus pipeline —
+    (docs, qual, exact, kept) — shared by ``x4_corpus_pipeline`` and
+    ``x4_pipeline_attrition`` so the two registered views of the same
+    pipeline can never drift apart. Stage semantics documented on
+    ``x4_corpus_pipeline``."""
     from etl_generator_demo_spark.operators.dedup import (
         doc_shingles,
         lsh_candidate_pairs,
@@ -311,6 +304,28 @@ def x4_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = exact.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "source", "n_tokens"
     )
+    return docs, qual, exact, kept
+
+
+@register("x4_corpus_pipeline", oracle=_corpus_pipeline_oracle(), survey_ids=("X4", "X2", "X1"))
+def x4_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus pipeline end to end, one DataFrame plan:
+
+    1. quality gate  — n_tokens >= 30 and vocabulary diversity >= 0.3
+                       (scan-side, no shuffle);
+    2. exact dedup   — keep the minimum doc_id per content hash;
+    3. near-dup drop — greedy keep-first: any doc that LSH-pairs with
+                       a SMALLER surviving id is dropped (the
+                       transitive-closure discipline is
+                       ``x2_dedup_clusters``; keep-first is the cheap
+                       single-pass variant real ingest uses);
+    4. packing       — concat-and-chunk chunk ids per source.
+
+    Every stage is the registered standalone operator's logic inlined
+    in the same order, so the composition is oracle-checked exactly —
+    the point is proving the stages COMPOSE without collecting
+    anything driver-side between them."""
+    _docs, _qual, _exact, kept = corpus_survivor_stages(spark, sf_dir)
     w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -543,3 +558,57 @@ def x4_chunk_with_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_fp"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "x4_pipeline_attrition",
+    oracle=f"""
+    WITH {_pipeline_chain_sql()},
+    t0 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    t1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM qual),
+    t2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM exact),
+    t3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM kept)
+    SELECT * FROM (
+        SELECT 1 AS stage_no, 'total' AS stage, n_docs, n_tokens FROM t0
+        UNION ALL
+        SELECT 2, 'quality_pass', n_docs, n_tokens FROM t1
+        UNION ALL
+        SELECT 3, 'after_exact_dedup', n_docs, n_tokens FROM t2
+        UNION ALL
+        SELECT 4, 'after_neardup_drop', n_docs, n_tokens FROM t3
+    )
+    ORDER BY stage_no
+    """,
+    survey_ids=("X4", "X1", "X2"),
+)
+def x4_pipeline_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-attrition funnel of the corpus pipeline: document and
+    token counts surviving each curation stage (total → quality gate →
+    exact dedup → near-dup drop) — the report a data-curation run
+    publishes alongside its output. Reuses the exact same staged
+    relations as ``x4_corpus_pipeline`` (one shared builder on both
+    the Spark and the oracle side), so the funnel always describes the
+    pipeline as shipped. Each stage row is a scalar aggregate; the
+    whole report is four map-combined counts unioned together."""
+    docs, qual, exact, kept = corpus_survivor_stages(spark, sf_dir)
+
+    def stage(no, name, df, tokens_col):
+        return df.agg(
+            F.lit(no).cast("int").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(tokens_col).cast("long").alias("n_tokens"),
+        )
+
+    t0 = stage(1, "total", docs.select(F.size(F.split("text", " ")).alias("nt")), "nt")
+    t1 = stage(2, "quality_pass", qual, "n_tokens")
+    t2 = stage(3, "after_exact_dedup", exact, "n_tokens")
+    t3 = stage(4, "after_neardup_drop", kept, "n_tokens")
+    return t0.unionByName(t1).unionByName(t2).unionByName(t3).orderBy("stage_no")
