@@ -372,3 +372,38 @@ def a_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "a_multi_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)               AS n_customers,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)           AS n_statuses,
+           CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT)                                AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    survey_ids=("A3", "A1"),
+)
+def a_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT ...) in ONE aggregation — the classic
+    plan trap: Spark compiles N distinct columns into an Expand node
+    that replicates every input row N times before the hash aggregate.
+    Correct and single-pass, but at 100 TB the Expand multiplies
+    shuffle volume by the distinct-column count — the scale rewrite is
+    one `approx_count_distinct` per column (no Expand, one sketch
+    each; `a_approx_distinct` is that registered tier)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("n_customers"),
+            F.count_distinct("o_orderstatus").cast("long").alias("n_statuses"),
+            F.count_distinct(F.col("o_orderdate").cast("date")).cast("long").alias("n_days"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )

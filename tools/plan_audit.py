@@ -137,6 +137,14 @@ EXPECTATIONS: dict[str, dict] = {
     # band join + inverted-index verify + per-bucket agg — the verify
     # tier reuses the shingle relation, so budget covers both chains
     "x2_lsh_precision_report": {"max_exchanges": 10},
+    # one lead() window on the natural key + output ordering
+    "d_scd2_user_state": {"max_exchanges": 2, "pushed": True},
+    # four stage scalar aggregates over the shared pipeline chain
+    # (quality scan + exact-dedup join + LSH band join feed them)
+    "x4_pipeline_attrition": {"max_exchanges": 12},
+    # ONE aggregate with an Expand (x3 row replication), not 3 scans —
+    # the documented trap; scale tier is a_approx_distinct
+    "a_multi_distinct": {"max_exchanges": 3},
     # GROUPING SETS expand into ONE hash aggregate (Expand node), not
     # one scan per set
     "a_grouping_sets": {"max_exchanges": 2},
