@@ -369,3 +369,82 @@ def x3_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", F.concat_ws(",", *comps).alias("proj_csv")
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Label-quality audit over the clustering
+# ---------------------------------------------------------------------------
+def _label_purity_oracle(
+    k: int = KMEANS_K, rounds: int = KMEANS_ROUNDS, dim: int = DIM
+) -> str:
+    return f"""
+    WITH {_kmeans_cte(k, rounds, dim)},
+    asg AS (
+        SELECT a.vec_id, a.cluster_id, e.label
+        FROM a{rounds} a JOIN e USING (vec_id)
+    ),
+    lab AS (
+        SELECT cluster_id, label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM asg GROUP BY cluster_id, label
+    ),
+    maj AS (
+        SELECT cluster_id, label AS majority_label, n AS n_majority FROM (
+            SELECT cluster_id, label, n,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                      ORDER BY n DESC, label) AS rn
+            FROM lab
+        ) WHERE rn = 1
+    ),
+    tot AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members FROM asg GROUP BY cluster_id
+    )
+    SELECT t.cluster_id, t.n_members, m.majority_label, m.n_majority,
+           CAST(FLOOR(m.n_majority * 1000000.0 / t.n_members) AS BIGINT) AS purity_e6
+    FROM tot t JOIN maj m USING (cluster_id)
+    ORDER BY cluster_id
+    """
+
+
+@register("x3_label_purity", oracle=_label_purity_oracle(), survey_ids=("X3", "A1"))
+def x3_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit: per k-means cluster, the majority label and
+    its purity — clusters with low purity (or members disagreeing with
+    a high-purity majority) are where mislabeled examples live
+    (the Confident-Learning-style screen, run geometrically). On the
+    fixture's random embeddings purity sits near 1/|labels| by
+    construction; the computation — counts, ranked majority with a
+    deterministic tiebreak, one float division — is what the oracle
+    hashes. Composes the exact-integer clustering, so the whole audit
+    is engine-reproducible."""
+    from pyspark.sql import Window
+
+    asg = kmeans_assignments(spark, sf_dir).select("vec_id", "cluster_id", "label")
+    lab = asg.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), "label")
+    maj = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    tot = asg.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        tot.join(maj, "cluster_id")
+        .select(
+            "cluster_id",
+            "n_members",
+            "majority_label",
+            "n_majority",
+            F.floor(F.col("n_majority") * 1000000.0 / F.col("n_members"))
+            .cast("long")
+            .alias("purity_e6"),
+        )
+        .orderBy("cluster_id")
+    )

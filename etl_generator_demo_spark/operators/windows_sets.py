@@ -361,3 +361,29 @@ def o_limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 20 OFFSET 40
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# U2+ — multiset (ALL) set operations
+# ---------------------------------------------------------------------------
+_MULTISET_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+"""
+
+
+@register(
+    "u_intersect_all_urgent_finished",
+    oracle=_MULTISET_SQL,
+    survey_ids=("U2",),
+)
+def u_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics: a customer key appearing m
+    times on the urgent side and n times on the finished side survives
+    min(m, n) times (the bag intersection DISTINCT-based INTERSECT
+    destroys). Same SQL text runs on both engines; Spark compiles the
+    ALL variants to counted aggregates, one shuffle per side."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_MULTISET_SQL)
