@@ -804,3 +804,59 @@ def x2_lsh_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bands_matched")
     )
+
+
+@register(
+    "x2_source_overlap_matrix",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    sigs AS (
+        SELECT doc_id, {_duck_minhash_cols()}
+        FROM shingles GROUP BY doc_id
+    ),
+    band0 AS (SELECT doc_id, mh0 || mh1 || mh2 || mh3 AS band_key FROM sigs),
+    band1 AS (SELECT doc_id, mh4 || mh5 || mh6 || mh7 AS band_key FROM sigs),
+    cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band0 a JOIN band0 b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT a.doc_id, b.doc_id
+            FROM band1 a JOIN band1 b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+    )
+    SELECT LEAST(da.source, db.source)    AS source_x,
+           GREATEST(da.source, db.source) AS source_y,
+           CAST(COUNT(*) AS BIGINT)       AS n_pairs
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    GROUP BY 1, 2
+    ORDER BY n_pairs DESC, source_x, source_y
+    """,
+    survey_ids=("X2", "A1"),
+)
+def x2_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: MinHash-LSH near-dup pairs
+    rolled up by unordered source pair — the "which crawls copy from
+    each other" report that decides source-level dedup priorities and
+    licensing reviews. Source labels join back onto the NARROW pair
+    relation (two ids), normalized with least/greatest so (A,B) and
+    (B,A) collapse; one count groupBy on a pairs-sized relation."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(doc_shingles(docs, distinct=False))
+    )
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("source_a", "source_b").alias("source_x"),
+            F.greatest("source_a", "source_b").alias("source_y"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "source_x", "source_y")
+    )

@@ -145,6 +145,12 @@ EXPECTATIONS: dict[str, dict] = {
     # ONE aggregate with an Expand (x3 row replication), not 3 scans —
     # the documented trap; scale tier is a_approx_distinct
     "a_multi_distinct": {"max_exchanges": 3},
+    # (cluster,label) groupBy + majority window + totals join over the
+    # cluster relation; Lloyd rounds sit behind the model collects
+    "x3_label_purity": {"max_exchanges": 7, "min_broadcast": 1},
+    # counted-aggregate compilation of INTERSECT ALL: one shuffle per
+    # side + the join + output ordering
+    "u_intersect_all_urgent_finished": {"max_exchanges": 4},
     # GROUPING SETS expand into ONE hash aggregate (Expand node), not
     # one scan per set
     "a_grouping_sets": {"max_exchanges": 2},
