@@ -387,3 +387,47 @@ def u_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     ALL variants to counted aggregates, one shuffle per side."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_MULTISET_SQL)
+
+
+# ---------------------------------------------------------------------------
+# W3+ — moving median (exact percentile as a framed window aggregate)
+# ---------------------------------------------------------------------------
+@register(
+    "w_moving_median",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           FLOOR(QUANTILE_CONT(o_totalprice, 0.5) OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 100) / 100 AS mov_median
+    FROM orders
+    WHERE o_custkey <= 50
+    ORDER BY o_orderpriority, o_orderdate, o_orderkey
+    """,
+    survey_ids=("W3",),
+)
+def w_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row moving MEDIAN per priority class — the robust
+    moving average (outlier-immune trend line). Exact interpolated
+    percentile as a framed window aggregate; both engines use the
+    same linear-interpolation definition, floor-scaled at 1e-2. The
+    frame is ROWS-based with a unique (date, key) order so window
+    contents are deterministic. At 100 TB the exact frame percentile
+    re-sorts 7 values per row — fine; for wide frames switch to
+    approx_percentile in the same frame."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.floor(F.expr("percentile(o_totalprice, 0.5)").over(w) * 100) / 100).alias(
+                "mov_median"
+            ),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
