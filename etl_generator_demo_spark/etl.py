@@ -149,6 +149,24 @@ class ETLPipelineExecutor:
                 .filter(F.col("is_keep"))
                 .drop("cluster_id", "is_keep")
             )
+        if op == "quality_filter":
+            # {"op": "quality_filter", "text_col": "text",
+            #  "min_score": 0.5} — the C4/Gopher-style heuristic gate
+            # (length/diversity/stopword score) as an ETL step; the
+            # expression is scan-side, so the gate costs no shuffle.
+            from etl_generator_demo_spark.operators.textops import quality_score_expr
+
+            text_col = step.get("text_col", "text")
+            min_score = float(step.get("min_score", 0.5))
+            return df.filter(quality_score_expr(text_col) >= min_score)
+        if op == "redact_pii":
+            # {"op": "redact_pii", "text_col": "text"} — scrub
+            # email/phone/IPv4 in place (scan-side regex chain; the
+            # registered x4_pii_scrub query audits the same patterns).
+            from etl_generator_demo_spark.operators.textops import redact_pii_expr
+
+            text_col = step.get("text_col", "text")
+            return df.withColumn(text_col, redact_pii_expr(text_col))
         raise ETLSpecError(f"unknown transform op: {op!r}")
 
     # -- load ---------------------------------------------------------

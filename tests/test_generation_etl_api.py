@@ -440,3 +440,47 @@ class TestJoinAndExpectSteps:
         import os
 
         assert not os.path.exists(str(tmp_path / "orders_bad"))
+
+
+class TestCurationSteps:
+    @pytest.fixture()
+    def executor(self, spark, catalog, tmp_path):
+        from etl_generator_demo_spark.etl import ETLPipelineExecutor
+
+        return ETLPipelineExecutor(spark, catalog, str(tmp_path))
+
+    def test_quality_filter_drops_junk_keeps_prose(self, executor, spark):
+        rows = [
+            (1, "the cat sat on the mat and the dog slept in the sun for an "
+                "hour while the quick brown fox jumped over a fence to chase "
+                "a squirrel across the long green garden in the morning light "
+                "of a clear and quiet day in it is a good day to walk"),
+            (2, "aa aa aa aa aa aa aa aa"),  # degenerate: no diversity
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+            "qf_docs"
+        )
+        spec = {
+            "extract": {"sql": "SELECT * FROM qf_docs"},
+            "transform": {"steps": [{"op": "quality_filter", "min_score": 0.5}]},
+            "load": {"target_table": "qf_out", "write_mode": "overwrite"},
+        }
+        res = executor.run(spec)
+        assert res.steps_applied == ["quality_filter"]
+        kept = [r["doc_id"] for r in spark.table("qf_out").collect()]
+        assert kept == [1]
+
+    def test_redact_pii_scrubs_in_place(self, executor, spark):
+        rows = [(1, "contact bob@example.com or 192.168.0.1 now")]
+        spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+            "pii_docs"
+        )
+        spec = {
+            "extract": {"sql": "SELECT * FROM pii_docs"},
+            "transform": {"steps": [{"op": "redact_pii"}]},
+            "load": {"target_table": "pii_out", "write_mode": "overwrite"},
+        }
+        executor.run(spec)
+        text = spark.table("pii_out").first()["text"]
+        assert "bob@example.com" not in text and "192.168.0.1" not in text
+        assert "[EMAIL]" in text or "EMAIL" in text
