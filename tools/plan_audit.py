@@ -151,6 +151,10 @@ EXPECTATIONS: dict[str, dict] = {
     # counted-aggregate compilation of INTERSECT ALL: one shuffle per
     # side + the join + output ordering
     "u_intersect_all_urgent_finished": {"max_exchanges": 4},
+    # one framed window shuffle + output ordering; pushed custkey filter
+    "w_moving_median": {"max_exchanges": 2, "pushed": True},
+    # minhash chain + source rejoin on the narrow pair relation
+    "x2_source_overlap_matrix": {"max_exchanges": 8},
     # GROUPING SETS expand into ONE hash aggregate (Expand node), not
     # one scan per set
     "a_grouping_sets": {"max_exchanges": 2},
