@@ -860,3 +860,117 @@ def x2_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
         .orderBy(F.desc("n_pairs"), "source_x", "source_y")
     )
+
+
+@register(
+    "x2_minhash_estimate_error",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    sigs AS (
+        SELECT doc_id, {_duck_minhash_cols()}
+        FROM shingles GROUP BY doc_id
+    ),
+    band0 AS (SELECT doc_id, mh0 || mh1 || mh2 || mh3 AS band_key FROM sigs),
+    band1 AS (SELECT doc_id, mh4 || mh5 || mh6 || mh7 AS band_key FROM sigs),
+    cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band0 a JOIN band0 b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT a.doc_id, b.doc_id
+            FROM band1 a JOIN band1 b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+    ),
+    card AS (SELECT doc_id, COUNT(*) AS card FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST({" + ".join(f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(NUM_HASHES))} AS BIGINT) AS n_hash_matches,
+               COALESCE(CAST(FLOOR(i.inter * 1000000.0
+                   / (ca.card + cb.card - i.inter)) AS BIGINT), 0) AS true_j_e6
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.doc_a
+        JOIN sigs sb ON sb.doc_id = c.doc_b
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        LEFT JOIN card ca ON ca.doc_id = c.doc_a
+        LEFT JOIN card cb ON cb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, n_hash_matches,
+           CAST(FLOOR(n_hash_matches * 1000000 / {NUM_HASHES}) AS BIGINT) AS est_j_e6,
+           true_j_e6,
+           ABS(CAST(FLOOR(n_hash_matches * 1000000 / {NUM_HASHES}) AS BIGINT) - true_j_e6)
+               AS abs_err_e6
+    FROM scored
+    ORDER BY doc_a, doc_b
+    """,
+    survey_ids=("X2",),
+)
+def x2_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator validation per candidate pair: the classic
+    P[minhash match] = Jaccard estimator (matching signature slots /
+    k) against the exact shingle-set Jaccard, with the absolute error
+    — the empirical check behind choosing k={NUM_HASHES}. Every column
+    is integer arithmetic (the estimate is a rational with fixed
+    denominator, the truth floor-scales before differencing), so the
+    error surface itself hashes exactly.
+
+    Scale: signatures join the narrow candidate pair relation
+    (2 ids + k 8-char slots); exact verification reuses the inverted
+    index, candidate-restricted in production (`x2_neardup_verified`)."""
+    docs = t(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    sigs = minhash_signatures(sh)
+    pairs = lsh_candidate_pairs(sigs)
+    n_hashes = len([c for c in sigs.columns if c.startswith("mh")])
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_hashes)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"b{i}") for i in range(n_hashes)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(n_hashes)
+    )
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("card"))
+    s1, s2 = sh.alias("s1"), sh.alias("s2")
+    inter = (
+        s1.join(s2, "shingle")
+        .filter(F.col("s1.doc_id") < F.col("s2.doc_id"))
+        .groupBy(F.col("s1.doc_id").alias("doc_a"), F.col("s2.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("card").alias("card_a"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("card").alias("card_b"))
+    est = F.floor(F.col("n_hash_matches") * 1000000 / n_hashes).cast("long")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_hash_matches", matches.cast("long"))
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(ca, "doc_a", "left")
+        .join(cb, "doc_b", "left")
+        .withColumn(
+            "true_j_e6",
+            F.coalesce(
+                F.floor(
+                    F.col("inter") * 1000000.0
+                    / (F.col("card_a") + F.col("card_b") - F.col("inter"))
+                ).cast("long"),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_hash_matches",
+            est.alias("est_j_e6"),
+            "true_j_e6",
+            F.abs(est - F.col("true_j_e6")).alias("abs_err_e6"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
