@@ -163,3 +163,41 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster_id", "is_keep")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "x2_cluster_size_histogram",
+    oracle=f"""
+    SELECT n_members,
+           CAST(COUNT(*) AS BIGINT)      AS n_clusters,
+           CAST(SUM(n_members) AS BIGINT) AS n_docs
+    FROM (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM ( {_CLUSTER_ORACLE} ) c
+        GROUP BY cluster_id
+    )
+    GROUP BY n_members
+    ORDER BY n_members
+    """,
+    survey_ids=("X2", "A1"),
+)
+def x2_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup family-size distribution: how many clusters of each
+    cardinality the corpus resolves into (singletons = unique docs;
+    the heavy tail = template spam worth source-level review). The
+    report every dedup run publishes next to its drop rate. Two
+    map-combined groupBys over the cluster assignment; the oracle
+    wraps the same recursive-closure chain, so the histogram is
+    hash-exact."""
+    cc = x2_dedup_clusters(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return (
+        sizes.groupBy("n_members")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("n_members").cast("long").alias("n_docs"),
+        )
+        .orderBy("n_members")
+    )

@@ -87,3 +87,16 @@ def test_pmi_separates_cooccurring_from_disjoint_pairs(spark, tmp_path_factory):
     assert ab.pmi_e6 == math.floor(math.log(2) * 1_000_000)
     # disjoint pair never co-occurs -> no row (n_ab would be 0)
     assert ("alpha", "gamma") not in got
+
+
+def test_bm25_no_query_terms_in_corpus_yields_empty_not_error(spark, tmp_path_factory):
+    from etl_generator_demo_spark.operators.retrieval import x4_bm25_topk
+
+    out = str(tmp_path_factory.mktemp("noquery"))
+    rows = [(1, "table scan join merge"), (2, "sort filter group agg")]
+    _docs(spark, rows).withColumn("lang", F.lit("en")).withColumn(
+        "source", F.lit("t")
+    ).withColumn("n_chars", F.length("text")).write.mode("overwrite").parquet(
+        out + "/documents.parquet"
+    )
+    assert x4_bm25_topk(spark, out).count() == 0
