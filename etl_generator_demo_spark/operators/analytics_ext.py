@@ -568,3 +568,128 @@ def d_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from", "state")
     )
+
+
+@register(
+    "x4_rolling_7d_active_users",
+    oracle="""
+    WITH daily AS (
+        SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    sevd AS (
+        SELECT d.day, COUNT(DISTINCT u.user_id) AS active_7d
+        FROM days d JOIN daily u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    ),
+    oned AS (
+        SELECT day, COUNT(DISTINCT user_id) AS active_1d FROM daily GROUP BY day
+    )
+    SELECT CAST(s.day AS TIMESTAMP) AS day,
+           CAST(o.active_1d AS BIGINT) AS active_1d,
+           CAST(s.active_7d AS BIGINT) AS active_7d
+    FROM sevd s JOIN oned o ON o.day = s.day
+    ORDER BY day
+    """,
+    survey_ids=("X4", "A3", "W3"),
+)
+def x4_rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (rolling DAU/WAU).
+
+    COUNT(DISTINCT) over a window frame is inexpressible in Spark's
+    window functions, and the naive fix — collect_set over a RANGE
+    frame — holds a per-day user set in one task. Instead: dedup events
+    to day grain (user, day), then map-side explode each row to the 7
+    window-ends it contributes to, dedup (user, window_end), and count.
+    Cost is 7x the DAY-GRAIN relation (users x days), independent of the
+    raw event count — the right shape at 100 TB where events >> user-days.
+    Window-ends are restricted to observed days (inner join with the
+    day dimension, broadcast-sized)."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    expanded = (
+        daily.select(
+            "user_id", "day", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off")
+        )
+        .select("user_id", F.date_add("day", F.col("off")).alias("day"))
+        .distinct()
+    )
+    sevd = expanded.groupBy("day").agg(F.count(F.lit(1)).alias("active_7d"))
+    oned = daily.groupBy("day").agg(F.count(F.lit(1)).alias("active_1d"))
+    return (
+        oned.join(sevd, "day")  # inner: drops synthetic window-ends past max(day)
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            F.col("active_1d").cast("long").alias("active_1d"),
+            F.col("active_7d").cast("long").alias("active_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "x4_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, QUANTILE_CONT(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+        FROM events e JOIN med m ON m.event_type = e.event_type
+    ),
+    mad AS (
+        SELECT event_type, QUANTILE_CONT(adev, 0.5) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(FLOOR(MIN(d.med) * 10000) AS BIGINT) AS med_e4,
+           CAST(FLOOR(MIN(m.mad) * 10000) AS BIGINT) AS mad_e4,
+           CAST(COUNT(*) FILTER (
+               d.adev > 3 * 1.4826 * m.mad
+           ) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    survey_ids=("X4", "A1"),
+)
+def x4_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate via median absolute deviation — the screen
+    that, unlike `x4_value_outliers`' 3-sigma, is itself immune to the
+    outliers it hunts (mean/stddev are pulled by the tail; medians are
+    not). Flag: |v − median| > 3·1.4826·MAD (1.4826 ≈ the normal
+    consistency constant, so the cut reads in sigma units).
+
+    Two exact interpolated medians (grouped percentile — the sorted
+    tier; approx_percentile is the documented sketch tier at 100 TB)
+    with the tiny per-group model joined back broadcast. Median/MAD
+    surface floor-scaled to e4 ints; the flag compares engine-identical
+    float64 expressions."""
+    ev = t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.floor(F.min("med") * 10000).cast("long").alias("med_e4"),
+            F.floor(F.min("mad") * 10000).cast("long").alias("mad_e4"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

@@ -385,3 +385,66 @@ def x5_clip_duration_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type", "res_class", "dur_bucket_s")
     )
+
+
+@register(
+    "x5_payload_dedup",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id AS media_id, text FROM documents
+        UNION ALL
+        -- the re-crawl batch: every 7th item re-ingested under a new id
+        SELECT doc_id + 1000000 AS media_id, text
+        FROM documents WHERE doc_id % 7 = 0
+    ),
+    m AS (
+        SELECT media_id,
+               MD5(text) AS digest,
+               OCTET_LENGTH(CAST(text AS BLOB)) AS n_bytes
+        FROM corpus
+    )
+    SELECT digest,
+           MIN(media_id) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(MIN(n_bytes) * (COUNT(*) - 1) AS BIGINT) AS bytes_saved
+    FROM m
+    GROUP BY digest
+    HAVING COUNT(*) > 1
+    ORDER BY keep_id
+    """,
+    survey_ids=("X5", "X1"),
+)
+def x5_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact binary dedup of media payloads by content digest — the
+    first stage of any multimodal ingest (re-crawls and mirrors ship
+    byte-identical blobs under new ids). Demonstrated on the corpus
+    plus a simulated re-crawl batch (every 7th item re-keyed), since
+    the fixture itself has no byte-identical payloads.
+
+    The digest is computed over the BINARY payload column (md5 maps a
+    blob to hex identically in both engines — the oracle hashes the
+    same utf-8 bytes through VARCHAR md5). One map-side scan + one
+    digest groupBy; at 100 TB the shuffle carries 32-byte digests, not
+    payloads, and `bytes_saved` prices the dedup before anything is
+    rewritten."""
+    docs = t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    media = as_media_table(docs.unionByName(batch))
+    return (
+        media.select(
+            "media_id",
+            F.md5("payload").alias("digest"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        )
+        .groupBy("digest")
+        .agg(
+            F.min("media_id").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            (F.min("n_bytes") * (F.count(F.lit(1)) - 1)).cast("long").alias("bytes_saved"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select("digest", "keep_id", "n_copies", "bytes_saved")
+        .orderBy("keep_id")
+    )

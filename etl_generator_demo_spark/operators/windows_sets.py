@@ -431,3 +431,87 @@ def w_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "o_orderkey")
     )
+
+
+_EWMA_WEIGHTS = [128, 64, 32, 16, 8, 4, 2, 1]  # alpha=1/2, newest first
+
+
+def _duck_ewma_terms() -> tuple[str, str]:
+    num = " + ".join(
+        f"{w} * COALESCE(LAG(cents, {k}) OVER w, 0)" if k else f"{w} * cents"
+        for k, w in enumerate(_EWMA_WEIGHTS)
+    )
+    den = " + ".join(
+        f"{w} * (CASE WHEN LAG(cents, {k}) OVER w IS NULL THEN 0 ELSE 1 END)"
+        if k
+        else f"{w}"
+        for k, w in enumerate(_EWMA_WEIGHTS)
+    )
+    return num, den
+
+
+_EWMA_NUM_SQL, _EWMA_DEN_SQL = _duck_ewma_terms()
+
+
+@register(
+    "w_ewma_order_totals",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_custkey <= 300
+    ),
+    e AS (
+        SELECT o_custkey, o_orderkey, cents,
+               {_EWMA_NUM_SQL} AS ewma_num,
+               {_EWMA_DEN_SQL} AS ewma_den
+        FROM o WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, cents,
+           CAST(ewma_num AS BIGINT) AS ewma_num,
+           CAST(ewma_den AS BIGINT) AS ewma_den,
+           CAST(ewma_num AS DOUBLE) / ewma_den / 100 AS ewma_price
+    FROM e
+    ORDER BY o_custkey, o_orderkey
+    """,
+    survey_ids=("W2", "W3", "F6"),
+)
+def w_ewma_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each customer's order
+    totals — the smoother that, unlike a plain moving average, weights
+    recent orders geometrically higher.
+
+    Float EWMAs are order-of-summation fragile; this one is EXACT:
+    alpha = 1/2 over a trailing 8-order horizon gives dyadic weights
+    128..1, so numerator and denominator are integer lag() sums over
+    cents (the >8-lag tail of a true EWMA is < 0.4% of the weight and
+    is dropped identically in both engines). The frame is 8 fixed lag()
+    columns in ONE window pass — no per-row loop, no UDF; one shuffle
+    on the partition key, scale-free per customer."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") <= 300)
+        .select("o_custkey", "o_orderkey", cents.alias("cents"))
+    )
+    num = sum(
+        F.lit(wt) * (F.col("cents") if k == 0 else F.coalesce(F.lag("cents", k).over(w), F.lit(0)))
+        for k, wt in enumerate(_EWMA_WEIGHTS)
+    )
+    den = sum(
+        F.lit(wt)
+        * (F.lit(1) if k == 0 else F.when(F.lag("cents", k).over(w).isNull(), 0).otherwise(1))
+        for k, wt in enumerate(_EWMA_WEIGHTS)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "cents",
+            num.cast("long").alias("ewma_num"),
+            den.cast("long").alias("ewma_den"),
+            (num.cast("double") / den / 100).alias("ewma_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

@@ -1,0 +1,110 @@
+"""Semantics tests for rolling distinct users, dyadic EWMA, MAD gate,
+and payload dedup (the round-4 late additions)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def test_rolling_7d_active_users_matches_brute_force(spark, tmp_path, sf_dir):
+    from etl_generator_demo_spark.registry import load_all
+
+    fn = load_all()["x4_rolling_7d_active_users"].fn
+    out = {r.day.date(): (r.active_1d, r.active_7d) for r in fn(spark, sf_dir).collect()}
+
+    from etl_generator_demo_spark.catalog import read_table
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = {(r.day, r.user_id) for r in ev.distinct().collect()}
+    days = sorted({d for d, _ in daily})
+    for d in days:
+        users_7d = {u for (dd, u) in daily if (d - dd).days in range(7)}
+        users_1d = {u for (dd, u) in daily if dd == d}
+        assert out[d] == (len(users_1d), len(users_7d)), d
+    assert set(out) == set(days)  # no synthetic window-ends beyond data
+
+
+def test_ewma_dyadic_weights_closed_form(spark):
+    from etl_generator_demo_spark.operators.windows_sets import _EWMA_WEIGHTS
+
+    assert _EWMA_WEIGHTS == [128, 64, 32, 16, 8, 4, 2, 1]
+    rows = [(1, k, float(100 + k)) for k in range(1, 11)]  # 10 orders
+    df = spark.createDataFrame(rows, "o_custkey long, o_orderkey long, o_totalprice double")
+    import etl_generator_demo_spark.operators.windows_sets as ws
+
+    # drive the registered query body on a local frame via its internals:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    o = df.select("o_custkey", "o_orderkey", cents.alias("cents"))
+    num = sum(
+        F.lit(wt) * (F.col("cents") if k == 0 else F.coalesce(F.lag("cents", k).over(w), F.lit(0)))
+        for k, wt in enumerate(ws._EWMA_WEIGHTS)
+    )
+    den = sum(
+        F.lit(wt)
+        * (F.lit(1) if k == 0 else F.when(F.lag("cents", k).over(w).isNull(), 0).otherwise(1))
+        for k, wt in enumerate(ws._EWMA_WEIGHTS)
+    )
+    got = {
+        r.o_orderkey: (r.num, r.den)
+        for r in o.select("o_orderkey", num.alias("num"), den.alias("den")).collect()
+    }
+    # closed form, newest-first weights over the trailing <=8 orders
+    vals = {k: (100 + k) * 100 for k in range(1, 11)}
+    for key in range(1, 11):
+        lags = [vals.get(key - j) for j in range(8)]
+        n = sum(wt * v for wt, v in zip(ws._EWMA_WEIGHTS, lags) if v is not None)
+        d = sum(wt for wt, v in zip(ws._EWMA_WEIGHTS, lags) if v is not None)
+        assert got[key] == (n, d), key
+    # steady state: full 255 denominator from the 8th order on
+    assert got[10][1] == 255
+
+
+def test_mad_flags_planted_outlier_mean_would_miss(spark):
+    """One huge spike inflates stddev enough that 3-sigma keeps a
+    moderately deviant point, while MAD still flags both."""
+    base = [("a", 10.0)] * 20 + [("a", 11.0)] * 20
+    planted = [("a", 1000000.0), ("a", 50.0)]
+    df = spark.createDataFrame(base + planted, "event_type string, value double")
+    med = df.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = df.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    flagged = (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("adev") > 3 * 1.4826 * F.col("mad"))
+        .select("value")
+        .collect()
+    )
+    assert {r.value for r in flagged} == {1000000.0, 50.0}
+    # 3-sigma on the same data misses the 50.0 (stddev blown up by 1e6)
+    stats = df.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+    )
+    sigma_flagged = (
+        df.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sd"))
+        .select("value")
+        .collect()
+    )
+    assert {r.value for r in sigma_flagged} == {1000000.0}
+
+
+def test_payload_dedup_finds_only_recrawl_copies(spark, sf_dir):
+    from etl_generator_demo_spark.registry import load_all
+
+    fn = load_all()["x5_payload_dedup"].fn
+    rows = fn(spark, sf_dir).collect()
+    assert rows, "re-crawl batch must produce dup groups"
+    for r in rows:
+        assert r.n_copies == 2  # original + exactly one re-crawl copy
+        assert r.keep_id < 1000000  # canonical keep is the original id
+        assert r.keep_id % 7 == 0
+        assert r.bytes_saved > 0
