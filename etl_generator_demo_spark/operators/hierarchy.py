@@ -266,3 +266,118 @@ def g_pagerank_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "id", (F.floor(F.col("rank") * n * 1_000_000) / 1_000_000).alias("rank_scaled")
     ).orderBy("id")
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected distinct co-purchase edges (pa < pb): two parts are
+    linked when some order contains both. The self-join is co-keyed on
+    l_orderkey (no shuffle beyond the key repartition); per-order line
+    counts are small and bounded, so the pair explosion is ~C(k,2) per
+    order, never corpus-quadratic."""
+    li = lineitem.select("l_orderkey", "l_partkey")
+    return (
+        li.alias("a")
+        .join(li.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Global triangle census of an undirected graph via DEGREE-ORDERED
+    orientation (the node-iterator++ of Schank & Wagner / Cohen's
+    MapReduce formulation): orient each edge from its lower-(deg, id)
+    endpoint to the higher one, enumerate wedges only at each edge's
+    source, and close them against the undirected edge set. Orientation
+    caps out-degree at O(sqrt(m)), so the wedge relation — the only
+    super-linear intermediate — is sum(outdeg²) = O(m^1.5) worst case
+    instead of sum(deg²), which is what makes the plan survive hub
+    nodes at 100 TB. Returns one row:
+    (n_nodes, n_edges, n_wedges, n_triangles, gcc_ppm)."""
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("pb"), F.col("deg").alias("deg_b"))
+    ranked = edges.join(da, "pa").join(db, "pb")
+    # orientation order: (deg, id) — ties broken by id, total order
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), "src")
+        .filter(F.col("e1.dst") < F.col("e2.dst"))
+        .select(F.col("e1.dst").alias("v"), F.col("e2.dst").alias("w"))
+    )
+    closing = edges.select(F.col("pa").alias("v"), F.col("pb").alias("w"))
+    # semi join on the (min,max)-keyed undirected edge set: each
+    # triangle closes exactly once, at its orientation-minimal vertex
+    n_tri = wedges.join(closing, ["v", "w"], "left_semi").count()
+    totals = (
+        deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long").alias("n_wedges"),
+        )
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+    )
+    return totals.select(
+        "n_nodes",
+        F.col("n_edges").cast("long").alias("n_edges"),
+        "n_wedges",
+        F.lit(n_tri).cast("long").alias("n_triangles"),
+        F.expr(
+            f"CAST({3 * n_tri * 1_000_000}L DIV n_wedges AS BIGINT)"
+        ).alias("gcc_ppm"),
+    )
+
+
+@register(
+    "g_triangle_count",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT pa AS node FROM e UNION ALL SELECT pb AS node FROM e
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM e e1
+        JOIN e e2 ON e2.pa = e1.pb
+        JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg)       AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e)         AS n_edges,
+           (SELECT CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
+           CAST(n_triangles AS BIGINT)                      AS n_triangles,
+           CAST((3 * n_triangles * 1000000)
+                // (SELECT SUM(deg * (deg - 1)) / 2 FROM deg) AS BIGINT) AS gcc_ppm
+    FROM tri
+    """,
+    survey_ids=("J3", "A2"),
+)
+def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient of the part
+    co-purchase graph (market-basket structure: how cliquish are
+    baskets). The oracle closes triangles with the naive a<b<c 3-way
+    self-join; the engine uses degree-ordered orientation — hash
+    equality proves the oriented enumeration exact, triangle for
+    triangle."""
+    edges = copurchase_edges(t(spark, sf_dir, "lineitem"))
+    return triangle_stats(edges)
