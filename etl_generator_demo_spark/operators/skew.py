@@ -138,3 +138,184 @@ def x4_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gini_e6"),
     )
+
+
+BLOOM_HASHES = 3  # k
+BLOOM_HEX_CHARS = 3  # 12-bit positions -> m = 4096 buckets
+
+
+def bloom_bit_positions(keys: DataFrame, key_col: str) -> DataFrame:
+    """Distinct (hash_id, pos) bit positions for a key set — the Bloom
+    filter as a RELATION. Positions are the first 3 hex chars of
+    md5('b{i}|' || key): engine-portable (no hex->int), 4096 buckets
+    per hash. The relation is k·|keys| rows of 2 tiny columns — the
+    broadcastable form of the filter."""
+    pos_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("hash_id"),
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"b{i}|"), F.col(key_col).cast("string")
+                        )
+                    ),
+                    1,
+                    BLOOM_HEX_CHARS,
+                ).alias("pos"),
+            )
+            for i in range(BLOOM_HASHES)
+        ]
+    )
+    return (
+        keys.select(F.explode(pos_structs).alias("p"))
+        .select("p.hash_id", "p.pos")
+        .distinct()
+    )
+
+
+def bloom_prune(
+    fact_keys: DataFrame, key_col: str, bits: DataFrame
+) -> DataFrame:
+    """Keys of `fact_keys` that pass the Bloom membership test: all k
+    probe positions present in `bits`. The bit relation is broadcast;
+    the probe is a map-side explode + broadcast join + count==k gate —
+    no shuffle of the fact side beyond its own distinct."""
+    probes = fact_keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("hash_id"),
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(f"b{i}|"), F.col(key_col).cast("string")
+                                )
+                            ),
+                            1,
+                            BLOOM_HEX_CHARS,
+                        ).alias("pos"),
+                    )
+                    for i in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, "p.hash_id", "p.pos")
+    return (
+        probes.join(F.broadcast(bits), ["hash_id", "pos"])
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+        .filter(F.col("k_hit") == BLOOM_HASHES)
+        .select(key_col)
+    )
+
+
+def _duck_bloom_pos(expr: str, i: int) -> str:
+    return f"SUBSTR(MD5('b{i}|' || CAST({expr} AS VARCHAR)), 1, {BLOOM_HEX_CHARS})"
+
+
+@register(
+    "j_bloom_prejoin_prune",
+    oracle=f"""
+    WITH dim AS (
+        SELECT DISTINCT c_custkey FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+    ),
+    bits AS (
+        SELECT DISTINCT hash_id, pos FROM (
+            {" UNION ALL ".join(f"SELECT {i} AS hash_id, {_duck_bloom_pos('c_custkey', i)} AS pos FROM dim" for i in range(BLOOM_HASHES))}
+        )
+    ),
+    fact_keys AS (SELECT DISTINCT o_custkey FROM orders),
+    probes AS (
+        {" UNION ALL ".join(f"SELECT o_custkey, {i} AS hash_id, {_duck_bloom_pos('o_custkey', i)} AS pos FROM fact_keys" for i in range(BLOOM_HASHES))}
+    ),
+    pass_keys AS (
+        SELECT o_custkey FROM probes JOIN bits USING (hash_id, pos)
+        GROUP BY o_custkey HAVING COUNT(*) = {BLOOM_HASHES}
+    ),
+    match_keys AS (
+        SELECT o_custkey FROM fact_keys
+        WHERE o_custkey IN (SELECT c_custkey FROM dim)
+    )
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM dim)        AS n_dim_keys,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM fact_keys)  AS n_fact_keys,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM pass_keys)  AS n_pass_keys,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM match_keys) AS n_match_keys,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM pass_keys
+          WHERE o_custkey NOT IN (SELECT o_custkey FROM match_keys)) AS n_false_pos,
+        (SELECT COUNT(*) FROM match_keys
+          WHERE o_custkey NOT IN (SELECT o_custkey FROM pass_keys)) = 0 AS zero_false_neg,
+        CAST((SELECT COUNT(*) FROM pass_keys
+               WHERE o_custkey NOT IN (SELECT o_custkey FROM match_keys)) * 1000000
+             // (SELECT COUNT(*) FROM fact_keys
+                  WHERE o_custkey NOT IN (SELECT c_custkey FROM dim)) AS BIGINT) AS fp_ppm,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)     AS n_fact_rows,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+          WHERE o_custkey IN (SELECT o_custkey FROM pass_keys)) AS n_rows_after_prune
+    """,
+    survey_ids=("J5", "J6", "P6"),
+)
+def j_bloom_prejoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction, measured: build a 4096-bucket
+    k=3 filter over a small dim key set (BUILDING customers in credit),
+    probe every fact key scan-side, and report the pruning ledger —
+    pass/match/false-positive counts, the zero-false-negatives
+    invariant (both engines recompute it against the exact semi join),
+    and the false-positive rate in ppm.
+
+    This is the join-pruning idiom for 100 TB facts: the filter is
+    k·|dim| (hash_id, 3-hex-pos) pairs — kilobytes broadcast to every
+    scan task — and rows that cannot join never enter the shuffle.
+    Spark's AQE injects runtime bloom filters for some plans; this
+    operator is the explicit, engine-checked form with a measured FP
+    ledger."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    dim = (
+        cust.filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 0))
+        .select("c_custkey")
+        .distinct()
+    )
+    bits = bloom_bit_positions(dim, "c_custkey")
+    fact_keys = orders.select("o_custkey").distinct()
+    pass_keys = bloom_prune(fact_keys, "o_custkey", bits)
+    match_keys = fact_keys.join(
+        dim.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left_semi"
+    )
+    false_pos = pass_keys.join(match_keys, "o_custkey", "left_anti")
+    missed = match_keys.join(pass_keys, "o_custkey", "left_anti")
+    non_match = fact_keys.join(
+        dim.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", "left_anti"
+    )
+    rows_pruned = orders.join(pass_keys, "o_custkey", "left_semi")
+
+    n_fp = false_pos.count()
+    n_nonmatch = non_match.count()
+    counts = [
+        dim.count(),
+        fact_keys.count(),
+        pass_keys.count(),
+        match_keys.count(),
+        n_fp,
+        missed.count() == 0,
+        (n_fp * 1_000_000) // n_nonmatch,
+        orders.count(),
+        rows_pruned.count(),
+    ]
+    row = [
+        (
+            int(counts[0]), int(counts[1]), int(counts[2]), int(counts[3]),
+            int(counts[4]), bool(counts[5]), int(counts[6]), int(counts[7]),
+            int(counts[8]),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_dim_keys long, n_fact_keys long, n_pass_keys long, n_match_keys long, "
+        "n_false_pos long, zero_false_neg boolean, fp_ppm long, "
+        "n_fact_rows long, n_rows_after_prune long",
+    )

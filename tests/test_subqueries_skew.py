@@ -111,3 +111,20 @@ def test_salted_join_rejects_outer_modes(spark):
     for how in ("right", "full", "outer", "right_outer"):
         with pytest.raises(ValueError, match="inner/left"):
             salted_join(big, small, "k", how=how)
+
+
+def test_bloom_prune_no_false_negatives_planted(spark):
+    """Membership invariant on a planted key set: every dim key passes;
+    disjoint keys may false-positive but never the reverse."""
+    from etl_generator_demo_spark.operators.skew import (
+        bloom_bit_positions,
+        bloom_prune,
+    )
+
+    dim = spark.createDataFrame([(k,) for k in range(100, 150)], "k long")
+    fact = spark.createDataFrame([(k,) for k in range(0, 300)], "k long")
+    bits = bloom_bit_positions(dim, "k")
+    passed = {r.k for r in bloom_prune(fact, "k", bits).collect()}
+    assert set(range(100, 150)) <= passed  # zero false negatives
+    # blocked-bloom FP rate at this load is ~(50/4096)^3 — expect none
+    assert len(passed - set(range(100, 150))) <= 2
