@@ -73,19 +73,40 @@ def _sqdist(q: str, c: str):
     )
 
 
-def _assign(emb: DataFrame, cdf: DataFrame) -> DataFrame:
-    """Nearest centroid per vector: broadcast the k-row centroid
-    relation, exact integer distances, ties broken by lowest
-    cluster_id (min over (d, cluster_id) structs)."""
-    scored = emb.crossJoin(F.broadcast(cdf)).withColumn("d", _sqdist("q", "c"))
-    return (
-        scored.groupBy("vec_id")
-        .agg(F.min(F.struct(F.col("d"), F.col("cluster_id"))).alias("m"))
-        .select(
-            "vec_id",
-            F.col("m.cluster_id").alias("cluster_id"),
-            F.col("m.d").alias("dist_q"),
-        )
+def _assign(emb: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Nearest centroid per vector as ONE Arrow mapInPandas pass: the
+    k×dim centroid model ships in the task closure (a few KB) and each
+    batch scores against it with an exact int64 numpy matmul
+    (d = |q|² − 2·q·Cᵀ + |c|², identical BIGINT values to the
+    elementwise Σ(q−c)² the oracle computes). Ties break to the lowest
+    cluster_id (argmax over the first equality). Replaces the previous
+    crossJoin(k)+zip_with+groupBy-min plan: no row expansion, no
+    shuffle, ~6× less interpreted expression work per vector."""
+    cmat = [c for _, c in cents]
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm = np.array(cmat, dtype=np.int64)  # k×dim
+        c2 = (cm * cm).sum(axis=1)  # k
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            d = (q * q).sum(axis=1)[:, None] - 2 * (q @ cm.T) + c2[None, :]
+            best = d.min(axis=1)
+            cid = (d == best[:, None]).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster_id": cid.astype("int32"),
+                    "dist_q": best,
+                }
+            )
+
+    return emb.select("vec_id", "q").mapInPandas(
+        run, "vec_id long, cluster_id int, dist_q long"
     )
 
 
@@ -98,7 +119,10 @@ def kmeans_assignments(
     """Run `rounds` Lloyd updates from the deterministic md5-seeded
     init, then return the final assignment (vec_id, label, cluster_id,
     dist_q). Every number is an exact integer (see module doc)."""
-    emb = _quantized(spark, sf_dir)
+    # the quantized relation feeds seed + one pass per round + the final
+    # assignment — materialize it once (|corpus| rows) instead of
+    # re-scanning and re-quantizing parquet per action
+    emb = _quantized(spark, sf_dir).localCheckpoint(eager=True)
     seed = (
         emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id")
@@ -107,14 +131,42 @@ def kmeans_assignments(
     )
     cents = [(i, list(r.q)) for i, r in enumerate(seed)]
     for _ in range(rounds):
-        cdf = spark.createDataFrame(cents, "cluster_id int, c array<bigint>")
-        assigned = _assign(emb, cdf)
+        cmat = [c for _, c in cents]
+
+        def partials(batches, _cmat=cmat):
+            # per-batch (cluster, dim) partial sums+counts: the update
+            # shuffle carries k·dim·n_batches rows, not 64·N
+            import numpy as np
+            import pandas as pd
+
+            cm = np.array(_cmat, dtype=np.int64)
+            c2 = (cm * cm).sum(axis=1)
+            kk, dim = cm.shape
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+                d = (q * q).sum(axis=1)[:, None] - 2 * (q @ cm.T) + c2[None, :]
+                cid = (d == d.min(axis=1)[:, None]).argmax(axis=1)
+                sums = np.zeros((kk, dim), dtype=np.int64)
+                np.add.at(sums, cid, q)
+                cnt = np.bincount(cid, minlength=kk).astype(np.int64)
+                nz = np.nonzero(cnt)[0]
+                yield pd.DataFrame(
+                    {
+                        "cluster_id": np.repeat(nz, dim).astype("int32"),
+                        "pos": np.tile(np.arange(dim, dtype=np.int64), len(nz)),
+                        "s": sums[nz].reshape(-1),
+                        "n": np.repeat(cnt[nz], dim),
+                    }
+                )
+
         upd = (
-            assigned.join(emb, "vec_id")
-            .select("cluster_id", F.posexplode("q").alias("pos", "qv"))
+            emb.select("vec_id", "q")
+            .mapInPandas(partials, "cluster_id int, pos long, s long, n long")
             .groupBy("cluster_id", "pos")
             .agg(
-                F.floor(F.sum("qv").cast("double") / F.count(F.lit(1)))
+                F.floor(F.sum("s").cast("double") / F.sum("n"))
                 .cast("long")
                 .alias("cv")
             )
@@ -127,8 +179,7 @@ def kmeans_assignments(
             (cid, [dims[p] for p in sorted(dims)])
             for cid, dims in sorted(by_cluster.items())
         ]
-    cdf = spark.createDataFrame(cents, "cluster_id int, c array<bigint>")
-    return _assign(emb, cdf).join(
+    return _assign(emb, cents).join(
         emb.select("vec_id", "label"), "vec_id"
     ).select("vec_id", "label", "cluster_id", "dist_q")
 
