@@ -693,3 +693,181 @@ def x4_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+SESSION_GAP_S = 1800  # 30 min
+
+
+@register(
+    "x4_gap_sessionization",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE user_id <= 50
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w)
+                            > {SESSION_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+        SELECT user_id, event_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts)) AS BIGINT) AS duration_us
+    FROM sessioned
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+    survey_ids=("X4", "W2", "W3"),
+)
+def x4_gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization by inactivity gap (30 min) — the classic
+    lag-flag-cumsum idiom: a session break is a gap > threshold, the
+    session id is the running sum of breaks. This is the BATCH twin of
+    `st_session_windows`' streaming session_window (which the oracle
+    checks at merge level); here the oracle replays the identical
+    window algebra. Gaps compare in microsecond epoch (exact integers).
+    One window shuffle on user_id + one grouped agg — per-user
+    partitions, skew-free at 100 TB (hot users are bounded by their own
+    event cardinality, and the salted-session variant covers the rest)."""
+    from pyspark.sql import Window
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 50)
+        .select("user_id", "event_id", "ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | (us - prev_us > SESSION_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    sessioned = ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (
+                F.unix_micros(F.max("ts").cast("timestamp"))
+                - F.unix_micros(F.min("ts").cast("timestamp"))
+            ).cast("long").alias("duration_us"),
+        )
+        .select(
+            "user_id",
+            F.col("session_id").cast("long").alias("session_id"),
+            "session_start",
+            "session_end",
+            "n_events",
+            "duration_us",
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "w_gap_fill_forward",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE user_id <= 10
+    ),
+    daily AS (
+        SELECT user_id, day, SUM(cents) AS spend FROM ev GROUP BY user_id, day
+    ),
+    spine AS (
+        SELECT user_id,
+               CAST(UNNEST(generate_series(CAST(mn AS TIMESTAMP),
+                                           CAST(mx AS TIMESTAMP),
+                                           INTERVAL 1 DAY)) AS DATE) AS day
+        FROM (SELECT user_id, MIN(day) AS mn, MAX(day) AS mx
+              FROM daily GROUP BY user_id)
+    ),
+    joined AS (
+        SELECT s.user_id, s.day, d.spend
+        FROM spine s LEFT JOIN daily d
+          ON d.user_id = s.user_id AND d.day = s.day
+    )
+    SELECT user_id,
+           CAST(day AS TIMESTAMP) AS day,
+           spend IS NOT NULL AS observed,
+           CAST(COALESCE(last_value(spend IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+                AS BIGINT) AS spend_cents_ff
+    FROM joined
+    ORDER BY user_id, day
+    """,
+    survey_ids=("W3", "F4", "F1"),
+)
+def w_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap filling + forward fill — the time-series
+    regularization every reporting layer needs: build each series' full
+    day spine (sequence + explode, map-side), left-join the observed
+    daily totals, then carry the last observation forward with
+    last(..., ignorenulls) over an unbounded-preceding frame.
+
+    Daily totals sum in exact cents (BIGINT) so the fill values hash
+    engine-identically. The spine explode is bounded by the date span
+    per series, not the event count; the only shuffles are the daily
+    rollup and the per-series window — both on the series key. Left
+    edge (days before a series' first observation) cannot occur since
+    each spine starts at the series' own min day; COALESCE(...,0)
+    still pins the contract."""
+    from pyspark.sql import Window
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 10)
+        .select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    daily = ev.groupBy("user_id", "day").agg(F.sum("cents").alias("spend"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(mn, mx, interval 1 day)")).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        joined.select(
+            "user_id",
+            F.col("day").cast("timestamp").alias("day"),
+            F.col("spend").isNotNull().alias("observed"),
+            F.coalesce(F.last("spend", ignorenulls=True).over(w), F.lit(0))
+            .cast("long")
+            .alias("spend_cents_ff"),
+        )
+        .orderBy("user_id", "day")
+    )

@@ -560,3 +560,121 @@ def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").asc_nulls_first(),
         )
     )
+
+
+@register(
+    "q_data_quality_audit",
+    oracle="""
+    WITH checks AS (
+        SELECT 'pk_customer_unique' AS check_name, 'customer' AS table_name,
+               (SELECT COUNT(*) FROM customer) AS n_rows,
+               (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+                   AS n_violations
+        UNION ALL
+        SELECT 'pk_orders_unique', 'orders',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+        UNION ALL
+        SELECT 'fk_orders_customer', 'orders',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders
+                 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+        UNION ALL
+        SELECT 'fk_lineitem_orders', 'lineitem',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem
+                 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        UNION ALL
+        SELECT 'not_null_o_totalprice', 'orders',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders WHERE o_totalprice IS NULL)
+        UNION ALL
+        SELECT 'positive_l_quantity', 'lineitem',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+        UNION ALL
+        SELECT 'accepted_values_o_orderstatus', 'orders',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+    )
+    SELECT check_name, table_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM checks
+    ORDER BY check_name
+    """,
+    survey_ids=("P6", "J5", "A2"),
+)
+def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-test-style constraint audit in ONE query: PK uniqueness, FK
+    orphans (anti-join semantics), NOT NULL, value range, accepted
+    values — each check one map-combined aggregate or broadcast
+    anti-join count, unioned into a (check, rows, violations, passed)
+    ledger. The per-table scans are shared by Spark's plan (same scan
+    feeds its checks); no check ever materializes violating ROWS, only
+    counts — at 100 TB the audit output is 7 rows regardless of input.
+    Violation-row extraction is the ETL `expect` step's job."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+
+    def check(name: str, table: str, base: DataFrame, viol_cnt) -> DataFrame:
+        return base.agg(
+            F.lit(name).alias("check_name"),
+            F.lit(table).alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            viol_cnt.cast("long").alias("n_violations"),
+        )
+
+    dup_cust = check(
+        "pk_customer_unique", "customer", cust,
+        F.count(F.lit(1)) - F.countDistinct("c_custkey"),
+    )
+    dup_ord = check(
+        "pk_orders_unique", "orders", orders,
+        F.count(F.lit(1)) - F.countDistinct("o_orderkey"),
+    )
+    # FK orphan counts as aggregates over a left-join hit marker
+    # (NOT IN with no NULL keys == anti join)
+    fk_oc = check(
+        "fk_orders_customer", "orders",
+        orders.join(
+            F.broadcast(
+                cust.select(F.col("c_custkey").alias("o_custkey"))
+                .distinct()
+                .withColumn("_dim_hit", F.lit(1))
+            ),
+            "o_custkey", "left",
+        ),
+        F.sum(F.when(F.col("_dim_hit").isNull(), 1).otherwise(0)),
+    )
+    fk_lo = check(
+        "fk_lineitem_orders", "lineitem",
+        li.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey"))
+            .distinct()
+            .withColumn("_dim_hit", F.lit(1)),
+            "l_orderkey", "left",
+        ),
+        F.sum(F.when(F.col("_dim_hit").isNull(), 1).otherwise(0)),
+    )
+    nn_tp = check(
+        "not_null_o_totalprice", "orders", orders,
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)),
+    )
+    pos_qty = check(
+        "positive_l_quantity", "lineitem", li,
+        F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)),
+    )
+    acc_st = check(
+        "accepted_values_o_orderstatus", "orders", orders,
+        F.sum(F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)),
+    )
+    out = dup_cust
+    for part in (dup_ord, fk_oc, fk_lo, nn_tp, pos_qty, acc_st):
+        out = out.unionByName(part)
+    return out.withColumn("passed", F.col("n_violations") == 0).orderBy(
+        "check_name"
+    )

@@ -108,3 +108,60 @@ def test_payload_dedup_finds_only_recrawl_copies(spark, sf_dir):
         assert r.keep_id < 1000000  # canonical keep is the original id
         assert r.keep_id % 7 == 0
         assert r.bytes_saved > 0
+
+
+def test_gap_sessionization_invariants(spark, sf_dir):
+    """Sessions per user are disjoint, ordered, and separated by more
+    than the 30-min gap; every event interval inside a session is <= gap."""
+    from etl_generator_demo_spark.registry import load_all
+    from etl_generator_demo_spark.operators.analytics_ext import SESSION_GAP_S
+
+    rows = load_all()["x4_gap_sessionization"].fn(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert rows
+    for user, sess in by_user.items():
+        assert [s.session_id for s in sess] == list(range(1, len(sess) + 1))
+        for a, b in zip(sess, sess[1:]):
+            gap = (b.session_start - a.session_end).total_seconds()
+            assert gap > SESSION_GAP_S, (user, a.session_id)
+        for s in sess:
+            assert s.session_end >= s.session_start
+            assert s.duration_us == int(
+                (s.session_end - s.session_start).total_seconds() * 1_000_000
+            )
+
+
+def test_gap_fill_spine_contiguous_and_carries(spark, sf_dir):
+    from etl_generator_demo_spark.registry import load_all
+
+    rows = load_all()["w_gap_fill_forward"].fn(spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, days in by_user.items():
+        # contiguous daily spine
+        for a, b in zip(days, days[1:]):
+            assert (b.day - a.day).days == 1, user
+        # first day observed; unobserved days repeat the previous value
+        assert days[0].observed
+        prev = None
+        for d in days:
+            if not d.observed:
+                assert d.spend_cents_ff == prev
+            prev = d.spend_cents_ff
+
+
+def test_data_quality_audit_clean_fixture(spark, sf_dir):
+    from etl_generator_demo_spark.registry import load_all
+
+    rows = load_all()["q_data_quality_audit"].fn(spark, sf_dir).collect()
+    assert len(rows) == 7
+    assert all(r.passed for r in rows), rows
+    assert all(r.n_violations == 0 for r in rows)
+    assert {r.check_name for r in rows} == {
+        "pk_customer_unique", "pk_orders_unique", "fk_orders_customer",
+        "fk_lineitem_orders", "not_null_o_totalprice",
+        "positive_l_quantity", "accepted_values_o_orderstatus",
+    }
