@@ -235,3 +235,92 @@ def x2_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates (the string-edit tier next to shingle Jaccard)."""
     docs = t(spark, sf_dir, "documents")
     return edit_distance_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+CONTAIN_NUM = 9
+CONTAIN_DEN = 10
+
+
+@register(
+    "x2_shingle_containment_pairs",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    card AS (SELECT doc_id, COUNT(*) AS card FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    directed AS (
+        SELECT doc_a AS contained, doc_b AS container, inter,
+               ca.card AS card_contained
+        FROM inter JOIN card ca ON ca.doc_id = doc_a
+        UNION ALL
+        SELECT doc_b AS contained, doc_a AS container, inter,
+               cb.card AS card_contained
+        FROM inter JOIN card cb ON cb.doc_id = doc_b
+    )
+    SELECT contained, container,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(card_contained AS BIGINT) AS card_contained,
+           CAST(inter AS DOUBLE) / card_contained AS containment
+    FROM directed
+    WHERE {CONTAIN_DEN} * inter >= {CONTAIN_NUM} * card_contained
+    ORDER BY contained, container
+    """,
+    survey_ids=("X2",),
+)
+def x2_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT ≥ 0.9 — |Sa∩Sb|/|Sa|,
+    the detector for quote-inclusion and doc-inside-doc duplication
+    that symmetric Jaccard misses entirely (a short doc embedded in a
+    long one has tiny Jaccard but containment ≈ 1). Broder's resemblance
+    vs containment distinction, applied at corpus curation.
+
+    Same inverted-index join as the Jaccard tier (intersections
+    computed once per unordered pair, then scored in both directions);
+    all-integer threshold; at 100 TB this is the verification tier over
+    LSH candidates, like every exact pair scorer here."""
+    docs = t(spark, sf_dir, "documents")
+    sh = doc_shingles(docs)
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("card"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("card").alias("card_a"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("card").alias("card_b"))
+    both = inter.join(ca, "doc_a").join(cb, "doc_b")
+    directed = both.select(
+        F.col("doc_a").alias("contained"),
+        F.col("doc_b").alias("container"),
+        "inter",
+        F.col("card_a").alias("card_contained"),
+    ).unionByName(
+        both.select(
+            F.col("doc_b").alias("contained"),
+            F.col("doc_a").alias("container"),
+            "inter",
+            F.col("card_b").alias("card_contained"),
+        )
+    )
+    return (
+        directed.filter(
+            CONTAIN_DEN * F.col("inter") >= CONTAIN_NUM * F.col("card_contained")
+        )
+        .select(
+            "contained",
+            "container",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("card_contained").cast("long").alias("card_contained"),
+            (F.col("inter").cast("double") / F.col("card_contained")).alias(
+                "containment"
+            ),
+        )
+        .orderBy("contained", "container")
+    )

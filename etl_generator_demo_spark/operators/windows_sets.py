@@ -515,3 +515,71 @@ def w_ewma_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+_EXCEPT_ALL_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+ORDER BY o_custkey
+"""
+
+
+@register(
+    "u_except_all_urgent_minus_finished",
+    oracle=_EXCEPT_ALL_SQL,
+    survey_ids=("U2",),
+)
+def u_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: a key with m urgent and n finished
+    occurrences survives max(m − n, 0) times (DISTINCT-based EXCEPT
+    collapses it to 0/1). Completes the multiset suite next to
+    `u_intersect_all_urgent_finished`; same SQL text both engines,
+    counted-aggregate plan, one shuffle per side."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EXCEPT_ALL_SQL)
+
+
+@register(
+    "o_keyset_page",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+    FROM orders
+    WHERE (o_orderdate, o_orderkey) > (
+        SELECT (o_orderdate, o_orderkey) FROM (
+            SELECT o_orderdate, o_orderkey FROM orders
+            ORDER BY o_orderdate, o_orderkey LIMIT 1 OFFSET 99
+        )
+    )
+    ORDER BY o_orderdate, o_orderkey
+    LIMIT 50
+    """,
+    survey_ids=("O1", "O2", "P6"),
+)
+def o_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek) pagination — the scale-correct successor to
+    LIMIT/OFFSET (`o_limit_offset_page`): page N+1 starts strictly
+    after the last (sort-key, tiebreak-key) of page N, so the scan
+    prunes by predicate instead of counting-and-discarding OFFSET rows.
+    Here the cursor (the 100th row's keys) is itself computed in-plan;
+    a real client passes it as a literal, making every page an O(page)
+    TakeOrderedAndProject over a pushed-down range predicate."""
+    orders = t(spark, sf_dir, "orders")
+    cursor = (
+        orders.select("o_orderdate", "o_orderkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(1)
+        .collect()[0]
+    )
+    after = (F.col("o_orderdate") > F.lit(cursor.o_orderdate)) | (
+        (F.col("o_orderdate") == F.lit(cursor.o_orderdate))
+        & (F.col("o_orderkey") > cursor.o_orderkey)
+    )
+    return (
+        orders.filter(after)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(50)
+    )
