@@ -70,8 +70,12 @@ def token_overlap_join(
 
     Plan shape: tokens → df counts (vocab-sized, map-combined) →
     per-doc rank window → prefix self-join (candidates) → exact
-    overlap restricted to candidates. No all-pairs stage anywhere."""
-    tok = doc_tokens(docs, id_col, text_col)
+    overlap restricted to candidates. No all-pairs stage anywhere.
+    The distinct token relation feeds four consumers (cardinalities,
+    document frequencies, the rank window, and both sides of the exact
+    overlap join) — materialize it once instead of re-running the
+    explode+distinct per branch."""
+    tok = doc_tokens(docs, id_col, text_col).localCheckpoint(eager=True)
     card = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("card"))
     df_rel = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 
@@ -283,7 +287,9 @@ def x2_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-integer threshold; at 100 TB this is the verification tier over
     LSH candidates, like every exact pair scorer here."""
     docs = t(spark, sf_dir, "documents")
-    sh = doc_shingles(docs)
+    # shingles feed cardinalities + both sides of the inverted-index
+    # join — materialize once
+    sh = doc_shingles(docs).localCheckpoint(eager=True)
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("card"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

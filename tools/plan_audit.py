@@ -158,6 +158,40 @@ EXPECTATIONS: dict[str, dict] = {
     # GROUPING SETS expand into ONE hash aggregate (Expand node), not
     # one scan per set
     "a_grouping_sets": {"max_exchanges": 2},
+    # prefix filter: checkpointed token relation feeds card/df/rank/
+    # overlap branches; budget covers the rank window + prefix join +
+    # candidate distinct + overlap agg + rejoins
+    "x2_token_overlap_join": {"max_exchanges": 11},
+    # LSH candidate chain + the two text rejoins (broadcast)
+    "x2_edit_distance_pairs": {"max_exchanges": 4, "min_broadcast": 2},
+    # day-grain dedup + 7-offset explode dedup + two rollups + join
+    "x4_rolling_7d_active_users": {"max_exchanges": 6},
+    # one lag window on the partition key + output ordering
+    "w_ewma_order_totals": {"max_exchanges": 2, "pushed": True},
+    # two grouped exact medians with per-group models broadcast back
+    "x4_mad_outliers": {"max_exchanges": 5, "min_broadcast": 2},
+    # union + digest groupBy + output ordering
+    "x5_payload_dedup": {"max_exchanges": 3},
+    # degree rollup + orientation rejoin + wedge join + closing semi +
+    # global totals (wedge stage capped O(m^1.5) by orientation)
+    "g_triangle_count": {"max_exchanges": 7},
+    # lag-flag-cumsum window + per-session rollup + output ordering
+    "x4_gap_sessionization": {"max_exchanges": 3, "pushed": True},
+    # daily rollup + spine explode + left join + carry window
+    "w_gap_fill_forward": {"max_exchanges": 5, "pushed": True},
+    # 7 unioned single-row aggregates (scalar exchanges) + FK checks
+    # via broadcast hit markers
+    "q_data_quality_audit": {"max_exchanges": 11, "min_broadcast": 2},
+    # counted-aggregate EXCEPT ALL: one shuffle per side + join + order
+    "u_except_all_urgent_minus_finished": {"max_exchanges": 4},
+    # seek pagination: pushed cursor range predicate + TakeOrdered,
+    # zero exchanges
+    "o_keyset_page": {"max_exchanges": 0, "take_ordered": True},
+    # checkpointed shingles feed card + both join sides; inter agg +
+    # direction union + rejoins
+    "x2_shingle_containment_pairs": {"max_exchanges": 7},
+    # one Arrow encode pass; only the output ordering shuffles
+    "x3_pq_codes": {"max_exchanges": 1},
 }
 
 
