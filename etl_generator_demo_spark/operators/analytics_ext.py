@@ -871,3 +871,105 @@ def w_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "x4_concurrent_sessions",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE user_id <= 50
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w)
+                            > {SESSION_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+        FROM (
+            SELECT user_id, event_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        )
+        GROUP BY user_id, session_id
+    ),
+    deltas AS (
+        SELECT s AS ts, 1 AS delta FROM sessions
+        UNION ALL
+        SELECT e AS ts, -1 AS delta FROM sessions
+    ),
+    merged AS (
+        -- simultaneous starts/ends collapse to one net step so the
+        -- running sum is well-defined regardless of within-ts order
+        SELECT ts, SUM(delta) AS net FROM deltas GROUP BY ts
+    ),
+    curve AS (
+        SELECT ts, SUM(net) OVER (ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        FROM merged
+    )
+    SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM curve
+    GROUP BY CAST(ts AS DATE)
+    ORDER BY day
+    """,
+    survey_ids=("X4", "W3", "U2"),
+)
+def x4_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line algorithm as a
+    relational plan: session intervals (from `x4_gap_sessionization`'s
+    chain) become +1/−1 boundary events, net steps per timestamp merge
+    first (making the running sum order-independent within a tick), and
+    a cumulative window walks the concurrency curve; MAX per day reads
+    the peaks. Capacity-planning's canonical query, no interval
+    self-join anywhere (an interval⋈interval overlap join is O(n²) per
+    hot window — the sweep is O(n log n) and shuffles only boundary
+    events). The curve window is a single total order at 50 users; at
+    100 TB you partition the sweep by day first (boundaries crossing
+    midnight carry over as documented in SCALE.md) or keep per-shard
+    curves and merge peaks."""
+    from pyspark.sql import Window
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 50)
+        .select("user_id", "event_id", "ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | (us - prev_us > SESSION_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    sessions = (
+        ev.withColumn(
+            "session_id",
+            F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    deltas = sessions.select(F.col("s").alias("ts"), F.lit(1).alias("delta")).unionByName(
+        sessions.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    merged = deltas.groupBy("ts").agg(F.sum("delta").alias("net"))
+    curve = merged.withColumn(
+        "conc",
+        F.sum("net").over(
+            Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        curve.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.max("conc").cast("long").alias("peak_concurrency"))
+        .select(F.col("day").cast("timestamp").alias("day"), "peak_concurrency")
+        .orderBy("day")
+    )

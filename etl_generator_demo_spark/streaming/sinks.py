@@ -62,3 +62,49 @@ def run_foreach_batch(stream_df: DataFrame, target_dir: str, **sink_kw):
     )
     q.awaitTermination(180)
     return q
+
+
+def merge_upsert_sink(target_dir: str, key_cols: list[str], order_col: str):
+    """foreachBatch handler applying each micro-batch as a keyed MERGE
+    (the streaming CDC-apply idiom): the batch first collapses to its
+    latest row per key (max `order_col`, deterministic tiebreak on the
+    key), then upserts via `sources.mutations.merge_parquet` — matched
+    keys replaced, new keys inserted, staged-swap crash recovery
+    underneath. Replaying a batch is idempotent: the same rows merge to
+    the same state. On Delta/Iceberg this handler becomes `MERGE INTO`
+    with a transactional commit; the contract is identical."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        import os
+
+        from etl_generator_demo_spark.sources.mutations import merge_parquet
+
+        if not len(batch_df.take(1)):
+            return
+        w = Window.partitionBy(*key_cols).orderBy(
+            F.col(order_col).desc(), *[F.col(k) for k in key_cols]
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if not os.path.exists(target_dir):
+            latest.write.parquet(target_dir)
+        else:
+            merge_parquet(batch_df.sparkSession, target_dir, latest, key_cols)
+
+    return write_batch
+
+
+def run_merge_stream(stream_df, target_dir: str, key_cols: list[str], order_col: str):
+    """availableNow run of `stream_df` through the merge-upsert sink."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(merge_upsert_sink(target_dir, key_cols, order_col))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

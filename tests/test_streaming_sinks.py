@@ -40,3 +40,51 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
     before = spark.read.parquet(target).count()
     sink(replay, 0)
     assert spark.read.parquet(target).count() == before
+
+
+def test_merge_upsert_sink_streaming_cdc_apply(spark, sf_dir, tmp_path):
+    """Stream per-user update files through a keyed MERGE sink: the
+    target converges to exactly one row per user — that user's latest
+    event — regardless of micro-batch order; replay is idempotent."""
+    from etl_generator_demo_spark.catalog import read_table
+    from etl_generator_demo_spark.streaming.sinks import (
+        merge_upsert_sink,
+        run_merge_stream,
+    )
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 5)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+    src = tmp_path / "updates"
+    # one file per user -> each micro-batch holds one user's full history
+    for uid in [r.user_id for r in ev.select("user_id").distinct().collect()]:
+        ev.filter(F.col("user_id") == uid).coalesce(1).write.mode("append").parquet(
+            str(src)
+        )
+
+    target = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_merge_stream(stream, target, key_cols=["user_id"], order_col="ts")
+
+    out = spark.read.parquet(target)
+    want = {
+        (r.user_id, r.ts): r.event_id
+        for r in ev.groupBy("user_id")
+        .agg(F.max("ts").alias("ts"))
+        .join(ev, ["user_id", "ts"])
+        .collect()
+    }
+    got = {(r.user_id, r.ts) for r in out.collect()}
+    assert out.count() == ev.select("user_id").distinct().count()
+    assert got == set(want)
+    # replay: merging the final state into itself changes nothing
+    before = sorted(map(tuple, out.collect()))
+    merge_upsert_sink(target, ["user_id"], "ts")(out, 99)
+    after = sorted(map(tuple, spark.read.parquet(target).collect()))
+    assert before == after
