@@ -53,6 +53,10 @@ HEADLINE = [
     # round-4 additions: BM25 retrieval + SemDeDup (k-means inside)
     "x4_bm25_topk",
     "x3_semdedup_keep",
+    # round-4 late addition: PQ compression (triangle census is
+    # registry-gated but not benched: the sf0.1 co-purchase graph's
+    # wedge stage is a deliberate O(m^1.5) census, not a latency path)
+    "x3_pq_codes",
 ]
 
 

@@ -407,3 +407,81 @@ def a_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "a_weighted_median",
+    oracle="""
+    WITH li AS (
+        SELECT l_returnflag AS grp,
+               l_extendedprice AS v,
+               CAST(l_quantity AS BIGINT) AS w,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    tot AS (SELECT grp, SUM(w) AS tw FROM li GROUP BY grp),
+    cum AS (
+        SELECT grp, v, w, l_orderkey, l_linenumber,
+               SUM(w) OVER (PARTITION BY grp ORDER BY v, l_orderkey, l_linenumber
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+        FROM li
+    ),
+    hit AS (
+        SELECT c.grp, c.v, c.cw, t.tw,
+               ROW_NUMBER() OVER (PARTITION BY c.grp
+                                  ORDER BY c.v, c.l_orderkey, c.l_linenumber) AS rn
+        FROM cum c JOIN tot t ON t.grp = c.grp
+        WHERE 2 * c.cw >= t.tw
+    )
+    SELECT grp, v AS weighted_median,
+           CAST(tw AS BIGINT) AS total_weight,
+           CAST(cw AS BIGINT) AS cum_weight_at_median
+    FROM hit WHERE rn = 1
+    ORDER BY grp
+    """,
+    survey_ids=("A1", "W3"),
+)
+def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (lower) of extended price, weighted by quantity,
+    per return flag — the robust center for 'half the UNITS shipped
+    cost less than X', which the unweighted median cannot answer.
+    Classic cumulative-weight construction: total order on (value,
+    natural key), running SUM(weight), first row with 2·cumw ≥ W.
+    Weights are exact BIGINTs so the crossing row is engine-identical
+    (no interpolation, no float compare). One window shuffle on the
+    group key + the totals broadcast — scale-free per group."""
+    from operator import and_
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    tot = li.groupBy("grp").agg(F.sum("w").alias("tw"))
+    order = [F.col("v"), F.col("l_orderkey"), F.col("l_linenumber")]
+    cum = li.withColumn(
+        "cw",
+        F.sum("w").over(
+            Window.partitionBy("grp")
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    hit = (
+        cum.join(F.broadcast(tot), "grp")
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("grp").orderBy(*order)),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return hit.select(
+        "grp",
+        F.col("v").alias("weighted_median"),
+        F.col("tw").cast("long").alias("total_weight"),
+        F.col("cw").cast("long").alias("cum_weight_at_median"),
+    ).orderBy("grp")

@@ -1202,3 +1202,117 @@ def x4_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new_tokens",
         F.sum("n_new_tokens").over(w).cast("long").alias("vocab_size"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, arXiv:2302.03169):
+# score each document by how target-like its hashed n-gram feature
+# distribution is — the data-selection weight used to resample a raw
+# corpus toward a high-quality target domain.
+# ---------------------------------------------------------------------------
+DSIR_BUCKETS = 256  # hashed-bigram feature space (2 hex chars of md5)
+DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "x4_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               UNNEST(STRING_SPLIT(text, ' ')) AS tk,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang,
+               SUBSTR(MD5(tk || '_' || LEAD(tk) OVER (
+                   PARTITION BY doc_id ORDER BY pos)), 1, 2) AS feat
+        FROM tok
+        QUALIFY LEAD(tk) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+    ),
+    src AS (SELECT feat, COUNT(*) AS cs FROM bg GROUP BY feat),
+    tgt AS (SELECT feat, COUNT(*) AS ct FROM bg
+            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY feat),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM bg) AS ns,
+               (SELECT COUNT(*) FROM bg WHERE lang = '{DSIR_TARGET_LANG}') AS nt
+    ),
+    w AS (
+        SELECT s.feat,
+               CAST(FLOOR(LN(
+                   (COALESCE(t.ct, 0) + 1.0) * (tot.ns + {DSIR_BUCKETS})
+                   / ((s.cs + 1.0) * (tot.nt + {DSIR_BUCKETS}))
+               ) * 1000000) AS BIGINT) AS w_e6
+        FROM src s LEFT JOIN tgt t ON t.feat = s.feat CROSS JOIN tot
+    )
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(w.w_e6) AS BIGINT) AS importance_e6,
+           SUM(w.w_e6) > 0 AS target_like
+    FROM bg JOIN w ON w.feat = bg.feat
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+    survey_ids=("X4",),
+)
+def x4_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights: per-document Σ log(p_target/p_source)
+    over hashed-bigram features (256 md5 buckets, Laplace-smoothed
+    counts) — positive means the doc's feature distribution looks more
+    like the target domain (here: the '{DSIR_TARGET_LANG}' slice) than
+    the raw corpus, the resampling signal of Xie et al. 2023.
+
+    Exactness: each feature's log-ratio is ln() of one exactly-computed
+    double ratio of integer counts, floored to 1e-6 BIGINT BEFORE the
+    per-doc sum — so document scores are order-independent integer
+    sums, immune to float-summation wobble. The 256-row weight model
+    broadcasts; corpus cost is one bigram explode + two vocab-sized
+    groupBys + one per-doc agg."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bg = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat(split(text, ' ')[i-1], '_', split(text, ' ')[i])) "
+                "ELSE array() END"
+            )
+        ).alias("bigram"),
+    ).select("doc_id", "lang", F.substring(F.md5("bigram"), 1, 2).alias("feat"))
+    src = bg.groupBy("feat").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = (
+        bg.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("feat")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    ns = bg.count()
+    nt = bg.filter(F.col("lang") == DSIR_TARGET_LANG).count()
+    w = (
+        src.join(tgt, "feat", "left")
+        .select(
+            "feat",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    * F.lit(float(ns + DSIR_BUCKETS))
+                    / ((F.col("cs") + F.lit(1.0)) * F.lit(float(nt + DSIR_BUCKETS)))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("w_e6"),
+        )
+    )
+    return (
+        bg.join(F.broadcast(w), "feat")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("w_e6").cast("long").alias("importance_e6"),
+        )
+        .withColumn("target_like", F.col("importance_e6") > 0)
+        .orderBy("doc_id")
+    )

@@ -43,3 +43,36 @@ def test_approx_percentiles_rank_accuracy(spark, sf_dir):
         for col, p in (("m", 0.5), ("p90", 0.9), ("p99", 0.99)):
             cdf = sum(1 for v in group if v <= row[col]) / n
             assert abs(cdf - p) <= 0.02 + 1.0 / n, (k, col, p, cdf)
+
+
+def test_weighted_median_crossing_invariant(spark, sf_dir):
+    """The reported value is the smallest v whose cumulative weight
+    reaches half the total, per group — checked against a pandas
+    recomputation."""
+    from etl_generator_demo_spark.catalog import read_table
+    from etl_generator_demo_spark.registry import load_all
+
+    got = {
+        r.grp: (r.weighted_median, r.total_weight, r.cum_weight_at_median)
+        for r in load_all()["a_weighted_median"].fn(spark, sf_dir).collect()
+    }
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity",
+                "l_orderkey", "l_linenumber")
+        .collect()
+    )
+    groups: dict[str, list] = {}
+    for r in li:
+        groups.setdefault(r.l_returnflag, []).append(
+            (r.l_extendedprice, int(r.l_quantity), r.l_orderkey, r.l_linenumber)
+        )
+    for grp, rows in groups.items():
+        rows.sort(key=lambda x: (x[0], x[2], x[3]))
+        tw = sum(w for _, w, _, _ in rows)
+        cw = 0
+        for v, w, _, _ in rows:
+            cw += w
+            if 2 * cw >= tw:
+                assert got[grp] == (v, tw, cw), grp
+                break

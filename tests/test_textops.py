@@ -233,3 +233,22 @@ def test_winnowing_guarantees_shared_fingerprint_for_shared_runs(spark, sf_dir):
     for did, n_fp in per_doc.items():
         n_kgrams = toks[did] - WINNOW_K + 1
         assert 0 < n_fp <= max(1, n_kgrams - WINNOW_W + 1)
+
+
+def test_dsir_importance_separates_target_language(spark, sf_dir):
+    """English docs must score higher on the en-target importance than
+    non-English docs on average, and the weight model must be finite."""
+    from etl_generator_demo_spark.registry import load_all
+    from etl_generator_demo_spark.catalog import read_table
+
+    out = load_all()["x4_dsir_importance"].fn(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = out.join(docs, "doc_id").collect()
+    en = [r.importance_e6 for r in joined if r.lang == "en"]
+    other = [r.importance_e6 for r in joined if r.lang != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
+    # per-doc score is an integer sum of per-feature integer weights
+    for r in joined:
+        assert isinstance(r.importance_e6, int)
+        assert r.n_feats > 0
