@@ -110,15 +110,16 @@ def _assign(emb: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     )
 
 
-def kmeans_assignments(
+def kmeans_model(
     spark: SparkSession,
     sf_dir: str,
     k: int = KMEANS_K,
     rounds: int = KMEANS_ROUNDS,
-) -> DataFrame:
-    """Run `rounds` Lloyd updates from the deterministic md5-seeded
-    init, then return the final assignment (vec_id, label, cluster_id,
-    dist_q). Every number is an exact integer (see module doc)."""
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Train the fixed-iteration Lloyd model and return
+    (checkpointed quantized relation, final centroids) — the reusable
+    form for consumers that need the model itself (IVF-PQ's coarse
+    quantizer, purity audits), not just the assignment."""
     # the quantized relation feeds seed + one pass per round + the final
     # assignment — materialize it once (|corpus| rows) instead of
     # re-scanning and re-quantizing parquet per action
@@ -179,6 +180,19 @@ def kmeans_assignments(
             (cid, [dims[p] for p in sorted(dims)])
             for cid, dims in sorted(by_cluster.items())
         ]
+    return emb, cents
+
+
+def kmeans_assignments(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    rounds: int = KMEANS_ROUNDS,
+) -> DataFrame:
+    """Run `rounds` Lloyd updates from the deterministic md5-seeded
+    init, then return the final assignment (vec_id, label, cluster_id,
+    dist_q). Every number is an exact integer (see module doc)."""
+    emb, cents = kmeans_model(spark, sf_dir, k, rounds)
     return _assign(emb, cents).join(
         emb.select("vec_id", "label"), "vec_id"
     ).select("vec_id", "label", "cluster_id", "dist_q")
@@ -608,4 +622,165 @@ def x3_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("vec_id", "q")
         .mapInPandas(encode, "vec_id long, codes_csv string, recon_err long")
         .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ asymmetric-distance search (ADC): the billion-scale ANN serving
+# shape — coarse quantizer prunes to n_probe lists, PQ codes stand in
+# for vectors, distances come from a query-side lookup table.
+# ---------------------------------------------------------------------------
+IVFPQ_NPROBE = 2
+IVFPQ_K = 10
+
+
+def _ivfpq_oracle(
+    k: int = KMEANS_K,
+    rounds: int = KMEANS_ROUNDS,
+    dim: int = DIM,
+    m: int = PQ_M,
+    sub: int = PQ_SUBDIM,
+    pk: int = PQ_K,
+    nprobe: int = IVFPQ_NPROBE,
+    topk: int = IVFPQ_K,
+) -> str:
+    return f"""
+    WITH {_kmeans_cte(k, rounds, dim)},
+    qv AS (SELECT q FROM e WHERE vec_id = 0),
+    listrank AS (
+        SELECT c.cluster_id,
+               ROW_NUMBER() OVER (ORDER BY
+                   CAST(list_sum(list_transform(range(1, {dim + 1}),
+                        i -> (qv.q[i] - c.c[i]) * (qv.q[i] - c.c[i]))) AS BIGINT),
+                   c.cluster_id) AS rn
+        FROM c{rounds} c CROSS JOIN qv
+    ),
+    probe AS (SELECT cluster_id FROM listrank WHERE rn <= {nprobe}),
+    cand AS (
+        SELECT a.vec_id FROM a{rounds} a
+        WHERE a.cluster_id IN (SELECT cluster_id FROM probe)
+          AND a.vec_id <> 0
+    ),
+    pinit AS (
+        SELECT vec_id, q, md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM e ORDER BY h, vec_id LIMIT {pk}
+    ),
+    pcodes AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS INT) AS j, q
+        FROM pinit
+    ),
+    cb AS (
+        SELECT j, mm.m AS m,
+               list_slice(q, mm.m * {sub} + 1, mm.m * {sub} + {sub}) AS c
+        FROM pcodes CROSS JOIN range(0, {m}) mm(m)
+    ),
+    cdist AS (
+        SELECT e.vec_id, cb.m, cb.j,
+               CAST(list_sum(list_transform(range(1, {sub + 1}),
+                    i -> (e.q[cb.m * {sub} + i] - cb.c[i])
+                       * (e.q[cb.m * {sub} + i] - cb.c[i]))) AS BIGINT) AS d
+        FROM e JOIN cand USING (vec_id) CROSS JOIN cb
+    ),
+    best AS (
+        SELECT vec_id, m, j FROM (
+            SELECT vec_id, m, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+            FROM cdist
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT cb.m, cb.j,
+               CAST(list_sum(list_transform(range(1, {sub + 1}),
+                    i -> (qv.q[cb.m * {sub} + i] - cb.c[i])
+                       * (qv.q[cb.m * {sub} + i] - cb.c[i]))) AS BIGINT) AS d
+        FROM cb CROSS JOIN qv
+    ),
+    adc AS (
+        SELECT best.vec_id, SUM(lut.d) AS adc_dist
+        FROM best JOIN lut ON lut.m = best.m AND lut.j = best.j
+        GROUP BY best.vec_id
+    ),
+    exact AS (
+        SELECT e.vec_id,
+               CAST(list_sum(list_transform(range(1, {dim + 1}),
+                    i -> (e.q[i] - qv.q[i]) * (e.q[i] - qv.q[i]))) AS BIGINT)
+                   AS exact_dist
+        FROM e JOIN cand USING (vec_id) CROSS JOIN qv
+    )
+    SELECT adc.vec_id,
+           CAST(adc.adc_dist AS BIGINT) AS adc_dist,
+           exact.exact_dist
+    FROM adc JOIN exact ON exact.vec_id = adc.vec_id
+    ORDER BY adc.adc_dist, adc.vec_id
+    LIMIT {topk}
+    """
+
+
+@register("x3_ivfpq_adc_topk", oracle=_ivfpq_oracle(), survey_ids=("X3",))
+def x3_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search with asymmetric distance computation — the
+    composition that serves billion-vector ANN in production (Jégou et
+    al. 2011; FAISS's IVFPQ): the exact-integer Lloyd model is the
+    coarse quantizer (2 of 8 lists probed), candidates are scored by
+    their PQ codes against a query-side 8×16 lookup table (one BIGINT
+    add per subspace instead of a 64-dim distance), and the top-10 by
+    ADC distance returns with the true exact distance alongside (the
+    judgeable ADC-vs-exact gap).
+
+    Every stage is exact integer arithmetic over the shared quantized
+    relation, so list ranking, candidate pruning, PQ codes, the LUT,
+    and the final ranking all hash engine-identically. Scale shape: the
+    probed lists are partition directories (`ann_index.py` persists the
+    float-tier variant); ADC reads 8 bytes of codes per candidate, not
+    512 — the I/O win that makes 100 TB ANN affordable."""
+    emb, cents = kmeans_model(spark, sf_dir)
+    q = list(emb.filter(F.col("vec_id") == 0).select("q").first().q)
+    ranked = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(q, c)), cid) for cid, c in cents
+    )
+    probe = [cid for _, cid in ranked[:IVFPQ_NPROBE]]
+    asg = _assign(emb, cents).filter(
+        F.col("cluster_id").isin(probe) & (F.col("vec_id") != 0)
+    )
+    cand = emb.join(asg.select("vec_id"), "vec_id", "left_semi")
+    seed = (
+        emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(PQ_K)
+        .collect()
+    )
+    cbook = [list(r.q) for r in seed]
+    qvec = q
+
+    def adc(batches):
+        import numpy as np
+        import pandas as pd
+
+        cb = np.array(cbook, dtype=np.int64).reshape(PQ_K, PQ_M, PQ_SUBDIM)
+        qm = np.array(qvec, dtype=np.int64)
+        qsub = qm.reshape(PQ_M, PQ_SUBDIM)
+        # lut[m, j] = |q_m − cb[j, m]|²  (exact int64)
+        lut = ((qsub[None, :, :] - cb) ** 2).sum(axis=2).T  # M×K
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            vs = v.reshape(-1, PQ_M, PQ_SUBDIM)
+            diff = vs[:, None, :, :] - cb[None, :, :, :]
+            codes = (diff * diff).sum(axis=3).argmin(axis=1)  # N×M
+            adc_d = lut[np.arange(PQ_M)[None, :], codes].sum(axis=1)
+            exact_d = ((v - qm[None, :]) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "adc_dist": adc_d,
+                    "exact_dist": exact_d,
+                }
+            )
+
+    return (
+        cand.select("vec_id", "q")
+        .mapInPandas(adc, "vec_id long, adc_dist long, exact_dist long")
+        .orderBy("adc_dist", "vec_id")
+        .limit(IVFPQ_K)
     )

@@ -136,3 +136,33 @@ def test_random_projection_matches_numpy_exactly(spark, sf_dir):
         q = np.floor(np.array(row.embedding, dtype=np.float64) * QSCALE).astype(np.int64)
         want = (signs @ q).tolist()
         assert got[row.vec_id] == want
+
+
+def test_ivfpq_adc_orders_by_lookup_table_distance(spark, sf_dir):
+    """ADC invariants: rows sorted by adc_dist; every returned candidate
+    sits in one of the 2 probed lists; ADC approximates exact distance
+    from below AND above (it's quantized, not a bound) but correlates:
+    the exact-nearest candidate among returned rows is near the top."""
+    import etl_generator_demo_spark.operators.clustering as cl
+    from etl_generator_demo_spark.registry import load_all
+
+    rows = load_all()["x3_ivfpq_adc_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == cl.IVFPQ_K
+    dists = [r.adc_dist for r in rows]
+    assert dists == sorted(dists)
+    assert all(r.vec_id != 0 for r in rows)
+    # probed-list membership
+    emb, cents = cl.kmeans_model(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    q = list(emb.filter(F.col("vec_id") == 0).select("q").first().q)
+    ranked = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(q, c)), cid) for cid, c in cents
+    )
+    probe = {cid for _, cid in ranked[: cl.IVFPQ_NPROBE]}
+    asg = {
+        r.vec_id: r.cluster_id
+        for r in cl._assign(emb, cents).collect()
+    }
+    for r in rows:
+        assert asg[r.vec_id] in probe
