@@ -490,3 +490,142 @@ def x3_ann_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_probe_batch_topk(
         spark, sf_dir, qvs, k=BATCH_PROBE_K, min_corpus_id=BATCH_PROBE_NQ
     ).orderBy("qid", F.desc("cosine"), "vec_id")
+
+
+# --- multi-probe LSH -------------------------------------------------------
+
+def multiprobe_buckets(
+    query_vec: list[float], tables: int = LSH_TABLES, planes: int = LSH_PLANES
+) -> list[list[str]]:
+    """Per-table probe sequence: the exact bucket plus every hamming-1
+    perturbation (each sign bit flipped once) — Lv et al. 2007's
+    multi-probe idea in its simplest deterministic form. (1+planes)
+    buckets per table recover most of the recall extra tables would
+    buy, WITHOUT growing the index: the trade is probe fan-out for
+    index storage."""
+    exact = query_buckets(query_vec, tables, planes)
+    out = []
+    for b in exact:
+        bits = b[1:]  # strip the 'b' prefix
+        probes = [b] + [
+            "b" + bits[:p] + ("0" if bits[p] == "1" else "1") + bits[p + 1 :]
+            for p in range(planes)
+        ]
+        out.append(probes)
+    return out
+
+
+def lsh_multiprobe_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec: list[float],
+    k: int = 10,
+    tables: int = LSH_TABLES,
+    planes: int = LSH_PLANES,
+    exclude_ids: tuple[int, ...] = (),
+) -> DataFrame:
+    """Multi-probe ANN top-k over the SAME persisted index as
+    `lsh_probe_topk`: reads the (1+planes)·tables probed bucket
+    directories (partition-pruned), exact JVM cosine re-rank. Strictly
+    higher recall than single-probe at ~5× the (tiny) probe I/O."""
+    path = ensure_lsh_index(spark, sf_dir, tables, planes)
+    per_table = multiprobe_buckets(query_vec, tables, planes)
+    probe_dirs = [
+        d
+        for tbl, buckets in enumerate(per_table)
+        for bucket in buckets
+        if os.path.isdir(d := os.path.join(path, f"lsh_table={tbl}", f"bucket={bucket}"))
+    ]
+    if not probe_dirs:
+        empty = spark.read.parquet(path).limit(0)
+        return empty.withColumn("cosine", F.lit(0.0)).limit(0)
+    idx = spark.read.option("basePath", path).parquet(*probe_dirs)
+    cond = None
+    for tbl, buckets in enumerate(per_table):
+        clause = (F.col("lsh_table") == tbl) & (F.col("bucket").isin(buckets))
+        cond = clause if cond is None else (cond | clause)
+    candidates = idx.filter(cond)
+    if exclude_ids:
+        candidates = candidates.filter(~F.col("vec_id").isin(list(exclude_ids)))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    n_probes = tables * (1 + planes)
+    ranked = (
+        candidates.withColumn("cosine", _floor6(cosine(_as_double("embedding"), q)))
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k * n_probes)
+    )
+    return (
+        ranked.dropDuplicates(["vec_id"])
+        .orderBy(F.desc("cosine"), "vec_id")
+        .limit(k)
+    )
+
+
+def _duck_bit_expr(table: int, plane: int, dim: int, col: str) -> str:
+    from etl_generator_demo_spark.operators.similarity import _hyperplane
+
+    lits = ", ".join(f"{x:.1f}" for x in _hyperplane(table, plane, dim))
+    return (
+        f"(CASE WHEN LIST_DOT_PRODUCT({col}, [{lits}]::DOUBLE[]) >= 0 "
+        f"THEN 1 ELSE 0 END)"
+    )
+
+
+def _lsh_multiprobe_oracle(tables: int, planes: int) -> str:
+    """Candidates = corpus rows whose bucket is within hamming distance
+    1 of the query's bucket in ANY table — the exact relational form of
+    the flip-one-bit probe sequence."""
+    from etl_generator_demo_spark.operators.similarity import DIM
+
+    per_table = " OR ".join(
+        "("
+        + " + ".join(
+            f"CASE WHEN {_duck_bit_expr(tbl, p, DIM, 'e.v')}"
+            f" <> {_duck_bit_expr(tbl, p, DIM, 'q.qv')} THEN 1 ELSE 0 END"
+            for p in range(planes)
+        )
+        + ") <= 1"
+        for tbl in range(tables)
+    )
+    return f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id <> 0
+    ),
+    cand AS (
+        SELECT e.vec_id, e.label, e.v, q.qv FROM e, q
+        WHERE {per_table}
+    )
+    SELECT vec_id, label,
+           FLOOR(LIST_DOT_PRODUCT(v, qv)
+                 / (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(qv, qv)))
+                 * 1000000) / 1000000 AS cosine
+    FROM cand
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register(
+    "x3_ann_lsh_multiprobe",
+    oracle=_lsh_multiprobe_oracle(LSH_TABLES, LSH_PLANES),
+    survey_ids=("X3",),
+)
+def x3_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-10 for vec_id=0, hash-exact like
+    `x3_ann_lsh_probe`: DuckDB recomputes the hamming≤1 candidate set
+    from the same hyperplane constants, so the widened probe's output
+    is value-checked row for row (not just a recall flag)."""
+    from etl_generator_demo_spark.operators.relational import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    query_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    return lsh_multiprobe_topk(spark, sf_dir, query_vec, k=10, exclude_ids=(0,)).select(
+        "vec_id", "label", "cosine"
+    )

@@ -289,3 +289,33 @@ def test_int8_quantization_preserves_topk_recall(spark, sf_dir):
     )
     approx = {r["vec_id"] for r in brute_force_topk(deq, qv, k=10).collect()}
     assert len(exact & approx) >= 8
+
+
+def test_multiprobe_recall_superset_of_single_probe(spark, sf_dir):
+    """Multi-probe candidates strictly contain the single-probe bucket
+    set, so its top-10 cosine floor can only improve (or tie)."""
+    from etl_generator_demo_spark.catalog import read_table
+    from etl_generator_demo_spark.operators.ann_index import (
+        lsh_multiprobe_topk,
+        lsh_probe_topk,
+        multiprobe_buckets,
+        query_buckets,
+    )
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    single = query_buckets(q)
+    multi = multiprobe_buckets(q)
+    for tbl, b in enumerate(single):
+        assert multi[tbl][0] == b  # exact bucket probed first
+        assert len(multi[tbl]) == 1 + len(b) - 1  # 1 + planes
+        assert len(set(multi[tbl])) == len(multi[tbl])
+    s = lsh_probe_topk(spark, sf_dir, q, k=10, exclude_ids=(0,)).collect()
+    m = lsh_multiprobe_topk(spark, sf_dir, q, k=10, exclude_ids=(0,)).collect()
+    assert len(m) >= len(s)
+    if s and m:
+        assert m[-1].cosine >= s[-1].cosine  # kth-best can only improve

@@ -44,6 +44,15 @@ QUERIES = [
     "x4_bm25_topk",
     "x3_kmeans_clusters",
     "x3_semdedup_keep",
+    # round-4 late additions: PQ encode (scan-side, zero shuffle —
+    # must stay ~linear), IVF-PQ ADC (probe prunes to 2/8 lists; the
+    # LUT scoring reads codes, so growth tracks list cardinality),
+    # prefix-filtered set-similarity join (candidate pruning must keep
+    # the exact tier off the all-pairs wall), sweep-line concurrency
+    "x3_pq_codes",
+    "x3_ivfpq_adc_topk",
+    "x2_token_overlap_join",
+    "x4_concurrent_sessions",
 ]
 
 KEY_COLS = {
