@@ -239,3 +239,47 @@ def cleanup_stale_staging(path: str) -> list[str]:
         _rm(old)
         removed.append(old)
     return removed
+
+
+def zorder_rewrite(
+    spark: SparkSession,
+    path: str,
+    cols: tuple[str, str],
+    n_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Z-order (Morton-curve) clustering rewrite: re-sort the table by
+    the bit-interleaving of two rank-normalized keys so that BOTH
+    columns' min/max ranges narrow per file — the data-layout trick
+    behind Delta's OPTIMIZE ZORDER BY and Iceberg's sort orders. A
+    table sorted by one key prunes only on that key; Z-ordering gives
+    every co-clustered column usable zone maps, so 100 TB scans with
+    predicates on either column skip most files on parquet row-group
+    stats alone.
+
+    Keys are rank-normalized to `bits` bits via percent_rank (works for
+    any orderable type, immune to skew), interleaved with shifts, and
+    the rewrite goes through repartitionByRange(morton) + the staged
+    swap. Pruning behavior is asserted in tests via per-file min/max."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    recover_staged(path)
+    df = spark.read.parquet(path)
+    a, b = cols
+    scale = (1 << bits) - 1
+    ra = F.floor(F.percent_rank().over(Window.orderBy(a)) * scale).cast("long")
+    rb = F.floor(F.percent_rank().over(Window.orderBy(b)) * scale).cast("long")
+    interleave = None
+    for i in range(bits):
+        bit_a = F.shiftleft(F.shiftright(ra, i).bitwiseAND(1), 2 * i + 1)
+        bit_b = F.shiftleft(F.shiftright(rb, i).bitwiseAND(1), 2 * i)
+        part = bit_a.bitwiseOR(bit_b)
+        interleave = part if interleave is None else interleave.bitwiseOR(part)
+    out = (
+        df.withColumn("_z", interleave)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    _staged_overwrite(spark, path, out)

@@ -491,3 +491,38 @@ class TestStreamStaticEnrich:
             for r in enrich_purchases_with_segment(ev_batch, cust).collect()
         }
         assert got == want and len(want) > 100
+
+
+def test_zorder_rewrite_narrows_both_zone_maps(spark, sf_dir, tmp_path):
+    """After Z-ordering on (o_custkey, o_totalprice), BOTH columns'
+    per-file [min, max] spans shrink versus the unsorted layout — the
+    property that makes row-group pruning work for either predicate."""
+    import glob
+
+    from etl_generator_demo_spark.catalog import read_table
+    from etl_generator_demo_spark.sources.mutations import zorder_rewrite
+
+    path = str(tmp_path / "orders_z")
+    read_table(spark, sf_dir, "orders").repartition(8).write.parquet(path)
+
+    def spans(p):
+        out = {}
+        for col in ("o_custkey", "o_totalprice"):
+            tot = 0.0
+            for f in glob.glob(p + "/part-*.parquet"):
+                pf = spark.read.parquet(f).agg(
+                    F.min(col).alias("mn"), F.max(col).alias("mx")
+                ).collect()[0]
+                tot += float(pf.mx) - float(pf.mn)
+            out[col] = tot
+        return out
+
+    before = spans(path)
+    zorder_rewrite(spark, path, ("o_custkey", "o_totalprice"), n_files=8)
+    after = spans(path)
+    # same rows survive
+    n = spark.read.parquet(path).count()
+    assert n == read_table(spark, sf_dir, "orders").count()
+    # summed zone-map width must shrink markedly on both dimensions
+    assert after["o_custkey"] < before["o_custkey"] * 0.7
+    assert after["o_totalprice"] < before["o_totalprice"] * 0.7
