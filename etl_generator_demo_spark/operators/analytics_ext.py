@@ -973,3 +973,81 @@ def x4_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("day").cast("timestamp").alias("day"), "peak_concurrency")
         .orderBy("day")
     )
+
+
+@register(
+    "x4_rfm_scores",
+    oracle="""
+    WITH anchor AS (SELECT MAX(CAST(o_orderdate AS TIMESTAMP)) AS mx FROM orders),
+    rfm AS (
+        SELECT o_custkey,
+               CAST(DATE_DIFF('day', MAX(CAST(o_orderdate AS TIMESTAMP)),
+                              (SELECT mx FROM anchor)) AS BIGINT) AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary_cents,
+               NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency ASC, o_custkey)     AS f_score,
+               NTILE(5) OVER (ORDER BY monetary_cents ASC, o_custkey) AS m_score
+        FROM rfm
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code
+    FROM scored
+    ORDER BY o_custkey
+    """,
+    survey_ids=("X4", "W1", "A1"),
+)
+def x4_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring — the classic feature-engineering rollup:
+    per customer, days since last order (vs the corpus max date, so the
+    feature is reproducible), order count, lifetime spend in exact
+    cents; each dimension NTILE(5)-scored over a deterministic total
+    order (higher score = better: recent, frequent, big), composed into
+    the 3-digit RFM segment code.
+
+    One grouped aggregate + three window passes over the CUSTOMER-grain
+    relation (1/10th the orders cardinality) — at 100 TB the windows
+    run on the rollup, never the fact table. Spend sums in BIGINT cents
+    so every score boundary is engine-identical."""
+    from pyspark.sql import Window
+
+    orders = t(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx")).first().mx
+    rfm = orders.groupBy("o_custkey").agg(
+        F.datediff(F.lit(anchor), F.max("o_orderdate")).cast("long").alias(
+            "recency_days"
+        ),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    r = F.ntile(5).over(Window.orderBy(F.desc("recency_days"), F.col("o_custkey")))
+    f = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.col("o_custkey")))
+    m = F.ntile(5).over(Window.orderBy(F.asc("monetary_cents"), F.col("o_custkey")))
+    return (
+        rfm.select(
+            "o_custkey",
+            "recency_days",
+            "frequency",
+            "monetary_cents",
+            r.cast("long").alias("r_score"),
+            f.cast("long").alias("f_score"),
+            m.cast("long").alias("m_score"),
+        )
+        .withColumn(
+            "rfm_code",
+            (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).cast(
+                "long"
+            ),
+        )
+        .orderBy("o_custkey")
+    )

@@ -843,3 +843,101 @@ def quantize_int8(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         max_abs.alias("max_abs"),
         F.transform(v, lambda x: F.floor(x / max_abs * 127).cast("long")).alias("q"),
     )
+
+
+KNN_QUERIES = 5
+KNN_K = 10
+
+
+@register(
+    "x3_knn_label_vote",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS true_label,
+               embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {KNN_QUERIES}
+    ),
+    e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    ranked AS (
+        SELECT q.query_id, q.true_label, e.vec_id, e.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY FLOOR(LIST_DOT_PRODUCT(e.v, q.qv)
+                       / (SQRT(LIST_DOT_PRODUCT(e.v, e.v))
+                          * SQRT(LIST_DOT_PRODUCT(q.qv, q.qv)))
+                       * 1000000) DESC, e.vec_id
+               ) AS rn
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    ),
+    votes AS (
+        SELECT query_id, true_label, label, COUNT(*) AS n_votes
+        FROM ranked WHERE rn <= {KNN_K}
+        GROUP BY query_id, true_label, label
+    ),
+    best AS (
+        SELECT query_id, true_label, label AS predicted_label, n_votes,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, label) AS rk
+        FROM votes
+    )
+    SELECT query_id,
+           CAST(true_label AS BIGINT) AS true_label,
+           CAST(predicted_label AS BIGINT) AS predicted_label,
+           CAST(n_votes AS BIGINT) AS n_votes,
+           predicted_label = true_label AS correct
+    FROM best WHERE rk = 1
+    ORDER BY query_id
+    """,
+    survey_ids=("X3",),
+)
+def x3_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification by majority vote — the weak-labeling /
+    label-noise-repair primitive: each of {KNN_QUERIES} held-out query
+    vectors takes the majority label of its {KNN_K} cosine-nearest
+    neighbors (floor-scaled cosine, vec_id tiebreak → deterministic
+    neighbor set; vote ties break to the lowest label). The brute-force
+    tier — at 100 TB the neighbor set comes from the persisted
+    LSH/IVF-PQ probes and this query becomes the re-rank + vote tail.
+
+    Plan: the {KNN_QUERIES}-row query relation broadcasts; one pass
+    over the corpus scores all queries (no per-query scan), one window
+    ranks per query."""
+    from pyspark.sql import Window
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        _as_double("embedding").alias("qv"),
+    )
+    e = emb.select("vec_id", "label", _as_double("embedding").alias("v"))
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos6", _floor6(cosine(F.col("v"), F.col("qv"))))
+    )
+    ranked = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.col("vec_id"))
+        ),
+    ).filter(F.col("rn") <= KNN_K)
+    votes = ranked.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    best = votes.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("n_votes"), F.col("label")
+            )
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "query_id",
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("label").cast("long").alias("predicted_label"),
+        F.col("n_votes").cast("long").alias("n_votes"),
+        (F.col("label") == F.col("true_label")).alias("correct"),
+    ).orderBy("query_id")

@@ -165,3 +165,42 @@ def test_data_quality_audit_clean_fixture(spark, sf_dir):
         "fk_lineitem_orders", "not_null_o_totalprice",
         "positive_l_quantity", "accepted_values_o_orderstatus",
     }
+
+
+def test_rfm_scores_structural_invariants(spark, sf_dir):
+    from etl_generator_demo_spark.registry import load_all
+
+    rows = load_all()["x4_rfm_scores"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.rfm_code == r.r_score * 100 + r.f_score * 10 + r.m_score
+        assert r.recency_days >= 0 and r.frequency >= 1 and r.monetary_cents > 0
+    # each quintile holds ~1/5 of customers (NTILE balance)
+    from collections import Counter
+
+    for dim in ("r_score", "f_score", "m_score"):
+        c = Counter(getattr(r, dim) for r in rows)
+        assert set(c) == {1, 2, 3, 4, 5}
+        assert max(c.values()) - min(c.values()) <= 1
+    # higher m_score quintiles spend strictly more at the boundary
+    by_m: dict[int, list] = {}
+    for r in rows:
+        by_m.setdefault(r.m_score, []).append(r.monetary_cents)
+    for s in range(1, 5):
+        assert max(by_m[s]) <= min(by_m[s + 1])
+
+
+def test_knn_label_vote_majority_and_determinism(spark, sf_dir):
+    from etl_generator_demo_spark.registry import load_all
+
+    fn = load_all()["x3_knn_label_vote"].fn
+    a = fn(spark, sf_dir).collect()
+    b = fn(spark, sf_dir).collect()
+    assert a == b  # deterministic neighbor set + tiebreaks
+    import etl_generator_demo_spark.operators.similarity as sim
+
+    assert len(a) == sim.KNN_QUERIES
+    for r in a:
+        assert 1 <= r.n_votes <= sim.KNN_K
+        assert r.correct == (r.predicted_label == r.true_label)
