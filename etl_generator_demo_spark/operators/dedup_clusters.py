@@ -201,3 +201,51 @@ def x2_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_members")
     )
+
+
+@register(
+    "x2_golden_records",
+    oracle=f"""
+    WITH cc AS ( {_CLUSTER_ORACLE} )
+    SELECT cc.cluster_id,
+           CAST(MIN(d.doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(MAX(d.n_chars) AS BIGINT) AS best_n_chars,
+           STRING_AGG(DISTINCT d.source, ',' ORDER BY d.source) AS sources_csv,
+           STRING_AGG(DISTINCT d.lang, ',' ORDER BY d.lang) AS langs_csv
+    FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+    GROUP BY cc.cluster_id
+    HAVING COUNT(*) > 1
+    ORDER BY cc.cluster_id
+    """,
+    survey_ids=("X2", "A1"),
+)
+def x2_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: collapse each near-dup family into ONE golden
+    record — the MDM step after cluster resolution. Rules here: keep
+    the lowest id as canonical, surface the richest text length, and
+    union the provenance (sources, langs) as sorted CSV so nothing the
+    duplicates knew is lost. Only multi-member clusters are emitted
+    (singletons need no merge).
+
+    One join of the cluster assignment back to the doc attributes +
+    one grouped aggregate; collect_set stays bounded by cluster size,
+    which the LSH threshold bounds in turn."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(doc_shingles(docs, distinct=False)))
+    cc = connected_components(docs.select("doc_id"), pairs)
+    return (
+        cc.join(docs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max("n_chars").cast("long").alias("best_n_chars"),
+            F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+                "sources_csv"
+            ),
+            F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs_csv"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("cluster_id")
+    )

@@ -357,3 +357,20 @@ def test_shingle_dup_coverage_exact_dupes_fully_covered(spark, sf_dir):
 
     rows = x2_shingle_dup_coverage(spark, sf_dir).collect()
     assert rows and all(r["n_shared"] <= r["n_shingles"] for r in rows)
+
+
+def test_golden_records_survivorship_rules(spark, sf_dir):
+    from etl_generator_demo_spark.registry import load_all
+
+    reg = load_all()
+    golden = {r.cluster_id: r for r in reg["x2_golden_records"].fn(spark, sf_dir).collect()}
+    cc = reg["x2_dedup_clusters"].fn(spark, sf_dir).collect()
+    members: dict[int, list[int]] = {}
+    for r in cc:
+        members.setdefault(r.cluster_id, []).append(r.doc_id)
+    multi = {cid: m for cid, m in members.items() if len(m) > 1}
+    assert set(golden) == set(multi)
+    for cid, g in golden.items():
+        assert g.keep_id == min(multi[cid])
+        assert g.n_members == len(multi[cid])
+        assert g.sources_csv == ",".join(sorted(set(g.sources_csv.split(","))))
