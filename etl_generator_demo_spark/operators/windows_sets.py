@@ -583,3 +583,33 @@ def o_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderdate", "o_orderkey")
         .limit(50)
     )
+
+
+_LATERAL_TOPN_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n, LATERAL (
+    SELECT c_name, c_acctbal FROM customer
+    WHERE c_nationkey = n.n_nationkey
+    ORDER BY c_acctbal DESC, c_name LIMIT 3
+) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+"""
+
+
+@register(
+    "u_lateral_topn_per_nation",
+    oracle=_LATERAL_TOPN_SQL,
+    survey_ids=("U1", "W4", "J1"),
+)
+def u_lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — top-3 customers by balance per
+    nation, written the way a SQL user writes it (the per-row derived
+    table), not the window-function rewrite (`w4_*` covers that form).
+    The IDENTICAL SQL text runs on both engines; Catalyst decorrelates
+    the lateral into a ranked join under the hood, so the plan is the
+    same shuffle-once shape as the window formulation — proof the
+    engine's SQL front door carries the modern correlated-subquery
+    surface, not just the DataFrame DSL."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_TOPN_SQL)

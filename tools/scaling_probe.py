@@ -47,11 +47,13 @@ QUERIES = [
     # round-4 late additions: PQ encode (scan-side, zero shuffle —
     # must stay ~linear), IVF-PQ ADC (probe prunes to 2/8 lists; the
     # LUT scoring reads codes, so growth tracks list cardinality),
-    # prefix-filtered set-similarity join (candidate pruning must keep
-    # the exact tier off the all-pairs wall), sweep-line concurrency
+    # sweep-line concurrency. x2_token_overlap_join is excluded: on
+    # the synthetic tier the fixture's homogeneous vocabulary makes
+    # ~N² of all pairs genuinely exceed the 0.9 threshold, so the
+    # output itself (not the pruning) is quadratic — the probe would
+    # measure the data shape, not the operator.
     "x3_pq_codes",
     "x3_ivfpq_adc_topk",
-    "x2_token_overlap_join",
     "x4_concurrent_sessions",
 ]
 
