@@ -381,3 +381,86 @@ def g_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle."""
     edges = copurchase_edges(t(spark, sf_dir, "lineitem"))
     return triangle_stats(edges)
+
+
+MINSUP_PAIRS = 3
+
+
+@register(
+    "x4_association_rules",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM op),
+    item AS (SELECT l_partkey, COUNT(*) AS sup FROM op GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS sup_ab
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {MINSUP_PAIRS}
+    )
+    SELECT pa, pb,
+           CAST(p.sup_ab AS BIGINT) AS sup_ab,
+           CAST(ia.sup AS BIGINT) AS sup_a,
+           CAST(ib.sup AS BIGINT) AS sup_b,
+           CAST(FLOOR(p.sup_ab * 1000000.0 / ia.sup) AS BIGINT) AS conf_a_to_b_e6,
+           CAST(FLOOR(p.sup_ab * 1000000.0 * n.n_orders
+                      / (ia.sup * ib.sup)) AS BIGINT) AS lift_e6
+    FROM pairs p
+    JOIN item ia ON ia.l_partkey = p.pa
+    JOIN item ib ON ib.l_partkey = p.pb
+    CROSS JOIN n
+    ORDER BY pa, pb
+    """,
+    survey_ids=("X4", "A1", "J3"),
+)
+def x4_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchased parts: pair
+    support ≥ {MINSUP_PAIRS} with confidence(a→b) and lift in exact
+    e6 fixed-point (integer counts through one float division both
+    engines compute identically). The A-priori first level — at 100 TB
+    the co-keyed per-order pair generation (bounded C(k,2) per basket)
+    + map-combined support counting is exactly how FP-growth's
+    frequent-pair seed set is mined; item supports broadcast back onto
+    the surviving pairs."""
+    op = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = op.select("l_orderkey").distinct().count()
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("sup"))
+    pairs = (
+        op.alias("a")
+        .join(op.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup_ab"))
+        .filter(F.col("sup_ab") >= MINSUP_PAIRS)
+    )
+    ia = item.select(F.col("l_partkey").alias("pa"), F.col("sup").alias("sup_a"))
+    ib = item.select(F.col("l_partkey").alias("pb"), F.col("sup").alias("sup_b"))
+    return (
+        pairs.join(F.broadcast(ia), "pa")
+        .join(F.broadcast(ib), "pb")
+        .select(
+            "pa",
+            "pb",
+            F.col("sup_ab").cast("long").alias("sup_ab"),
+            F.col("sup_a").cast("long").alias("sup_a"),
+            F.col("sup_b").cast("long").alias("sup_b"),
+            F.floor(F.col("sup_ab") * 1_000_000.0 / F.col("sup_a"))
+            .cast("long")
+            .alias("conf_a_to_b_e6"),
+            F.floor(
+                F.col("sup_ab") * 1_000_000.0 * n_orders
+                / (F.col("sup_a") * F.col("sup_b"))
+            )
+            .cast("long")
+            .alias("lift_e6"),
+        )
+        .orderBy("pa", "pb")
+    )
