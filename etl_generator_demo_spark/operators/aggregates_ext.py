@@ -450,7 +450,6 @@ def a_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     Weights are exact BIGINTs so the crossing row is engine-identical
     (no interpolation, no float compare). One window shuffle on the
     group key + the totals broadcast — scale-free per group."""
-    from operator import and_
     from pyspark.sql import Window
 
     li = t(spark, sf_dir, "lineitem").select(
