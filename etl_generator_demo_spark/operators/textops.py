@@ -1316,3 +1316,139 @@ def x4_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("target_like", F.col("importance_e6") > 0)
         .orderBy("doc_id")
     )
+
+
+from etl_generator_demo_spark.operators.dedup import _DUCK_SHINGLES
+
+
+@register(
+    "x4_shingle_novelty",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    first_owner AS (
+        SELECT shingle, MIN(doc_id) AS first_doc FROM shingles GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(FLOOR(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                * 1000000.0 / COUNT(*)) AS BIGINT) AS novelty_e6
+    FROM shingles s JOIN first_owner f ON f.shingle = s.shingle
+    GROUP BY s.doc_id
+    ORDER BY s.doc_id
+    """,
+    survey_ids=("X2", "X4"),
+)
+def x4_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-occurrence novelty per document: the fraction of a doc's
+    distinct 5-gram shingles whose FIRST owner (lowest doc_id — the
+    ingestion-order proxy) is the doc itself. The streaming-dedup
+    admission signal: a doc whose shingles all appeared earlier adds no
+    new n-gram mass and is a drop candidate even when no single earlier
+    doc crosses a pairwise threshold (aggregate duplication that
+    pairwise Jaccard/containment cannot see).
+
+    Distinct from `x2_shingle_dup_coverage` (symmetric sharing): this
+    is ORDER-AWARE — of two identical docs, the first scores 1.0 and
+    the second 0.0. One map-combined min per shingle + one co-keyed
+    join back + one per-doc agg; never pairwise."""
+    docs = t(spark, sf_dir, "documents")
+    from etl_generator_demo_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(docs)  # distinct (doc_id, shingle)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+            F.floor(novel * 1_000_000.0 / F.count(F.lit(1)))
+            .cast("long")
+            .alias("novelty_e6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SEQLEN_CAPS = [64, 128, 256, 512, 1024]
+SEQLEN_KEEP_NUM, SEQLEN_KEEP_DEN = 99, 100  # keep >= 99% of token mass
+
+
+@register(
+    "x4_seqlen_cap_selection",
+    oracle=f"""
+    WITH lens AS (
+        SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    total AS (SELECT SUM(n_tokens) AS tot FROM lens),
+    caps AS (SELECT UNNEST([{", ".join(str(c) for c in SEQLEN_CAPS)}]) AS cap),
+    mass AS (
+        SELECT c.cap,
+               SUM(LEAST(l.n_tokens, c.cap)) AS kept_tokens,
+               SUM(CASE WHEN l.n_tokens > c.cap THEN 1 ELSE 0 END) AS n_truncated
+        FROM lens l CROSS JOIN caps c
+        GROUP BY c.cap
+    )
+    SELECT m.cap,
+           CAST(m.kept_tokens AS BIGINT) AS kept_tokens,
+           CAST(m.n_truncated AS BIGINT) AS n_truncated,
+           CAST(FLOOR(m.kept_tokens * 1000000.0 / t.tot) AS BIGINT) AS kept_e6,
+           {SEQLEN_KEEP_DEN} * m.kept_tokens >= {SEQLEN_KEEP_NUM} * t.tot
+               AS meets_target,
+           m.cap = (SELECT MIN(cap) FROM mass, total
+                    WHERE {SEQLEN_KEEP_DEN} * kept_tokens
+                          >= {SEQLEN_KEEP_NUM} * tot) AS chosen
+    FROM mass m CROSS JOIN total t
+    ORDER BY m.cap
+    """,
+    survey_ids=("X4", "A2"),
+)
+def x4_seqlen_cap_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length cap selection — the max_seq_len decision every
+    packing pipeline makes: for each candidate cap (powers of two),
+    the token mass kept after truncation and the doc count truncated;
+    `chosen` marks the smallest cap retaining ≥ 99% of corpus tokens.
+    All-integer mass arithmetic (LEAST of BIGINTs, exact rational
+    threshold), so the decision itself is engine-identical. Cost: one
+    length scan exploded by |caps| (map-side) + one grouped agg —
+    corpus-linear, caps-constant."""
+    docs = t(spark, sf_dir, "documents")
+    lens = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    tot = lens.agg(F.sum("n_tokens")).first()[0]
+    caps = F.explode(F.array(*[F.lit(c) for c in SEQLEN_CAPS])).alias("cap")
+    mass = (
+        lens.select("n_tokens", caps)
+        .groupBy("cap")
+        .agg(
+            F.sum(F.least(F.col("n_tokens"), F.col("cap"))).alias("kept_tokens"),
+            F.sum(F.when(F.col("n_tokens") > F.col("cap"), 1).otherwise(0)).alias(
+                "n_truncated"
+            ),
+        )
+    )
+    meets = SEQLEN_KEEP_DEN * F.col("kept_tokens") >= SEQLEN_KEEP_NUM * F.lit(tot)
+    scored = mass.select(
+        F.col("cap").cast("long").alias("cap"),
+        F.col("kept_tokens").cast("long").alias("kept_tokens"),
+        F.col("n_truncated").cast("long").alias("n_truncated"),
+        F.floor(F.col("kept_tokens") * 1_000_000.0 / F.lit(float(tot)))
+        .cast("long")
+        .alias("kept_e6"),
+        meets.alias("meets_target"),
+    )
+    chosen_cap = (
+        scored.filter(F.col("meets_target"))
+        .agg(F.min("cap"))
+        .first()[0]
+    )
+    return scored.withColumn(
+        "chosen", F.col("cap") == F.lit(chosen_cap)
+    ).orderBy("cap")

@@ -252,3 +252,49 @@ def test_dsir_importance_separates_target_language(spark, sf_dir):
     for r in joined:
         assert isinstance(r.importance_e6, int)
         assert r.n_feats > 0
+
+
+def test_shingle_novelty_order_awareness(spark):
+    """Of two identical docs, the lower id scores 1.0 novelty and the
+    higher id 0.0 — the order-aware property coverage cannot express."""
+    from etl_generator_demo_spark.operators.dedup import doc_shingles
+    from pyspark.sql import functions as F
+
+    text = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"z{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, other)], "doc_id long, text string"
+    )
+    sh = doc_shingles(docs)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    out = {
+        r.doc_id: r.nov
+        for r in sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("nov")
+        )
+        .collect()
+    }
+    assert out[1] == 1.0 and out[2] == 0.0 and out[3] == 1.0
+
+
+def test_seqlen_cap_selection_invariants(spark, sf_dir):
+    from etl_generator_demo_spark.registry import load_all
+    import etl_generator_demo_spark.operators.textops as tx
+
+    rows = load_all()["x4_seqlen_cap_selection"].fn(spark, sf_dir).collect()
+    assert [r.cap for r in rows] == tx.SEQLEN_CAPS
+    kept = [r.kept_tokens for r in rows]
+    assert kept == sorted(kept)  # monotone in cap
+    chosen = [r for r in rows if r.chosen]
+    assert len(chosen) == 1
+    c = chosen[0]
+    assert c.meets_target
+    # minimality: every smaller cap misses the target
+    for r in rows:
+        if r.cap < c.cap:
+            assert not r.meets_target
