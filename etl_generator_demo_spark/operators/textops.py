@@ -1452,3 +1452,105 @@ def x4_seqlen_cap_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn(
         "chosen", F.col("cap") == F.lit(chosen_cap)
     ).orderBy("cap")
+
+
+@register(
+    "x4_trigram_langid_confusion",
+    oracle="""
+    WITH tri AS (
+        SELECT d.doc_id, d.lang, SUBSTR(LOWER(d.text), g.i, 3) AS tri
+        FROM documents d, LATERAL (
+            SELECT UNNEST(RANGE(1, GREATEST(LEN(d.text) - 1, 1))) AS i
+        ) g
+    ),
+    langs AS (SELECT DISTINCT lang FROM documents),
+    vocab AS (SELECT COUNT(DISTINCT tri) AS v FROM tri),
+    prof AS (SELECT lang, tri, COUNT(*) AS c FROM tri GROUP BY lang, tri),
+    tot AS (SELECT lang, COUNT(*) AS n FROM tri GROUP BY lang),
+    scored AS (
+        SELECT t.doc_id, t.lang AS actual, l.lang AS cand,
+               SUM(CAST(FLOOR(LN(
+                   (COALESCE(p.c, 0) + 1.0) / (tt.n + vv.v)
+               ) * 1000000) AS BIGINT)) AS score_e6
+        FROM tri t
+        CROSS JOIN langs l
+        LEFT JOIN prof p ON p.lang = l.lang AND p.tri = t.tri
+        JOIN tot tt ON tt.lang = l.lang
+        CROSS JOIN vocab vv
+        GROUP BY t.doc_id, t.lang, l.lang
+    ),
+    pred AS (
+        SELECT doc_id, actual, cand AS predicted,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score_e6 DESC, cand) AS rk
+        FROM scored
+    )
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rk = 1
+    GROUP BY actual, predicted
+    ORDER BY actual, predicted
+    """,
+    survey_ids=("X4",),
+)
+def x4_trigram_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram naive-Bayes language ID, reported as a
+    confusion matrix against the fixture's true labels — the
+    statistical lang-ID tier above `x4_quality_and_lang`'s heuristics
+    (fastText/CLD's feature family). Per-language trigram profiles are
+    Laplace-smoothed over the corpus itself (self-trained demo; in
+    production the profiles are a broadcast model trained off-corpus);
+    each doc scores Σ log p(tri|lang) over its trigram OCCURRENCES and
+    takes the argmax (ties → lexicographically first language).
+
+    Determinism: each per-trigram log-likelihood floors to 1e-6 BIGINT
+    BEFORE summation (DSIR's discipline), so scores are exact integer
+    sums. Cost: trigram explode (map-side) × |langs| candidate fan-out
+    — corpus-linear with a 5× constant; the profile relation is
+    vocab-sized and joins co-keyed on (lang, tri)."""
+    docs = t(spark, sf_dir, "documents")
+    tri = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(length(text) - 2, 0)), "
+                "i -> substring(lower(text), i, 3))"
+            )
+        ).alias("tri"),
+    )
+    langs = docs.select(F.col("lang").alias("cand")).distinct()
+    v = tri.select("tri").distinct().count()
+    prof = tri.groupBy(F.col("lang").alias("cand"), "tri").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = tri.groupBy(F.col("lang").alias("cand")).agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tri.crossJoin(F.broadcast(langs))
+        .join(prof, ["cand", "tri"], "left")
+        .join(F.broadcast(tot), "cand")
+        .groupBy("doc_id", F.col("lang").alias("actual"), "cand")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.log(
+                        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("n") + F.lit(v))
+                    )
+                    * 1_000_000
+                ).cast("long")
+            ).alias("score_e6")
+        )
+    )
+    from pyspark.sql import Window as W
+
+    pred = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.desc("score_e6"), F.col("cand"))
+        ),
+    ).filter(F.col("rk") == 1)
+    return (
+        pred.groupBy("actual", F.col("cand").alias("predicted"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("actual", "predicted")
+    )

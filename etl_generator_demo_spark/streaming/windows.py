@@ -298,3 +298,55 @@ def streaming_pipeline(spark: SparkSession, source: DataFrame | None = None):
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+@register(
+    "st_hourly_top_events",
+    oracle="""
+    WITH counts AS (
+        SELECT TIME_BUCKET(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT window_start, event_type, n_events,
+               ROW_NUMBER() OVER (PARTITION BY window_start
+                                  ORDER BY n_events DESC, event_type) AS rk
+        FROM counts
+    )
+    SELECT window_start, event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    ORDER BY window_start, rk
+    """,
+    survey_ids=("§2.11", "W4"),
+)
+def st_hourly_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per tumbling hour — the trending-now query.
+    In Structured Streaming the windowed counts are the incremental
+    stateful stage (same state as `st_tumbling_hourly`); the per-window
+    ranking runs on the COMPLETE-mode output or per finalized window
+    after the watermark — ranks over open windows would churn every
+    micro-batch. Deterministic rank ties by event_type; one windowed
+    groupBy + one window-partitioned rank, both keyed by window."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events")
+    counts = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.col("event_type")
+        )
+    )
+    return (
+        counts.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "event_type", F.col("n_events").cast("long").alias("n_events"), "rk")
+        .orderBy("window_start", "rk")
+    )

@@ -298,3 +298,35 @@ def test_seqlen_cap_selection_invariants(spark, sf_dir):
     for r in rows:
         if r.cap < c.cap:
             assert not r.meets_target
+
+
+def test_trigram_langid_separable_corpus(spark, sf_dir):
+    """On the real fixture: diagonal dominates for en (largest class);
+    output is a well-formed confusion matrix over the 5 langs."""
+    from etl_generator_demo_spark.registry import load_all
+    from etl_generator_demo_spark.catalog import read_table
+
+    rows = load_all()["x4_trigram_langid_confusion"].fn(spark, sf_dir).collect()
+    langs = {r.lang for r in read_table(spark, sf_dir, "documents").select("lang").distinct().collect()}
+    n_docs = read_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert {r.actual for r in rows} <= langs
+    assert {r.predicted for r in rows} <= langs
+    # en diagonal beats any single en->other cell (weak but real signal)
+    en = {r.predicted: r.n_docs for r in rows if r.actual == "en"}
+    if "en" in en:
+        assert en["en"] >= max(v for k, v in en.items() if k != "en") if len(en) > 1 else True
+
+
+def test_hourly_top_events_invariants(spark, sf_dir):
+    from etl_generator_demo_spark.registry import load_all
+
+    rows = load_all()["st_hourly_top_events"].fn(spark, sf_dir).collect()
+    by_w: dict = {}
+    for r in rows:
+        by_w.setdefault(r.window_start, []).append(r)
+    for w, rs in by_w.items():
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        counts = [r.n_events for r in rs]
+        assert counts == sorted(counts, reverse=True)
+        assert len(rs) <= 3
