@@ -1051,3 +1051,64 @@ def x4_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "w_activity_streaks",
+    oracle="""
+    WITH daily AS (
+        SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events WHERE user_id <= 100
+    ),
+    grouped AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER) AS island
+        FROM daily
+    ),
+    streaks AS (
+        SELECT user_id, island, COUNT(*) AS len,
+               MIN(day) AS streak_start
+        FROM grouped GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS active_days,
+           CAST(MIN(streak_start) AS TIMESTAMP) AS first_active_day
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    survey_ids=("W1", "W3", "X4"),
+)
+def w_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks via
+    the classic `day − ROW_NUMBER()` island key (consecutive days share
+    a constant difference against their rank) — streak counts, longest
+    run, total active days. The canonical relational formulation; no
+    self-join, no recursion: one dedup to day grain, one rank window,
+    two grouped aggregates, all keyed by user."""
+    from pyspark.sql import Window
+
+    daily = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 100)
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    rn = F.row_number().over(Window.partitionBy("user_id").orderBy("day"))
+    grouped = daily.withColumn("island", F.date_sub(F.col("day"), rn))
+    streaks = grouped.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("streak_start")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.sum("len").cast("long").alias("active_days"),
+            F.min("streak_start").cast("timestamp").alias("first_active_day"),
+        )
+        .orderBy("user_id")
+    )

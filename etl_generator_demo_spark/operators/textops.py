@@ -1554,3 +1554,64 @@ def x4_trigram_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("actual", "predicted")
     )
+
+
+WSAMPLE_K = 20
+
+
+@register(
+    "x4_weighted_sample_topk",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang, n_chars,
+               CAST(FLOOR(LN(
+                   (CAST('0x' || SUBSTR(MD5('ws|' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) + 1.0) / 4294967296.0
+               ) / n_chars * 1000000000) AS BIGINT) AS key_e9
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, n_chars, key_e9,
+               ROW_NUMBER() OVER (ORDER BY key_e9 DESC, doc_id) AS rk
+        FROM keyed
+    )
+    SELECT CAST(rk AS BIGINT) AS rk, doc_id, lang,
+           CAST(n_chars AS BIGINT) AS n_chars, key_e9
+    FROM ranked WHERE rk <= {WSAMPLE_K}
+    ORDER BY rk
+    """,
+    survey_ids=("X4",),
+)
+def x4_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, deterministic: the
+    Efraimidis–Spirakis A-ES scheme — each doc draws priority
+    ln(u)/w with u an md5-derived uniform and w = n_chars; the top-k
+    by priority IS a weighted sample without replacement (longer docs
+    proportionally likelier). Unlike seeded `.sample()`, the draw is a
+    pure column expression — reproducible independent of partitioning,
+    executor count, or Spark version, which is what a 100 TB curation
+    run must guarantee to be auditable. Priorities floor to 1e-9
+    BIGINT and rank with doc_id tiebreak, so the selected set and its
+    order hash engine-identically; selection is one scan +
+    TakeOrderedAndProject — no shuffle of the corpus."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    key = F.floor(
+        F.log((h + F.lit(1.0)) / F.lit(4294967296.0))
+        / F.col("n_chars")
+        * 1_000_000_000
+    ).cast("long")
+    keyed = docs.select("doc_id", "lang", "n_chars", key.alias("key_e9"))
+    rk = F.row_number().over(W.orderBy(F.desc("key_e9"), F.col("doc_id")))
+    return (
+        keyed.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= WSAMPLE_K)
+        .select("rk", "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "key_e9")
+        .orderBy("rk")
+    )

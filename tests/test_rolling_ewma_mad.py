@@ -204,3 +204,49 @@ def test_knn_label_vote_majority_and_determinism(spark, sf_dir):
     for r in a:
         assert 1 <= r.n_votes <= sim.KNN_K
         assert r.correct == (r.predicted_label == r.true_label)
+
+
+def test_activity_streaks_brute_force(spark, sf_dir):
+    from etl_generator_demo_spark.catalog import read_table
+    from etl_generator_demo_spark.registry import load_all
+
+    got = {
+        r.user_id: (r.n_streaks, r.longest_streak, r.active_days)
+        for r in load_all()["w_activity_streaks"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 100)
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .collect()
+    )
+    days: dict[int, set] = {}
+    for r in ev:
+        days.setdefault(r.user_id, set()).add(r.day)
+    for uid, ds in days.items():
+        ordered = sorted(ds)
+        streaks, cur = [], 1
+        for a, b in zip(ordered, ordered[1:]):
+            if (b - a).days == 1:
+                cur += 1
+            else:
+                streaks.append(cur)
+                cur = 1
+        streaks.append(cur)
+        assert got[uid] == (len(streaks), max(streaks), len(ordered)), uid
+
+
+def test_weighted_sample_bias_toward_heavy_docs(spark, sf_dir):
+    """The ES sample must over-represent long documents relative to a
+    uniform draw: mean n_chars of the sample exceeds the corpus mean."""
+    from etl_generator_demo_spark.catalog import read_table
+    from etl_generator_demo_spark.registry import load_all
+
+    rows = load_all()["x4_weighted_sample_topk"].fn(spark, sf_dir).collect()
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    corpus_mean = (
+        read_table(spark, sf_dir, "documents").agg(F.avg("n_chars")).first()[0]
+    )
+    assert sample_mean > corpus_mean
