@@ -192,6 +192,43 @@ EXPECTATIONS: dict[str, dict] = {
     "x2_shingle_containment_pairs": {"max_exchanges": 7},
     # one Arrow encode pass; only the output ordering shuffles
     "x3_pq_codes": {"max_exchanges": 1},
+    # sweep-line: session rollup + boundary-merge + curve window + day agg
+    "x4_concurrent_sessions": {"max_exchanges": 4, "pushed": True},
+    # bigram explode + two vocab groupBys; 256-row weight model broadcast
+    "x4_dsir_importance": {"max_exchanges": 4, "min_broadcast": 1},
+    # one cumulative-weight window on the group key; totals broadcast
+    "a_weighted_median": {"max_exchanges": 3, "min_broadcast": 1},
+    # customer-grain rollup + three NTILE windows over the rollup
+    "x4_rfm_scores": {"max_exchanges": 2},
+    # query relation broadcast; ONE corpus pass + per-query rank window
+    "x3_knn_label_vote": {"max_exchanges": 2, "min_broadcast": 1},
+    # CC behind localCheckpoint; rejoin + survivorship agg
+    "x2_golden_records": {"max_exchanges": 2},
+    # per-basket pair gen (co-keyed) + support aggs; item supports broadcast
+    "x4_association_rules": {"max_exchanges": 8, "min_broadcast": 2},
+    # Catalyst decorrelates LATERAL into the ranked join
+    "u_lateral_topn_per_nation": {"max_exchanges": 2, "min_broadcast": 1},
+    # first-owner min + co-keyed join back + per-doc agg
+    "x4_shingle_novelty": {"max_exchanges": 4},
+    # length scan × |caps| explode (map-side) + one grouped agg
+    "x4_seqlen_cap_selection": {"max_exchanges": 2},
+    # windowed counts + per-window rank + output order
+    "st_hourly_top_events": {"max_exchanges": 3},
+    # trigram explode × |langs| + vocab-keyed profile joins + argmax window
+    "x4_trigram_langid_confusion": {"max_exchanges": 7, "min_broadcast": 2},
+    # island-key rank window + two grouped aggs, all keyed by user
+    "w_activity_streaks": {"max_exchanges": 3, "pushed": True},
+    # pure scan + TakeOrdered: priorities are column expressions
+    "x4_weighted_sample_topk": {"max_exchanges": 0, "take_ordered": True},
+    # candidates pruned to probed lists behind the model collects; ADC
+    # is one Arrow pass + TakeOrdered
+    "x3_ivfpq_adc_topk": {"max_exchanges": 0, "take_ordered": True},
+    # partition-pruned multiprobe directory read + TakeOrdered
+    "x3_ann_lsh_multiprobe": {
+        "partition_pruned_on": "lsh_table",
+        "max_exchanges": 1,
+        "take_ordered": True,
+    },
 }
 
 
