@@ -330,3 +330,234 @@ def x2_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("contained", "container")
     )
+
+
+@register(
+    "x4_contrastive_triplets",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    sigs AS (
+        SELECT doc_id, {_duck_minhash_cols()}
+        FROM shingles GROUP BY doc_id
+    ),
+    band0 AS (SELECT doc_id, mh0 || mh1 || mh2 || mh3 AS band_key FROM sigs),
+    band1 AS (SELECT doc_id, mh4 || mh5 || mh6 || mh7 AS band_key FROM sigs),
+    pos AS (
+        SELECT DISTINCT doc_a AS anchor, doc_b AS positive FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band0 a JOIN band0 b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band1 a JOIN band1 b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+    ),
+    cand_neg AS (
+        SELECT p.anchor, p.positive, d.doc_id AS negative,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.anchor, p.positive
+                   ORDER BY MD5('neg|' || CAST(p.anchor AS VARCHAR) || '|'
+                                || CAST(d.doc_id AS VARCHAR)), d.doc_id
+               ) AS rk
+        FROM pos p JOIN documents d
+          ON d.doc_id <> p.anchor AND d.doc_id <> p.positive
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pos q
+            WHERE (q.anchor = p.anchor AND q.positive = d.doc_id)
+               OR (q.anchor = d.doc_id AND q.positive = p.anchor)
+               OR (q.anchor = p.positive AND q.positive = d.doc_id)
+               OR (q.anchor = d.doc_id AND q.positive = p.positive)
+        )
+    )
+    SELECT anchor, positive, negative
+    FROM cand_neg WHERE rk = 1
+    ORDER BY anchor, positive
+    """,
+    survey_ids=("X2", "X4"),
+)
+def x4_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplet mining for contrastive /
+    embedding training: positives are MinHash-LSH near-dup pairs (the
+    free supervision a dedup pipeline produces anyway), negatives are
+    md5-rank-selected corpus docs verified NOT near-dup to either side
+    — deterministic 'random' negatives, reproducible at any scale and
+    partitioning. One triplet per positive pair.
+
+    Plan: the positive-pair relation is tiny and broadcasts into both
+    the negative candidate join and the not-near-dup anti checks; the
+    md5 rank window partitions per pair. At 100 TB the negative pool
+    joins a SAMPLE of the corpus, not all of it — the pool only needs
+    to be large enough that one clean negative exists per pair."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    pos = (
+        lsh_candidate_pairs(
+            minhash_signatures(doc_shingles(docs, distinct=False))
+        )
+        .select(F.col("doc_a").alias("anchor"), F.col("doc_b").alias("positive"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # doc ids near-dup-linked to any doc: for the NOT-near-dup check
+    linked = pos.select(
+        F.col("anchor").alias("x"), F.col("positive").alias("y")
+    ).unionByName(
+        pos.select(F.col("positive").alias("x"), F.col("anchor").alias("y"))
+    )
+    cand = (
+        pos.crossJoin(docs.select(F.col("doc_id").alias("negative")))
+        .filter(
+            (F.col("negative") != F.col("anchor"))
+            & (F.col("negative") != F.col("positive"))
+        )
+        .join(
+            F.broadcast(linked.withColumnRenamed("x", "anchor").withColumnRenamed("y", "negative")),
+            ["anchor", "negative"],
+            "left_anti",
+        )
+        .join(
+            F.broadcast(linked.withColumnRenamed("x", "positive").withColumnRenamed("y", "negative")),
+            ["positive", "negative"],
+            "left_anti",
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("anchor", "positive").orderBy(
+            F.md5(
+                F.concat(
+                    F.lit("neg|"),
+                    F.col("anchor").cast("string"),
+                    F.lit("|"),
+                    F.col("negative").cast("string"),
+                )
+            ),
+            F.col("negative"),
+        )
+    )
+    return (
+        cand.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select("anchor", "positive", "negative")
+        .orderBy("anchor", "positive")
+    )
+
+
+def _duck_bbit_match() -> str:
+    return " + ".join(
+        f"(CASE WHEN SUBSTR(sa.mh{i}, 8, 1) = SUBSTR(sb.mh{i}, 8, 1) "
+        f"THEN 1 ELSE 0 END)"
+        for i in range(8)
+    )
+
+
+@register(
+    "x2_bbit_minhash_estimates",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    sigs AS (
+        SELECT doc_id, {_duck_minhash_cols()}
+        FROM shingles GROUP BY doc_id
+    ),
+    band0 AS (SELECT doc_id, mh0 || mh1 || mh2 || mh3 AS band_key FROM sigs),
+    band1 AS (SELECT doc_id, mh4 || mh5 || mh6 || mh7 AS band_key FROM sigs),
+    cand AS (
+        SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band0 a JOIN band0 b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            UNION ALL
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM band1 a JOIN band1 b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+    ),
+    matched AS (
+        SELECT c.doc_a, c.doc_b, {_duck_bbit_match()} AS m
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.doc_a
+        JOIN sigs sb ON sb.doc_id = c.doc_b
+    ),
+    card AS (SELECT doc_id, COUNT(*) AS card FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT m.doc_a, m.doc_b,
+           CAST(m.m AS BIGINT) AS n_matching_nibbles,
+           CAST(GREATEST(16 * m.m - 8, 0) * 1000000 // 120 AS BIGINT)
+               AS j_bbit_e6,
+           CAST(COALESCE(i.i, 0) * 1000000
+                // (ca.card + cb.card - COALESCE(i.i, 0)) AS BIGINT)
+               AS j_exact_e6
+    FROM matched m
+    JOIN card ca ON ca.doc_id = m.doc_a
+    JOIN card cb ON cb.doc_id = m.doc_b
+    LEFT JOIN inter i ON i.doc_a = m.doc_a AND i.doc_b = m.doc_b
+    ORDER BY m.doc_a, m.doc_b
+    """,
+    survey_ids=("X2",),
+)
+def x2_bbit_minhash_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minwise hashing (Li & König 2010): keep only the last hex
+    nibble (b=4 bits) of each of the 8 MinHash slots — 4 bytes per doc
+    instead of 32 — and estimate Jaccard per LSH-candidate pair with
+    the collision-corrected estimator Ĵ = (m/k − C)/(1 − C), C = 2^-b.
+    The 8× signature-storage cut is what makes billion-doc signature
+    stores fit in memory; the estimator's extra variance is the traded
+    cost, visible here against the exact shingle Jaccard alongside.
+    All-integer arithmetic: Ĵ_e6 = (16m − 8)·1e6 div 120 (clamped at
+    0), exact Jaccard in e6 by integer division — every column hashes
+    engine-identically."""
+    docs = t(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).localCheckpoint(eager=True)
+    sigs = minhash_signatures(sh.select("doc_id", "shingle"), num_hashes=8)
+    cand = lsh_candidate_pairs(sigs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.substring(f"mh{i}", 8, 1).alias(f"na{i}") for i in range(8)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.substring(f"mh{i}", 8, 1).alias(f"nb{i}") for i in range(8)],
+    )
+    m = sum(
+        F.when(F.col(f"na{i}") == F.col(f"nb{i}"), 1).otherwise(0) for i in range(8)
+    )
+    matched = (
+        cand.join(sa, "doc_a").join(sb, "doc_b").select("doc_a", "doc_b", m.alias("m"))
+    )
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("card"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .join(cand, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("card").alias("card_a"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("card").alias("card_b"))
+    i0 = F.coalesce(F.col("i"), F.lit(0))
+    return (
+        matched.join(inter, ["doc_a", "doc_b"], "left")
+        .join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("m").cast("long").alias("n_matching_nibbles"),
+            F.expr("CAST(GREATEST(16 * m - 8, 0) * 1000000 DIV 120 AS BIGINT)").alias(
+                "j_bbit_e6"
+            ),
+            F.expr(
+                "CAST(COALESCE(i, 0) * 1000000 DIV "
+                "(card_a + card_b - COALESCE(i, 0)) AS BIGINT)"
+            ).alias("j_exact_e6"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

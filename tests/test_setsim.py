@@ -108,3 +108,47 @@ def test_edit_distance_identical_and_planted(spark):
         assert d == 1 and 9900 <= bp < 10000
     # doc 4 shares no shingles: LSH must not pair it with anything
     assert not any(4 in pair for pair in out)
+
+
+def test_contrastive_triplets_validity(spark, sf_dir):
+    """Each triplet: positive IS a near-dup pair, negative is linked to
+    neither side; deterministic across runs."""
+    from etl_generator_demo_spark.registry import load_all
+
+    fn = load_all()["x4_contrastive_triplets"].fn
+    a = fn(spark, sf_dir).collect()
+    assert a == fn(spark, sf_dir).collect()
+    from etl_generator_demo_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from etl_generator_demo_spark.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    pos = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(
+            minhash_signatures(doc_shingles(docs, distinct=False))
+        ).collect()
+    }
+    linked = pos | {(b, a_) for a_, b in pos}
+    for r in a:
+        assert (r.anchor, r.positive) in pos
+        assert (r.anchor, r.negative) not in linked
+        assert (r.positive, r.negative) not in linked
+        assert len({r.anchor, r.positive, r.negative}) == 3
+
+
+def test_bbit_estimator_tracks_exact_jaccard(spark, sf_dir):
+    """High-Jaccard candidate pairs must get high b-bit estimates; the
+    clamped estimator stays within [0, 1e6]."""
+    from etl_generator_demo_spark.registry import load_all
+
+    rows = load_all()["x2_bbit_minhash_estimates"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.j_bbit_e6 <= 1_000_000
+        assert 0 <= r.n_matching_nibbles <= 8
+        if r.j_exact_e6 >= 900_000:  # true near-dups
+            assert r.j_bbit_e6 >= 500_000, (r.doc_a, r.doc_b)
