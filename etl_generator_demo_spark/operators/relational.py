@@ -678,3 +678,165 @@ def q_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("passed", F.col("n_violations") == 0).orderBy(
         "check_name"
     )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(YEAR(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS l_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    WHERE ns.n_nationkey < 3 AND nc.n_nationkey < 3
+      AND ns.n_nationkey <> nc.n_nationkey
+    GROUP BY ns.n_name, nc.n_name, YEAR(CAST(l_shipdate AS TIMESTAMP))
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    survey_ids=("J1", "J2", "J6", "A1", "F4"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — cross-border trade volume: revenue by (supplier
+    nation, customer nation, ship year) for distinct nation pairs. The
+    nation dimension joins TWICE under different roles (the aliased-dim
+    pattern); both tiny sides broadcast, the fact chain shuffles once
+    into the grouped aggregate."""
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("s_nationkey") < 3)
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("c_nationkey") < 3)
+    return (
+        li.join(
+            F.broadcast(s.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == s["s_suppkey"],
+        )
+        .join(o.select("o_orderkey", "o_custkey"), li["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o["o_custkey"] == c["c_custkey"],
+        )
+        .join(F.broadcast(ns), "s_nationkey")
+        .join(F.broadcast(nc), "c_nationkey")
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year(F.col("l_shipdate").cast("timestamp")).cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT CAST(FLOOR(
+               100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END)
+               / SUM(l_extendedprice * (1 - l_discount)) * 10000
+           ) / 10000 AS DOUBLE) AS promo_share_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01'
+      AND CAST(l_shipdate AS TIMESTAMP) <  TIMESTAMP '1996-07-01'
+    """,
+    survey_ids=("J1", "A2", "F7", "P6"),
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion revenue share: percentage of revenue
+    in a ship-date window attributable to PROMO-type parts, the
+    conditional-aggregate-over-join scalar. Part dim broadcasts;
+    the date filter pushes to the lineitem scan; share floor-scaled to
+    1e-4 so the single float division hashes identically."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("timestamp") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate").cast("timestamp") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .agg(
+            (
+                F.floor(
+                    100.0
+                    * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                    / F.sum(rev)
+                    * 10000
+                )
+                / 10000
+            ).cast("double").alias("promo_share_pct"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 350
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    """,
+    survey_ids=("J1", "J5", "A4", "A1"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: orders whose total
+    line quantity exceeds a threshold, with customer attribution. The
+    IN-subquery over a grouped HAVING compiles to a semi join against
+    the pre-aggregated key set (aggregate BEFORE the fact join — the
+    shape that keeps the big join's left side pruned)."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 350)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(
+            o.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+    )
