@@ -612,3 +612,88 @@ def x4_pipeline_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2 = stage(3, "after_exact_dedup", exact, "n_tokens")
     t3 = stage(4, "after_neardup_drop", kept, "n_tokens")
     return t0.unionByName(t1).unionByName(t2).unionByName(t3).orderBy("stage_no")
+
+
+BLOCK_LEN = 16  # tokens per disjoint block for chunk-level dedup
+
+
+@register(
+    "x4_chunk_level_dedup",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS ts FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id, UNNEST(RANGE(0, LEN(ts), {BLOCK_LEN})) AS s, ts
+        FROM tok
+    ),
+    bt AS (
+        SELECT doc_id, s,
+               ARRAY_TO_STRING(LIST_SLICE(ts, s + 1, s + {BLOCK_LEN}), ' ')
+                   AS btext
+        FROM blocks WHERE LEN(ts) - s >= {BLOCK_LEN}
+    )
+    SELECT MD5(btext) AS block_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc,
+           CAST(MIN(s) FILTER (doc_id = (SELECT MIN(doc_id) FROM bt b2
+                WHERE b2.btext = bt.btext)) AS BIGINT) AS keep_start
+    FROM bt
+    GROUP BY btext
+    HAVING COUNT(DISTINCT doc_id) > 1
+    ORDER BY block_hash
+    """,
+    survey_ids=("X1", "X4"),
+)
+def x4_chunk_level_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: disjoint 16-token blocks hashed and
+    grouped across the corpus — the sub-document boilerplate detector
+    (shared headers, license blocks, navigation text) that DOC-level
+    dedup cannot see and that RAG indexes must drop before embedding
+    (identical chunks → identical vectors → wasted index slots and
+    duplicated retrievals). Emits only cross-document duplicate blocks
+    with a deterministic canonical keeper.
+
+    Block slicing is scan-side (split + slice + hash — no Python); the
+    only shuffle groups 32-byte hashes. At 100 TB the block relation is
+    ~tokens/16 rows of tiny columns, and the HAVING prunes to the
+    (rare) duplicated tail before anything joins back."""
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    blocks = docs.select(
+        "doc_id",
+        toks.alias("ts"),
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 1, F.lit(0)), F.lit(BLOCK_LEN))
+        ).alias("s"),
+    ).filter(F.size("ts") - F.col("s") >= BLOCK_LEN)
+    bt = blocks.select(
+        "doc_id",
+        F.col("s").cast("long").alias("s"),
+        F.concat_ws(" ", F.slice(F.col("ts"), F.col("s") + 1, F.lit(BLOCK_LEN))).alias(
+            "btext"
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    keep = F.min(F.struct(F.col("doc_id"), F.col("s"))).over(W.partitionBy("btext"))
+    return (
+        bt.withColumn("keep", keep)
+        .groupBy("btext")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("keep.doc_id").cast("long").alias("keep_doc"),
+            F.min("keep.s").cast("long").alias("keep_start"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .select(
+            F.md5("btext").alias("block_hash"),
+            "n_copies",
+            "n_docs",
+            "keep_doc",
+            "keep_start",
+        )
+        .orderBy("block_hash")
+    )

@@ -1213,6 +1213,94 @@ def x4_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_BUCKETS = 256  # hashed-bigram feature space (2 hex chars of md5)
 DSIR_TARGET_LANG = "en"
 
+#: Shared CTE chain ending at `imp(doc_id, importance_e6)` — reused by
+#: the importance query and the resampled-mixture composition.
+_DSIR_CTES = f"""
+    tok AS (
+        SELECT doc_id, lang,
+               UNNEST(STRING_SPLIT(text, ' ')) AS tk,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang,
+               SUBSTR(MD5(tk || '_' || LEAD(tk) OVER (
+                   PARTITION BY doc_id ORDER BY pos)), 1, 2) AS feat
+        FROM tok
+        QUALIFY LEAD(tk) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+    ),
+    src AS (SELECT feat, COUNT(*) AS cs FROM bg GROUP BY feat),
+    tgt AS (SELECT feat, COUNT(*) AS ct FROM bg
+            WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY feat),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM bg) AS ns,
+               (SELECT COUNT(*) FROM bg WHERE lang = '{DSIR_TARGET_LANG}') AS nt
+    ),
+    w AS (
+        SELECT s.feat,
+               CAST(FLOOR(LN(
+                   (COALESCE(t.ct, 0) + 1.0) * (tot.ns + {DSIR_BUCKETS})
+                   / ((s.cs + 1.0) * (tot.nt + {DSIR_BUCKETS}))
+               ) * 1000000) AS BIGINT) AS w_e6
+        FROM src s LEFT JOIN tgt t ON t.feat = s.feat CROSS JOIN tot
+    ),
+    imp AS (
+        SELECT bg.doc_id,
+               COUNT(*) AS n_feats,
+               SUM(w.w_e6) AS importance_e6
+        FROM bg JOIN w ON w.feat = bg.feat
+        GROUP BY bg.doc_id
+    )
+"""
+
+
+def dsir_importance_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance relation (doc_id, n_feats,
+    importance_e6) — the shared builder behind `x4_dsir_importance`
+    and the resampled-mixture composition."""
+    docs = t(spark, sf_dir, "documents")
+    bg = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat(split(text, ' ')[i-1], '_', split(text, ' ')[i])) "
+                "ELSE array() END"
+            )
+        ).alias("bigram"),
+    ).select("doc_id", "lang", F.substring(F.md5("bigram"), 1, 2).alias("feat"))
+    src = bg.groupBy("feat").agg(F.count(F.lit(1)).alias("cs"))
+    tgt = (
+        bg.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("feat")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    ns = bg.count()
+    nt = bg.filter(F.col("lang") == DSIR_TARGET_LANG).count()
+    w = src.join(tgt, "feat", "left").select(
+        "feat",
+        F.floor(
+            F.log(
+                (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                * F.lit(float(ns + DSIR_BUCKETS))
+                / ((F.col("cs") + F.lit(1.0)) * F.lit(float(nt + DSIR_BUCKETS)))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("w_e6"),
+    )
+    return (
+        bg.join(F.broadcast(w), "feat")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("w_e6").cast("long").alias("importance_e6"),
+        )
+    )
+
 
 @register(
     "x4_dsir_importance",
@@ -1267,52 +1355,9 @@ def x4_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sum — so document scores are order-independent integer
     sums, immune to float-summation wobble. The 256-row weight model
     broadcasts; corpus cost is one bigram explode + two vocab-sized
-    groupBys + one per-doc agg."""
-    docs = t(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    bg = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(
-            F.expr(
-                "CASE WHEN size(split(text, ' ')) >= 2 THEN "
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> concat(split(text, ' ')[i-1], '_', split(text, ' ')[i])) "
-                "ELSE array() END"
-            )
-        ).alias("bigram"),
-    ).select("doc_id", "lang", F.substring(F.md5("bigram"), 1, 2).alias("feat"))
-    src = bg.groupBy("feat").agg(F.count(F.lit(1)).alias("cs"))
-    tgt = (
-        bg.filter(F.col("lang") == DSIR_TARGET_LANG)
-        .groupBy("feat")
-        .agg(F.count(F.lit(1)).alias("ct"))
-    )
-    ns = bg.count()
-    nt = bg.filter(F.col("lang") == DSIR_TARGET_LANG).count()
-    w = (
-        src.join(tgt, "feat", "left")
-        .select(
-            "feat",
-            F.floor(
-                F.log(
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
-                    * F.lit(float(ns + DSIR_BUCKETS))
-                    / ((F.col("cs") + F.lit(1.0)) * F.lit(float(nt + DSIR_BUCKETS)))
-                )
-                * 1_000_000
-            )
-            .cast("long")
-            .alias("w_e6"),
-        )
-    )
+    groupBys + one per-doc agg (shared builder: `dsir_importance_rel`)."""
     return (
-        bg.join(F.broadcast(w), "feat")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_feats"),
-            F.sum("w_e6").cast("long").alias("importance_e6"),
-        )
+        dsir_importance_rel(spark, sf_dir)
         .withColumn("target_like", F.col("importance_e6") > 0)
         .orderBy("doc_id")
     )
@@ -1614,4 +1659,66 @@ def x4_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= WSAMPLE_K)
         .select("rk", "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"), "key_e9")
         .orderBy("rk")
+    )
+
+
+DSIR_MIX_BUDGET = 1500  # tokens per language
+
+
+@register(
+    "x4_dsir_resampled_mixture",
+    oracle=f"""
+    WITH {_DSIR_CTES},
+    sized AS (
+        SELECT d.doc_id, d.lang,
+               CAST(LEN(STRING_SPLIT(d.text, ' ')) AS BIGINT) AS n_tokens,
+               i.importance_e6
+        FROM documents d JOIN imp i ON i.doc_id = d.doc_id
+    ),
+    ordered AS (
+        SELECT doc_id, lang, n_tokens, importance_e6,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY importance_e6 DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS tok_before
+        FROM sized
+    )
+    SELECT lang, doc_id,
+           CAST(importance_e6 AS BIGINT) AS importance_e6,
+           n_tokens,
+           CAST(tok_before AS BIGINT) AS tok_before
+    FROM ordered
+    WHERE tok_before < {DSIR_MIX_BUDGET}
+    ORDER BY lang, tok_before, doc_id
+    """,
+    survey_ids=("X4",),
+)
+def x4_dsir_resampled_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-resampled training mixture — the composition Xie et al.'s
+    pipeline actually runs: within each language's token budget, admit
+    documents in IMPORTANCE order (most target-like first) instead of
+    `x4_token_budget_mixture`'s neutral md5 order. Same admit rule
+    (cumulative tokens before the doc < budget), so the two mixtures
+    differ only in ranking — which is exactly the knob data-selection
+    turns. Importance scores are exact integer sums (shared builder),
+    the per-lang window is the only shuffle beyond the DSIR chain."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    ).join(dsir_importance_rel(spark, sf_dir).select("doc_id", "importance_e6"), "doc_id")
+    w = (
+        W.partitionBy("lang")
+        .orderBy(F.desc("importance_e6"), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ordered = sized.withColumn(
+        "tok_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        ordered.filter(F.col("tok_before") < DSIR_MIX_BUDGET)
+        .select("lang", "doc_id", F.col("importance_e6").cast("long").alias("importance_e6"), "n_tokens", "tok_before")
+        .orderBy("lang", "tok_before", "doc_id")
     )

@@ -330,3 +330,38 @@ def test_hourly_top_events_invariants(spark, sf_dir):
         counts = [r.n_events for r in rs]
         assert counts == sorted(counts, reverse=True)
         assert len(rs) <= 3
+
+
+def test_dsir_mixture_prefers_important_docs_within_budget(spark, sf_dir):
+    from etl_generator_demo_spark.registry import load_all
+    import etl_generator_demo_spark.operators.textops as tx
+
+    rows = load_all()["x4_dsir_resampled_mixture"].fn(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    imp = {
+        r.doc_id: r.importance_e6
+        for r in load_all()["x4_dsir_importance"].fn(spark, sf_dir).collect()
+    }
+    for lang, rs in by_lang.items():
+        # admitted in descending importance; budget respected
+        imps = [r.importance_e6 for r in rs]
+        assert imps == sorted(imps, reverse=True), lang
+        for r in rs:
+            assert r.tok_before < tx.DSIR_MIX_BUDGET
+        # every non-admitted doc of this lang has importance <= the
+        # lowest admitted one (no better doc was skipped)
+        floor_imp = imps[-1]
+        admitted = {r.doc_id for r in rs}
+        from etl_generator_demo_spark.catalog import read_table
+
+        all_lang = {
+            r.doc_id
+            for r in read_table(spark, sf_dir, "documents")
+            .filter(F.col("lang") == lang)
+            .select("doc_id")
+            .collect()
+        }
+        for d in all_lang - admitted:
+            assert imp[d] <= floor_imp, (lang, d)
