@@ -840,3 +840,58 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
     )
+
+
+PRICE_BUCKET_W = 1000  # interval-join bucket width (price axis)
+
+
+@register(
+    "j_theta_banded_bucketed",
+    # brute-force theta oracle: hash equality proves the bucketed
+    # rewrite loses no pair and invents none
+    oracle="""
+    SELECT s_suppkey, COUNT(*) AS n_parts_in_band
+    FROM supplier JOIN part
+      ON p_retailprice BETWEEN s_acctbal / 10 AND s_acctbal
+    GROUP BY s_suppkey
+    ORDER BY s_suppkey
+    """,
+    survey_ids=("J7",),
+)
+def j_theta_banded_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB rewrite of `j_theta_price_band`'s interval join: the
+    price axis quantizes into width-1000 buckets, each supplier's
+    [acctbal/10, acctbal] interval EXPLODES to the buckets it covers
+    (bounded fan-out for bounded intervals), parts join on their single
+    bucket — an EQUI join — and the exact BETWEEN filters bucket-edge
+    false positives. BroadcastNestedLoopJoin is O(|P|·|S|) and cannot
+    shuffle-partition; this shape is the standard interval-join
+    decomposition (bucket equi join + residual predicate) every range
+    engine uses. Same oracle as the BNLJ query: identical output,
+    provably."""
+    sup = t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") / 10).alias("lo"),
+        F.col("s_acctbal").alias("hi"),
+    ).filter(F.col("hi") >= F.col("lo"))
+    sup_b = sup.select(
+        "s_suppkey",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / PRICE_BUCKET_W).cast("long"),
+                F.floor(F.col("hi") / PRICE_BUCKET_W).cast("long"),
+            )
+        ).alias("b"),
+    )
+    part = t(spark, sf_dir, "part").select(
+        "p_retailprice", F.floor(F.col("p_retailprice") / PRICE_BUCKET_W).cast("long").alias("b")
+    )
+    return (
+        part.join(sup_b, "b")
+        .filter(F.col("p_retailprice").between(F.col("lo"), F.col("hi")))
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts_in_band"))
+        .orderBy("s_suppkey")
+    )

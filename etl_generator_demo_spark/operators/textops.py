@@ -1722,3 +1722,96 @@ def x4_dsir_resampled_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", F.col("importance_e6").cast("long").alias("importance_e6"), "n_tokens", "tok_before")
         .orderBy("lang", "tok_before", "doc_id")
     )
+
+
+@register(
+    "x4_corpus_report_card",
+    oracle=r"""
+    WITH base AS (
+        SELECT doc_id, text, lang,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+               LEN(REGEXP_EXTRACT_ALL(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) > 0
+                   AS has_email
+        FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM base),
+    langs AS (
+        SELECT lang, COUNT(*) AS c FROM base GROUP BY lang
+    ),
+    ent AS (
+        SELECT SUM(CAST(FLOOR(
+                   (CAST(c AS DOUBLE) / n.n_docs)
+                   * LN(CAST(n.n_docs AS DOUBLE) / c) * 1000000
+               ) AS BIGINT)) AS entropy_e6
+        FROM langs CROSS JOIN n
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_docs,
+           (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM base) AS total_tokens,
+           (SELECT CAST(COUNT(DISTINCT lang) AS BIGINT) FROM base) AS n_langs,
+           (SELECT CAST(entropy_e6 AS BIGINT) FROM ent) AS lang_entropy_e6,
+           (SELECT CAST((COUNT(*) - COUNT(DISTINCT MD5(text))) * 1000000
+                   // COUNT(*) AS BIGINT) FROM base) AS exact_dup_rate_e6,
+           (SELECT CAST(SUM(CASE WHEN has_email THEN 1 ELSE 0 END) * 1000000
+                   // COUNT(*) AS BIGINT) FROM base) AS email_doc_rate_e6,
+           (SELECT CAST(SUM(n_tokens) * 100 // COUNT(*) AS BIGINT) FROM base)
+               AS mean_tokens_e2
+    """,
+    survey_ids=("X4", "A2", "A3"),
+)
+def x4_corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health report card — the summary a curation run
+    publishes before anyone trains on the data: size, language-mix
+    entropy (nats, e6 fixed-point — per-language terms floored BEFORE
+    the sum, so the float ln never crosses an aggregation boundary),
+    exact-dup rate, PII (email) document rate, and mean length. Every
+    rate is integer-division fixed-point over exact counts.
+
+    The whole card is ONE pass over the corpus feeding scalar
+    aggregates plus a lang-sized rollup — at 100 TB this is the query
+    you run after every pipeline stage and diff against the previous
+    card."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (F.regexp_count("text", F.lit(PII_PATTERNS["email"])) > 0).alias("has_email"),
+    ).localCheckpoint(eager=True)
+    n_docs = base.count()
+    ent = (
+        base.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.floor(
+                (F.col("c").cast("double") / F.lit(float(n_docs)))
+                * F.log(F.lit(float(n_docs)) / F.col("c"))
+                * 1_000_000
+            ).cast("long").alias("term_e6")
+        )
+        .agg(F.sum("term_e6").alias("entropy_e6"))
+    )
+    card = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.expr(
+            "CAST((COUNT(1) - COUNT(DISTINCT md5(text))) * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("exact_dup_rate_e6"),
+        F.expr(
+            "CAST(SUM(CASE WHEN has_email THEN 1 ELSE 0 END) * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("email_doc_rate_e6"),
+        F.expr("CAST(SUM(n_tokens) * 100 DIV COUNT(1) AS BIGINT)").alias(
+            "mean_tokens_e2"
+        ),
+    )
+    return card.crossJoin(ent).select(
+        "n_docs",
+        "total_tokens",
+        "n_langs",
+        F.col("entropy_e6").cast("long").alias("lang_entropy_e6"),
+        "exact_dup_rate_e6",
+        "email_doc_rate_e6",
+        "mean_tokens_e2",
+    )

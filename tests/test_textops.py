@@ -365,3 +365,19 @@ def test_dsir_mixture_prefers_important_docs_within_budget(spark, sf_dir):
         }
         for d in all_lang - admitted:
             assert imp[d] <= floor_imp, (lang, d)
+
+
+def test_corpus_report_card_consistency(spark, sf_dir):
+    from etl_generator_demo_spark.catalog import read_table
+    from etl_generator_demo_spark.registry import load_all
+
+    row = load_all()["x4_corpus_report_card"].fn(spark, sf_dir).collect()[0]
+    docs = read_table(spark, sf_dir, "documents")
+    assert row.n_docs == docs.count()
+    assert row.n_langs == docs.select("lang").distinct().count()
+    assert row.exact_dup_rate_e6 == 0  # fixture has no byte-identical docs
+    # entropy bounded by ln(n_langs)
+    import math
+
+    assert 0 <= row.lang_entropy_e6 <= int(math.log(row.n_langs) * 1e6) + row.n_langs
+    assert row.mean_tokens_e2 == row.total_tokens * 100 // row.n_docs
