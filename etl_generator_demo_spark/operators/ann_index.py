@@ -629,3 +629,130 @@ def x3_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_multiprobe_topk(spark, sf_dir, query_vec, k=10, exclude_ids=(0,)).select(
         "vec_id", "label", "cosine"
     )
+
+
+RECALL_KS = (1, 5, 10, 20)
+
+
+def _lsh_recall_oracle(tables: int, planes: int) -> str:
+    from etl_generator_demo_spark.operators.similarity import DIM  # noqa: F401
+
+    match = " OR ".join(
+        f"({_duck_bucket_expr(tbl, planes, col='e.v')}"
+        f" = {_duck_bucket_expr(tbl, planes, col='q.qv')})"
+        for tbl in range(tables)
+    )
+    ks = ", ".join(str(k) for k in RECALL_KS)
+    return f"""
+    WITH q AS (
+        SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+    ),
+    e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id <> 0
+    ),
+    scored AS (
+        SELECT e.vec_id,
+               FLOOR(LIST_DOT_PRODUCT(e.v, q.qv)
+                     / (SQRT(LIST_DOT_PRODUCT(e.v, e.v))
+                        * SQRT(LIST_DOT_PRODUCT(q.qv, q.qv)))
+                     * 1000000) / 1000000 AS cos6,
+               ({match}) AS is_cand
+        FROM e, q
+    ),
+    ranked AS (
+        SELECT vec_id, is_cand,
+               ROW_NUMBER() OVER (ORDER BY cos6 DESC, vec_id) AS exact_rk,
+               CASE WHEN is_cand THEN ROW_NUMBER() OVER (
+                   PARTITION BY is_cand ORDER BY cos6 DESC, vec_id)
+               END AS cand_rk
+        FROM scored
+    ),
+    ks AS (SELECT UNNEST([{ks}]) AS k)
+    SELECT CAST(ks.k AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN r.exact_rk <= ks.k AND r.cand_rk IS NOT NULL
+                         AND r.cand_rk <= ks.k THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+           CAST(SUM(CASE WHEN r.exact_rk <= ks.k AND r.cand_rk IS NOT NULL
+                         AND r.cand_rk <= ks.k THEN 1 ELSE 0 END)
+                * 1000000 // ks.k AS BIGINT) AS recall_e6
+    FROM ks CROSS JOIN ranked r
+    GROUP BY ks.k
+    ORDER BY ks.k
+    """
+
+
+@register(
+    "x3_ann_recall_curve",
+    oracle=_lsh_recall_oracle(LSH_TABLES, LSH_PLANES),
+    survey_ids=("X3",),
+)
+def x3_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k curve of the single-probe LSH path vs exact search, for
+    k ∈ {1, 5, 10, 20} — the eval every ANN deployment publishes before
+    choosing (tables, planes, probes). A top-k exact neighbor counts as
+    recalled when it appears in the candidate set's own top-k (the
+    result the probe would actually return). All counts are integers,
+    recall in e6 fixed-point; the candidate set is recomputed by the
+    oracle from the same hyperplane constants, so the curve itself is
+    hash-exact — not a self-reported metric.
+
+    One corpus pass scores cosine + candidate membership together; two
+    rank windows (global + candidate-only) and a tiny k-grid join
+    finish it."""
+    from etl_generator_demo_spark.operators.relational import t
+    from etl_generator_demo_spark.operators.similarity import (
+        _as_double,
+        _floor6,
+        cosine,
+        lsh_bucket_expr,
+    )
+    from pyspark.sql import Window as W
+
+    emb = t(spark, sf_dir, "embeddings")
+    query_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    ]
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    qbuckets = query_buckets(query_vec, LSH_TABLES, LSH_PLANES)
+    is_cand = None
+    for tbl, b in enumerate(qbuckets):
+        # query_buckets prefixes 'b'; the raw sign-bit expr does not
+        clause = lsh_bucket_expr(_as_double("embedding"), tbl, LSH_PLANES) == F.lit(
+            b[1:]
+        )
+        is_cand = clause if is_cand is None else (is_cand | clause)
+    scored = emb.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        _floor6(cosine(_as_double("embedding"), qcol)).alias("cos6"),
+        is_cand.alias("is_cand"),
+    )
+    ranked = scored.select(
+        "vec_id",
+        "is_cand",
+        F.row_number().over(W.orderBy(F.desc("cos6"), F.col("vec_id"))).alias(
+            "exact_rk"
+        ),
+        F.when(
+            F.col("is_cand"),
+            F.row_number().over(
+                W.partitionBy("is_cand").orderBy(F.desc("cos6"), F.col("vec_id"))
+            ),
+        ).alias("cand_rk"),
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in RECALL_KS])).alias("k")
+    hit = (
+        F.col("exact_rk") <= F.col("k")
+    ) & F.col("cand_rk").isNotNull() & (F.col("cand_rk") <= F.col("k"))
+    return (
+        ranked.select("exact_rk", "cand_rk", ks)
+        .groupBy("k")
+        .agg(F.sum(F.when(hit, 1).otherwise(0)).alias("n_hits"))
+        .select(
+            F.col("k").cast("long").alias("k"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.expr("CAST(n_hits * 1000000 DIV k AS BIGINT)").alias("recall_e6"),
+        )
+        .orderBy("k")
+    )

@@ -319,3 +319,17 @@ def test_multiprobe_recall_superset_of_single_probe(spark, sf_dir):
     assert len(m) >= len(s)
     if s and m:
         assert m[-1].cosine >= s[-1].cosine  # kth-best can only improve
+
+
+def test_ann_recall_curve_shape(spark, sf_dir):
+    from etl_generator_demo_spark.registry import load_all
+    import etl_generator_demo_spark.operators.ann_index as ai
+
+    rows = load_all()["x3_ann_recall_curve"].fn(spark, sf_dir).collect()
+    assert [r.k for r in rows] == list(ai.RECALL_KS)
+    for r in rows:
+        assert 0 <= r.n_hits <= r.k
+        assert r.recall_e6 == r.n_hits * 1_000_000 // r.k
+    # the probe must find SOMETHING at k=20 on the fixture (planted
+    # near-dups share buckets with the query's neighborhood)
+    assert rows[-1].n_hits > 0
