@@ -514,7 +514,10 @@ def x2_bbit_minhash_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identically."""
     docs = t(spark, sf_dir, "documents")
     sh = doc_shingles(docs).localCheckpoint(eager=True)
-    sigs = minhash_signatures(sh.select("doc_id", "shingle"), num_hashes=8)
+    # signatures feed the band join + BOTH nibble sides — one groupBy
+    sigs = minhash_signatures(sh.select("doc_id", "shingle"), num_hashes=8).localCheckpoint(
+        eager=True
+    )
     cand = lsh_candidate_pairs(sigs)
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),

@@ -229,6 +229,30 @@ EXPECTATIONS: dict[str, dict] = {
         "max_exchanges": 1,
         "take_ordered": True,
     },
+    # nation dim joined twice under roles; every dim broadcast, the
+    # fact chain shuffles once into the grouped aggregate
+    "q7_volume_shipping": {"max_exchanges": 2, "min_broadcast": 4},
+    # conditional-aggregate scalar; part dim broadcast, date pushed
+    "q14_promo_revenue_share": {"max_exchanges": 1, "min_broadcast": 1, "pushed": True},
+    # grouped-HAVING key set aggregated FIRST, then semi/equi joins
+    "q18_large_volume_customers": {"max_exchanges": 3, "min_broadcast": 2},
+    # scan-side block slicing; only the hash groupBy + output ordering
+    "x4_chunk_level_dedup": {"max_exchanges": 2},
+    # DSIR chain (vocab groupBys, weight model broadcast) + per-lang window
+    "x4_dsir_resampled_mixture": {"max_exchanges": 5, "min_broadcast": 2},
+    # one corpus pass into scalar aggs + lang-sized entropy rollup
+    "x4_corpus_report_card": {"max_exchanges": 4, "min_broadcast": 1},
+    # interval→bucket explode turns BNLJ into an EQUI join (broadcast
+    # small side) + residual filter; one grouped agg
+    "j_theta_banded_bucketed": {"max_exchanges": 2, "min_broadcast": 1},
+    # one scored corpus pass + two rank windows + the k-grid agg
+    "x3_ann_recall_curve": {"max_exchanges": 1},
+    # positive pairs checkpointed; negative pool join + anti checks
+    # broadcast; per-pair md5 rank window
+    "x4_contrastive_triplets": {"max_exchanges": 2, "min_broadcast": 2},
+    # checkpointed shingles + signatures; band join + nibble joins +
+    # exact-tier verification chains
+    "x2_bbit_minhash_estimates": {"max_exchanges": 6, "min_broadcast": 2},
 }
 
 
