@@ -350,3 +350,77 @@ def st_hourly_top_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("window_start", "event_type", F.col("n_events").cast("long").alias("n_events"), "rk")
         .orderBy("window_start", "rk")
     )
+
+
+LATENESS_BUCKET_S = 600  # 10-minute lateness histogram buckets
+
+
+@register(
+    "st_lateness_histogram",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    ),
+    arrival AS (
+        -- deterministic bounded-disorder replay: events arrive batched
+        -- by day but md5-shuffled WITHIN each day (the fixture itself
+        -- is time-ordered, which would make every lateness zero);
+        -- lateness = how far behind the running max event-time each
+        -- event arrives under that replay
+        SELECT event_id, ts,
+               MAX(ts) OVER (ORDER BY CAST(ts AS DATE),
+                                      MD5(CAST(event_id AS VARCHAR)), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS high_water
+        FROM ev
+    ),
+    lateness AS (
+        SELECT (EPOCH_US(high_water) - EPOCH_US(ts)) // 1000000 AS late_s
+        FROM arrival
+    )
+    SELECT CAST(late_s // {LATENESS_BUCKET_S} AS BIGINT) AS bucket,
+           CAST(late_s // {LATENESS_BUCKET_S} * {LATENESS_BUCKET_S} AS BIGINT)
+               AS bucket_lo_s,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM lateness
+    GROUP BY late_s // {LATENESS_BUCKET_S}
+    ORDER BY bucket
+    """,
+    survey_ids=("§2.11", "W3"),
+)
+def st_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-lateness histogram — the measurement that JUSTIFIES a
+    watermark delay instead of guessing it: for each event, how far
+    its event-time lags the stream's running high-water mark at its
+    arrival position — under a deterministic bounded-disorder replay
+    (day-batched, md5-shuffled within the day; the raw fixture is
+    time-ordered and would measure zero) — bucketed to 10-minute bins. The tail of this
+    histogram IS the `withWatermark` delay choice: a delay covering
+    99.9% of mass drops 0.1% of events — exactly the trade
+    `st_late_data_watermark_semantics` demonstrates downstream.
+    Lateness in exact integer seconds (microsecond epoch arithmetic);
+    one running-max window + one map-combined groupBy."""
+    from pyspark.sql import Window as W
+
+    ev = t(spark, sf_dir, "events").select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+    hw = F.max("ts").over(
+        W.orderBy(
+            F.to_date("ts"), F.md5(F.col("event_id").cast("string")), "event_id"
+        ).rowsBetween(W.unboundedPreceding, 0)
+    )
+    late_s = (
+        (F.unix_micros(hw) - F.unix_micros(F.col("ts"))) / F.lit(1_000_000)
+    ).cast("long")
+    bucket = F.floor(late_s / LATENESS_BUCKET_S).cast("long")
+    return (
+        ev.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "bucket",
+            (F.col("bucket") * LATENESS_BUCKET_S).cast("long").alias("bucket_lo_s"),
+            "n_events",
+        )
+        .select("bucket", "bucket_lo_s", "n_events")
+        .orderBy("bucket")
+    )

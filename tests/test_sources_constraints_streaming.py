@@ -526,3 +526,17 @@ def test_zorder_rewrite_narrows_both_zone_maps(spark, sf_dir, tmp_path):
     # summed zone-map width must shrink markedly on both dimensions
     assert after["o_custkey"] < before["o_custkey"] * 0.7
     assert after["o_totalprice"] < before["o_totalprice"] * 0.7
+
+
+def test_lateness_histogram_mass_and_bounds(spark, sf_dir):
+    """Histogram covers every event exactly once; lateness is bounded
+    by one day (disorder is within-day by construction)."""
+    from etl_generator_demo_spark.catalog import read_table
+    from etl_generator_demo_spark.registry import load_all
+
+    rows = load_all()["st_lateness_histogram"].fn(spark, sf_dir).collect()
+    n_events = read_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == n_events
+    assert all(r.bucket_lo_s == r.bucket * 600 for r in rows)
+    assert max(r.bucket_lo_s for r in rows) < 86400
+    assert rows[0].bucket == 0 and rows[0].n_events > 0
