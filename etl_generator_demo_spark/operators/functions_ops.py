@@ -441,3 +441,87 @@ def f_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(k / 1024).cast("long").alias("shifted_right"),
         F.bit_count(k).cast("long").alias("popcount"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "f_decimal_money_totals",
+    oracle="""
+    WITH d AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS amt
+        FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(SUM(amt) AS VARCHAR) AS total_str,
+           CAST(MIN(amt) AS VARCHAR) AS min_str,
+           CAST(MAX(amt) AS VARCHAR) AS max_str,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM d
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    survey_ids=("F3", "F6", "A1"),
+)
+def f_decimal_money_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money arithmetic in DECIMAL — the §1.2 type-mapping surface the
+    reference's schemas declare (DECIMAL(10,2)/(12,2)/(15,2) price and
+    salary columns): amounts cast to DECIMAL(18,2) and aggregated in
+    exact decimal arithmetic — no float accumulation, the property
+    finance queries are required to have. Totals serialize as strings
+    (both engines format scale-2 decimals identically, proven by the
+    hash) because the POINT is that the cents never left exact
+    arithmetic. Double→decimal conversion goes through ROUND(x, 2)
+    first so the cast's final rounding step is unambiguous on both
+    engines."""
+    d = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round("o_totalprice", 2).cast("decimal(18,2)").alias("amt"),
+    )
+    return (
+        d.groupBy("o_orderpriority")
+        .agg(
+            F.sum("amt").cast("string").alias("total_str"),
+            F.min("amt").cast("string").alias("min_str"),
+            F.max("amt").cast("string").alias("max_str"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "u_union_schema_drift",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               NULL AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL BY NAME
+        SELECT o_orderkey, o_orderpriority, o_custkey
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    ORDER BY o_orderkey
+    """,
+    survey_ids=("U2", "F1", "S10"),
+)
+def u_union_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union — the ingestion reality where yesterday's
+    files lack a column today's files added: two projections of the
+    same table with DIFFERENT column sets union BY NAME with missing
+    columns null-filled (`unionByName(allowMissingColumns=True)`;
+    DuckDB's `UNION ALL BY NAME` is the same contract). Positional
+    UNION would silently cross-assign columns here — the classic
+    corruption this operator exists to prevent."""
+    o = t(spark, sf_dir, "orders")
+    old_files = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new_files = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    return (
+        old_files.unionByName(new_files, allowMissingColumns=True)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
