@@ -1112,3 +1112,80 @@ def w_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "j_point_in_time_features",
+    oracle="""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type,
+               CAST(ts AS TIMESTAMP) AS ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               EPOCH_US(CAST(ts AS TIMESTAMP)) AS us
+        FROM events WHERE user_id <= 50
+    ),
+    feat AS (
+        SELECT event_id, user_id, event_type, ts,
+               CAST(COALESCE(SUM(cents) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS prior_7d_spend_cents,
+               CAST(COALESCE(COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY us
+                   RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS prior_7d_events
+        FROM ev
+    )
+    SELECT event_id, user_id, ts, prior_7d_spend_cents, prior_7d_events
+    FROM feat
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, ts, event_id
+    """,
+    survey_ids=("J8", "W3", "X4"),
+)
+def j_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature attachment — the feature-store
+    join: every purchase gets the user's trailing-7-day activity
+    computed STRICTLY BEFORE the purchase instant (frame ends 1 µs
+    before current — same-timestamp peers are excluded, so the label
+    event can never leak into its own feature). `x4_rolling_7d_user_
+    spend` is the inclusive analytics variant; this is the training
+    variant whose off-by-one IS the difference between a valid model
+    and silent target leakage. Exact microsecond RANGE frame over
+    integer cents; one window shuffle on the user key, features
+    computed over all events, emitted on label rows only."""
+    from pyspark.sql import Window
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 50)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-7 * 86400 * 1_000_000, -1)
+    )
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.coalesce(F.sum("cents").over(w), F.lit(0)).cast("long").alias(
+            "prior_7d_spend_cents"
+        ),
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)).cast("long").alias(
+            "prior_7d_events"
+        ),
+    )
+    return (
+        feat.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "prior_7d_spend_cents", "prior_7d_events")
+        .orderBy("user_id", "ts", "event_id")
+    )

@@ -613,3 +613,33 @@ def u_lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     return spark.sql(_LATERAL_TOPN_SQL)
+
+
+@register(
+    "o_top_recent_with_ties",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+    FROM orders
+    QUALIFY RANK() OVER (ORDER BY o_orderdate DESC) <= 50
+    ORDER BY o_orderdate DESC, o_orderkey
+    """,
+    survey_ids=("O1", "O4", "W1"),
+)
+def o_top_recent_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FETCH FIRST n ROWS WITH TIES — the pagination contract LIMIT
+    silently violates: every order sharing the 50th-most-recent
+    order DATE is included, so the result is a deterministic SET (no
+    arbitrary tie-victim). Spark has no WITH TIES syntax; rank() ≤ n
+    over the same ordering is the exact rewrite (rank, not row_number —
+    that's the whole point). Note the result-set size is data-dependent
+    (> 50 here), which is what the caller asked for."""
+    from pyspark.sql import Window as W
+
+    o = t(spark, sf_dir, "orders")
+    rk = F.rank().over(W.orderBy(F.desc("o_orderdate")))
+    return (
+        o.withColumn("_rk", rk)
+        .filter(F.col("_rk") <= 50)
+        .select("o_orderkey", F.col("o_orderdate").cast("timestamp").alias("o_orderdate"))
+        .orderBy(F.desc("o_orderdate"), "o_orderkey")
+    )

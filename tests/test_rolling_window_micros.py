@@ -66,3 +66,44 @@ def test_rolling_7d_micros_vs_oracle(spark, tie_dir):
         r[0]: (r[3], r[4]) for r in con.execute(rq.oracle).fetchall()
     }
     assert {k: v for k, v in got.items()} == oracle
+
+
+def test_point_in_time_features_no_leakage(spark, sf_dir):
+    """The feature at a purchase must equal the brute-force sum over
+    [t-7d, t) — the current event itself and same-instant peers never
+    count."""
+    from etl_generator_demo_spark.catalog import read_table
+    from etl_generator_demo_spark.registry import load_all
+    from pyspark.sql import functions as F
+
+    got = {
+        r.event_id: (r.prior_7d_spend_cents, r.prior_7d_events)
+        for r in load_all()["j_point_in_time_features"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 50)
+        .select("event_id", "user_id", "event_type", "ts",
+                F.round(F.col("value") * 100).cast("long").alias("cents"))
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    checked = 0
+    for uid, rows in by_user.items():
+        for r in rows:
+            if r.event_type != "purchase":
+                continue
+            lo = r.ts.timestamp() - 7 * 86400
+            s = sum(
+                x.cents
+                for x in rows
+                if lo <= x.ts.timestamp() and x.ts < r.ts
+            )
+            n = sum(
+                1 for x in rows if lo <= x.ts.timestamp() and x.ts < r.ts
+            )
+            assert got[r.event_id] == (s, n), r.event_id
+            checked += 1
+    assert checked > 100
