@@ -974,3 +974,102 @@ def x2_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+QA_PER_BAND = 2
+
+
+@register(
+    "x2_dedup_qa_sample",
+    oracle=f"""
+    {_DUCK_SHINGLES},
+    card AS (SELECT doc_id, COUNT(*) AS card FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               CAST(i * 10 // (ca.card + cb.card - i) AS BIGINT) AS jac_band,
+               CAST(i * 1000000 // (ca.card + cb.card - i) AS BIGINT) AS jac_e6
+        FROM inter
+        JOIN card ca ON ca.doc_id = doc_a
+        JOIN card cb ON cb.doc_id = doc_b
+        WHERE 2 * i >= ca.card + cb.card - i  -- jaccard >= 0.5
+    ),
+    ranked AS (
+        SELECT doc_a, doc_b, jac_band, jac_e6,
+               ROW_NUMBER() OVER (
+                   PARTITION BY jac_band
+                   ORDER BY MD5('qa|' || CAST(doc_a AS VARCHAR) || '|'
+                                || CAST(doc_b AS VARCHAR)), doc_a, doc_b
+               ) AS rk
+        FROM scored
+    )
+    SELECT jac_band, doc_a, doc_b, jac_e6
+    FROM ranked WHERE rk <= {QA_PER_BAND}
+    ORDER BY jac_band, doc_a, doc_b
+    """,
+    survey_ids=("X2", "X4"),
+)
+def x2_dedup_qa_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-review QA queue for the dedup pipeline: a deterministic
+    stratified sample of near-dup pairs — {QA_PER_BAND} per Jaccard
+    decile band (md5-rank selection, so the queue is reproducible and
+    position-independent). Curation teams audit the MARGINS (0.5-0.6
+    band: are these really dups?) without re-reviewing the obvious
+    0.9s; stratifying by band is what makes a 20-pair review cover the
+    whole decision boundary. Integer band/score arithmetic end to end."""
+    docs = t(spark, sf_dir, "documents")
+    sh = doc_shingles(docs).localCheckpoint(eager=True)
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("card"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("card").alias("card_a"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("card").alias("card_b"))
+    un = F.col("card_a") + F.col("card_b") - F.col("i")
+    scored = (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .filter(2 * F.col("i") >= un)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(i * 10 DIV (card_a + card_b - i) AS BIGINT)").alias(
+                "jac_band"
+            ),
+            F.expr("CAST(i * 1000000 DIV (card_a + card_b - i) AS BIGINT)").alias(
+                "jac_e6"
+            ),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("jac_band").orderBy(
+            F.md5(
+                F.concat(
+                    F.lit("qa|"),
+                    F.col("doc_a").cast("string"),
+                    F.lit("|"),
+                    F.col("doc_b").cast("string"),
+                )
+            ),
+            "doc_a",
+            "doc_b",
+        )
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= QA_PER_BAND)
+        .select("jac_band", "doc_a", "doc_b", "jac_e6")
+        .orderBy("jac_band", "doc_a", "doc_b")
+    )

@@ -895,3 +895,43 @@ def j_theta_banded_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_parts_in_band"))
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "a_approx_distinct_by_group",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    survey_ids=("A3", "A1"),
+)
+def a_approx_distinct_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL distinct counts as a bounded-error verdict: each
+    priority's approx_count_distinct(rsd=0.02) must land within 5% of
+    the exact count — the PER-GROUP form of `a_approx_distinct`, which
+    is what dashboards actually run (grouped distinct users/SKUs). The
+    hashed output carries the exact counts + the within-tolerance
+    flags; at 100 TB the sketch runs alone and the exact tier is the
+    audit. HLL sketches are mergeable, so map-side partials combine
+    without a distinct-expand."""
+    est = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("exact_customers"),
+        )
+    )
+    return est.select(
+        "o_orderpriority",
+        F.col("exact_customers").cast("long").alias("exact_customers"),
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            < F.lit(0.05)
+        ).alias("within_5pct"),
+    ).orderBy("o_orderpriority")
