@@ -37,7 +37,7 @@ def _driver_priority_order(reg) -> list[str]:
        so every query accumulates a driver-green row across rounds;
     2. oracle-backed queries already proven green (regression guard);
     3. declared rows-only queries (``oracle None``) last — since round
-       4 the registry has none (190/190 oracle-backed at round-4 end).
+       4 the registry has none (204/204 oracle-backed late round 4).
 
     Within each group, registration order is preserved (deterministic).
     Round-3 evidence shows the driver does NOT take a strict prefix,

@@ -253,6 +253,35 @@ EXPECTATIONS: dict[str, dict] = {
     # checkpointed shingles + signatures; band join + nibble joins +
     # exact-tier verification chains
     "x2_bbit_minhash_estimates": {"max_exchanges": 6, "min_broadcast": 2},
+    # six-table join, five dims broadcast; shuffles: orders⋈lineitem +
+    # the year aggregate
+    "q8_market_share": {"max_exchanges": 3, "min_broadcast": 4, "pushed": True},
+    # returnflag + date both pushed; customer/nation broadcast; top-20
+    # must be TakeOrderedAndProject, never a global sort
+    "q10_returned_items": {
+        "max_exchanges": 3,
+        "min_broadcast": 2,
+        "pushed": True,
+        "take_ordered": True,
+    },
+    # left join shuffle + custkey count (partitioning reusable) +
+    # histogram agg + output ordering
+    "q13_customer_distribution": {"max_exchanges": 5, "pushed": True},
+    # revenue CTE aggregated per branch + scalar MAX + ordered output;
+    # supplier and the 1-row max broadcast
+    "q15_top_supplier": {"max_exchanges": 5, "min_broadcast": 2, "pushed": True},
+    # brand part set broadcast twice (semi-filter both passes); per-part
+    # avg + threshold join on partkey + global agg
+    "q17_small_quantity_revenue": {
+        "max_exchanges": 4,
+        "min_broadcast": 2,
+        "pushed": True,
+    },
+    # disjunction evaluated as broadcast-join residual; envelope
+    # conjuncts pushed into both scans; one scalar agg
+    "q19_disjunctive_predicates": {"max_exchanges": 1, "min_broadcast": 1, "pushed": True},
+    # scalar avg broadcast + anti join + segment agg + output ordering
+    "q22_dormant_accounts": {"max_exchanges": 5, "min_broadcast": 2, "pushed": True},
 }
 
 
