@@ -448,3 +448,95 @@ def x5_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("digest", "keep_id", "n_copies", "bytes_saved")
         .orderBy("keep_id")
     )
+
+
+@register(
+    "x5_image_tiling_plan",
+    oracle="""
+    WITH img AS (
+        SELECT doc_id AS media_id,
+               CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    dims AS (
+        SELECT media_id,
+               CAST(64 + (n_bytes % 512) AS BIGINT)        AS width,
+               CAST(64 + ((n_bytes // 7) % 512) AS BIGINT) AS height
+        FROM img
+    ),
+    gx AS (
+        SELECT media_id, width, height,
+               UNNEST(RANGE(0, CAST(CEIL(width / 224.0) AS BIGINT))) AS tx
+        FROM dims
+    ),
+    g AS (
+        SELECT media_id, width, height, tx,
+               UNNEST(RANGE(0, CAST(CEIL(height / 224.0) AS BIGINT))) AS ty
+        FROM gx
+    ),
+    tiles AS (
+        SELECT media_id, width, height,
+               LEAST(224, width - tx * 224)  AS tw,
+               LEAST(224, height - ty * 224) AS th
+        FROM g
+    )
+    SELECT media_id, width, height,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(SUM(CASE WHEN tw < 224 OR th < 224 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_partial,
+           CAST(SUM(224 * 224 - tw * th) AS BIGINT) AS pad_px
+    FROM tiles
+    GROUP BY media_id, width, height
+    ORDER BY media_id
+    """,
+    survey_ids=("X5",),
+)
+def x5_image_tiling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image tiling PLAN — the ViT-style patch grid: cover each image
+    with 224x224 tiles (stride 224), clip edge tiles, and report per
+    image the tile count, how many tiles are partial, and the padding
+    waste a pad-to-full-tile loader would add. The 2-D grid is two
+    chained scan-side explodes over sequence() (bounded: dims <= 575
+    so <= 3x3 tiles); cropping pixels is the stubbed codec executor's
+    job — the PLAN never touches payload bytes. Dims come from the
+    metadata sidecar via the same arithmetic the stub codec applies
+    (``_fake_decode``; the resize-plan precedent), pure JVM — no
+    Python stage anywhere in this plan. Invariant (pinned in tests):
+    n_tiles * 224^2 == width*height + pad_px. At 100 TB the explode is
+    map-side over the pruned (media_id, width, height) projection; the
+    only shuffle is the per-media aggregate, keyed on media_id
+    (uniform, no skew)."""
+    T = 224
+    media = as_media_table(t(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "image"
+    )
+    nb = F.col("meta.n_bytes")
+    dec = media.select(
+        "media_id",
+        (F.lit(64) + nb % 512).cast("long").alias("width"),
+        (F.lit(64) + F.floor(nb / 7) % 512).cast("long").alias("height"),
+    )
+    nx = F.floor((F.col("width") + T - 1) / T).cast("long")
+    ny = F.floor((F.col("height") + T - 1) / T).cast("long")
+    tiles = (
+        dec.withColumn("tx", F.explode(F.sequence(F.lit(0).cast("long"), nx - 1)))
+        .withColumn("ty", F.explode(F.sequence(F.lit(0).cast("long"), ny - 1)))
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.least(F.lit(T).cast("long"), F.col("width") - F.col("tx") * T).alias("tw"),
+            F.least(F.lit(T).cast("long"), F.col("height") - F.col("ty") * T).alias("th"),
+        )
+    )
+    return (
+        tiles.groupBy("media_id", "width", "height")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tiles"),
+            F.sum(
+                F.when((F.col("tw") < T) | (F.col("th") < T), 1).otherwise(0)
+            ).cast("long").alias("n_partial"),
+            F.sum(F.lit(T * T) - F.col("tw") * F.col("th")).cast("long").alias("pad_px"),
+        )
+        .orderBy("media_id")
+    )

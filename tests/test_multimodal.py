@@ -78,3 +78,33 @@ def test_frame_sampling_policy_caps_and_covers(spark, sf_dir):
         assert len(strides) <= 1  # uniform
         for f in frames:
             assert f["frame_ts_ms"] == f["frame_idx"] * 33
+
+
+def test_image_tiling_invariants(spark, sf_dir):
+    """Tile accounting must be exact: the padded grid area equals the
+    image area plus reported padding, partial tiles only on the
+    right/bottom edge bands, and dims must match the stub decoder."""
+    from etl_generator_demo_spark.operators.multimodal import x5_image_tiling_plan
+    from etl_generator_demo_spark.operators.relational import t
+
+    rows = x5_image_tiling_plan(spark, sf_dir).collect()
+    assert rows, "no image rows"
+    T = 224
+    for r in rows:
+        nx = -(-r["width"] // T)
+        ny = -(-r["height"] // T)
+        assert r["n_tiles"] == nx * ny
+        assert r["n_tiles"] * T * T == r["width"] * r["height"] + r["pad_px"]
+        # partial tiles = right column band + bottom row band (minus
+        # double-counted corner) when the edge is ragged
+        px = nx * (1 if r["height"] % T else 0) + ny * (1 if r["width"] % T else 0)
+        if r["width"] % T and r["height"] % T:
+            px -= 1
+        assert r["n_partial"] == px
+    # dims agree with the stub decoder output for the same media
+    media = as_media_table(t(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "image"
+    ).limit(20)
+    dec = {r["media_id"]: (r["width"], r["height"]) for r in decode_media(media).collect()}
+    got = {r["media_id"]: (r["width"], r["height"]) for r in rows if r["media_id"] in dec}
+    assert got == dec

@@ -282,6 +282,8 @@ EXPECTATIONS: dict[str, dict] = {
     "q19_disjunctive_predicates": {"max_exchanges": 1, "min_broadcast": 1, "pushed": True},
     # scalar avg broadcast + anti join + segment agg + output ordering
     "q22_dormant_accounts": {"max_exchanges": 5, "min_broadcast": 2, "pushed": True},
+    # scan-side 2-D explode (no Python stage); per-media agg + ordering
+    "x5_image_tiling_plan": {"max_exchanges": 2},
 }
 
 
