@@ -1189,3 +1189,109 @@ def j_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "prior_7d_spend_cents", "prior_7d_events")
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution — credit assignment across the click path
+# ---------------------------------------------------------------------------
+@register(
+    "x4_multitouch_attribution",
+    oracle="""
+    WITH pairs AS (
+        SELECT p.event_id AS purchase_id, p.value AS amount,
+               c.event_id AS click_id, c.ts AS click_ts
+        FROM events p
+        JOIN events c
+          ON c.user_id = p.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 24 HOURS
+    ),
+    ranked AS (
+        SELECT purchase_id, amount, click_id,
+               CAST(COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n_touches,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY purchase_id ORDER BY click_ts, click_id
+               ) AS BIGINT) AS touch_rank
+        FROM pairs
+    ),
+    credited AS (
+        SELECT purchase_id, click_id, n_touches, touch_rank, amount,
+               1.0 / n_touches AS cl,
+               CASE WHEN n_touches = 1 THEN 1.0
+                    WHEN n_touches = 2 THEN 0.5
+                    WHEN touch_rank = 1 OR touch_rank = n_touches THEN 0.4
+                    ELSE 0.2 / (n_touches - 2) END AS cu
+        FROM ranked
+    )
+    SELECT purchase_id, click_id, n_touches, touch_rank,
+           ROUND(cl, 6) AS credit_linear,
+           ROUND(cu, 6) AS credit_ushaped,
+           ROUND(amount * cl, 4) AS rev_linear,
+           ROUND(amount * cu, 4) AS rev_ushaped
+    FROM credited
+    ORDER BY purchase_id, touch_rank
+    """,
+    survey_ids=("J7", "W1", "F7"),
+)
+def x4_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: every click in the 24 h before a
+    purchase by the same user shares the credit — linear (1/n) and
+    U-shaped (40 % first touch, 40 % last, 20 % split across the
+    middle; degenerate paths collapse to 1.0 / 0.5-0.5). The
+    single-touch tier is the as-of join (``j8_asof_purchase_last_
+    click``); this is the full-path tier marketers actually bill by.
+
+    Shape: one equi+range join per user (bounded state — the same
+    condition is the streaming state-eviction bound in
+    ``streaming/joins.py``), then ONE window pass keyed on purchase_id
+    for both the path length and the position rank. Credits are pure
+    column arithmetic on (rank, n) — no second pass, no collect. At
+    100 TB the join shuffles both event sets once on user_id and the
+    window shuffles pairs once on purchase_id; path length is bounded
+    by the 24 h window, so no purchase group explodes."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("amount"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    pairs = p.join(
+        c,
+        (p["user_id"] == c["c_user"])
+        & (c["click_ts"] <= p["p_ts"])
+        & (c["click_ts"] >= p["p_ts"] - F.expr("INTERVAL 24 HOURS")),
+    )
+    wn = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy("click_ts", "click_id")
+    ranked = pairs.select(
+        "purchase_id",
+        "click_id",
+        "amount",
+        F.count(F.lit(1)).over(wn).cast("long").alias("n_touches"),
+        F.row_number().over(wr).cast("long").alias("touch_rank"),
+    )
+    n, r = F.col("n_touches"), F.col("touch_rank")
+    cl = F.lit(1.0) / n
+    cu = (
+        F.when(n == 1, 1.0)
+        .when(n == 2, 0.5)
+        .when((r == 1) | (r == n), 0.4)
+        .otherwise(F.lit(0.2) / (n - 2))
+    )
+    return ranked.select(
+        "purchase_id",
+        "click_id",
+        "n_touches",
+        "touch_rank",
+        F.round(cl, 6).alias("credit_linear"),
+        F.round(cu, 6).alias("credit_ushaped"),
+        F.round(F.col("amount") * cl, 4).alias("rev_linear"),
+        F.round(F.col("amount") * cu, 4).alias("rev_ushaped"),
+    ).orderBy("purchase_id", "touch_rank")

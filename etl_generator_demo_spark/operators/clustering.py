@@ -784,3 +784,115 @@ def x3_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(IVFPQ_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space dimension covariance — exact integer Gram matrix
+# ---------------------------------------------------------------------------
+#: Covariance quantization: 3 decimal digits. Coarser than the k-means
+#: QSCALE (1e4) ON PURPOSE: the Gram accumulator holds n·Σ(q_i·q_j)
+#: which at 1e3 stays < 1e16 through sf1 fixtures (int64 ceiling
+#: 9.2e18) — the scale knob trades 1e-3 input precision for ~1000x
+#: row-count headroom. Production beyond that: per-shard Gram partials
+#: are d², so re-centering per shard (or DECIMAL(38)) lifts the bound.
+COV_SCALE = 1_000
+
+
+@register(
+    "x3_dim_covariance",
+    oracle=f"""
+    WITH dims AS (SELECT UNNEST(RANGE(0, {DIM})) AS i),
+    q AS (
+        SELECT vec_id, i,
+               CAST(FLOOR(embedding[CAST(i + 1 AS INT)]::DOUBLE * {COV_SCALE})
+                    AS BIGINT) AS xq
+        FROM embeddings, dims
+    ),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    sums AS (SELECT i, CAST(SUM(xq) AS BIGINT) AS sx FROM q GROUP BY i),
+    pairs AS (
+        SELECT a.i AS i, b.i AS j, CAST(SUM(a.xq * b.xq) AS BIGINT) AS sxy
+        FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    )
+    SELECT p.i, p.j, cnt.n,
+           CAST(cnt.n * p.sxy - sa.sx * sb.sx AS BIGINT) AS cov_num,
+           ROUND((cnt.n * p.sxy - sa.sx * sb.sx)
+                 / ({COV_SCALE * COV_SCALE}.0 * cnt.n * cnt.n), 8) AS cov
+    FROM pairs p
+    CROSS JOIN cnt
+    JOIN sums sa ON sa.i = p.i
+    JOIN sums sb ON sb.i = p.j
+    ORDER BY p.i, p.j
+    """,
+    survey_ids=("X3",),
+)
+def x3_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-covariance matrix of the embedding corpus — the input
+    to PCA whitening / anisotropy diagnostics (is the space collapsing
+    onto a few directions?). Upper triangle of the d×d matrix, exact:
+    coordinates quantize once (⌊v·10³⌋, same FLOOR convention as the
+    k-means pipeline above) and everything after is order-independent
+    BIGINT arithmetic, so DuckDB hashes it value-for-value via
+    cov_num = n·Σxy − Σx·Σy.
+
+    Shape — the 100 TB-relevant part: per PARTITION, one Arrow batch
+    stage computes the integer Gram matrix Qᵀ·Q with a d×d numpy int64
+    matmul (mirroring the k-means assignment matmul), yielding d²/2
+    partial rows per partition regardless of row count. The only
+    shuffle is the (i, j)-keyed sum of those partials — d²-bounded,
+    corpus-size-independent. The naive explode-and-self-join (what the
+    oracle does) would shuffle n·d² rows; the partial-Gram shape
+    shuffles partitions·d². Eigendecomposition of the 64×64 result is
+    driver-side model math, out of engine scope."""
+    emb = t(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram(batches):
+        import numpy as np  # local: self-contained for executor workers
+        import pandas as pd
+
+        acc = None
+        sx = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Q = np.floor(M * 1000.0).astype(np.int64)
+            g = Q.T @ Q
+            acc = g if acc is None else acc + g
+            s = Q.sum(axis=0)
+            sx = s if sx is None else sx + s
+            n += Q.shape[0]
+        if n:
+            iu, ju = np.triu_indices(acc.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int64"),
+                    "j": ju.astype("int64"),
+                    "sxy": acc[iu, ju],
+                    "sx_i": sx[iu],
+                    "sx_j": sx[ju],
+                    "n": np.int64(n),
+                }
+            )
+
+    parts = emb.mapInPandas(
+        gram, "i long, j long, sxy long, sx_i long, sx_j long, n long"
+    )
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("sx_i").alias("sx"),
+        F.sum("sx_j").alias("sy"),
+        F.sum("n").alias("n"),
+    )
+    cov_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.select(
+        "i",
+        "j",
+        "n",
+        cov_num.cast("long").alias("cov_num"),
+        F.round(
+            cov_num / (float(COV_SCALE * COV_SCALE) * F.col("n") * F.col("n")), 8
+        ).alias("cov"),
+    ).orderBy("i", "j")

@@ -1815,3 +1815,78 @@ def x4_corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "email_doc_rate_e6",
         "mean_tokens_e2",
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity generalization ladder — release-gating governance
+# ---------------------------------------------------------------------------
+K_ANON = 5
+
+
+@register(
+    "x4_k_anonymity_ladder",
+    oracle=f"""
+    WITH l0 AS (
+        SELECT lang, source,
+               CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS class_size
+        FROM documents
+        GROUP BY lang, source, n_chars // 100
+    ),
+    l1 AS (
+        SELECT lang, source, CAST(SUM(class_size) AS BIGINT) AS coarse_size
+        FROM l0 GROUP BY lang, source
+    )
+    SELECT l0.lang, l0.source, len_bucket, class_size, coarse_size,
+           CASE WHEN coarse_size >= {K_ANON} THEN 'generalize'
+                ELSE 'suppress' END AS action
+    FROM l0 JOIN l1 ON l0.lang = l1.lang AND l0.source = l1.source
+    WHERE class_size < {K_ANON}
+    ORDER BY l0.lang, l0.source, len_bucket
+    """,
+    survey_ids=("A1", "A4", "W3"),
+)
+def x4_k_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release gate with a generalization ladder: a
+    document is re-identifiable when its quasi-identifier class
+    (lang, source, length bucket) holds fewer than k=5 members. For
+    each risky class the query decides the cheapest remedy — drop the
+    length bucket ('generalize') if the coarser (lang, source) class
+    clears k, else 'suppress'. The privacy sibling of the PII scrub
+    (``x4_pii_scrub`` removes direct identifiers; this bounds indirect
+    ones before a corpus release).
+
+    Shape: one map-combined groupBy to the fine classes, then a window
+    SUM over the coarser key instead of a second aggregate + self-join
+    — class relations are tiny (|classes| << |docs|), so both shuffles
+    move class counts, never documents. Scales to any corpus whose
+    quasi-identifier cardinality fits a shuffle — i.e. all of them."""
+    from pyspark.sql import Window
+
+    l0 = (
+        t(spark, sf_dir, "documents")
+        .groupBy(
+            "lang",
+            "source",
+            F.floor(F.col("n_chars") / 100).cast("long").alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    )
+    coarse = Window.partitionBy("lang", "source")
+    return (
+        l0.withColumn(
+            "coarse_size", F.sum("class_size").over(coarse).cast("long")
+        )
+        .filter(F.col("class_size") < K_ANON)
+        .select(
+            "lang",
+            "source",
+            "len_bucket",
+            "class_size",
+            "coarse_size",
+            F.when(F.col("coarse_size") >= K_ANON, "generalize")
+            .otherwise("suppress")
+            .alias("action"),
+        )
+        .orderBy("lang", "source", "len_bucket")
+    )

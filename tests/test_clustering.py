@@ -166,3 +166,33 @@ def test_ivfpq_adc_orders_by_lookup_table_distance(spark, sf_dir):
     }
     for r in rows:
         assert asg[r.vec_id] in probe
+
+
+def test_dim_covariance_exactness_and_psd_diag(spark, sf_dir):
+    """Gram-partial covariance must equal the naive driver-side numpy
+    computation on the same quantized ints, and variances (diagonal)
+    must be non-negative."""
+    import numpy as np
+
+    from etl_generator_demo_spark.operators.clustering import x3_dim_covariance
+    from etl_generator_demo_spark.operators.relational import t
+
+    rows = x3_dim_covariance(spark, sf_dir).collect()
+    got = {(r["i"], r["j"]): r["cov_num"] for r in rows}
+    n_out = rows[0]["n"]
+
+    M = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64)
+         for r in t(spark, sf_dir, "embeddings").select("embedding").collect()]
+    )
+    Q = np.floor(M * 1000.0).astype(np.int64)
+    n = Q.shape[0]
+    assert n_out == n
+    G = Q.T @ Q
+    s = Q.sum(axis=0)
+    for (i, j), cov_num in got.items():
+        assert cov_num == n * G[i, j] - s[i] * s[j], (i, j)
+        if i == j:
+            assert cov_num >= 0
+    d = M.shape[1]
+    assert len(got) == d * (d + 1) // 2

@@ -250,3 +250,25 @@ def test_weighted_sample_bias_toward_heavy_docs(spark, sf_dir):
         read_table(spark, sf_dir, "documents").agg(F.avg("n_chars")).first()[0]
     )
     assert sample_mean > corpus_mean
+
+
+def test_multitouch_credits_sum_to_one(spark, sf_dir):
+    """Per purchase, both credit models must distribute exactly one
+    unit of credit (pre-rounding semantics; tolerance covers the 1e-6
+    output rounding only)."""
+    from etl_generator_demo_spark.operators.analytics_ext import (
+        x4_multitouch_attribution,
+    )
+
+    rows = x4_multitouch_attribution(spark, sf_dir).collect()
+    assert rows
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r["purchase_id"], []).append(r)
+    for pid, touches in by_p.items():
+        n = touches[0]["n_touches"]
+        assert len(touches) == n
+        assert sorted(t["touch_rank"] for t in touches) == list(range(1, n + 1))
+        for model in ("credit_linear", "credit_ushaped"):
+            total = sum(t[model] for t in touches)
+            assert abs(total - 1.0) < 1e-4, (pid, model, total)

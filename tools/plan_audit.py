@@ -284,6 +284,15 @@ EXPECTATIONS: dict[str, dict] = {
     "q22_dormant_accounts": {"max_exchanges": 5, "min_broadcast": 2, "pushed": True},
     # scan-side 2-D explode (no Python stage); per-media agg + ordering
     "x5_image_tiling_plan": {"max_exchanges": 2},
+    # user-keyed range join (both event sets shuffle once) + ONE
+    # purchase-keyed window pass + output ordering
+    "x4_multitouch_attribution": {"max_exchanges": 4, "pushed": True},
+    # fine-class groupBy + coarse-key window + ordering — class
+    # relations only, documents never shuffle
+    "x4_k_anonymity_ladder": {"max_exchanges": 3},
+    # per-partition Arrow Gram partials (d^2-bounded); only the (i,j)
+    # partial sum + output ordering shuffle
+    "x3_dim_covariance": {"max_exchanges": 2},
 }
 
 
