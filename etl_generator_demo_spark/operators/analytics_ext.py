@@ -1295,3 +1295,119 @@ def x4_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("amount") * cl, 4).alias("rev_linear"),
         F.round(F.col("amount") * cu, 4).alias("rev_ushaped"),
     ).orderBy("purchase_id", "touch_rank")
+
+
+# ---------------------------------------------------------------------------
+# Journey-signature mining — MATCH_RECOGNIZE-lite over gap sessions
+# ---------------------------------------------------------------------------
+SIGNATURE_CAP = 12
+
+
+@register(
+    "x4_journey_signatures",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               SUBSTR(event_type, 1, 1) AS initial
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, ts, initial,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w)
+                            > {SESSION_GAP_S} * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+        SELECT user_id, event_id, ts, initial,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    ),
+    sigs AS (
+        SELECT user_id, session_id,
+               SUBSTR(STRING_AGG(initial, '' ORDER BY ts, event_id),
+                      1, {SIGNATURE_CAP}) AS signature,
+               COUNT(*) AS n_events
+        FROM sessioned
+        GROUP BY user_id, session_id
+    )
+    SELECT signature,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(AVG(n_events), 2) AS avg_len,
+           CAST(SUM(CASE WHEN signature LIKE '%p%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converting
+    FROM sigs
+    GROUP BY signature
+    ORDER BY n_sessions DESC, signature
+    LIMIT 20
+    """,
+    survey_ids=("X4", "W2", "A1", "O4"),
+)
+def x4_journey_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey-signature mining — the MATCH_RECOGNIZE-shaped question
+    ("which event sequences do sessions actually follow, and which of
+    them convert?") answered without a pattern engine: gap-sessionize
+    (the lag-flag-cumsum idiom shared with ``x4_gap_sessionization``),
+    fold each session's event-type initials into an ORDERED signature
+    string capped at 12 events, then mine the top-20 signatures with
+    session/user counts, average length, and how many contain a
+    purchase. The ordered fold is ``sort_array(collect_list(struct))``
+    — deterministic under any partitioning because the sort key
+    (ts, event_id) is total, and bounded because the slice cap is
+    applied before concat. At 100 TB: one window shuffle on user_id,
+    one session-keyed agg (bounded by the cap), one signature-keyed
+    agg (|signatures| << |sessions|), TakeOrdered top-20."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.substring("event_type", 1, 1).alias("initial"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | (us - prev_us > SESSION_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    sessioned = ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sigs = (
+        sessioned.groupBy("user_id", "session_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "initial"))
+            ).alias("path"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.array_join(
+                F.slice(F.transform(F.col("path"), lambda s: s["initial"]),
+                        1, SIGNATURE_CAP),
+                "",
+            ).alias("signature"),
+            "n_events",
+        )
+    )
+    return (
+        sigs.groupBy("signature")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.round(F.avg("n_events"), 2).alias("avg_len"),
+            F.sum(
+                F.when(F.col("signature").contains("p"), 1).otherwise(0)
+            ).cast("long").alias("n_converting"),
+        )
+        .orderBy(F.col("n_sessions").desc(), "signature")
+        .limit(20)
+    )

@@ -293,6 +293,9 @@ EXPECTATIONS: dict[str, dict] = {
     # per-partition Arrow Gram partials (d^2-bounded); only the (i,j)
     # partial sum + output ordering shuffle
     "x3_dim_covariance": {"max_exchanges": 2},
+    # user-keyed session window + session agg + signature agg; top-20
+    # must be TakeOrderedAndProject
+    "x4_journey_signatures": {"max_exchanges": 3, "take_ordered": True},
 }
 
 
