@@ -57,6 +57,9 @@ HEADLINE = [
     # registry-gated but not benched: the sf0.1 co-purchase graph's
     # wedge stage is a deliberate O(m^1.5) census, not a latency path)
     "x3_pq_codes",
+    # late round-4: d^2-bounded Arrow Gram partials (covariance) —
+    # the shuffle-volume-independent partial-aggregation pattern
+    "x3_dim_covariance",
 ]
 
 
