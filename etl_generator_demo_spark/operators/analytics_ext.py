@@ -1411,3 +1411,103 @@ def x4_journey_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "signature")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# GDPR erasure-impact audit — deletion cascade planning over the FK graph
+# ---------------------------------------------------------------------------
+@register(
+    "d_gdpr_erasure_audit",
+    oracle="""
+    WITH forget AS (
+        SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0
+    ),
+    rows_per_table AS (
+        SELECT 'customer' AS table_name,
+               COUNT(*) AS n_rows,
+               SUM(CASE WHEN c_custkey IN (SELECT k FROM forget)
+                        THEN 1 ELSE 0 END) AS n_to_erase
+        FROM customer
+        UNION ALL
+        SELECT 'events', COUNT(*),
+               SUM(CASE WHEN user_id IN (SELECT k FROM forget)
+                        THEN 1 ELSE 0 END)
+        FROM events
+        UNION ALL
+        SELECT 'lineitem', COUNT(*),
+               SUM(CASE WHEN l_orderkey IN (
+                       SELECT o_orderkey FROM orders
+                       WHERE o_custkey IN (SELECT k FROM forget))
+                        THEN 1 ELSE 0 END)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orders', COUNT(*),
+               SUM(CASE WHEN o_custkey IN (SELECT k FROM forget)
+                        THEN 1 ELSE 0 END)
+        FROM orders
+    )
+    SELECT table_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_to_erase AS BIGINT) AS n_to_erase,
+           CAST(FLOOR(n_to_erase * 10000.0 / n_rows) AS BIGINT) AS pct_e4
+    FROM rows_per_table
+    ORDER BY table_name
+    """,
+    survey_ids=("J5", "A2", "U2"),
+)
+def d_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: for a deterministic forget
+    set (every 97th customer key, standing in for a deletion-request
+    batch), count the rows each table would lose — including the
+    TWO-HOP cascade customer → orders → lineitem that the FK graph
+    implies. The counting sibling of the DML layer's
+    ``merge_parquet``/staged-overwrite erasure executors
+    (`sources/mutations.py`): plan first, rewrite once. Completes the
+    governance trio: `x4_pii_scrub` (direct identifiers),
+    `x4_k_anonymity_ladder` (indirect), erasure (deletion).
+
+    Shape: the forget-key relation and its one-hop order-key expansion
+    both aggregate BEFORE broadcasting (keys only, never fact rows);
+    every per-table count is one scan with a broadcast hit marker —
+    four scans, zero fact-fact shuffles, output is 4 rows no matter
+    the corpus size."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    ev = t(spark, sf_dir, "events")
+    forget = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    forget_orders = (
+        orders.join(F.broadcast(forget), orders["o_custkey"] == F.col("k"))
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+
+    def impact(name: str, base: DataFrame, key: str, keys: DataFrame) -> DataFrame:
+        marked = base.join(
+            F.broadcast(keys.withColumn("_hit", F.lit(1))),
+            base[key] == keys["k"],
+            "left",
+        )
+        return marked.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_to_erase"),
+        )
+
+    out = impact("customer", cust, "c_custkey", forget)
+    for part in (
+        impact("events", ev, "user_id", forget),
+        impact("lineitem", li, "l_orderkey", forget_orders),
+        impact("orders", orders, "o_custkey", forget),
+    ):
+        out = out.unionByName(part)
+    return out.select(
+        "table_name",
+        "n_rows",
+        "n_to_erase",
+        F.floor(F.col("n_to_erase") * 10000.0 / F.col("n_rows"))
+        .cast("long")
+        .alias("pct_e4"),
+    ).orderBy("table_name")

@@ -296,6 +296,9 @@ EXPECTATIONS: dict[str, dict] = {
     # user-keyed session window + session agg + signature agg; top-20
     # must be TakeOrderedAndProject
     "x4_journey_signatures": {"max_exchanges": 3, "take_ordered": True},
+    # four scans with broadcast hit markers + scalar aggs; forget keys
+    # aggregate before broadcasting — zero fact-fact shuffles
+    "d_gdpr_erasure_audit": {"max_exchanges": 7, "min_broadcast": 4, "pushed": True},
 }
 
 

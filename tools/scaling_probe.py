@@ -55,6 +55,15 @@ QUERIES = [
     "x3_pq_codes",
     "x3_ivfpq_adc_topk",
     "x4_concurrent_sessions",
+    # session additions: fact-join TPC-H shapes (dims broadcast, one
+    # fact shuffle), the d^2-bounded covariance Gram, the user-keyed
+    # attribution range join, and signature mining (watch the
+    # session->signature reduction stay linear)
+    "q8_market_share",
+    "q13_customer_distribution",
+    "x3_dim_covariance",
+    "x4_multitouch_attribution",
+    "x4_journey_signatures",
 ]
 
 KEY_COLS = {
