@@ -167,6 +167,23 @@ class ETLPipelineExecutor:
 
             text_col = step.get("text_col", "text")
             return df.withColumn(text_col, redact_pii_expr(text_col))
+        if op == "erase":
+            # {"op": "erase", "key_col": "user_id", "keys_table": T,
+            #  "keys_col": K} — right-to-be-forgotten as an ETL step:
+            # drop every row whose key appears in the forget-set
+            # relation (a catalog table of deletion requests). The
+            # key set aggregates to distinct keys BEFORE the join and
+            # broadcasts when small; semantics are the anti join, the
+            # row-count impact is what `d_gdpr_erasure_audit` plans.
+            key_col = step["key_col"]
+            keys = (
+                self.catalog.table(step["keys_table"])
+                .select(F.col(step.get("keys_col", key_col)).alias(key_col))
+                .distinct()
+            )
+            if step.get("broadcast", True):
+                keys = F.broadcast(keys)
+            return df.join(keys, key_col, "left_anti")
         raise ETLSpecError(f"unknown transform op: {op!r}")
 
     # -- load ---------------------------------------------------------

@@ -484,3 +484,33 @@ class TestCurationSteps:
         text = spark.table("pii_out").first()["text"]
         assert "bob@example.com" not in text and "192.168.0.1" not in text
         assert "[EMAIL]" in text or "EMAIL" in text
+
+
+class TestEraseStep:
+    @pytest.fixture()
+    def executor(self, spark, catalog, tmp_path):
+        from etl_generator_demo_spark.etl import ETLPipelineExecutor
+
+        return ETLPipelineExecutor(spark, catalog, str(tmp_path))
+
+    def test_erase_drops_forget_set_rows(self, executor, spark, sf_dir):
+        """The erase step anti-joins the key relation: exactly the
+        customers whose key appears in the forget set (here: event
+        user ids) disappear, everything else survives."""
+        spec = {
+            "extract": {"source_tables": ["customer"]},
+            "transform": {"steps": [{
+                "op": "erase",
+                "key_col": "c_custkey",
+                "keys_table": "events",
+                "keys_col": "user_id",
+            }]},
+            "load": {"target_table": "erase_out", "write_mode": "overwrite"},
+        }
+        res = executor.run(spec)
+        assert res.steps_applied == ["erase"]
+        kept = {r["c_custkey"] for r in spark.table("erase_out").collect()}
+        forget = {r["user_id"] for r in spark.table("events").select("user_id").distinct().collect()}
+        all_keys = {r["c_custkey"] for r in spark.table("customer").collect()}
+        assert kept == all_keys - forget
+        assert kept and forget & all_keys, "fixture must exercise both sides"
