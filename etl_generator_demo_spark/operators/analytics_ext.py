@@ -1511,3 +1511,101 @@ def d_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("pct_e4"),
     ).orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance — delta merge vs full recompute
+# ---------------------------------------------------------------------------
+@register(
+    "d_incremental_agg_maintenance",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderpriority AS priority,
+               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+               o_orderkey % 101 = 0 AS changed
+        FROM orders
+    ),
+    recomputed AS (
+        SELECT priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN changed THEN cents + 500 ELSE cents END)
+                    AS BIGINT) AS rev_recomputed
+        FROM base GROUP BY priority
+    ),
+    base_agg AS (
+        SELECT priority, CAST(SUM(cents) AS BIGINT) AS rev_base
+        FROM base GROUP BY priority
+    ),
+    delta AS (
+        SELECT priority,
+               CAST(SUM(cents) AS BIGINT) AS rev_old,
+               CAST(SUM(cents + 500) AS BIGINT) AS rev_new
+        FROM base WHERE changed GROUP BY priority
+    )
+    SELECT r.priority, r.n_orders, r.rev_recomputed,
+           CAST(b.rev_base - COALESCE(d.rev_old, 0) + COALESCE(d.rev_new, 0)
+                AS BIGINT) AS rev_incremental,
+           b.rev_base - COALESCE(d.rev_old, 0) + COALESCE(d.rev_new, 0)
+               = r.rev_recomputed AS ivm_ok
+    FROM recomputed r
+    JOIN base_agg b ON b.priority = r.priority
+    LEFT JOIN delta d ON d.priority = r.priority
+    ORDER BY r.priority
+    """,
+    survey_ids=("A1", "J4", "D1"),
+)
+def d_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a grouped SUM/COUNT: when a
+    delta batch re-prices a subset of orders (every 101st key, +500
+    cents — the simulated CDC batch), the materialized per-priority
+    revenue aggregate updates as old − Σdelta_old + Σdelta_new instead
+    of rescanning the fact table. Both paths are computed and the row
+    carries an ``ivm_ok`` verdict — money is exact integer cents
+    (same convention as `f_decimal_money_totals`), so the delta
+    algebra holds EXACTLY, not within float tolerance; the oracle
+    replays both paths and the hash pins the equality in both engines.
+
+    At 100 TB this is the nightly-pipeline shape that matters: the
+    recompute tier scans everything (here only to prove the verdict);
+    the maintenance tier scans ONLY the delta batch and merges
+    group-level partials — |groups| rows, not |facts|. The merge is a
+    left join on the group key; absent groups coalesce to zero-delta."""
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 101 == 0).alias("changed"),
+    )
+    recomputed = base.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(
+            F.when(F.col("changed"), F.col("cents") + 500).otherwise(F.col("cents"))
+        ).cast("long").alias("rev_recomputed"),
+    )
+    base_agg = base.groupBy("priority").agg(
+        F.sum("cents").cast("long").alias("rev_base")
+    )
+    delta = (
+        base.filter("changed")
+        .groupBy("priority")
+        .agg(
+            F.sum("cents").cast("long").alias("rev_old"),
+            F.sum(F.col("cents") + 500).cast("long").alias("rev_new"),
+        )
+    )
+    inc = (
+        F.col("rev_base")
+        - F.coalesce(F.col("rev_old"), F.lit(0))
+        + F.coalesce(F.col("rev_new"), F.lit(0))
+    )
+    return (
+        recomputed.join(base_agg, "priority")
+        .join(delta, "priority", "left")
+        .select(
+            "priority",
+            "n_orders",
+            "rev_recomputed",
+            inc.cast("long").alias("rev_incremental"),
+            (inc == F.col("rev_recomputed")).alias("ivm_ok"),
+        )
+        .orderBy("priority")
+    )

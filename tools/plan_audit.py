@@ -299,6 +299,9 @@ EXPECTATIONS: dict[str, dict] = {
     # four scans with broadcast hit markers + scalar aggs; forget keys
     # aggregate before broadcasting — zero fact-fact shuffles
     "d_gdpr_erasure_audit": {"max_exchanges": 7, "min_broadcast": 4, "pushed": True},
+    # three group-level aggregates merged on the group key (tiny);
+    # the delta branch's scan filter must push down
+    "d_incremental_agg_maintenance": {"max_exchanges": 5, "pushed": True},
 }
 
 
