@@ -214,8 +214,8 @@ class ETLPipelineExecutor:
             # become partition pruning (directories skipped, not read)
             writer = writer.partitionBy(*partition_by)
         fmt = load.get("format", "parquet")
-        if fmt not in ("parquet", "csv", "json"):
-            raise ETLSpecError(f"format must be parquet|csv|json, got {fmt!r}")
+        if fmt not in ("parquet", "csv", "json", "orc"):
+            raise ETLSpecError(f"format must be parquet|csv|json|orc, got {fmt!r}")
         # Count THIS run's output before writing: the post-load
         # directory count would include pre-existing rows in append
         # mode and misreport repeated runs.
@@ -224,6 +224,10 @@ class ETLPipelineExecutor:
             writer.option("header", "true").csv(path)
         elif fmt == "json":
             writer.json(path)
+        elif fmt == "orc":
+            # columnar alternative with the same pushdown/pruning
+            # story as parquet (Spark-native, no extra package)
+            writer.orc(path)
         else:
             writer.parquet(path)
         if fmt == "csv":
@@ -232,6 +236,8 @@ class ETLPipelineExecutor:
             ).csv(path)
         elif fmt == "json":
             written = self.spark.read.json(path)
+        elif fmt == "orc":
+            written = self.spark.read.orc(path)
         else:
             written = self.spark.read.parquet(path)
         written.createOrReplaceTempView(target)

@@ -1609,3 +1609,113 @@ def d_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-union covered time — merge overlapping activity intervals
+# ---------------------------------------------------------------------------
+EVENT_SPAN_S = 300
+
+
+@register(
+    "x4_covered_time_per_user",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id,
+               EPOCH_US(CAST(ts AS TIMESTAMP)) AS s_us,
+               EPOCH_US(CAST(ts AS TIMESTAMP)) + {EVENT_SPAN_S} * 1000000 AS e_us,
+               event_id
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s_us, e_us, event_id,
+               CASE WHEN MAX(e_us) OVER (
+                        PARTITION BY user_id ORDER BY s_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR s_us > MAX(e_us) OVER (
+                        PARTITION BY user_id ORDER BY s_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS new_island
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s_us, e_us,
+               SUM(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS island_id
+        FROM flagged
+    ),
+    merged AS (
+        SELECT user_id, island_id,
+               MAX(e_us) - MIN(s_us) AS covered_us,
+               COUNT(*) AS n_events
+        FROM islands GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(covered_us) AS BIGINT) AS covered_us,
+           CAST(SUM(n_events) * {EVENT_SPAN_S} * 1000000 AS BIGINT) AS raw_us,
+           CAST(SUM(n_events) * {EVENT_SPAN_S} * 1000000 - SUM(covered_us)
+                AS BIGINT) AS overlap_us
+    FROM merged
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    survey_ids=("W2", "W3", "A1"),
+)
+def x4_covered_time_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals per user: every event opens a 5-minute
+    activity interval; overlapping intervals merge, and the report is
+    merged-interval count, exact covered time, raw (double-counted)
+    time, and the overlap reclaimed — the classic billing/usage
+    question ("how long was the user actually active?") that a naive
+    SUM over-counts. The merge is the running-MAX island idiom: a new
+    island starts when the interval's start passes the max end seen so
+    far — which handles nested intervals that plain lag(end) misses.
+    All arithmetic in microsecond BIGINTs. Per-user windows + two
+    grouped aggs — one user-keyed shuffle, skew-bounded like the
+    sessionization family; the global-concurrency sibling is
+    `x4_concurrent_sessions` (sweep-line)."""
+    from pyspark.sql import Window
+
+    iv = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + EVENT_SPAN_S * 1_000_000
+        ).alias("e_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    prev_max_end = F.max("e_us").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("s_us") > prev_max_end), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island_id",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = islands.groupBy("user_id", "island_id").agg(
+        (F.max("e_us") - F.min("s_us")).alias("covered_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    raw = F.sum("n_events") * EVENT_SPAN_S * 1_000_000
+    return (
+        merged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("covered_us").cast("long").alias("covered_us"),
+            raw.cast("long").alias("raw_us"),
+            (raw - F.sum("covered_us")).cast("long").alias("overlap_us"),
+        )
+        .orderBy("user_id")
+    )

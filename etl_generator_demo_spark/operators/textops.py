@@ -1890,3 +1890,102 @@ def x4_k_anonymity_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source", "len_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test — lang × source contingency
+# ---------------------------------------------------------------------------
+@register(
+    "x4_chi2_lang_source",
+    oracle="""
+    WITH obs AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source
+    ),
+    langs AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS row_tot FROM obs GROUP BY lang),
+    srcs  AS (SELECT source, CAST(SUM(o) AS BIGINT) AS col_tot FROM obs GROUP BY source),
+    tot   AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    grid AS (
+        SELECT l.lang, s.source, l.row_tot, s.col_tot,
+               COALESCE(obs.o, 0) AS o
+        FROM langs l
+        CROSS JOIN srcs s
+        LEFT JOIN obs ON obs.lang = l.lang AND obs.source = s.source
+    ),
+    cells AS (
+        SELECT CAST(FLOOR(
+                   POWER(o - row_tot * col_tot / CAST(n AS DOUBLE), 2)
+                   / (row_tot * col_tot / CAST(n AS DOUBLE)) * 1000000
+               ) AS BIGINT) AS contrib_e6
+        FROM grid, tot
+    )
+    SELECT (SELECT n FROM tot) AS n,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM langs) AS n_langs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM srcs) AS n_sources,
+           (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM langs)
+               * (SELECT CAST((COUNT(*) - 1) AS BIGINT) FROM srcs) AS dof,
+           CAST(SUM(contrib_e6) AS BIGINT) AS chi2_e6
+    FROM cells
+    """,
+    survey_ids=("A1", "J4", "F7"),
+)
+def x4_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test on the lang × source
+    contingency table — "is the language mix the same across crawl
+    sources?", the first question a corpus-balance review asks. The
+    grid is COMPLETED by crossing the margin relations and left-
+    joining observed counts, so zero cells contribute their full
+    (0−E)²/E term (dropping them understates χ²). Per-cell
+    contributions floor to e6 fixed point BEFORE the sum, making the
+    statistic order-independent and hashable; dof = (R−1)(C−1) ships
+    alongside so the caller can look up the p-value.
+
+    Scale: documents reduce to the |langs|×|sources| cell relation in
+    one map-combined groupBy; margins, the grid cross join, and the
+    final sum all run on margin-sized relations — nothing after the
+    first aggregate touches a document row."""
+    obs = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+        # materialize the |R|×|C| cell relation ONCE: margins, the
+        # grid, and the totals all derive from it — without the cut,
+        # every branch would rescan and re-aggregate the corpus
+        .localCheckpoint()
+    )
+    langs = obs.groupBy("lang").agg(F.sum("o").cast("long").alias("row_tot"))
+    srcs = obs.groupBy("source").agg(F.sum("o").cast("long").alias("col_tot"))
+    tot = obs.agg(
+        F.sum("o").cast("long").alias("n"),
+    )
+    grid = (
+        langs.crossJoin(srcs)
+        .join(obs, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "row_tot",
+            "col_tot",
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n").cast("double")
+    contrib = F.floor(F.pow(F.col("o") - e, 2) / e * 1_000_000).cast("long")
+    counts = (
+        langs.agg(F.count(F.lit(1)).cast("long").alias("n_langs"))
+        .crossJoin(srcs.agg(F.count(F.lit(1)).cast("long").alias("n_sources")))
+    )
+    return (
+        grid.select(contrib.alias("contrib_e6"))
+        .agg(F.sum("contrib_e6").cast("long").alias("chi2_e6"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "n",
+            "n_langs",
+            "n_sources",
+            ((F.col("n_langs") - 1) * (F.col("n_sources") - 1)).alias("dof"),
+            "chi2_e6",
+        )
+    )

@@ -59,7 +59,7 @@ class TestETLSinkFormats:
 
         return ETLPipelineExecutor(spark, catalog, str(tmp_path))
 
-    @pytest.mark.parametrize("fmt", ["csv", "json", "parquet"])
+    @pytest.mark.parametrize("fmt", ["csv", "json", "parquet", "orc"])
     def test_sink_format_roundtrip(self, executor, spark, fmt):
         spec = {
             "extract": {"sql": "SELECT r_regionkey, r_name FROM region"},

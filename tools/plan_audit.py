@@ -302,6 +302,11 @@ EXPECTATIONS: dict[str, dict] = {
     # three group-level aggregates merged on the group key (tiny);
     # the delta branch's scan filter must push down
     "d_incremental_agg_maintenance": {"max_exchanges": 5, "pushed": True},
+    # running-max island window + two user-keyed aggs + ordering
+    "x4_covered_time_per_user": {"max_exchanges": 3},
+    # docs reduce to cells in one groupBy; margins/grid/sum are
+    # margin-sized; scalar exchanges dominate the count
+    "x4_chi2_lang_source": {"max_exchanges": 9, "min_broadcast": 2},
 }
 
 
