@@ -424,3 +424,93 @@ def st_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "bucket_lo_s", "n_events")
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows — per-event-type inactivity thresholds
+# ---------------------------------------------------------------------------
+#: Inactivity gap (seconds) by event type: transient events close
+#: sessions fast, high-intent events hold them open.
+DYN_GAPS_S = {"error": 300, "click": 600, "view": 600, "signup": 1800, "purchase": 3600}
+
+
+@register(
+    "st_session_dynamic_gap",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               EPOCH_US(CAST(ts AS TIMESTAMP)) AS s_us,
+               EPOCH_US(CAST(ts AS TIMESTAMP)) + CAST(1000000 AS BIGINT) * CASE event_type
+                   WHEN 'error' THEN {DYN_GAPS_S['error']}
+                   WHEN 'click' THEN {DYN_GAPS_S['click']}
+                   WHEN 'view' THEN {DYN_GAPS_S['view']}
+                   WHEN 'signup' THEN {DYN_GAPS_S['signup']}
+                   ELSE {DYN_GAPS_S['purchase']} END AS e_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, s_us, e_us, event_id,
+               CASE WHEN MAX(e_us) OVER w IS NULL
+                         OR s_us >= MAX(e_us) OVER w
+                    THEN 1 ELSE 0 END AS new_session
+        FROM iv
+        WINDOW w AS (PARTITION BY user_id ORDER BY s_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    islands AS (
+        SELECT user_id, s_us, e_us,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY s_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           MAKE_TIMESTAMP(MIN(s_us)) AS session_start,
+           MAKE_TIMESTAMP(MAX(e_us)) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+    survey_ids=("§2.11",),
+)
+def st_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows whose inactivity gap depends on the EVENT — a
+    purchase holds the session open for an hour, an error closes it in
+    five minutes (``F.session_window`` with a gap COLUMN, the dynamic
+    form Structured Streaming executes with the same merging state
+    store as the fixed-gap variant). Spark merges an event's
+    [ts, ts+gap) into the session while it starts strictly before the
+    current session end; the oracle replays exactly that with the
+    running-MAX island idiom in microsecond integers (a new session
+    starts when s_us >= max prior end). Same user-keyed single
+    shuffle + skew posture as `st_session_windows`."""
+    gap = F.concat(
+        F.coalesce(
+            F.element_at(
+                F.create_map(
+                    *[
+                        x
+                        for k, v in DYN_GAPS_S.items()
+                        for x in (F.lit(k), F.lit(v))
+                    ]
+                ),
+                F.col("event_type"),
+            ),
+            F.lit(DYN_GAPS_S["purchase"]),
+        ).cast("string"),
+        F.lit(" seconds"),
+    )
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return (
+        ev.groupBy("user_id", F.session_window(F.col("ts"), gap).alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -540,3 +540,71 @@ def test_lateness_histogram_mass_and_bounds(spark, sf_dir):
     assert all(r.bucket_lo_s == r.bucket * 600 for r in rows)
     assert max(r.bucket_lo_s for r in rows) < 86400
     assert rows[0].bucket == 0 and rows[0].n_events > 0
+
+
+class TestDynamicGapSessionStreaming:
+    def test_dynamic_gap_stream_matches_batch(self, spark, sf_dir, tmp_path):
+        """F.session_window with a per-event gap COLUMN must produce
+        identical merged sessions under Structured Streaming
+        (availableNow over micro-batched files) and batch — the state
+        store merge is the same algorithm."""
+        from etl_generator_demo_spark.catalog import read_table
+        from etl_generator_demo_spark.streaming.windows import DYN_GAPS_S
+
+        ev_batch = read_table(spark, sf_dir, "events").filter(
+            F.col("user_id") <= 20
+        ).select("user_id", "ts", "event_type")
+        src = tmp_path / "dyn_src"
+        ev_batch.repartition(3).write.parquet(str(src))
+
+        gap = F.concat(
+            F.coalesce(
+                F.element_at(
+                    F.create_map(
+                        *[x for k, v in DYN_GAPS_S.items() for x in (F.lit(k), F.lit(v))]
+                    ),
+                    F.col("event_type"),
+                ),
+                F.lit(3600),
+            ).cast("string"),
+            F.lit(" seconds"),
+        )
+
+        def sessions(df):
+            return (
+                df.groupBy("user_id", F.session_window(F.col("ts"), gap).alias("w"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select("user_id", F.col("w.start").alias("s"),
+                        F.col("w.end").alias("e"), "n")
+            )
+
+        stream = (
+            spark.readStream.schema(ev_batch.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            # micro-batched files replay in arbitrary time order, so
+            # the watermark must exceed the fixture's full span —
+            # otherwise genuinely-out-of-order events are "late",
+            # their sessions close early, and stream != batch (the
+            # lateness behavior itself is pinned by the st_late_data
+            # tests)
+            .withWatermark("ts", "60 days")
+        )
+        q = (
+            sessions(stream)
+            .writeStream.format("memory")
+            .queryName("dyn_sessions")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["user_id"], r["s"], r["e"], r["n"])
+            for r in spark.sql("SELECT * FROM dyn_sessions").collect()
+        }
+        want = {
+            (r["user_id"], r["s"], r["e"], r["n"])
+            for r in sessions(ev_batch).collect()
+        }
+        assert got == want and want

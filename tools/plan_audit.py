@@ -304,6 +304,9 @@ EXPECTATIONS: dict[str, dict] = {
     "d_incremental_agg_maintenance": {"max_exchanges": 5, "pushed": True},
     # running-max island window + two user-keyed aggs + ordering
     "x4_covered_time_per_user": {"max_exchanges": 3},
+    # one user-keyed session-window shuffle + output ordering, same
+    # budget as the fixed-gap variant
+    "st_session_dynamic_gap": {"max_exchanges": 2},
     # docs reduce to cells in one groupBy; margins/grid/sum are
     # margin-sized; scalar exchanges dominate the count
     "x4_chi2_lang_source": {"max_exchanges": 9, "min_broadcast": 2},
