@@ -1989,3 +1989,103 @@ def x4_chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_e6",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization — align per-source score distributions
+# ---------------------------------------------------------------------------
+def _quantile_normalize_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               FLOOR((
+                   CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')))
+                        AS DOUBLE)
+                   / GREATEST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')), 1)
+                 + CAST(LEN(LIST_INTERSECT(
+                       LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')),
+                       [{stop_list}])) AS DOUBLE) / {float(len(STOPWORDS_EN))}
+                 + LEAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) / 100.0, 1.0)
+               ) / 3 * 10000) / 10000 AS q
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, q,
+               CAST(FLOOR(PERCENT_RANK() OVER (
+                   PARTITION BY source ORDER BY q, doc_id
+               ) * 100) AS BIGINT) AS bucket
+        FROM scored
+    ),
+    gsorted AS (
+        SELECT q, ROW_NUMBER() OVER (ORDER BY q, doc_id) AS rn FROM scored
+    ),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
+    gidx AS (
+        SELECT CAST(i AS BIGINT) AS idx, gs.q AS gq
+        FROM RANGE(0, 101) t(i)
+        CROSS JOIN cnt
+        JOIN gsorted gs ON gs.rn = (i * (cnt.n - 1)) // 100 + 1
+    )
+    SELECT r.doc_id, r.source, r.q, r.bucket,
+           CAST(FLOOR(g.gq * 1000000) AS BIGINT) AS norm_q_e6
+    FROM ranked r JOIN gidx g ON g.idx = r.bucket
+    ORDER BY r.doc_id
+    """
+
+
+@register(
+    "x4_quantile_normalize_scores",
+    oracle=_quantile_normalize_oracle(),
+    survey_ids=("W1", "A2", "X4"),
+)
+def x4_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of quality scores ACROSS sources — map
+    each document's within-source percentile onto the global score
+    distribution, so a "0.8 from a lenient crawl" and a "0.8 from a
+    strict one" become comparable before corpus mixing (the
+    distribution-alignment step bioinformatics calls quantile
+    normalization, applied to data curation). Within-source position
+    is PERCENT_RANK over a total order; the global reference is a
+    101-point TYPE-1 (discrete) quantile grid selected by exact rank —
+    grid values are actual data values picked by integer arithmetic,
+    so no interpolation formula has to agree across engines (the
+    interpolated form differs in the last ulp between implementations
+    and flips fixed-point floors).
+
+    At 100 TB: one source-keyed window shuffle; the global rank window
+    is the exact tier (single-partition sort — same
+    exact-vs-`approx_percentile` contract as `a_percentiles`; the
+    scale path derives the grid from a sketch, identical downstream
+    plan). The doc→grid join broadcasts 101 rows."""
+    from pyspark.sql import Window
+
+    scored = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score_expr("text").alias("q")
+    )
+    w = Window.partitionBy("source").orderBy("q", "doc_id")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "q",
+        F.floor(F.percent_rank().over(w) * 100).cast("long").alias("bucket"),
+    )
+    wg = Window.orderBy("q", "doc_id")  # global rank: exact tier (see docstring)
+    gsorted = scored.select("q", F.row_number().over(wg).alias("rn"))
+    cnt = scored.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    gidx = (
+        spark.range(101)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .crossJoin(F.broadcast(cnt))
+        .withColumn("rn", F.expr("bucket * (n - 1) DIV 100") + 1)
+        .join(gsorted, "rn")
+        .select(
+            "bucket",
+            F.floor(F.col("q") * 1_000_000).cast("long").alias("norm_q_e6"),
+        )
+    )
+    return (
+        ranked.join(F.broadcast(gidx), "bucket")
+        .select("doc_id", "source", "q", "bucket", "norm_q_e6")
+        .orderBy("doc_id")
+    )

@@ -310,6 +310,9 @@ EXPECTATIONS: dict[str, dict] = {
     # docs reduce to cells in one groupBy; margins/grid/sum are
     # margin-sized; scalar exchanges dominate the count
     "x4_chi2_lang_source": {"max_exchanges": 9, "min_broadcast": 2},
+    # source-keyed window + global-rank exact tier (SinglePartition by
+    # contract) + scalar count + 101-row grid broadcast + ordering
+    "x4_quantile_normalize_scores": {"max_exchanges": 6, "min_broadcast": 2},
 }
 
 
