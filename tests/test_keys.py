@@ -29,3 +29,31 @@ def test_dense_ids_gapless(spark):
 def test_dense_ids_empty_input(spark):
     df = spark.range(0).repartition(4)
     assert with_surrogate_key(df, "sid", dense=True).count() == 0
+
+
+class TestUDTFSurface:
+    def test_top_tokens_lateral_join(self, spark, catalog, sf_dir):
+        """The SQL front door can LATERAL-join a Python UDTF: top-2
+        tokens per document as rows, deterministic tie order."""
+        from etl_generator_demo_spark.functions.tablefuncs import register_udtfs
+
+        register_udtfs(spark)
+        rows = spark.sql(
+            """
+            SELECT d.doc_id, t.token, t.n, t.rank
+            FROM (SELECT doc_id, text FROM documents WHERE doc_id < 5) d,
+            LATERAL top_tokens(d.text, 2) t
+            ORDER BY d.doc_id, t.rank
+            """
+        ).collect()
+        assert rows and len(rows) == 10  # 5 docs x top-2
+        # verify against a driver-side recount for one doc
+        doc0 = spark.sql("SELECT text FROM documents WHERE doc_id = 0").first()["text"]
+        counts = {}
+        for tok in doc0.split():
+            counts[tok] = counts.get(tok, 0) + 1
+        want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        got = [(r["token"], r["n"]) for r in rows if r["doc_id"] == 0]
+        assert got == want
+        for r in rows:
+            assert r["rank"] in (1, 2)

@@ -313,6 +313,8 @@ EXPECTATIONS: dict[str, dict] = {
     # source-keyed window + global-rank exact tier (SinglePartition by
     # contract) + scalar count + 101-row grid broadcast + ordering
     "x4_quantile_normalize_scores": {"max_exchanges": 6, "min_broadcast": 2},
+    # shard sketch groupBy + two scalar aggregates + 1-row cross join
+    "a_hll_shard_merge": {"max_exchanges": 5},
 }
 
 
