@@ -1719,3 +1719,116 @@ def x4_covered_time_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment readout — deterministic assignment + two-proportion z
+# ---------------------------------------------------------------------------
+@register(
+    "x4_ab_test_lift",
+    oracle="""
+    WITH assigned AS (
+        SELECT user_id,
+               CASE WHEN SUBSTR(MD5('ab:' || CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS arm,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events
+        GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM assigned GROUP BY arm
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN arm = 'A' THEN n_users END) AS n_a,
+            MAX(CASE WHEN arm = 'A' THEN n_converted END) AS c_a,
+            MAX(CASE WHEN arm = 'B' THEN n_users END) AS n_b,
+            MAX(CASE WHEN arm = 'B' THEN n_converted END) AS c_b
+        FROM arms
+    )
+    SELECT n_a, c_a, n_b, c_b,
+           CAST(FLOOR(c_a * 1000000.0 / n_a) AS BIGINT) AS p_a_e6,
+           CAST(FLOOR(c_b * 1000000.0 / n_b) AS BIGINT) AS p_b_e6,
+           CAST(FLOOR(
+               (c_b * 1.0 / n_b - c_a * 1.0 / n_a)
+               / SQRT(((c_a + c_b) * 1.0 / (n_a + n_b))
+                      * (1 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)) * 10000
+           ) AS BIGINT) AS z_e4,
+           ABS((c_b * 1.0 / n_b - c_a * 1.0 / n_a)
+               / SQRT(((c_a + c_b) * 1.0 / (n_a + n_b))
+                      * (1 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+    FROM wide
+    """,
+    survey_ids=("A1", "A5", "F7"),
+)
+def x4_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users assign to arms by a DETERMINISTIC
+    hash gate (first md5 hex digit of a salted user id, ~50/50 — the
+    same layout-independent assignment discipline as
+    `x4_sample_docs`, because seeded RNG re-randomizes when the
+    partitioning changes and silently breaks the experiment), per-user
+    conversion = any HIGH-VALUE purchase (>= 150 — "any purchase" is
+    degenerate on the fixture: every user buys, pooled variance hits
+    zero and the z statistic divides by it), then the
+    two-proportion pooled z-test
+    with the decision at |z| > 1.96. All inputs to the statistic are
+    exact integer counts; the z lands in e4 fixed point (single
+    identical double expression both engines). One user-grain
+    aggregate + one 2-row arm rollup — the readout is O(1) rows at any
+    event volume."""
+    assigned = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("value") >= 150),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .select(
+            F.when(
+                F.substring(
+                    F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))),
+                    1,
+                    1,
+                ).isin(*"01234567"),
+                "A",
+            )
+            .otherwise("B")
+            .alias("arm"),
+            "converted",
+        )
+    )
+    arms = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == "A", F.col("n_converted"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == "B", F.col("n_converted"))).alias("c_b"),
+    )
+    pa = F.col("c_a") * 1.0 / F.col("n_a")
+    pb = F.col("c_b") * 1.0 / F.col("n_b")
+    pp = (F.col("c_a") + F.col("c_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    z = (pb - pa) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b")))
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        F.floor(F.col("c_a") * 1_000_000.0 / F.col("n_a")).cast("long").alias("p_a_e6"),
+        F.floor(F.col("c_b") * 1_000_000.0 / F.col("n_b")).cast("long").alias("p_b_e6"),
+        F.floor(z * 10_000).cast("long").alias("z_e4"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

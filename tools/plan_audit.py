@@ -315,6 +315,9 @@ EXPECTATIONS: dict[str, dict] = {
     "x4_quantile_normalize_scores": {"max_exchanges": 6, "min_broadcast": 2},
     # shard sketch groupBy + two scalar aggregates + 1-row cross join
     "a_hll_shard_merge": {"max_exchanges": 5},
+    # user-grain agg + 2-row arm rollup + scalar pivot; pushed filter
+    # not required (conversion flag needs every event row)
+    "x4_ab_test_lift": {"max_exchanges": 3},
 }
 
 
