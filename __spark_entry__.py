@@ -37,7 +37,8 @@ def _driver_priority_order(reg) -> list[str]:
        so every query accumulates a driver-green row across rounds;
     2. oracle-backed queries already proven green (regression guard);
     3. declared rows-only queries (``oracle None``) last — since round
-       4 the registry has none (204/204 oracle-backed late round 4).
+       4 the registry has none (every registered query is oracle-backed;
+       the registry floor is pinned in tests/test_registry.py).
 
     Within each group, registration order is preserved (deterministic).
     Round-3 evidence shows the driver does NOT take a strict prefix,

@@ -941,3 +941,103 @@ def x3_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_votes").cast("long").alias("n_votes"),
         (F.col("label") == F.col("true_label")).alias("correct"),
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension recall — truncated-embedding serving check
+# ---------------------------------------------------------------------------
+MRL_PREFIX_DIM = 16
+
+
+@register(
+    "x3_mrl_prefix_recall",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v,
+               (embedding::DOUBLE[])[1:{MRL_PREFIX_DIM}] AS p
+        FROM embeddings WHERE vec_id <> 0
+    ),
+    q AS (
+        SELECT embedding::DOUBLE[] AS qv,
+               (embedding::DOUBLE[])[1:{MRL_PREFIX_DIM}] AS qp
+        FROM embeddings WHERE vec_id = 0
+    ),
+    full_rank AS (
+        SELECT vec_id, label,
+               FLOOR(LIST_DOT_PRODUCT(v, qv)
+                     / (SQRT(LIST_DOT_PRODUCT(v, v)) * SQRT(LIST_DOT_PRODUCT(qv, qv)))
+                     * 1000000) / 1000000 AS cosine,
+               ROW_NUMBER() OVER (ORDER BY
+                   FLOOR(LIST_DOT_PRODUCT(v, qv)
+                         / (SQRT(LIST_DOT_PRODUCT(v, v))
+                            * SQRT(LIST_DOT_PRODUCT(qv, qv))) * 1000000) / 1000000
+                   DESC, vec_id) AS rnk
+        FROM b, q
+    ),
+    prefix_top AS (
+        SELECT vec_id
+        FROM (
+            SELECT vec_id,
+                   ROW_NUMBER() OVER (ORDER BY
+                       FLOOR(LIST_DOT_PRODUCT(p, qp)
+                             / (SQRT(LIST_DOT_PRODUCT(p, p))
+                                * SQRT(LIST_DOT_PRODUCT(qp, qp))) * 1000000) / 1000000
+                       DESC, vec_id) AS rnk
+            FROM b, q
+        ) WHERE rnk <= 10
+    )
+    SELECT CAST(f.rnk AS BIGINT) AS rank, f.vec_id, f.label, f.cosine,
+           f.vec_id IN (SELECT vec_id FROM prefix_top) AS in_prefix_topk
+    FROM full_rank f
+    WHERE f.rnk <= 10
+    ORDER BY rank
+    """,
+    survey_ids=("X3",),
+)
+def x3_mrl_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation check: would serving only the FIRST
+    16 of 64 embedding dimensions (the MRL deployment trick — 4x less
+    vector I/O and ANN memory) still retrieve the full-dimension
+    top-10? Exact top-10 under both metrics (e6-floored cosine,
+    vec_id-tiebroken), full ranking annotated with prefix-top-k
+    membership — the overlap count IS the recall a truncation rollout
+    gets signed off on. Two embarrassingly-parallel scored scans +
+    two TakeOrdered top-10s; the membership flag joins two 10-row
+    relations. Nothing here grows faster than the corpus scan."""
+    emb = t(spark, sf_dir, "embeddings")
+    q_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    q_full = [float(x) for x in q_row]
+    q_pre = q_full[:MRL_PREFIX_DIM]
+    corpus = emb.filter(F.col("vec_id") != 0)
+
+    full10 = (
+        brute_force_topk(corpus, q_full, k=10)
+        .select("vec_id", "label", "cosine")
+    )
+    pre = corpus.select(
+        "vec_id",
+        F.slice(_as_double("embedding"), 1, MRL_PREFIX_DIM).alias("p"),
+    )
+    qp = F.array(*[F.lit(float(x)) for x in q_pre])
+    pre10 = (
+        pre.withColumn("pc", _floor6(cosine(F.col("p"), qp)))
+        .orderBy(F.desc("pc"), "vec_id")
+        .limit(10)
+        .select("vec_id")
+        .withColumn("_pre_hit", F.lit(True))
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy(F.desc("cosine"), "vec_id")
+    return (
+        full10.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .join(F.broadcast(pre10), "vec_id", "left")
+        .select(
+            "rank",
+            "vec_id",
+            "label",
+            "cosine",
+            F.coalesce(F.col("_pre_hit"), F.lit(False)).alias("in_prefix_topk"),
+        )
+        .orderBy("rank")
+    )

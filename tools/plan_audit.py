@@ -318,6 +318,9 @@ EXPECTATIONS: dict[str, dict] = {
     # user-grain agg + 2-row arm rollup + scalar pivot; pushed filter
     # not required (conversion flag needs every event row)
     "x4_ab_test_lift": {"max_exchanges": 3},
+    # two scored scans -> TakeOrdered top-10s; rank window runs on a
+    # 10-row relation (the SinglePartition there is trivial)
+    "x3_mrl_prefix_recall": {"max_exchanges": 4, "pushed": True, "take_ordered": True},
 }
 
 
