@@ -549,3 +549,86 @@ def a_hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_5pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users via mergeable sketches — the scale tier
+# ---------------------------------------------------------------------------
+@register(
+    "x4_rolling_7d_hll_users",
+    oracle="""
+    WITH daily AS (
+        SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    exact7 AS (
+        SELECT d.day, COUNT(DISTINCT u.user_id) AS exact_7d,
+               COUNT(DISTINCT u.day) AS n_days_merged
+        FROM days d JOIN daily u ON u.day BETWEEN d.day - 6 AND d.day
+        GROUP BY d.day
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day,
+           CAST(exact_7d AS BIGINT) AS exact_7d,
+           CAST(n_days_merged AS BIGINT) AS n_days_merged,
+           TRUE AS within_5pct
+    FROM exact7
+    ORDER BY day
+    """,
+    survey_ids=("A3", "W3"),
+)
+def x4_rolling_7d_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users from PER-DAY HLL SKETCHES — the
+    tier that replaces `x4_rolling_7d_active_users`' exact
+    explode-and-dedup at 100 TB: persist one sketch per day (KBs),
+    answer any trailing window by union-merging 7 of them
+    (``hll_union_agg``) — re-aggregation without rescanning history,
+    and the union count is windows×7 sketch merges, independent of the
+    user count. The exact rolling distinct runs alongside and the
+    oracle hashes it value-for-value, with the sketch estimate pinned
+    by a within-5% verdict per day (same bounded-error contract as
+    `a_approx_distinct`/`a_hll_shard_merge`)."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"), "user_id"
+    ).distinct()
+    sketches = daily.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    days = daily.select("day").distinct()
+    merged = (
+        days.alias("d")
+        .join(
+            sketches.alias("s"),
+            (F.col("s.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("s.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_7d"),
+            F.count(F.lit(1)).cast("long").alias("n_days_merged"),
+        )
+    )
+    exact = (
+        days.alias("d")
+        .join(
+            daily.alias("u"),
+            (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("u.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("user_id").cast("long").alias("exact_7d"))
+    )
+    return (
+        exact.join(merged, "day")
+        .select(
+            F.col("day").cast("timestamp").alias("day"),
+            "exact_7d",
+            "n_days_merged",
+            (
+                F.abs(F.col("est_7d") - F.col("exact_7d"))
+                <= 0.05 * F.col("exact_7d")
+            ).alias("within_5pct"),
+        )
+        .orderBy("day")
+    )

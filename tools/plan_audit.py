@@ -321,6 +321,9 @@ EXPECTATIONS: dict[str, dict] = {
     # two scored scans -> TakeOrdered top-10s; rank window runs on a
     # 10-row relation (the SinglePartition there is trivial)
     "x3_mrl_prefix_recall": {"max_exchanges": 4, "pushed": True, "take_ordered": True},
+    # day-grain dedup + day-sketch agg + two range joins over the
+    # day relation (|days| rows) + per-day rollups + ordering
+    "x4_rolling_7d_hll_users": {"max_exchanges": 8},
 }
 
 
