@@ -2089,3 +2089,109 @@ def x4_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "q", "bucket", "norm_q_e6")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov — continuous distribution drift
+# ---------------------------------------------------------------------------
+def _ks_oracle() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+    return f"""
+    WITH scored AS (
+        SELECT source,
+               FLOOR((
+                   CAST(LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')))
+                        AS DOUBLE)
+                   / GREATEST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')), 1)
+                 + CAST(LEN(LIST_INTERSECT(
+                       LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')),
+                       [{stop_list}])) AS DOUBLE) / {float(len(STOPWORDS_EN))}
+                 + LEAST(LEN(REGEXP_SPLIT_TO_ARRAY(text, '\\s+')) / 100.0, 1.0)
+               ) / 3 * 10000) / 10000 AS q
+        FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    grid AS (
+        SELECT q,
+               CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM scored GROUP BY q
+    ),
+    tot AS (
+        SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+        FROM grid
+    ),
+    cum AS (
+        SELECT q,
+               SUM(c0) OVER (ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k0,
+               SUM(c1) OVER (ORDER BY q
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k1
+        FROM grid
+    )
+    SELECT tot.n0, tot.n1,
+           CAST(MAX(ABS(
+               CAST(FLOOR(k0 * 1000000.0 / tot.n0) AS BIGINT)
+               - CAST(FLOOR(k1 * 1000000.0 / tot.n1) AS BIGINT)
+           )) AS BIGINT) AS ks_d_e6,
+           CAST(MAX(ABS(
+               CAST(FLOOR(k0 * 1000000.0 / tot.n0) AS BIGINT)
+               - CAST(FLOOR(k1 * 1000000.0 / tot.n1) AS BIGINT)
+           )) AS BIGINT)
+               > CAST(FLOOR(1358000 * SQRT((tot.n0 + tot.n1) * 1.0
+                                           / (tot.n0 * tot.n1))) AS BIGINT)
+               AS drifted_5pct
+    FROM cum, tot
+    GROUP BY tot.n0, tot.n1
+    """
+
+
+@register("x4_ks_source_drift", oracle=_ks_oracle(), survey_ids=("A2", "W3", "X4"))
+def x4_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test between two crawl
+    sources' quality-score distributions — the continuous sibling of
+    `x4_chi2_lang_source` (categorical) and `x4_ab_test_lift`
+    (proportions): D = max |F₀(x) − F₁(x)| with the α=0.05 rejection
+    threshold c(α)·√((n₀+n₁)/(n₀·n₁)), c(0.05)=1.358 — the standard
+    "did this source's data change under us" monitor. Empirical CDFs
+    evaluate on the merged DISTINCT-VALUE grid (scores are 1e-4
+    lattice points, so |grid| ≤ 10⁴ regardless of corpus size); per-
+    value counts are one map-combined groupBy, the cumulative sums
+    one ordered window over the grid relation, and both CDF fractions
+    floor to e6 BEFORE the max so D hashes exactly. Documents cross
+    the wire once; everything after is grid-sized."""
+    from pyspark.sql import Window
+
+    scored = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1"))
+        .select("source", quality_score_expr("text").alias("q"))
+    )
+    grid = scored.groupBy("q").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0))
+        .cast("long").alias("c0"),
+        F.sum(F.when(F.col("source") == "src1", 1).otherwise(0))
+        .cast("long").alias("c1"),
+    )
+    tot = grid.agg(
+        F.sum("c0").cast("long").alias("n0"), F.sum("c1").cast("long").alias("n1")
+    )
+    w = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "q",
+        F.sum("c0").over(w).alias("k0"),
+        F.sum("c1").over(w).alias("k1"),
+    )
+    d = F.abs(
+        F.floor(F.col("k0") * 1_000_000.0 / F.col("n0")).cast("long")
+        - F.floor(F.col("k1") * 1_000_000.0 / F.col("n1")).cast("long")
+    )
+    thr = F.floor(
+        1_358_000
+        * F.sqrt((F.col("n0") + F.col("n1")) * 1.0 / (F.col("n0") * F.col("n1")))
+    ).cast("long")
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n0", "n1")
+        .agg(F.max(d).cast("long").alias("ks_d_e6"))
+        .select("n0", "n1", "ks_d_e6", (F.col("ks_d_e6") > thr).alias("drifted_5pct"))
+    )

@@ -324,6 +324,10 @@ EXPECTATIONS: dict[str, dict] = {
     # day-grain dedup + day-sketch agg + two range joins over the
     # day relation (|days| rows) + per-day rollups + ordering
     "x4_rolling_7d_hll_users": {"max_exchanges": 8},
+    # per-value grid groupBy; cumulative window + max run on the
+    # grid relation (<= 1e4 lattice points — SinglePartition there
+    # is by design), pushed source filter
+    "x4_ks_source_drift": {"max_exchanges": 6, "pushed": True},
 }
 
 
