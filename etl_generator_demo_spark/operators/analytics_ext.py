@@ -1832,3 +1832,148 @@ def x4_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(z * 10_000).cast("long").alias("z_e4"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan–Meier survival — time to first high-value purchase, censored
+# ---------------------------------------------------------------------------
+@register(
+    "x4_kaplan_meier_conversion",
+    oracle="""
+    WITH horizon AS (
+        SELECT MAX(CAST(ts AS TIMESTAMP)) AS h FROM events
+    ),
+    signups AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS st
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+        SELECT s.user_id,
+               MIN(CASE WHEN e.event_type = 'purchase' AND e.value >= 150
+                             AND CAST(e.ts AS TIMESTAMP) >= s.st
+                        THEN CAST(e.ts AS TIMESTAMP) END) AS pt,
+               ANY_VALUE(s.st) AS st
+        FROM signups s JOIN events e ON e.user_id = s.user_id
+        GROUP BY s.user_id
+    ),
+    subjects AS (
+        SELECT user_id,
+               pt IS NOT NULL AS is_event,
+               CAST(CASE WHEN pt IS NOT NULL
+                         THEN DATE_DIFF('day', st, pt)
+                         ELSE DATE_DIFF('day', st, horizon.h) END AS BIGINT) AS t
+        FROM conv, horizon
+    ),
+    grid AS (
+        SELECT t,
+               CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS leaving
+        FROM subjects GROUP BY t
+    ),
+    risk AS (
+        SELECT t, d,
+               CAST((SELECT COUNT(*) FROM subjects)
+                    - COALESCE(SUM(leaving) OVER (ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS n_at_risk
+        FROM grid
+    ),
+    terms AS (
+        SELECT t, d, n_at_risk,
+               CAST(FLOOR(LN(1.0 - d * 1.0 / n_at_risk) * 1000000000) AS BIGINT)
+                   AS logterm_e9
+        FROM risk WHERE d > 0 AND d < n_at_risk
+    )
+    SELECT t AS t_days, d AS n_events, n_at_risk,
+           CAST(FLOOR(EXP(SUM(logterm_e9) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / 1000000000.0) * 1000000) AS BIGINT) AS surv_e6
+    FROM terms
+    ORDER BY t_days
+    """,
+    survey_ids=("A1", "W3", "J7"),
+)
+def x4_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for days-from-signup to first
+    HIGH-VALUE purchase, right-censored at the observation horizon —
+    the churn/conversion-timing estimator that handles "hasn't
+    converted YET" correctly (dropping censored users biases the curve
+    down; this is the standard fix). Exactness trick: Π(1 − dᵢ/nᵢ)
+    is order-sensitive in floats, so each factor's LOG floors to an e9
+    BIGINT and the running product becomes an INTEGER cumulative sum —
+    deterministic under any partitioning — exponentiated once per
+    output row (identical ints → identical double → e6 floor).
+
+    Shape: one user-grain aggregate (events cross the wire once),
+    then everything — the (t, d, at-risk) grid, the cumulative-hazard
+    window, the curve — runs on the distinct-day relation (|days|
+    rows). The at-risk count is total − cumulative leavers, not a
+    per-t rescan. Degenerate factors (d = n, survival hits 0) are
+    excluded from the log-space walk by the same rule both engines
+    apply."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    horizon = ev.agg(F.max(F.col("ts").cast("timestamp")).alias("h"))
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("timestamp")).alias("st"))
+    )
+    conv = (
+        signups.join(ev, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") >= 150)
+                    & (F.col("ts").cast("timestamp") >= F.col("st")),
+                    F.col("ts").cast("timestamp"),
+                )
+            ).alias("pt"),
+            F.first("st").alias("st"),
+        )
+    )
+    subjects = conv.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.col("pt").isNotNull().alias("is_event"),
+        F.when(
+            F.col("pt").isNotNull(), F.datediff(F.col("pt"), F.col("st"))
+        )
+        .otherwise(F.datediff(F.col("h"), F.col("st")))
+        .cast("long")
+        .alias("t"),
+    )
+    grid = subjects.groupBy("t").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0)).cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leaving"),
+    )
+    total = subjects.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        grid.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            (
+                F.col("n_total")
+                - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0))
+            ).cast("long"),
+        )
+        .filter((F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")))
+    )
+    terms = risk.withColumn(
+        "logterm_e9",
+        F.floor(
+            F.log(1.0 - F.col("d") * 1.0 / F.col("n_at_risk")) * 1_000_000_000
+        ).cast("long"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return terms.select(
+        F.col("t").alias("t_days"),
+        F.col("d").alias("n_events"),
+        "n_at_risk",
+        F.floor(
+            F.exp(F.sum("logterm_e9").over(w_cum) / 1_000_000_000.0) * 1_000_000
+        ).cast("long").alias("surv_e6"),
+    ).orderBy("t_days")

@@ -328,6 +328,10 @@ EXPECTATIONS: dict[str, dict] = {
     # grid relation (<= 1e4 lattice points — SinglePartition there
     # is by design), pushed source filter
     "x4_ks_source_drift": {"max_exchanges": 6, "pushed": True},
+    # signup⋈events join (conditioned on the signup time, so it can't
+    # pre-aggregate) + user-grain agg + day-grid aggs; the cumulative
+    # windows run on the distinct-day relation — every shuffle keyed
+    "x4_kaplan_meier_conversion": {"max_exchanges": 8, "pushed": True},
 }
 
 
