@@ -332,6 +332,111 @@ EXPECTATIONS: dict[str, dict] = {
     # pre-aggregate) + user-grain agg + day-grid aggs; the cumulative
     # windows run on the distinct-day relation — every shuffle keyed
     "x4_kaplan_meier_conversion": {"max_exchanges": 8, "pushed": True},
+    # ------------------------------------------------------------------
+    # Measured pins (full-registry sweep): budgets set to the observed
+    # shuffle count at sf0.01 — any regression that ADDS an exchange to
+    # one of these plans now fails the audit. Codegen presence is
+    # asserted for every entry by the generic check.
+    # ------------------------------------------------------------------
+    "a_approx_distinct": {"max_exchanges": 2},
+    "a_approx_distinct_by_group": {"max_exchanges": 3},
+    "a_argmax_top_customer_per_segment": {"max_exchanges": 2},
+    "a_bool_aggregates": {"max_exchanges": 2},
+    "a_collect_sets": {"max_exchanges": 2},
+    "a_cube_status_priority": {"max_exchanges": 2},
+    "a_distinct_counts": {"max_exchanges": 2},
+    "a_global_totals": {"max_exchanges": 1},
+    "a_grouping_markers": {"max_exchanges": 2},
+    "a_having_big_customers": {"max_exchanges": 2},
+    "a_percentiles": {"max_exchanges": 2},
+    "a_percentiles_approx": {"max_exchanges": 2},
+    "a_pivot_status_by_priority": {"max_exchanges": 3},
+    "a_rollup_flag_status": {"max_exchanges": 2},
+    "a_stats_moments": {"max_exchanges": 2},
+    "a_unpivot_metrics": {"max_exchanges": 2},
+    "d_snapshot_diff": {"max_exchanges": 3},
+    "f_arithmetic_revenue": {"max_exchanges": 1},
+    "f_array_ops": {"max_exchanges": 1},
+    "f_bitwise_ops": {"max_exchanges": 1},
+    "f_case_price_buckets": {"max_exchanges": 2},
+    "f_cast_validation": {"max_exchanges": 1},
+    "f_date_arithmetic": {"max_exchanges": 1},
+    "f_date_monthly_revenue": {"max_exchanges": 2},
+    "f_date_standardize": {"max_exchanges": 1},
+    "f_decimal_money_totals": {"max_exchanges": 2},
+    "f_json_extract": {"max_exchanges": 1},
+    "f_json_map_explode": {"max_exchanges": 1},
+    "f_null_handling": {"max_exchanges": 2},
+    "f_regexp_ops": {"max_exchanges": 1},
+    "f_string_ops": {"max_exchanges": 1},
+    "g_pagerank_tree": {"max_exchanges": 1},
+    "j8_asof_forward_next_view": {"max_exchanges": 2},
+    "j_anti_customers_without_urgent_orders": {"max_exchanges": 1},
+    "j_bloom_prejoin_prune": {"max_exchanges": 0},
+    "j_cross_region_nation_grid": {"max_exchanges": 2},
+    "j_left_customers_per_nation": {"max_exchanges": 2},
+    "j_point_in_time_features": {"max_exchanges": 2},
+    "j_range_late_shipments": {"max_exchanges": 2},
+    "j_self_line_pairs": {"max_exchanges": 2},
+    "j_semi_customers_with_urgent_orders": {"max_exchanges": 1},
+    "j_theta_price_band": {"max_exchanges": 2},
+    "o_limit_offset_page": {"max_exchanges": 0},
+    "o_top_recent_with_ties": {"max_exchanges": 1},
+    "p_predicates": {"max_exchanges": 1},
+    "q6_forecast_revenue": {"max_exchanges": 1},
+    "sq_in_and_not_exists": {"max_exchanges": 1},
+    "sq_scalar_above_1p5x_avg": {"max_exchanges": 2},
+    "st_late_data_watermark_semantics": {"max_exchanges": 2},
+    "st_lateness_histogram": {"max_exchanges": 1},
+    "st_sliding_windows": {"max_exchanges": 2},
+    "st_tumbling_hourly": {"max_exchanges": 2},
+    "u_cte_above_avg_nations": {"max_exchanges": 3},
+    "u_except_never_urgent": {"max_exchanges": 2},
+    "u_intersect_urgent_and_big": {"max_exchanges": 2},
+    "u_union_key_accounts": {"max_exchanges": 2},
+    "u_union_schema_drift": {"max_exchanges": 1},
+    "w1_rank_customers_in_nation": {"max_exchanges": 2},
+    "w2_order_gaps": {"max_exchanges": 2},
+    "w3_range_frame_price_band": {"max_exchanges": 1},
+    "w3_running_totals": {"max_exchanges": 2},
+    "w_first_last_order_span": {"max_exchanges": 2},
+    "w_ntile_price_quartiles": {"max_exchanges": 1},
+    "w_share_of_total": {"max_exchanges": 2},
+    "x1_dedup_exact": {"max_exchanges": 2},
+    "x1_dedup_normalized": {"max_exchanges": 2},
+    "x2_cluster_size_histogram": {"max_exchanges": 3},
+    "x2_dedup_qa_sample": {"max_exchanges": 4},
+    "x2_minhash_estimate_error": {"max_exchanges": 10},
+    "x2_minhash_lsh_pairs_guarded": {"max_exchanges": 5},
+    "x2_ngram_jaccard_pairs": {"max_exchanges": 6},
+    "x2_simhash_fingerprints": {"max_exchanges": 3},
+    "x3_label_centroids": {"max_exchanges": 4},
+    "x3_quantize_int8": {"max_exchanges": 1},
+    "x4_balanced_sample_per_lang": {"max_exchanges": 2},
+    "x4_cohort_retention": {"max_exchanges": 4},
+    "x4_event_transitions": {"max_exchanges": 3},
+    "x4_fingerprints": {"max_exchanges": 2},
+    "x4_funnel_conversion": {"max_exchanges": 7},
+    "x4_heavy_hitter_tokens": {"max_exchanges": 1},
+    "x4_lang_source_rollup": {"max_exchanges": 2},
+    "x4_pack_bins_greedy": {"max_exchanges": 5},
+    "x4_pii_scrub": {"max_exchanges": 1},
+    "x4_profile_documents": {"max_exchanges": 2},
+    "x4_quality_and_lang": {"max_exchanges": 1},
+    "x4_quality_buckets": {"max_exchanges": 7},
+    "x4_repetition_scores": {"max_exchanges": 3},
+    "x4_rolling_7d_user_spend": {"max_exchanges": 2},
+    "x4_sample_docs": {"max_exchanges": 1},
+    "x4_text_stats": {"max_exchanges": 1},
+    "x4_token_budget_mixture": {"max_exchanges": 2},
+    "x4_token_estimates": {"max_exchanges": 1},
+    "x4_token_length_histogram": {"max_exchanges": 2},
+    "x4_train_val_test_split": {"max_exchanges": 1},
+    "x4_value_outliers": {"max_exchanges": 2},
+    "x5_clip_duration_buckets": {"max_exchanges": 2},
+    "x5_frame_samples": {"max_exchanges": 1},
+    "x5_multimodal_meta": {"max_exchanges": 1},
+    "x5_resize_plan": {"max_exchanges": 1},
 }
 
 
