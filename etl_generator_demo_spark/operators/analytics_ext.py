@@ -1977,3 +1977,110 @@ def x4_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(F.sum("logterm_e9").over(w_cum) / 1_000_000_000.0) * 1_000_000
         ).cast("long").alias("surv_e6"),
     ).orderBy("t_days")
+
+
+# ---------------------------------------------------------------------------
+# Mann–Kendall trend test — nonparametric monotone-trend monitor
+# ---------------------------------------------------------------------------
+@register(
+    "x4_mann_kendall_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.rev_cents > a.rev_cents THEN 1
+                             WHEN b.rev_cents < a.rev_cents THEN -1
+                             ELSE 0 END) AS BIGINT) AS s
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+        SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+            AS tie_term
+        FROM (SELECT COUNT(*) AS t FROM daily GROUP BY rev_cents)
+        WHERE t > 1
+    )
+    SELECT n.n AS n_days, s.s AS s_stat,
+           CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term AS BIGINT)
+               AS var18,
+           CAST(FLOOR(
+               (s.s - CASE WHEN s.s > 0 THEN 1 WHEN s.s < 0 THEN -1 ELSE 0 END)
+               / SQRT((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term) / 18.0)
+               * 10000) AS BIGINT) AS z_e4,
+           ABS((s.s - CASE WHEN s.s > 0 THEN 1 WHEN s.s < 0 THEN -1 ELSE 0 END)
+               / SQRT((n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term) / 18.0))
+               > 1.96 AS trending
+    FROM s, n, ties
+    """,
+    survey_ids=("A2", "J7", "F7"),
+)
+def x4_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotone-trend test on the daily purchase-revenue
+    series — "is revenue actually drifting up, or is that noise?"
+    asked without assuming normality or linearity (the monitor
+    statisticians reach for on skewed daily metrics). S = Σ
+    sign(x_j − x_i) over ordered day pairs is EXACT integer
+    arithmetic; the tie-corrected variance 18·Var = n(n−1)(2n+5) −
+    Σt(t−1)(2t+5) is exact integers too, so the only float is the
+    final continuity-corrected z (identical expression both engines,
+    e4-floored). The pairwise join runs on the DAY GRID (|days|² pairs
+    — 30 days = 435 pairs regardless of event volume); the full-data
+    pass is the one daily rollup in exact cents."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = (
+        ev.groupBy(F.to_date(F.col("ts").cast("timestamp")).alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+        # materialize the |days|-row series ONCE: the pairwise S, the
+        # count, and the tie correction all derive from it
+        .localCheckpoint()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = (
+        a.join(b, F.col("a.day") < F.col("b.day"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.rev_cents") > F.col("a.rev_cents"), 1)
+                .when(F.col("b.rev_cents") < F.col("a.rev_cents"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        daily.groupBy("rev_cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            ).cast("long").alias("tie_term")
+        )
+    )
+    sgn = (
+        F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+    )
+    var18 = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tie_term")
+    )
+    z = (F.col("s") - sgn) / F.sqrt(var18 / 18.0)
+    return (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("s").alias("s_stat"),
+            var18.cast("long").alias("var18"),
+            F.floor(z * 10_000).cast("long").alias("z_e4"),
+            (F.abs(z) > 1.96).alias("trending"),
+        )
+    )

@@ -332,6 +332,9 @@ EXPECTATIONS: dict[str, dict] = {
     # pre-aggregate) + user-grain agg + day-grid aggs; the cumulative
     # windows run on the distinct-day relation — every shuffle keyed
     "x4_kaplan_meier_conversion": {"max_exchanges": 8, "pushed": True},
+    # daily rollup (exact cents) + day-grid pairwise join + scalar
+    # aggs; |days|^2 pairs regardless of event volume
+    "x4_mann_kendall_trend": {"max_exchanges": 6},
     # ------------------------------------------------------------------
     # Measured pins (full-registry sweep): budgets set to the observed
     # shuffle count at sf0.01 — any regression that ADDS an exchange to
