@@ -2084,3 +2084,89 @@ def x4_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 1.96).alias("trending"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint — where did the daily metric shift?
+# ---------------------------------------------------------------------------
+@register(
+    "x4_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev_cents) AS BIGINT) AS total
+        FROM daily
+    ),
+    walk AS (
+        SELECT day,
+               CAST(tot.n * SUM(rev_cents) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - ROW_NUMBER() OVER (ORDER BY day) * tot.total
+                    AS BIGINT) AS cusum_scaled
+        FROM daily, tot
+    )
+    SELECT CAST(day AS TIMESTAMP) AS change_day,
+           (SELECT n FROM tot) AS n_days,
+           CAST(ABS(cusum_scaled) AS BIGINT) AS peak_abs_scaled,
+           CASE WHEN cusum_scaled < 0 THEN 'up' ELSE 'down' END AS shift_direction
+    FROM walk
+    ORDER BY ABS(cusum_scaled) DESC, day
+    LIMIT 1
+    """,
+    survey_ids=("W3", "A2", "O4"),
+)
+def x4_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint on the daily revenue series — WHERE did the
+    metric's level shift? (Mann–Kendall above answers WHETHER it
+    drifts; together they are the metric-monitoring pair.) The
+    classic float CUSUM walks Σ(xᵢ − x̄), which is order-sensitive and
+    needs a fractional mean; scaling by n makes every step exact:
+    cusum_scaled(k) = n·prefix(k) − k·total, pure BIGINT. The
+    changepoint is the argmax |cusum_scaled| (earliest day on ties —
+    total order), direction from the peak's sign (a negative trough
+    means the early days ran below the mean: the level shifted UP
+    after that day). One daily rollup in exact cents; the walk is a
+    cumulative window over the |days| grid; TakeOrdered argmax."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = (
+        ev.groupBy(F.to_date(F.col("ts").cast("timestamp")).alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("rev_cents")
+        )
+        .localCheckpoint()
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev_cents").cast("long").alias("total"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wr = Window.orderBy("day")
+    walk = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        (
+            F.col("n") * F.sum("rev_cents").over(w)
+            - F.row_number().over(wr) * F.col("total")
+        ).cast("long").alias("cusum_scaled"),
+    )
+    return (
+        walk.select(
+            F.col("day").cast("timestamp").alias("change_day"),
+            F.col("n").alias("n_days"),
+            F.abs(F.col("cusum_scaled")).cast("long").alias("peak_abs_scaled"),
+            F.when(F.col("cusum_scaled") < 0, "up").otherwise("down")
+            .alias("shift_direction"),
+        )
+        .orderBy(F.col("peak_abs_scaled").desc(), "change_day")
+        .limit(1)
+    )

@@ -335,6 +335,9 @@ EXPECTATIONS: dict[str, dict] = {
     # daily rollup (exact cents) + day-grid pairwise join + scalar
     # aggs; |days|^2 pairs regardless of event volume
     "x4_mann_kendall_trend": {"max_exchanges": 6},
+    # daily rollup behind a checkpoint; cumulative walk on the day
+    # grid; TakeOrdered argmax
+    "x4_cusum_changepoint": {"max_exchanges": 3, "take_ordered": True},
     # ------------------------------------------------------------------
     # Measured pins (full-registry sweep): budgets set to the observed
     # shuffle count at sf0.01 — any regression that ADDS an exchange to
