@@ -540,3 +540,102 @@ def x5_image_tiling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style shard manifest — the multimodal export plan
+# ---------------------------------------------------------------------------
+SHARD_TARGET_BYTES = 8_192
+
+
+@register(
+    "x5_shard_manifest",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    ),
+    tot AS (
+        SELECT CAST(CEIL(SUM(n_bytes) * 1.0 / {SHARD_TARGET_BYTES}) AS BIGINT)
+            AS n_shards
+        FROM m
+    ),
+    slotted AS (
+        SELECT media_id, media_type, n_bytes,
+               CAST(
+                   CAST(('0x' || SUBSTR(MD5('shard:' || CAST(media_id AS VARCHAR)),
+                                        1, 8)) AS BIGINT)
+                   % tot.n_shards AS BIGINT) AS shard_id
+        FROM m, tot
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+           CAST(SUM(CASE WHEN media_type = 'image' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_image,
+           CAST(SUM(CASE WHEN media_type = 'audio' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_audio,
+           CAST(SUM(CASE WHEN media_type = 'video' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_video,
+           CAST(MIN(media_id) AS BIGINT) AS first_media_id
+    FROM slotted
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """,
+    survey_ids=("X5", "A1"),
+)
+def x5_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style export shards for the media corpus: size the
+    shard count from total payload bytes (two-pass: one SUM, then
+    S = ⌈total/target⌉), assign every item to a shard by a
+    DETERMINISTIC hash slot (md5 % S — layout-independent, so a
+    re-run or a repartition never reshuffles items between shards,
+    which would invalidate downstream sample-order bookkeeping), and
+    emit the per-shard manifest (item/byte counts, modality mix,
+    first id). Hash slotting is the distributed shard writer's shape —
+    a running-total greedy fill would serialize on a global cumsum;
+    hash slots land within a few percent of the target size at real
+    corpus sizes and need ZERO coordination. The whole plan is one
+    scalar aggregate + one map-combined groupBy; payload bytes are
+    never read (metadata sidecar only)."""
+    media = as_media_table(t(spark, sf_dir, "documents")).select(
+        "media_id", "media_type", F.col("meta.n_bytes").alias("n_bytes")
+    )
+    tot = media.agg(
+        F.ceil(F.sum("n_bytes") * 1.0 / SHARD_TARGET_BYTES)
+        .cast("long")
+        .alias("n_shards")
+    )
+    slot = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("media_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col("n_shards")
+    ).cast("long")
+    return (
+        media.crossJoin(F.broadcast(tot))
+        .withColumn("shard_id", slot)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("n_bytes").cast("long").alias("shard_bytes"),
+            F.sum(F.when(F.col("media_type") == "image", 1).otherwise(0))
+            .cast("long").alias("n_image"),
+            F.sum(F.when(F.col("media_type") == "audio", 1).otherwise(0))
+            .cast("long").alias("n_audio"),
+            F.sum(F.when(F.col("media_type") == "video", 1).otherwise(0))
+            .cast("long").alias("n_video"),
+            F.min("media_id").cast("long").alias("first_media_id"),
+        )
+        .orderBy("shard_id")
+    )

@@ -338,6 +338,9 @@ EXPECTATIONS: dict[str, dict] = {
     # daily rollup behind a checkpoint; cumulative walk on the day
     # grid; TakeOrdered argmax
     "x4_cusum_changepoint": {"max_exchanges": 3, "take_ordered": True},
+    # one scalar byte total + one map-combined shard groupBy; payload
+    # column never read
+    "x5_shard_manifest": {"max_exchanges": 3},
     # ------------------------------------------------------------------
     # Measured pins (full-registry sweep): budgets set to the observed
     # shuffle count at sf0.01 — any regression that ADDS an exchange to
