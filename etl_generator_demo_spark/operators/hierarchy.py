@@ -464,3 +464,45 @@ def x4_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pa", "pb")
     )
+
+
+# ---------------------------------------------------------------------------
+# Native recursive CTE through the SQL front door (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+_RECURSIVE_TREE_SQL = """
+    WITH RECURSIVE tree AS (
+        SELECT c_custkey AS id, c_custkey AS root_id, CAST(0 AS BIGINT) AS depth
+        FROM customer WHERE c_custkey {div} 10 = 0
+        UNION ALL
+        SELECT c.c_custkey, tr.root_id, tr.depth + 1
+        FROM customer c JOIN tree tr ON c.c_custkey {div} 10 = tr.id
+        WHERE c.c_custkey >= 10
+    )
+    SELECT id, root_id, depth
+    FROM tree
+    ORDER BY id
+    """
+
+
+@register(
+    "u_recursive_cte_depth",
+    oracle=_RECURSIVE_TREE_SQL.format(div="//"),
+    survey_ids=("U1", "J3"),
+)
+def u_recursive_cte_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-user spelling of the org-chart walk: Spark 4's native
+    ``WITH RECURSIVE`` (recursive CTEs landed in 4.0), the SAME query
+    text DuckDB runs modulo the integer-division operator (Spark
+    ``DIV`` / DuckDB ``//``). This is the third tier of the hierarchy
+    family: `j_hierarchy_depth` (pointer doubling, O(log depth)
+    rounds, the 100 TB shape), its transitive-closure sibling, and now
+    the front-door recursive form a warehouse user types directly.
+    Scale note: Spark executes WITH RECURSIVE as iterated union steps
+    — one distributed join PER LEVEL (O(depth) rounds), so on deep
+    hierarchies the pointer-doubling operator remains the engine's
+    recommended tier; this query exists because the SQL surface must
+    accept the standard spelling."""
+    from etl_generator_demo_spark.catalog import Catalog
+
+    Catalog(spark, sf_dir).register_views(("customer",))
+    return spark.sql(_RECURSIVE_TREE_SQL.format(div="DIV"))

@@ -341,6 +341,10 @@ EXPECTATIONS: dict[str, dict] = {
     # one scalar byte total + one map-combined shard groupBy; payload
     # column never read
     "x5_shard_manifest": {"max_exchanges": 3},
+    # native WITH RECURSIVE: the per-level union steps run as their
+    # own jobs outside the visible final plan (like the checkpointed
+    # CC loops); the output plan is the ordered projection
+    "u_recursive_cte_depth": {"max_exchanges": 3},
     # ------------------------------------------------------------------
     # Measured pins (full-registry sweep): budgets set to the observed
     # shuffle count at sf0.01 — any regression that ADDS an exchange to
