@@ -232,3 +232,53 @@ class TestSQLSurfaceBreadth:
             "SELECT t.a + t.b AS s FROM VALUES (1, 2), (3, 4) AS t(a, b)", limit=None
         )
         assert sorted(r["s"] for r in res.rows) == [3, 7]
+
+
+class TestSpark4SessionSurface:
+    """Spark 4 session-layer features: SQL UDFs, session variables,
+    collations. All three are session-scoped DDL the read-only front
+    door BLOCKS (pinned here) — they belong to the library layer,
+    where a pipeline author configures the session before handing it
+    to the engine."""
+
+    def test_front_door_blocks_session_ddl(self, spark):
+        from etl_generator_demo_spark.plans.safety import validate_sql_safety
+
+        for sql in (
+            "CREATE TEMPORARY FUNCTION f(x INT) RETURNS INT RETURN x + 1",
+            "DECLARE VARIABLE v INT DEFAULT 1",
+            "SET VARIABLE v = 2",
+        ):
+            assert validate_sql_safety(sql).is_blocked
+
+    def test_sql_udf_and_variable_at_session_layer(self, spark, catalog):
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION line_rev(p DOUBLE, d DOUBLE) "
+            "RETURNS DOUBLE RETURN p * (1 - d)"
+        )
+        spark.sql("DECLARE OR REPLACE VARIABLE rev_floor DOUBLE DEFAULT 90000.0")
+        spark.sql("SET VARIABLE rev_floor = 95000.0")
+        got = spark.sql(
+            """
+            SELECT l_orderkey, ROUND(SUM(line_rev(l_extendedprice, l_discount)), 2) AS rev
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(line_rev(l_extendedprice, l_discount)) > rev_floor
+            ORDER BY rev DESC LIMIT 5
+            """
+        ).collect()
+        want = spark.sql(
+            """
+            SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS rev
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(l_extendedprice * (1 - l_discount)) > 95000.0
+            ORDER BY rev DESC LIMIT 5
+            """
+        ).collect()
+        assert got == want and got
+
+    def test_case_insensitive_collation(self, spark):
+        row = spark.sql(
+            "SELECT 'URGENT' = 'urgent' COLLATE UNICODE_CI AS ci, "
+            "'URGENT' = 'urgent' AS cs"
+        ).first()
+        assert row["ci"] is True and row["cs"] is False

@@ -345,6 +345,8 @@ EXPECTATIONS: dict[str, dict] = {
     # own jobs outside the visible final plan (like the checkpointed
     # CC loops); the output plan is the ordered projection
     "u_recursive_cte_depth": {"max_exchanges": 3},
+    # variant parse is scan-side; one grouped agg + ordering
+    "f_variant_extract_agg": {"max_exchanges": 2},
     # ------------------------------------------------------------------
     # Measured pins (full-registry sweep): budgets set to the observed
     # shuffle count at sf0.01 — any regression that ADDS an exchange to
