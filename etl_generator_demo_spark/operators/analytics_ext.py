@@ -2170,3 +2170,90 @@ def x4_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("peak_abs_scaled").desc(), "change_day")
         .limit(1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Floor-capped running balance — the non-linear recursion boundary
+# ---------------------------------------------------------------------------
+@register(
+    "x4_capped_running_balance",
+    oracle="""
+    WITH RECURSIVE flows AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                    ELSE -CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS delta,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn
+        FROM events
+        WHERE user_id <= 20 AND event_type IN ('purchase', 'error')
+    ),
+    walk AS (
+        SELECT user_id, event_id, ts, delta, rn,
+               GREATEST(CAST(0 AS BIGINT), delta) AS balance
+        FROM flows WHERE rn = 1
+        UNION ALL
+        SELECT f.user_id, f.event_id, f.ts, f.delta, f.rn,
+               GREATEST(CAST(0 AS BIGINT), w.balance + f.delta)
+        FROM flows f JOIN walk w ON f.user_id = w.user_id AND f.rn = w.rn + 1
+    )
+    SELECT user_id, event_id, delta, CAST(balance AS BIGINT) AS balance_cents
+    FROM walk
+    ORDER BY user_id, rn
+    """,
+    survey_ids=("X4", "W3", "U1"),
+)
+def x4_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running account balance that can never go below zero (credits =
+    purchases, debits = errors, floor at 0) — the canonical
+    NON-LINEAR recursion: because the floor clamps, bal_k =
+    max(0, bal_{k-1} + Δ_k) does NOT decompose into any prefix
+    aggregate, so no window frame can express it. This query marks the
+    engine's documented boundary: linear recurrences get exact window
+    rewrites (`w_ewma_order_totals`' dyadic trick), non-linear ones
+    run as ONE Arrow `applyInPandas` pass per key with an internal
+    sort — deterministic under any partitioning, state O(1) per key,
+    integer cents so the walk is exact. The oracle replays the same
+    walk as a per-rank recursive CTE (O(max rows per key) iterations —
+    exactly why the distributed engine does NOT use that spelling).
+
+    At 100 TB the per-user walk is embarrassingly parallel across
+    users (one shuffle on user_id); a single user's history streams
+    through one task in timestamp order."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter((F.col("user_id") <= 20) & F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100 + 0.5).cast("long"),
+            )
+            .otherwise(-F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .alias("delta"),
+        )
+    )
+
+    def walk(pdf):
+        import pandas as pd  # local: self-contained for executor workers
+
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        bal = 0
+        out = []
+        for d in pdf["delta"].astype("int64"):
+            bal = max(0, bal + int(d))
+            out.append(bal)
+        pdf["balance_cents"] = pd.Series(out, dtype="int64")
+        return pdf[["user_id", "event_id", "delta", "balance_cents", "ts"]]
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            walk,
+            "user_id long, event_id long, delta long, balance_cents long, ts timestamp",
+        )
+        .orderBy("user_id", "ts", "event_id")
+        .select("user_id", "event_id", "delta", "balance_cents")
+    )

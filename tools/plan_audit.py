@@ -347,6 +347,9 @@ EXPECTATIONS: dict[str, dict] = {
     "u_recursive_cte_depth": {"max_exchanges": 3},
     # variant parse is scan-side; one grouped agg + ordering
     "f_variant_extract_agg": {"max_exchanges": 2},
+    # non-linear recursion boundary: ONE user-keyed applyInPandas
+    # walk + output ordering; pushed user/event-type filters
+    "x4_capped_running_balance": {"max_exchanges": 2, "pushed": True},
     # ------------------------------------------------------------------
     # Measured pins (full-registry sweep): budgets set to the observed
     # shuffle count at sf0.01 — any regression that ADDS an exchange to
