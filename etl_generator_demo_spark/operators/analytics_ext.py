@@ -2257,3 +2257,174 @@ def x4_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "ts", "event_id")
         .select("user_id", "event_id", "delta", "balance_cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the books-cooked screen
+# ---------------------------------------------------------------------------
+@register(
+    "x4_benford_digit_audit",
+    oracle="""
+    WITH digits AS (
+        SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                           1, 1) AS BIGINT) AS d
+        FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n_obs FROM digits GROUP BY d
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+    expected AS (
+        SELECT UNNEST(RANGE(1, 10)) AS d
+    )
+    SELECT e.d AS digit,
+           COALESCE(o.n_obs, 0) AS n_obs,
+           CAST(FLOOR(LOG10(1.0 + 1.0 / e.d) * tot.n) AS BIGINT) AS n_expected,
+           CAST(FLOOR(ABS(COALESCE(o.n_obs, 0) * 1000000.0 / tot.n
+                          - LOG10(1.0 + 1.0 / e.d) * 1000000.0)) AS BIGINT)
+               AS abs_dev_e6
+    FROM expected e
+    LEFT JOIN obs o ON o.d = e.d
+    CROSS JOIN tot
+    ORDER BY digit
+    """,
+    survey_ids=("A1", "F5", "F7"),
+)
+def x4_benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the classic
+    forensic screen (organic monetary amounts follow P(d)=log₁₀(1+1/d);
+    fabricated ones usually don't). Per digit 1-9: observed count,
+    expected count, and the absolute frequency deviation in e6 — the
+    auditor reads the max deviation. The digit grid is COMPLETED
+    (absent digits report 0 against their full expectation — dropping
+    them hides exactly the anomaly this screen exists to catch). One
+    map-combined 9-group aggregate over the scan; everything after is
+    9 rows."""
+    digits = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+            ).cast("long").alias("d")
+        )
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("long").alias("n"))
+    expected = spark.range(1, 10).select(F.col("id").cast("long").alias("digit"))
+    p = F.log10(1.0 + 1.0 / F.col("digit"))
+    return (
+        expected.join(obs, expected["digit"] == obs["d"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            F.floor(p * F.col("n")).cast("long").alias("n_expected"),
+            F.floor(
+                F.abs(
+                    F.coalesce(F.col("n_obs"), F.lit(0)) * 1_000_000.0 / F.col("n")
+                    - p * 1_000_000.0
+                )
+            ).cast("long").alias("abs_dev_e6"),
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function — exact integer ACF of the daily series
+# ---------------------------------------------------------------------------
+ACF_MAX_LAG = 7
+
+
+@register(
+    "x4_daily_revenue_acf",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS rev
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(rev) AS BIGINT) AS total
+        FROM daily
+    ),
+    dev AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY day) AS idx,
+               CAST(tot.n * rev - tot.total AS BIGINT) AS dv
+        FROM daily, tot
+    ),
+    lags AS (SELECT UNNEST(RANGE(1, {ACF_MAX_LAG} + 1)) AS lag),
+    num AS (
+        SELECT l.lag AS lag,
+               CAST(SUM(a.dv * b.dv) AS BIGINT) AS num_k,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM lags l
+        JOIN dev a ON TRUE
+        JOIN dev b ON b.idx = a.idx + l.lag
+        GROUP BY l.lag
+    ),
+    den AS (SELECT CAST(SUM(dv * dv) AS BIGINT) AS num_0 FROM dev)
+    SELECT num.lag, num.n_pairs,
+           CAST(FLOOR(num.num_k * 1000000.0 / den.num_0) AS BIGINT) AS acf_e6
+    FROM num, den
+    ORDER BY num.lag
+    """,
+    survey_ids=("W2", "J7", "A2"),
+)
+def x4_daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily revenue series at lags 1-7 — the
+    weekly-seasonality detector that closes the time-series monitor
+    kit (Mann–Kendall: trend; CUSUM: level shift; ACF: periodicity).
+    Deviations scale by n to stay integer (dv = n·x − total, the CUSUM
+    trick), so lag products and their sums are exact BIGINTs; revenue
+    aggregates in whole dollars to keep dv² inside int64 headroom at
+    large SFs (documented bound: |dv| ≲ n·maxdaily). ACF_k =
+    ⌊num_k·10⁶/num_0⌋ — one integer division, identical both engines.
+    The lag join runs on the |days| grid; the only full-data pass is
+    the daily rollup."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = (
+        ev.groupBy(F.to_date(F.col("ts").cast("timestamp")).alias("day"))
+        .agg(F.sum(F.floor("value").cast("long")).cast("long").alias("rev"))
+        .localCheckpoint()
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("rev").cast("long").alias("total"),
+    )
+    w = Window.orderBy("day")
+    dev = (
+        daily.crossJoin(F.broadcast(tot))
+        .select(
+            F.row_number().over(w).alias("idx"),
+            (F.col("n") * F.col("rev") - F.col("total")).cast("long").alias("dv"),
+        )
+        .localCheckpoint()
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").cast("long").alias("lag"))
+    a, b = dev.alias("a"), dev.alias("b")
+    num = (
+        F.broadcast(lags)
+        .crossJoin(a)
+        .join(b, F.col("b.idx") == F.col("a.idx") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.col("a.dv") * F.col("b.dv")).cast("long").alias("num_k"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    den = dev.agg(F.sum(F.col("dv") * F.col("dv")).cast("long").alias("num_0"))
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.floor(F.col("num_k") * 1_000_000.0 / F.col("num_0"))
+            .cast("long").alias("acf_e6"),
+        )
+        .orderBy("lag")
+    )

@@ -350,6 +350,11 @@ EXPECTATIONS: dict[str, dict] = {
     # non-linear recursion boundary: ONE user-keyed applyInPandas
     # walk + output ordering; pushed user/event-type filters
     "x4_capped_running_balance": {"max_exchanges": 2, "pushed": True},
+    # one 9-group digit agg + grid completion; scalar total broadcast
+    "x4_benford_digit_audit": {"max_exchanges": 4, "pushed": True},
+    # daily rollup + checkpointed dev series (lineage cut hides the
+    # pushed scan); lag join on the day grid
+    "x4_daily_revenue_acf": {"max_exchanges": 4},
     # ------------------------------------------------------------------
     # Measured pins (full-registry sweep): budgets set to the observed
     # shuffle count at sf0.01 — any regression that ADDS an exchange to
