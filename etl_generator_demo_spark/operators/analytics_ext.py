@@ -2428,3 +2428,76 @@ def x4_daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecast baseline backtest — naive vs seasonal-naive MAE
+# ---------------------------------------------------------------------------
+@register(
+    "x4_forecast_backtest",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS rev
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    lagged AS (
+        SELECT day, rev,
+               LAG(rev, 1) OVER (ORDER BY day) AS prev1,
+               LAG(rev, 7) OVER (ORDER BY day) AS prev7
+        FROM daily
+    ),
+    scored AS (
+        SELECT rev, prev1, prev7 FROM lagged
+        WHERE prev1 IS NOT NULL AND prev7 IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(ABS(rev - prev1)) AS BIGINT) AS sae_naive,
+           CAST(SUM(ABS(rev - prev7)) AS BIGINT) AS sae_seasonal,
+           CAST(SUM(rev - prev1) AS BIGINT) AS bias_naive,
+           CAST(SUM(rev - prev7) AS BIGINT) AS bias_seasonal,
+           SUM(ABS(rev - prev7)) < SUM(ABS(rev - prev1)) AS weekly_signal
+    FROM scored
+    """,
+    survey_ids=("W2", "A2", "F7"),
+)
+def x4_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline backtest on daily revenue: the two baselines
+    every forecasting effort must beat — naive (yesterday) and
+    seasonal-naive (same weekday last week) — scored by sum-of-
+    absolute-errors and signed bias over the days where BOTH are
+    defined (same scoring window, or the comparison is meaningless).
+    ``weekly_signal`` = the seasonal baseline wins, i.e. the series
+    has enough weekly structure that `q6_forecast_revenue`'s
+    regression should carry day-of-week features. Whole-dollar
+    integers end to end — the errors, sums, and verdict hash exactly.
+    Two lag windows over the |days| grid; one daily rollup is the
+    only full-data pass."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = (
+        ev.groupBy(F.to_date(F.col("ts").cast("timestamp")).alias("day"))
+        .agg(F.sum(F.floor("value").cast("long")).cast("long").alias("rev"))
+    )
+    w = Window.orderBy("day")
+    scored = (
+        daily.select(
+            "rev",
+            F.lag("rev", 1).over(w).alias("prev1"),
+            F.lag("rev", 7).over(w).alias("prev7"),
+        )
+        .filter(F.col("prev1").isNotNull() & F.col("prev7").isNotNull())
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.sum(F.abs(F.col("rev") - F.col("prev1"))).cast("long").alias("sae_naive"),
+        F.sum(F.abs(F.col("rev") - F.col("prev7"))).cast("long").alias("sae_seasonal"),
+        F.sum(F.col("rev") - F.col("prev1")).cast("long").alias("bias_naive"),
+        F.sum(F.col("rev") - F.col("prev7")).cast("long").alias("bias_seasonal"),
+        (
+            F.sum(F.abs(F.col("rev") - F.col("prev7")))
+            < F.sum(F.abs(F.col("rev") - F.col("prev1")))
+        ).alias("weekly_signal"),
+    )

@@ -10,7 +10,7 @@ def test_registry_surface_does_not_shrink():
     from etl_generator_demo_spark.registry import load_all
 
     reg = load_all()
-    assert len(reg) >= 229, f"registry shrank to {len(reg)} queries"
+    assert len(reg) >= 230, f"registry shrank to {len(reg)} queries"
     n_oracle = sum(1 for rq in reg.values() if rq.oracle is not None)
     assert n_oracle >= 197, f"oracle coverage shrank to {n_oracle}"
     # every oracle mentions at least one fixture table it reads

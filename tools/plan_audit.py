@@ -355,6 +355,8 @@ EXPECTATIONS: dict[str, dict] = {
     # daily rollup + checkpointed dev series (lineage cut hides the
     # pushed scan); lag join on the day grid
     "x4_daily_revenue_acf": {"max_exchanges": 4},
+    # daily rollup + two lag windows on the day grid + scalar agg
+    "x4_forecast_backtest": {"max_exchanges": 3, "pushed": True},
     # ------------------------------------------------------------------
     # Measured pins (full-registry sweep): budgets set to the observed
     # shuffle count at sf0.01 — any regression that ADDS an exchange to
