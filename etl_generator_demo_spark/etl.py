@@ -204,6 +204,15 @@ class ETLPipelineExecutor:
             raise ETLSpecError(f"write_mode must be append|overwrite, got {mode!r}")
 
         path = f"{self.output_dir}/{target}"
+        # Observation metrics ride along with the write action itself:
+        # this run's row count (append mode makes a post-load directory
+        # count wrong, and a separate df.count() would be a FULL extra
+        # pass over the pipeline — at 100 TB, the difference between
+        # one read of the input and two).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         writer = df.write.mode(mode)
         partition_by = load.get("partition_by") or []
         if partition_by:
@@ -216,10 +225,6 @@ class ETLPipelineExecutor:
         fmt = load.get("format", "parquet")
         if fmt not in ("parquet", "csv", "json", "orc"):
             raise ETLSpecError(f"format must be parquet|csv|json|orc, got {fmt!r}")
-        # Count THIS run's output before writing: the post-load
-        # directory count would include pre-existing rows in append
-        # mode and misreport repeated runs.
-        n_written = df.count()
         if fmt == "csv":
             writer.option("header", "true").csv(path)
         elif fmt == "json":
@@ -230,6 +235,7 @@ class ETLPipelineExecutor:
             writer.orc(path)
         else:
             writer.parquet(path)
+        n_written = int(obs.get["rows"])
         if fmt == "csv":
             written = self.spark.read.option("header", "true").option(
                 "inferSchema", "true"
