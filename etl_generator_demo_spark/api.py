@@ -168,6 +168,13 @@ def samples_endpoint(state: AppState, body: dict[str, Any] | None = None) -> dic
     return {"samples": generate_sample_queries(metadata, n=10)}
 
 
+def health_endpoint() -> dict[str, Any]:
+    """GET /api/health — liveness probe, field-exact with the
+    reference's envelope (``main.py:222-225``: status + service name;
+    the service string is part of the wire contract)."""
+    return {"status": "ok", "service": "ETL SQL Generator"}
+
+
 def create_fastapi_app(state: AppState):
     """Mount the endpoints as HTTP routes (requires fastapi).
 
@@ -225,5 +232,9 @@ def create_fastapi_app(state: AppState):
     @app.post("/api/generate-samples")
     def http_samples(body: dict | None = Body(default=None)):
         return samples_endpoint(state, body)
+
+    @app.get("/api/health")
+    def http_health():
+        return health_endpoint()
 
     return app

@@ -123,3 +123,11 @@ class TestExecuteContract:
         out = execute_endpoint(state, {"sql": "DROP TABLE orders"})
         assert set(out) == {"success", "error", "is_blocked", "block_reason", "status_code"}
         assert out["success"] is False and out["is_blocked"] is True
+
+
+def test_health_envelope_wire_parity():
+    """GET /api/health must serialize exactly like the reference
+    (main.py:222-225): {"status": "ok", "service": "ETL SQL Generator"}."""
+    from etl_generator_demo_spark.api import health_endpoint
+
+    assert health_endpoint() == {"status": "ok", "service": "ETL SQL Generator"}
