@@ -502,7 +502,6 @@ def x4_rolling_7d_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frame as RANGE peers (leakage). One shuffle on user_id.
     ROUND(…, 2) of a sum of 2-decimal inputs is boundary-safe
     cross-engine."""
-    from pyspark.sql import Window
 
     p = (
         t(spark, sf_dir, "events")
@@ -553,7 +552,6 @@ def d_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts break by event_id so interval boundaries are deterministic.
     One window shuffle on the natural key; at 100 TB the partition is
     per-user and skew-free."""
-    from pyspark.sql import Window
 
     ev = t(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -743,7 +741,6 @@ def x4_gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     One window shuffle on user_id + one grouped agg — per-user
     partitions, skew-free at 100 TB (hot users are bounded by their own
     event cardinality, and the salted-session variant covers the rest)."""
-    from pyspark.sql import Window
 
     ev = (
         t(spark, sf_dir, "events")
@@ -834,7 +831,6 @@ def w_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge (days before a series' first observation) cannot occur since
     each spine starts at the series' own min day; COALESCE(...,0)
     still pins the contract."""
-    from pyspark.sql import Window
 
     ev = (
         t(spark, sf_dir, "events")
@@ -936,7 +932,6 @@ def x4_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB you partition the sweep by day first (boundaries crossing
     midnight carry over as documented in SCALE.md) or keep per-shard
     curves and merge peaks."""
-    from pyspark.sql import Window
 
     ev = (
         t(spark, sf_dir, "events")
@@ -1017,7 +1012,6 @@ def x4_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation (1/10th the orders cardinality) — at 100 TB the windows
     run on the rollup, never the fact table. Spend sums in BIGINT cents
     so every score boundary is engine-identical."""
-    from pyspark.sql import Window
 
     orders = t(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("mx")).first().mx
@@ -1089,7 +1083,6 @@ def w_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     run, total active days. The canonical relational formulation; no
     self-join, no recursion: one dedup to day grain, one rank window,
     two grouped aggregates, all keyed by user."""
-    from pyspark.sql import Window
 
     daily = (
         t(spark, sf_dir, "events")
@@ -1154,7 +1147,6 @@ def j_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     and silent target leakage. Exact microsecond RANGE frame over
     integer cents; one window shuffle on the user key, features
     computed over all events, emitted on label rows only."""
-    from pyspark.sql import Window
 
     ev = (
         t(spark, sf_dir, "events")
@@ -1357,13 +1349,17 @@ def x4_journey_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     string capped at 12 events, then mine the top-20 signatures with
     session/user counts, average length, and how many contain a
     purchase. The ordered fold is ``sort_array(collect_list(struct))``
-    — deterministic under any partitioning because the sort key
-    (ts, event_id) is total, and bounded because the slice cap is
-    applied before concat. At 100 TB: one window shuffle on user_id,
-    one session-keyed agg (bounded by the cap), one signature-keyed
-    agg (|signatures| << |sessions|), TakeOrdered top-20."""
-    from pyspark.sql import Window
-
+    over ONLY the first 12 events of each session (a row_number over
+    the same user-keyed ordering gates the collect via
+    when(rn <= cap), and collect_list drops the NULLs) — so the
+    aggregation state per session is bounded by the cap even for a
+    bot user whose events never cross the gap, while n_events still
+    counts the full session. Deterministic under any partitioning
+    because the sort key (ts, event_id) is total. At 100 TB: one
+    window shuffle on user_id (rank rides the same ordering — no
+    extra exchange), one session-keyed agg (cap-bounded state), one
+    signature-keyed agg (|signatures| << |sessions|), TakeOrdered
+    top-20."""
     ev = t(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -1380,20 +1376,25 @@ def x4_journey_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    ranked = sessioned.withColumn("rn", F.row_number().over(ws))
     sigs = (
-        sessioned.groupBy("user_id", "session_id")
+        ranked.groupBy("user_id", "session_id")
         .agg(
             F.sort_array(
-                F.collect_list(F.struct("ts", "event_id", "initial"))
+                F.collect_list(
+                    F.when(
+                        F.col("rn") <= SIGNATURE_CAP,
+                        F.struct("ts", "event_id", "initial"),
+                    )
+                )
             ).alias("path"),
             F.count(F.lit(1)).cast("long").alias("n_events"),
         )
         .select(
             "user_id",
             F.array_join(
-                F.slice(F.transform(F.col("path"), lambda s: s["initial"]),
-                        1, SIGNATURE_CAP),
-                "",
+                F.transform(F.col("path"), lambda s: s["initial"]), ""
             ).alias("signature"),
             "n_events",
         )
@@ -1679,7 +1680,6 @@ def x4_covered_time_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped aggs — one user-keyed shuffle, skew-bounded like the
     sessionization family; the global-concurrency sibling is
     `x4_concurrent_sessions` (sweep-line)."""
-    from pyspark.sql import Window
 
     iv = t(spark, sf_dir, "events").select(
         "user_id",
@@ -1911,7 +1911,6 @@ def x4_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-t rescan. Degenerate factors (d = n, survival hits 0) are
     excluded from the log-space walk by the same rule both engines
     apply."""
-    from pyspark.sql import Window
 
     ev = t(spark, sf_dir, "events")
     horizon = ev.agg(F.max(F.col("ts").cast("timestamp")).alias("h"))
@@ -2133,7 +2132,6 @@ def x4_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     means the early days ran below the mean: the level shifted UP
     after that day). One daily rollup in exact cents; the walk is a
     cumulative window over the |days| grid; TakeOrdered argmax."""
-    from pyspark.sql import Window
 
     ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     daily = (
@@ -2384,7 +2382,6 @@ def x4_daily_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ⌊num_k·10⁶/num_0⌋ — one integer division, identical both engines.
     The lag join runs on the |days| grid; the only full-data pass is
     the daily rollup."""
-    from pyspark.sql import Window
 
     ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     daily = (
@@ -2474,7 +2471,6 @@ def x4_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers end to end — the errors, sums, and verdict hash exactly.
     Two lag windows over the |days| grid; one daily rollup is the
     only full-data pass."""
-    from pyspark.sql import Window
 
     ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     daily = (

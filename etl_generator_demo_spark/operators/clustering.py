@@ -847,7 +847,10 @@ def x3_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side model math, out of engine scope."""
     emb = t(spark, sf_dir, "embeddings").select("embedding")
 
-    def gram(batches):
+    # COV_SCALE rides in as a default arg so the closure stays
+    # self-contained (no module-global refs on executor workers) while
+    # the documented knob still controls the kernel quantization.
+    def gram(batches, _scale=float(COV_SCALE)):
         import numpy as np  # local: self-contained for executor workers
         import pandas as pd
 
@@ -858,7 +861,7 @@ def x3_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            Q = np.floor(M * 1000.0).astype(np.int64)
+            Q = np.floor(M * _scale).astype(np.int64)
             g = Q.T @ Q
             acc = g if acc is None else acc + g
             s = Q.sum(axis=0)

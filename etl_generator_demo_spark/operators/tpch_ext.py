@@ -43,16 +43,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_generator_demo_spark.catalog import read_table
+from etl_generator_demo_spark.operators.relational import _revenue as _rev
+from etl_generator_demo_spark.operators.relational import t
 from etl_generator_demo_spark.registry import register
-
-
-def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return read_table(spark, sf_dir, name)
-
-
-def _rev():
-    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
 @register(

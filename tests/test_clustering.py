@@ -174,7 +174,10 @@ def test_dim_covariance_exactness_and_psd_diag(spark, sf_dir):
     must be non-negative."""
     import numpy as np
 
-    from etl_generator_demo_spark.operators.clustering import x3_dim_covariance
+    from etl_generator_demo_spark.operators.clustering import (
+        COV_SCALE,
+        x3_dim_covariance,
+    )
     from etl_generator_demo_spark.operators.relational import t
 
     rows = x3_dim_covariance(spark, sf_dir).collect()
@@ -185,7 +188,7 @@ def test_dim_covariance_exactness_and_psd_diag(spark, sf_dir):
         [np.asarray(r["embedding"], dtype=np.float64)
          for r in t(spark, sf_dir, "embeddings").select("embedding").collect()]
     )
-    Q = np.floor(M * 1000.0).astype(np.int64)
+    Q = np.floor(M * float(COV_SCALE)).astype(np.int64)
     n = Q.shape[0]
     assert n_out == n
     G = Q.T @ Q

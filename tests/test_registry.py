@@ -12,7 +12,11 @@ def test_registry_surface_does_not_shrink():
     reg = load_all()
     assert len(reg) >= 230, f"registry shrank to {len(reg)} queries"
     n_oracle = sum(1 for rq in reg.values() if rq.oracle is not None)
-    assert n_oracle >= 197, f"oracle coverage shrank to {n_oracle}"
+    # since round 4 EVERY registered query is oracle-backed — a new
+    # oracle=None registration is a regression, not a choice
+    assert n_oracle == len(reg), (
+        f"{len(reg) - n_oracle} registered queries lost their oracle"
+    )
     # every oracle mentions at least one fixture table it reads
     tables = ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings")
