@@ -696,6 +696,28 @@ def x4_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_S = 1800  # 30 min
 
 
+def gap_sessionized(ev: DataFrame) -> DataFrame:
+    """Shared lag-flag-cumsum sessionizer: append ``session_id`` to an
+    event relation carrying (user_id, event_id, ts [, extras]) — a
+    session break is an inactivity gap > SESSION_GAP_S, the id is the
+    running sum of breaks, gaps compare in microsecond epoch (exact
+    integers), ties break on event_id. ONE builder backs
+    `x4_gap_sessionization`, `x4_concurrent_sessions` and
+    `x4_journey_signatures`, so the gap rule and tiebreak can never
+    silently diverge between the session queries (their oracles replay
+    the identical algebra)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    new_session = F.when(
+        prev_us.isNull() | (us - prev_us > SESSION_GAP_S * 1_000_000), 1
+    ).otherwise(0)
+    return ev.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
 @register(
     "x4_gap_sessionization",
     oracle=f"""
@@ -747,16 +769,7 @@ def x4_gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") <= 50)
         .select("user_id", "event_id", "ts")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    prev_us = F.lag(us).over(w)
-    new_session = F.when(
-        prev_us.isNull() | (us - prev_us > SESSION_GAP_S * 1_000_000), 1
-    ).otherwise(0)
-    sessioned = ev.withColumn(
-        "session_id",
-        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sessioned = gap_sessionized(ev)
     return (
         sessioned.groupBy("user_id", "session_id")
         .agg(
@@ -938,17 +951,8 @@ def x4_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") <= 50)
         .select("user_id", "event_id", "ts")
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    prev_us = F.lag(us).over(w)
-    new_session = F.when(
-        prev_us.isNull() | (us - prev_us > SESSION_GAP_S * 1_000_000), 1
-    ).otherwise(0)
     sessions = (
-        ev.withColumn(
-            "session_id",
-            F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
+        gap_sessionized(ev)
         .groupBy("user_id", "session_id")
         .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
     )
@@ -1366,16 +1370,7 @@ def x4_journey_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.substring("event_type", 1, 1).alias("initial"),
     )
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts").cast("timestamp"))
-    prev_us = F.lag(us).over(w)
-    new_session = F.when(
-        prev_us.isNull() | (us - prev_us > SESSION_GAP_S * 1_000_000), 1
-    ).otherwise(0)
-    sessioned = ev.withColumn(
-        "session_id",
-        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sessioned = gap_sessionized(ev)
     ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
     ranked = sessioned.withColumn("rn", F.row_number().over(ws))
     sigs = (

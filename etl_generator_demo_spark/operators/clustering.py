@@ -81,14 +81,22 @@ def _assign(emb: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
     elementwise Σ(q−c)² the oracle computes). Ties break to the lowest
     cluster_id (argmax over the first equality). Replaces the previous
     crossJoin(k)+zip_with+groupBy-min plan: no row expansion, no
-    shuffle, ~6× less interpreted expression work per vector."""
+    shuffle, ~6× less interpreted expression work per vector.
+
+    cents carries (ORIGINAL id, centroid) pairs: the positional argmin
+    maps back through the id vector, so ids survive even after a Lloyd
+    round empties a cluster (positional compaction would silently
+    renumber and diverge from the oracle's preserved labels; the list
+    stays id-sorted, so tie-to-lowest-position == tie-to-lowest-id)."""
     cmat = [c for _, c in cents]
+    cids = [cid for cid, _ in cents]
 
     def run(batches):
         import numpy as np
         import pandas as pd
 
         cm = np.array(cmat, dtype=np.int64)  # k×dim
+        ids = np.array(cids, dtype=np.int32)
         c2 = (cm * cm).sum(axis=1)  # k
         for pdf in batches:
             if not len(pdf):
@@ -100,7 +108,7 @@ def _assign(emb: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
-                    "cluster_id": cid.astype("int32"),
+                    "cluster_id": ids[cid],
                     "dist_q": best,
                 }
             )
@@ -133,8 +141,9 @@ def kmeans_model(
     cents = [(i, list(r.q)) for i, r in enumerate(seed)]
     for _ in range(rounds):
         cmat = [c for _, c in cents]
+        cids = [cid for cid, _ in cents]
 
-        def partials(batches, _cmat=cmat):
+        def partials(batches, _cmat=cmat, _cids=cids):
             # per-batch (cluster, dim) partial sums+counts: the update
             # shuffle carries k·dim·n_batches rows, not 64·N
             import numpy as np
@@ -153,9 +162,12 @@ def kmeans_model(
                 np.add.at(sums, cid, q)
                 cnt = np.bincount(cid, minlength=kk).astype(np.int64)
                 nz = np.nonzero(cnt)[0]
+                ids = np.array(_cids, dtype=np.int32)
                 yield pd.DataFrame(
                     {
-                        "cluster_id": np.repeat(nz, dim).astype("int32"),
+                        # ORIGINAL ids, not positions: an emptied
+                        # cluster must not renumber the survivors
+                        "cluster_id": np.repeat(ids[nz], dim).astype("int32"),
                         "pos": np.tile(np.arange(dim, dtype=np.int64), len(nz)),
                         "s": sums[nz].reshape(-1),
                         "n": np.repeat(cnt[nz], dim),

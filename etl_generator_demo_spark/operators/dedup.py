@@ -750,9 +750,12 @@ def x2_lsh_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-pair Jaccard floor-scales to BIGINT micro-units BEFORE the
     bucket mean (SUM(int)/count — order-independent); pairs that
     collide on a band without sharing any shingle verify to 0. The
-    verification join runs on the candidate-restricted relation in
-    production (``x2_neardup_verified``); here it reuses the full
-    inverted index so the oracle stays one mechanical chain."""
+    verification tier is CANDIDATE-RESTRICTED (shingles semi-pruned to
+    candidate docs before the inverted-index self-join, the
+    `x2_neardup_verified` discipline) — the report only ever reads
+    candidate pairs, so the all-pairs intersection would be paid-for
+    work thrown away. The oracle keeps the mechanical full chain; the
+    left join makes the outputs identical."""
     docs = t(spark, sf_dir, "documents")
     sh = doc_shingles(docs)
     sigs = minhash_signatures(sh)
@@ -765,9 +768,16 @@ def x2_lsh_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count(F.lit(1)).cast("long").alias("bands_matched"))
+        .localCheckpoint()  # narrow; feeds the semi-prune AND the report join
     )
-    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("card"))
-    sa, sb = sh.alias("sa"), sh.alias("sb")
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    card = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("card"))
+    sa, sb = sh_c.alias("sa"), sh_c.alias("sb")
     inter = (
         sa.join(sb, "shingle")
         .filter(F.col("sa.doc_id") < F.col("sb.doc_id"))
@@ -920,12 +930,22 @@ def x2_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     error surface itself hashes exactly.
 
     Scale: signatures join the narrow candidate pair relation
-    (2 ids + k 8-char slots); exact verification reuses the inverted
-    index, candidate-restricted in production (`x2_neardup_verified`)."""
+    (2 ids + k 8-char slots); the exact tier's inverted index is
+    candidate-restricted (shingles semi-pruned to candidate docs — the
+    `x2_neardup_verified` discipline)."""
     docs = t(spark, sf_dir, "documents")
     sh = doc_shingles(docs)
     sigs = minhash_signatures(sh)
-    pairs = lsh_candidate_pairs(sigs)
+    pairs = lsh_candidate_pairs(sigs).localCheckpoint()  # narrow; reused 3x
+    cand_docs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # candidate-restrict the exact tier (x2_neardup_verified
+    # discipline): only candidate pairs reach the output, so the
+    # all-pairs intersection would be discarded work
+    sh = sh.join(cand_docs, "doc_id", "left_semi")
     n_hashes = len([c for c in sigs.columns if c.startswith("mh")])
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"a{i}") for i in range(n_hashes)]
@@ -1017,11 +1037,15 @@ QA_PER_BAND = 2
 def x2_dedup_qa_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Human-review QA queue for the dedup pipeline: a deterministic
     stratified sample of near-dup pairs — {QA_PER_BAND} per Jaccard
-    decile band (md5-rank selection, so the queue is reproducible and
-    position-independent). Curation teams audit the MARGINS (0.5-0.6
-    band: are these really dups?) without re-reviewing the obvious
-    0.9s; stratifying by band is what makes a 20-pair review cover the
-    whole decision boundary. Integer band/score arithmetic end to end."""
+    decile band AT OR ABOVE the 0.5 pipeline threshold (bands 5-9 +
+    exact dups: at most 12 pairs; sub-threshold pairs are rejected
+    before scoring, so they never reach the queue by construction —
+    auditing those is the recall reference's job,
+    `x2_ngram_jaccard_pairs`). md5-rank selection keeps the queue
+    reproducible and position-independent. Curation teams audit the
+    MARGIN (the 0.5-0.6 band: are these really dups?) without
+    re-reviewing the obvious 0.9s. Integer band/score arithmetic end
+    to end."""
     docs = t(spark, sf_dir, "documents")
     sh = doc_shingles(docs).localCheckpoint(eager=True)
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("card"))

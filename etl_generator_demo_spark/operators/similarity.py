@@ -332,11 +332,19 @@ def _embeddings_rows(sf_dir: str, table: str = "embeddings") -> int:
     import os
 
     try:
+        import glob
+
         import pyarrow.parquet as pq
 
         path = os.path.join(sf_dir, f"{table}.parquet")
         if os.path.isdir(path):
-            return pq.ParquetDataset(path).count_rows()
+            # sum per-file footers: pyarrow's ParquetDataset exposes no
+            # count_rows(), and reading data to count would defeat the
+            # point of a footer-only sizing probe
+            files = glob.glob(os.path.join(path, "*.parquet"))
+            if not files:
+                return 1 << 62
+            return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
         return pq.ParquetFile(path).metadata.num_rows
     except Exception:
         return 1 << 62

@@ -251,8 +251,9 @@ def _duck_bloom_pos(expr: str, i: int) -> str:
           WHERE o_custkey NOT IN (SELECT o_custkey FROM pass_keys)) = 0 AS zero_false_neg,
         CAST((SELECT COUNT(*) FROM pass_keys
                WHERE o_custkey NOT IN (SELECT o_custkey FROM match_keys)) * 1000000
-             // (SELECT COUNT(*) FROM fact_keys
-                  WHERE o_custkey NOT IN (SELECT c_custkey FROM dim)) AS BIGINT) AS fp_ppm,
+             // GREATEST((SELECT COUNT(*) FROM fact_keys
+                  WHERE o_custkey NOT IN (SELECT c_custkey FROM dim)), 1)
+             AS BIGINT) AS fp_ppm,
         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)     AS n_fact_rows,
         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
           WHERE o_custkey IN (SELECT o_custkey FROM pass_keys)) AS n_rows_after_prune
@@ -302,7 +303,10 @@ def j_bloom_prejoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         match_keys.count(),
         n_fp,
         missed.count() == 0,
-        (n_fp * 1_000_000) // n_nonmatch,
+        # max(1, ·): if every fact key matches the dim set there are
+        # no non-matching keys to false-positive on — fp_ppm is 0, not
+        # a ZeroDivisionError (n_fp is 0 whenever n_nonmatch is)
+        (n_fp * 1_000_000) // max(n_nonmatch, 1),
         orders.count(),
         rows_pruned.count(),
     ]

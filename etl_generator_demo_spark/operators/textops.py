@@ -1558,8 +1558,14 @@ def x4_trigram_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(length(text) - 2, 0)), "
-                "i -> substring(lower(text), i, 3))"
+                # CASE guard, not greatest(...): sequence(1, 0) is
+                # DESCENDING [1, 0] in Spark, which would fabricate two
+                # trigrams for a <3-char doc (latent on this fixture;
+                # the DSIR bigram builder uses the same guard)
+                "CASE WHEN length(text) >= 3 THEN "
+                "transform(sequence(1, length(text) - 2), "
+                "i -> substring(lower(text), i, 3)) "
+                "ELSE array() END"
             )
         ).alias("tri"),
     )

@@ -257,21 +257,51 @@ def zorder_rewrite(
     predicates on either column skip most files on parquet row-group
     stats alone.
 
-    Keys are rank-normalized to `bits` bits via percent_rank (works for
-    any orderable type, immune to skew), interleaved with shifts, and
-    the rewrite goes through repartitionByRange(morton) + the staged
-    swap. Pruning behavior is asserted in tests via per-file min/max."""
-    from pyspark.sql import Window
+    Keys (numeric) are rank-normalized through SAMPLED QUANTILE
+    boundaries: approxQuantile computes up to 2^min(bits,10) split
+    points driver-side (a model, not the data), Bucketizer maps values
+    scan-side — no shuffle anywhere in the normalization. The earlier
+    percent_rank() spelling was a GLOBAL window: the whole table
+    through one task, twice — precisely wrong for the 100 TB OPTIMIZE
+    idiom this function is. Skewed keys just collapse duplicate
+    boundaries (fewer, fatter buckets — zone maps still narrow). Then
+    bit-interleave + repartitionByRange(morton) + the staged swap.
+    Pruning behavior is asserted in tests via per-file min/max."""
+    from pyspark.ml.feature import Bucketizer
     from pyspark.sql import functions as F
 
     recover_staged(path)
     df = spark.read.parquet(path)
     a, b = cols
-    scale = (1 << bits) - 1
-    ra = F.floor(F.percent_rank().over(Window.orderBy(a)) * scale).cast("long")
-    rb = F.floor(F.percent_rank().over(Window.orderBy(b)) * scale).cast("long")
+    eff_bits = min(bits, 10)  # 1024 boundaries bound the driver model
+    nb = 1 << eff_bits
+    probs = [i / nb for i in range(1, nb)]
+    qa, qb = df.stat.approxQuantile([a, b], probs, 0.001)
+
+    def splits(qs):
+        uniq = sorted(set(qs))
+        return [float("-inf"), *uniq, float("inf")]
+
+    sa, sb = splits(qa), splits(qb)
+    buck = Bucketizer(
+        splitsArray=[sa, sb],
+        inputCols=[a, b],
+        outputCols=["_ra_d", "_rb_d"],
+        handleInvalid="keep",
+    )
+    df = buck.transform(df)
+    # rescale BOTH axes to the full 2^eff_bits range: duplicate
+    # boundaries (low-cardinality or skewed keys) shrink one axis's
+    # bucket count, and without rescaling the other axis would own all
+    # the Morton code's high bits — range partitioning would then
+    # cluster on one column only (measured: custkey zone maps stopped
+    # narrowing at the small fixture before this)
+    max_a = max(len(sa) - 2, 1)
+    max_b = max(len(sb) - 2, 1)
+    ra = F.floor(F.col("_ra_d") * (nb - 1) / max_a).cast("long")
+    rb = F.floor(F.col("_rb_d") * (nb - 1) / max_b).cast("long")
     interleave = None
-    for i in range(bits):
+    for i in range(eff_bits):
         bit_a = F.shiftleft(F.shiftright(ra, i).bitwiseAND(1), 2 * i + 1)
         bit_b = F.shiftleft(F.shiftright(rb, i).bitwiseAND(1), 2 * i)
         part = bit_a.bitwiseOR(bit_b)
@@ -280,6 +310,6 @@ def zorder_rewrite(
         df.withColumn("_z", interleave)
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
-        .drop("_z")
+        .drop("_z", "_ra_d", "_rb_d")
     )
     _staged_overwrite(spark, path, out)
