@@ -45,6 +45,37 @@ _R3_BACKLOG = (
 )
 
 
+#: One representative per round-4 operator family (decision support,
+#: recursion, governance, IVM, statistics suite, multimodal export,
+#: streaming, sketches, embedding analytics): sampled right after the
+#: backlog so the record demonstrates the round's breadth instead of
+#: exhausting its 50 slots inside two families.
+_R4_MARQUEE = (
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q22_dormant_accounts",
+    "u_recursive_cte_depth",
+    "d_gdpr_erasure_audit",
+    "d_incremental_agg_maintenance",
+    "x3_dim_covariance",
+    "x3_mrl_prefix_recall",
+    "x4_multitouch_attribution",
+    "x4_journey_signatures",
+    "x4_k_anonymity_ladder",
+    "x4_chi2_lang_source",
+    "x4_ks_source_drift",
+    "x4_kaplan_meier_conversion",
+    "x4_ab_test_lift",
+    "x4_capped_running_balance",
+    "x5_image_tiling_plan",
+    "x5_shard_manifest",
+    "st_session_dynamic_gap",
+    "a_hll_shard_merge",
+    "x4_quantile_normalize_scores",
+)
+
+
 def _driver_priority_order(reg) -> list[str]:
     """Order the registry so the driver's bounded per-round sample
     yields the most informative CORRECTNESS record. Re-examining the
@@ -57,10 +88,11 @@ def _driver_priority_order(reg) -> list[str]:
        in any ``CORRECTNESS_r*.json``) — clearing the record's only
        failures outranks everything;
     1. the r03 never-sampled backlog (fixed list above);
-    2. other never-green oracle-backed queries, registration order
+    2. the round-4 marquee list (one per new operator family);
+    3. other never-green oracle-backed queries, registration order
        (new operators accumulate rows round by round);
-    3. queries already proven green (regression guard);
-    4. rows-only queries last — since round 4 the registry has none
+    4. queries already proven green (regression guard);
+    5. rows-only queries last — since round 4 the registry has none
        (every registered query is oracle-backed; the floor is pinned
        in tests/test_registry.py).
 
@@ -86,18 +118,21 @@ def _driver_priority_order(reg) -> list[str]:
             continue
     seen_red -= seen_green
     backlog = {n: i for i, n in enumerate(_R3_BACKLOG)}
+    marquee = {n: i for i, n in enumerate(_R4_MARQUEE)}
     names = list(reg)
 
     def rank(name):
         if reg[name].oracle is None:
-            return (4, 0)
+            return (5, 0)
         if name in seen_green:
-            return (3, 0)
+            return (4, 0)
         if name in seen_red:
             return (0, 0)
         if name in backlog:
             return (1, backlog[name])
-        return (2, 0)
+        if name in marquee:
+            return (2, marquee[name])
+        return (3, 0)
 
     return sorted(names, key=rank)  # stable: keeps reg order within ties
 
