@@ -88,3 +88,52 @@ def test_merge_upsert_sink_streaming_cdc_apply(spark, sf_dir, tmp_path):
     merge_upsert_sink(target, ["user_id"], "ts")(out, 99)
     after = sorted(map(tuple, spark.read.parquet(target).collect()))
     assert before == after
+
+
+def test_incremental_agg_sink_matches_batch_recompute(spark, sf_dir, tmp_path):
+    """Stream the orders table through the materialized-aggregate sink
+    in micro-batches; the final state must equal the one-shot batch
+    aggregate (monoid merge ⇒ batch boundaries are invisible), and a
+    replayed batch must be a no-op."""
+    from etl_generator_demo_spark.catalog import read_table
+    from etl_generator_demo_spark.streaming.sinks import incremental_agg_sink
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    src = tmp_path / "agg_src"
+    orders.repartition(5).write.parquet(str(src))
+    target = str(tmp_path / "agg_state")
+
+    sink = incremental_agg_sink(target, ["o_orderpriority"], ["cents"])
+    q = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["o_orderpriority"]: (r["n_rows"], r["sum_cents"])
+        for r in spark.read.parquet(target + "/state").collect()
+    }
+    want = {
+        r["o_orderpriority"]: (r["n"], r["s"])
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("cents").cast("long").alias("s"))
+        .collect()
+    }
+    assert got == want and len(got) == 5
+
+    # replaying an already-committed batch must not change the state
+    sink(orders.limit(100), 0)
+    got2 = {
+        r["o_orderpriority"]: (r["n_rows"], r["sum_cents"])
+        for r in spark.read.parquet(target + "/state").collect()
+    }
+    assert got2 == want
