@@ -352,7 +352,7 @@ def o_limit_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     are deterministic. At scale OFFSET still sorts/skips the prefix —
     keyset pagination (WHERE (date, key) < last-seen) is the 100 TB
     path; this registers the SQL-surface semantics."""
-    o = t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
         SELECT o_orderkey, o_orderdate, o_totalprice
@@ -425,11 +425,15 @@ def w_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.select(
             "o_orderkey",
             "o_orderpriority",
+            "o_orderdate",
             (F.floor(F.expr("percentile(o_totalprice, 0.5)").over(w) * 100) / 100).alias(
                 "mov_median"
             ),
         )
-        .orderBy("o_orderpriority", "o_orderkey")
+        # same presentation order as the oracle declares (date before
+        # key inside a priority class)
+        .orderBy("o_orderpriority", "o_orderdate", "o_orderkey")
+        .drop("o_orderdate")
     )
 
 
@@ -565,18 +569,25 @@ def o_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     a real client passes it as a literal, making every page an O(page)
     TakeOrderedAndProject over a pushed-down range predicate."""
     orders = t(spark, sf_dir, "orders")
-    cursor = (
+    cursor_rows = (
         orders.select("o_orderdate", "o_orderkey")
         .orderBy("o_orderdate", "o_orderkey")
         .limit(100)
         .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
         .limit(1)
-        .collect()[0]
+        .collect()
     )
-    after = (F.col("o_orderdate") > F.lit(cursor.o_orderdate)) | (
-        (F.col("o_orderdate") == F.lit(cursor.o_orderdate))
-        & (F.col("o_orderkey") > cursor.o_orderkey)
-    )
+    if not cursor_rows:
+        # empty table: no cursor exists; the oracle's scalar subquery
+        # is NULL and its comparison yields no rows — match that
+        # instead of crashing on [0]
+        after = F.lit(False)
+    else:
+        cursor = cursor_rows[0]
+        after = (F.col("o_orderdate") > F.lit(cursor.o_orderdate)) | (
+            (F.col("o_orderdate") == F.lit(cursor.o_orderdate))
+            & (F.col("o_orderkey") > cursor.o_orderkey)
+        )
     return (
         orders.filter(after)
         .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
@@ -633,10 +644,8 @@ def o_top_recent_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the same ordering is the exact rewrite (rank, not row_number —
     that's the whole point). Note the result-set size is data-dependent
     (> 50 here), which is what the caller asked for."""
-    from pyspark.sql import Window as W
-
     o = t(spark, sf_dir, "orders")
-    rk = F.rank().over(W.orderBy(F.desc("o_orderdate")))
+    rk = F.rank().over(Window.orderBy(F.desc("o_orderdate")))
     return (
         o.withColumn("_rk", rk)
         .filter(F.col("_rk") <= 50)

@@ -16,9 +16,15 @@ from pyspark.sql import DataFrame
 
 
 def plan_has_limit(df: DataFrame) -> bool:
-    """True if the analyzed logical plan already carries a limit."""
+    """True if the analyzed logical plan's ROOT already carries a
+    limit. Root only: a LIMIT buried in a subquery bounds that
+    subquery, not the statement's result — ``SELECT * FROM (SELECT ...
+    LIMIT 1000000) x`` must still be capped at the serialization edge,
+    or the one sanctioned collect() materializes a million rows on the
+    driver (a substring/anywhere check had exactly that hole)."""
     plan = df._jdf.queryExecution().analyzed().toString()
-    return "GlobalLimit" in plan or "CollectLimit" in plan
+    root = plan.splitlines()[0].lstrip("'") if plan else ""
+    return root.startswith("GlobalLimit") or root.startswith("CollectLimit")
 
 
 def apply_auto_limit(df: DataFrame, limit: int) -> DataFrame:

@@ -54,6 +54,54 @@ def _first_keyword(sql: str) -> str:
     return m.group(0).upper() if m else ""
 
 
+def _cte_body_keyword(sql: str) -> str:
+    """Leading keyword of the statement BODY after a WITH clause.
+
+    A CTE prefix does not make a statement a read: ``WITH d AS
+    (SELECT ...) INSERT INTO t ...`` is DML (and Spark would happily
+    execute it). Walk the CTE list at paren depth 0 — after each
+    definition's closing paren the next token is either ``,`` (another
+    CTE) or the body's first keyword. String literals and quoted
+    identifiers are skipped so parens inside them don't count.
+    Returns "" when no body is found (malformed WITH) — the caller's
+    conservative-block branch handles it."""
+    stripped = _COMMENT_RE.sub(" ", sql).strip().rstrip(";").strip()
+    i, n, depth = 0, len(stripped), 0
+    while i < n:
+        ch = stripped[i]
+        if ch in "'\"`":
+            quote = ch
+            i += 1
+            while i < n:
+                if stripped[i] == quote:
+                    if i + 1 < n and stripped[i + 1] == quote:  # escaped ''
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                j = i + 1
+                while j < n and stripped[j].isspace():
+                    j += 1
+                if j < n and stripped[j] == ",":
+                    i = j  # next CTE definition
+                else:
+                    m = re.match(r"[A-Za-z_]+", stripped[j:])
+                    tok = m.group(0).upper() if m else ""
+                    if tok == "AS":
+                        # the paren we just closed was a CTE column
+                        # list (WITH t(n) AS ...): keep walking
+                        i = j
+                        continue
+                    return tok
+        i += 1
+    return ""
+
+
 def validate_sql_safety(sql: str, allow_writes: bool = False) -> SafetyVerdict:
     """Classify a statement and decide whether to block it.
 
@@ -65,6 +113,21 @@ def validate_sql_safety(sql: str, allow_writes: bool = False) -> SafetyVerdict:
     if not sql or not sql.strip():
         return SafetyVerdict(True, "empty SQL statement", False)
     kw = _first_keyword(sql)
+    if kw == "WITH":
+        # classify by the statement BODY: a CTE prefix on DML is DML
+        body = _cte_body_keyword(sql)
+        if body in _WRITE_KEYWORDS:
+            kw = body
+        elif body in _READ_KEYWORDS or body == "":
+            # "" = malformed WITH; Spark's parser will reject it, and
+            # a statement with no body cannot write
+            return SafetyVerdict(False, None, False) if body else SafetyVerdict(
+                True, "malformed WITH statement (no body)", False
+            )
+        else:
+            return SafetyVerdict(
+                True, f"unrecognized WITH body statement: {body!r}", False
+            )
     if kw in _READ_KEYWORDS:
         return SafetyVerdict(False, None, False)
     if kw in _WRITE_KEYWORDS:

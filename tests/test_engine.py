@@ -282,3 +282,41 @@ class TestSpark4SessionSurface:
             "'URGENT' = 'urgent' AS cs"
         ).first()
         assert row["ci"] is True and row["cs"] is False
+
+
+class TestGateAndLimitHoles:
+    """Regression pins for two front-door holes found in review: a CTE
+    prefix must not launder DML past the read-only gate, and a
+    subquery LIMIT must not disable the serialization-edge cap."""
+
+    def test_cte_prefixed_dml_is_blocked(self):
+        from etl_generator_demo_spark.plans.safety import validate_sql_safety
+
+        for sql in (
+            "WITH d AS (SELECT 42 AS x) INSERT INTO tgt SELECT x FROM d",
+            "WITH t(a) AS (SELECT 1) UPDATE x SET y = 1",
+            "WITH a AS (SELECT 1), b AS (SELECT ')' AS s) DELETE FROM x",
+            "WITH a AS (SELECT 1) MERGE INTO t USING a ON 1=1",
+        ):
+            v = validate_sql_safety(sql)
+            assert v.is_blocked and v.is_write, sql
+        for sql in (
+            "WITH d AS (SELECT 1) SELECT * FROM d",
+            "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL SELECT n + 1 "
+            "FROM t WHERE n < 5) SELECT * FROM t",
+            "WITH t(a, b) AS (SELECT 1, 2) SELECT a FROM t",
+        ):
+            v = validate_sql_safety(sql)
+            assert not v.is_blocked and not v.is_write, sql
+
+    def test_subquery_limit_does_not_disable_auto_cap(self, spark, catalog):
+        from etl_generator_demo_spark.plans.limits import apply_auto_limit, plan_has_limit
+
+        nested = spark.sql(
+            "SELECT * FROM (SELECT * FROM lineitem LIMIT 50000) x"
+        )
+        assert not plan_has_limit(nested)
+        assert len(apply_auto_limit(nested, 10).collect()) == 10
+        top = spark.sql("SELECT * FROM lineitem ORDER BY l_orderkey LIMIT 7")
+        assert plan_has_limit(top)
+        assert len(apply_auto_limit(top, 10).collect()) == 7
