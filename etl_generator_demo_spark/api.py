@@ -152,9 +152,20 @@ def generate_sql_endpoint(state: AppState, body: dict[str, Any]) -> dict[str, An
 
 
 def execute_endpoint(state: AppState, body: dict[str, Any]) -> dict[str, Any]:
-    """POST /api/db/execute. Body: {sql, limit=10}."""
+    """POST /api/db/execute. Body: {sql, limit=10}. limit=0 is an
+    explicit "no auto-limit" request (the engine supports it), so the
+    parse must not treat 0 as absent; a non-numeric limit is a client
+    error envelope, not a 500."""
     sql = body.get("sql") or ""
-    limit = int(body.get("limit") or DEFAULT_LIMIT)
+    raw_limit = body.get("limit")
+    try:
+        limit = DEFAULT_LIMIT if raw_limit is None else int(raw_limit)
+    except (TypeError, ValueError):
+        return {
+            "success": False,
+            "error": f"invalid limit: {raw_limit!r}",
+            "status_code": 400,
+        }
     result = state.engine.execute(sql, limit=limit)
     out = result.to_dict()
     if not result.success:
@@ -227,7 +238,7 @@ def create_fastapi_app(state: AppState):
 
     @app.post("/api/db/execute")
     def http_execute(body: dict = Body(...)):
-        return execute_endpoint(state, body)
+        return _raise_on_error(execute_endpoint(state, body))
 
     @app.post("/api/generate-samples")
     def http_samples(body: dict | None = Body(default=None)):

@@ -23,6 +23,31 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+def _events_has_nanos_ts(path: str) -> bool:
+    """Footer-only probe: does the events parquet carry
+    TIMESTAMP(NANOS)? Driver-side pyarrow metadata read, no Spark job;
+    unreadable footers fall back to False (the plain read then either
+    works or fails loudly instead of silently flipping session conf)."""
+    import glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            glob.glob(os.path.join(path, "*.parquet"))
+            if os.path.isdir(path)
+            else [path]
+        )
+        if not files:
+            return False
+        schema = pq.ParquetFile(files[0]).schema_arrow
+        field = schema.field("ts") if "ts" in schema.names else None
+        return bool(field) and str(field.type) in ("timestamp[ns]", "timestamp[ns, tz=UTC]")
+    except Exception:
+        return False
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table with schema normalization.
 
@@ -37,7 +62,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     identity, preserving DuckDB oracle parity (oracles CAST ts to
     TIMESTAMP either way).
     """
-    if name == "events":
+    if name == "events" and _events_has_nanos_ts(f"{sf_dir}/{name}.parquet"):
+        # the legacy conf is a SESSION-level switch; only flip it when
+        # the footer really carries TIMESTAMP(NANOS) (early-round
+        # fixtures) — on micro-precision fixtures an unconditional set
+        # would silently make every later nanos parquet read in the
+        # session decode as bigint with no ts-fixup. Once set it must
+        # STAY set for this df's execution, which is why it is not
+        # restored here.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
@@ -146,14 +178,18 @@ class Catalog:
         return f"{self.sf_dir}/{name}.parquet"
 
     def table(self, name: str) -> DataFrame:
-        return read_table(self.spark, self.sf_dir, name)
+        # mandatory filters apply on EVERY access path (P5): the ETL
+        # executor's extract/join/erase steps read through here, and a
+        # soft-delete rule that only guarded the SQL views would be
+        # bypassable by any DataFrame consumer
+        df = read_table(self.spark, self.sf_dir, name)
+        for pred in self.table_filters.get(name, []):
+            df = df.filter(F.expr(pred))
+        return df
 
     def register_views(self, tables: tuple[str, ...] = TABLES) -> None:
         for name in tables:
-            df = self.table(name)
-            for pred in self.table_filters.get(name, []):
-                df = df.filter(F.expr(pred))
-            df.createOrReplaceTempView(name)
+            self.table(name).createOrReplaceTempView(name)
 
     # -- metadata document ------------------------------------------------
     def metadata_document(self) -> dict[str, Any]:

@@ -62,6 +62,16 @@ class ETLPipelineExecutor:
     def _extract(self, spec: dict[str, Any]) -> DataFrame:
         ex = spec.get("extract") or {}
         if "sql" in ex:
+            # same read-only gate as the engine front doors: a
+            # generated spec must not smuggle DDL/DML through the
+            # eagerly-executing spark.sql (CTE-DML included)
+            from etl_generator_demo_spark.plans.safety import validate_sql_safety
+
+            verdict = validate_sql_safety(ex["sql"])
+            if verdict.is_blocked:
+                raise ETLSpecError(
+                    f"extract.sql blocked: {verdict.block_reason}"
+                )
             df = self.spark.sql(ex["sql"])
         else:
             tables = ex.get("source_tables") or []
@@ -117,7 +127,10 @@ class ETLPipelineExecutor:
             # than no load).
             cond = step["condition"]
             budget = int(step.get("max_violations", 0))
-            n_bad = df.filter(~F.expr(cond)).count()
+            # NULL predicate = violation: an expectation holds only
+            # where the condition is TRUE (plain ~cond drops NULL rows
+            # from the count and lets them through the gate)
+            n_bad = df.filter(~F.coalesce(F.expr(cond), F.lit(False))).count()
             if n_bad > budget:
                 raise ETLSpecError(
                     f"expectation failed: {n_bad} rows violate {cond!r} "

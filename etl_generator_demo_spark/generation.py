@@ -166,6 +166,14 @@ def parse_llm_response(text: str) -> dict[str, Any]:
         ("tables_used", []),
     ):
         doc.setdefault(key, default)
+    if doc["sql"] and not isinstance(doc["sql"], str):
+        # a truthy non-string "sql" (nested object, number) would crash
+        # the gate's .strip(); malformed output gets the same graceful
+        # block as invalid JSON
+        return blocked_response(
+            "response format error: sql must be a string, got "
+            + type(doc["sql"]).__name__
+        )
     if doc["sql"] and not doc["is_blocked"]:
         verdict = validate_sql_safety(doc["sql"])
         if verdict.is_blocked:

@@ -52,9 +52,11 @@ def read_text_corpus(
     """Raw text ingest: one document per line → (doc_id, text,
     source). doc_id is either the deterministic content hash
     (``id_from='hash'`` — stable across re-layouts, duplicate texts
-    collide on purpose so exact dedup is a free groupBy) or the
-    file-local line offset (``id_from='line'`` — unique even for
-    duplicate texts). `source` is the originating file, the natural
+    collide on purpose so exact dedup is a free groupBy) or a
+    RUN-LOCAL unique id (``id_from='line'`` — monotonically increasing
+    per partition, unique even for duplicate texts, but NOT stable
+    across runs or re-layouts; use 'hash' for any id that must survive
+    reprocessing). `source` is the originating file, the natural
     partition key downstream."""
     txt = spark.read.text(path).select(
         F.col("value").alias("text"),

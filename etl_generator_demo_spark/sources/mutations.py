@@ -92,10 +92,15 @@ def update_parquet(
 
 
 def delete_parquet(spark: SparkSession, path: str, predicate: str) -> int:
-    """DELETE FROM <path> WHERE predicate. Returns rows deleted."""
+    """DELETE FROM <path> WHERE predicate. Returns rows deleted.
+
+    SQL DELETE semantics for NULLs: a row whose predicate evaluates to
+    NULL is KEPT (``~NULL`` is NULL, so a plain ``filter(~cond)`` would
+    silently drop it and under-report the count — the survivors filter
+    keeps everything where the predicate is not TRUE)."""
     recover_staged(path)
     df = spark.read.parquet(path)
-    cond = F.expr(predicate)
+    cond = F.coalesce(F.expr(predicate), F.lit(False))
     n_deleted = df.filter(cond).count()
     _staged_overwrite(spark, path, df.filter(~cond))
     return n_deleted
@@ -132,7 +137,18 @@ def merge_parquet(
     n_src = source.count()
     if source.select(*key_cols).distinct().count() != n_src:
         raise ValueError("merge source has duplicate keys")
-    n_updated = target.join(source, key_cols, "left_semi").count()
+    # count matched TARGET KEYS, not matched target rows: a target
+    # holding duplicate keys (prior appends) collapses to the single
+    # source row per key — n_updated must agree with the rows actually
+    # replaced-by-key or the caller's bookkeeping drifts from the
+    # table's row count (duplicate-target collapse is the documented
+    # upsert semantic; the cardinality error guards the SOURCE side)
+    n_updated = (
+        target.select(*key_cols)
+        .distinct()
+        .join(source, key_cols, "left_semi")
+        .count()
+    )
     merged = target.join(source, key_cols, "left_anti").unionByName(
         source.select(*target.columns)
     )

@@ -514,3 +514,58 @@ class TestEraseStep:
         all_keys = {r["c_custkey"] for r in spark.table("customer").collect()}
         assert kept == all_keys - forget
         assert kept and forget & all_keys, "fixture must exercise both sides"
+
+
+class TestETLGateAndNullSemantics:
+    @pytest.fixture()
+    def executor(self, spark, catalog, tmp_path):
+        from etl_generator_demo_spark.etl import ETLPipelineExecutor
+
+        return ETLPipelineExecutor(spark, catalog, str(tmp_path))
+
+    def test_extract_sql_is_gated(self, executor):
+        """A generated spec must not smuggle DDL/DML through the
+        eagerly-executing extract.sql — same gate as the front door."""
+        from etl_generator_demo_spark.etl import ETLSpecError
+
+        for sql in (
+            "DROP TABLE orders",
+            "WITH d AS (SELECT 1 AS x) INSERT INTO orders SELECT * FROM d",
+        ):
+            with pytest.raises(ETLSpecError, match="blocked"):
+                executor.run({
+                    "extract": {"sql": sql},
+                    "load": {"target_table": "gate_out", "write_mode": "overwrite"},
+                })
+
+    def test_table_filters_apply_to_etl_reads(self, spark, sf_dir, tmp_path):
+        """Mandatory filters (P5) must hold on EVERY access path: the
+        ETL extract reads through Catalog.table, not the SQL views."""
+        from etl_generator_demo_spark.catalog import Catalog
+        from etl_generator_demo_spark.etl import ETLPipelineExecutor
+
+        cat = Catalog(spark, sf_dir, table_filters={
+            "orders": ["o_orderpriority <> '1-URGENT'"]
+        })
+        ex = ETLPipelineExecutor(spark, cat, str(tmp_path))
+        res = ex.run({
+            "extract": {"source_tables": ["orders"]},
+            "load": {"target_table": "p5_out", "write_mode": "overwrite"},
+        })
+        got = spark.table("p5_out")
+        assert got.filter("o_orderpriority = '1-URGENT'").count() == 0
+        assert res.rows_written == got.count() > 0
+        Catalog(spark, sf_dir).register_views()  # restore unfiltered views
+
+    def test_expect_counts_null_condition_as_violation(self, executor, spark):
+        spark.createDataFrame(
+            [(1, 10.0), (2, None)], "id long, v double"
+        ).createOrReplaceTempView("null_gate_src")
+        from etl_generator_demo_spark.etl import ETLSpecError
+
+        with pytest.raises(ETLSpecError, match="expectation failed"):
+            executor.run({
+                "extract": {"sql": "SELECT * FROM null_gate_src"},
+                "transform": {"steps": [{"op": "expect", "condition": "v > 0"}]},
+                "load": {"target_table": "ng_out", "write_mode": "overwrite"},
+            })

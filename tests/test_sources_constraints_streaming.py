@@ -608,3 +608,17 @@ class TestDynamicGapSessionStreaming:
             for r in sessions(ev_batch).collect()
         }
         assert got == want and want
+
+
+def test_delete_parquet_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate is NULL are
+    KEPT, and the returned count matches the rows removed."""
+    from etl_generator_demo_spark.sources.mutations import delete_parquet
+
+    path = str(tmp_path / "del_null")
+    spark.createDataFrame(
+        [(1, "bad"), (2, "ok"), (3, None)], "id long, c string"
+    ).write.parquet(path)
+    n = delete_parquet(spark, path, "c = 'bad'")
+    left = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert n == 1 and left == {2, 3}
