@@ -353,6 +353,11 @@ def x2_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
               ON a.band_key = b.band_key AND a.doc_id < b.doc_id
         )
     ),
+    pool AS (
+        SELECT doc_id FROM documents
+        ORDER BY MD5('pool|' || CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT 1000
+    ),
     cand_neg AS (
         SELECT p.anchor, p.positive, d.doc_id AS negative,
                ROW_NUMBER() OVER (
@@ -360,7 +365,7 @@ def x2_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY MD5('neg|' || CAST(p.anchor AS VARCHAR) || '|'
                                 || CAST(d.doc_id AS VARCHAR)), d.doc_id
                ) AS rk
-        FROM pos p JOIN documents d
+        FROM pos p JOIN pool d
           ON d.doc_id <> p.anchor AND d.doc_id <> p.positive
         WHERE NOT EXISTS (
             SELECT 1 FROM pos q
@@ -384,11 +389,17 @@ def x4_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     — deterministic 'random' negatives, reproducible at any scale and
     partitioning. One triplet per positive pair.
 
-    Plan: the positive-pair relation is tiny and broadcasts into both
-    the negative candidate join and the not-near-dup anti checks; the
-    md5 rank window partitions per pair. At 100 TB the negative pool
-    joins a SAMPLE of the corpus, not all of it — the pool only needs
-    to be large enough that one clean negative exists per pair."""
+    Plan: the corpus NEVER cross-joins the pairs. The negative pool is
+    a md5-ranked top-1000 of the corpus (`orderBy(md5).limit` compiles
+    to TakeOrderedAndProject — distributed partial top-k, bounded 1000
+    rows at ANY corpus size, and layout-independent because the rank
+    key is a pure function of doc_id). Only that bounded pool
+    cross-joins the (tiny, broadcast) positive-pair relation, so the
+    candidate relation is |pairs| x 1000 regardless of scale; the
+    not-near-dup anti checks stay broadcast and the md5 rank window
+    partitions per pair over <= 1000 candidates. A pool of 1000 makes
+    a fully-linked pair (no clean negative in pool) vanishingly rare;
+    such a pair drops from the output on both engines identically."""
     from pyspark.sql import Window as W
 
     docs = t(spark, sf_dir, "documents")
@@ -406,8 +417,16 @@ def x4_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(
         pos.select(F.col("positive").alias("x"), F.col("anchor").alias("y"))
     )
+    pool = (
+        docs.select(F.col("doc_id").alias("negative"))
+        .orderBy(
+            F.md5(F.concat(F.lit("pool|"), F.col("negative").cast("string"))),
+            F.col("negative"),
+        )
+        .limit(1000)
+    )
     cand = (
-        pos.crossJoin(docs.select(F.col("doc_id").alias("negative")))
+        pos.crossJoin(F.broadcast(pool))
         .filter(
             (F.col("negative") != F.col("anchor"))
             & (F.col("negative") != F.col("positive"))

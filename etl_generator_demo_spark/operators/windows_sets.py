@@ -640,15 +640,32 @@ def o_top_recent_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FETCH FIRST n ROWS WITH TIES — the pagination contract LIMIT
     silently violates: every order sharing the 50th-most-recent
     order DATE is included, so the result is a deterministic SET (no
-    arbitrary tie-victim). Spark has no WITH TIES syntax; rank() ≤ n
-    over the same ordering is the exact rewrite (rank, not row_number —
-    that's the whole point). Note the result-set size is data-dependent
-    (> 50 here), which is what the caller asked for."""
+    arbitrary tie-victim). Spark has no WITH TIES syntax; the naive
+    rewrite is ``rank() <= n`` over a GLOBAL window, which funnels the
+    whole table through one task. The scale-safe equivalent:
+    ``rank(r) <= n  ⟺  #rows strictly more recent than r < n
+                     ⟺  r.o_orderdate >= d_n``
+    where d_n is the n-th date of the descending date MULTISET — i.e.
+    the min of a distributed top-k (``orderBy().limit(n)`` compiles to
+    TakeOrderedAndProject, partial top-k per partition, no global
+    sort). The cutoff is one scalar fetched to the driver (bounded,
+    same contract as the engine's other parameter fetches) and applied
+    as a LITERAL predicate, so the second scan gets a parquet
+    PushedFilter. Result-set size stays data-dependent (> n on ties),
+    which is what the caller asked for."""
     o = t(spark, sf_dir, "orders")
-    rk = F.rank().over(Window.orderBy(F.desc("o_orderdate")))
+    top = (
+        o.select("o_orderdate")
+        .orderBy(F.desc("o_orderdate"))
+        .limit(50)
+        .agg(F.min("o_orderdate").alias("cutoff"))
+        .collect()
+    )
+    cutoff = top[0]["cutoff"]
+    base = o if cutoff is None else o.filter(F.col("o_orderdate") >= F.lit(cutoff))
     return (
-        o.withColumn("_rk", rk)
-        .filter(F.col("_rk") <= 50)
-        .select("o_orderkey", F.col("o_orderdate").cast("timestamp").alias("o_orderdate"))
+        base.select(
+            "o_orderkey", F.col("o_orderdate").cast("timestamp").alias("o_orderdate")
+        )
         .orderBy(F.desc("o_orderdate"), "o_orderkey")
     )

@@ -249,7 +249,13 @@ EXPECTATIONS: dict[str, dict] = {
     "x3_ann_recall_curve": {"max_exchanges": 1},
     # positive pairs checkpointed; negative pool join + anti checks
     # broadcast; per-pair md5 rank window
-    "x4_contrastive_triplets": {"max_exchanges": 2, "min_broadcast": 2},
+    # negatives come from a bounded md5-ranked pool (TakeOrdered top-1000),
+    # never a full-corpus cross join; pool + both anti checks broadcast
+    "x4_contrastive_triplets": {
+        "max_exchanges": 2,
+        "min_broadcast": 3,
+        "take_ordered": True,
+    },
     # checkpointed shingles + signatures; band join + nibble joins +
     # exact-tier verification chains
     "x2_bbit_minhash_estimates": {"max_exchanges": 6, "min_broadcast": 2},
@@ -406,7 +412,10 @@ EXPECTATIONS: dict[str, dict] = {
     "j_semi_customers_with_urgent_orders": {"max_exchanges": 1},
     "j_theta_price_band": {"max_exchanges": 2},
     "o_limit_offset_page": {"max_exchanges": 0},
-    "o_top_recent_with_ties": {"max_exchanges": 1},
+    # WITH TIES via top-k cutoff + literal filter: the cutoff job is a
+    # TakeOrderedAndProject outside this plan; the returned plan must be
+    # window-free with the cutoff pushed to the parquet scan
+    "o_top_recent_with_ties": {"max_exchanges": 1, "pushed": True, "no_window": True},
     "p_predicates": {"max_exchanges": 1},
     "q6_forecast_revenue": {"max_exchanges": 1},
     "sq_in_and_not_exists": {"max_exchanges": 1},
@@ -479,6 +488,8 @@ def audit(name: str, plan: str, exp: dict) -> list[str]:
         problems.append("no pushed filters reached the scan")
     if exp.get("take_ordered") and "TakeOrderedAndProject" not in plan:
         problems.append("global top-k did not compile to TakeOrderedAndProject")
+    if exp.get("no_window") and "Window" in plan:
+        problems.append("plan contains a Window operator (pinned window-free)")
     if exp.get("partition_pruned") and (
         "PartitionFilters: [" not in plan or "PartitionFilters: []" in plan
     ):
