@@ -14,6 +14,76 @@ from etl_generator_demo_spark.operators.relational import t
 from etl_generator_demo_spark.registry import register
 
 
+def global_row_number(df: DataFrame, order_cols, rn_col: str = "_rn"):
+    """Exact global ``row_number`` over a TOTAL order without the
+    single-partition Window funnel (`Window.orderBy(...)` moves the
+    whole relation through one task — Spark itself warns).
+
+    Scale-safe construction:
+      1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order
+         columns — a cluster-parallel range shuffle; equal keys can't
+         straddle partitions and the order columns must form a total
+         order (callers pass a unique tiebreaker).
+      2. ``monotonically_increasing_id`` — consecutive within each
+         sorted partition.
+      3. Rebase per partition with a driver-collected ``(pid, count,
+         min_id)`` table: <= shuffle-partition-count rows, the same
+         bounded parameter-fetch contract as the engine's other scalar
+         collects. The rebase is a literal ``create_map`` lookup — no
+         extra distributed join.
+    ``localCheckpoint(eager)`` pins the materialized layout so the
+    stats job and the consumer read the SAME partitions (two separate
+    jobs re-planning the range sample could otherwise disagree).
+
+    Returns ``(df_with_rn, total_count)``; ``rn`` is 1-based over the
+    given total order, bit-identical to ``row_number() OVER (ORDER BY
+    ...)``.
+    """
+    d = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_gpid", F.spark_partition_id())
+        .withColumn("_gmid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    stats = sorted(
+        d.groupBy("_gpid")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("_gmid").alias("mn"))
+        .collect(),
+        key=lambda r: r["_gpid"],
+    )
+    offsets, mins, running = [], [], 0
+    for r in stats:
+        offsets.extend([F.lit(int(r["_gpid"])), F.lit(running)])
+        mins.extend([F.lit(int(r["_gpid"])), F.lit(int(r["mn"]))])
+        running += r["cnt"]
+    if not stats:  # empty relation: any literal map keeps the plan valid
+        offsets = mins = [F.lit(0), F.lit(0)]
+    rn = (
+        F.create_map(*offsets)[F.col("_gpid")]
+        + (F.col("_gmid") - F.create_map(*mins)[F.col("_gpid")])
+        + F.lit(1)
+    ).cast("long")
+    return d.withColumn(rn_col, rn).drop("_gpid", "_gmid"), running
+
+
+def ntile_expr(rn, n: int, k: int):
+    """ANSI ``NTILE(k)`` as a closed-form expression of the exact
+    global row number ``rn`` (1-based) and the total count ``n``:
+    the first ``n % k`` tiles carry ``n // k + 1`` rows, the rest
+    ``n // k`` — bit-identical to the window function, but computable
+    after :func:`global_row_number` with zero additional passes."""
+    base, rem = divmod(n, k)
+    if base == 0:  # fewer rows than tiles: row i is tile i
+        return rn.cast("long")
+    head = rem * (base + 1)
+    return (
+        F.when(rn <= F.lit(head), F.floor((rn - 1) / F.lit(base + 1)) + 1)
+        .otherwise(F.lit(rem) + F.floor((rn - 1 - F.lit(head)) / F.lit(base)) + 1)
+        .cast("long")
+    )
+
+
 @register(
     "a_argmax_top_customer_per_segment",
     oracle="""
@@ -1012,10 +1082,19 @@ def x4_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (higher score = better: recent, frequent, big), composed into
     the 3-digit RFM segment code.
 
-    One grouped aggregate + three window passes over the CUSTOMER-grain
-    relation (1/10th the orders cardinality) — at 100 TB the windows
-    run on the rollup, never the fact table. Spend sums in BIGINT cents
-    so every score boundary is engine-identical."""
+    One grouped aggregate + three EXACT distributed ntile passes over
+    the CUSTOMER-grain relation (1/10th the orders cardinality). The
+    naive spelling — three ``NTILE(5) OVER (ORDER BY ...)`` global
+    windows — funnels the whole rollup through ONE task three times;
+    at 100x customer grain that's the single-partition sort Spark
+    warns about. Here each score is :func:`global_row_number`
+    (range-shuffle + per-partition id, cluster-parallel) fed into the
+    closed-form :func:`ntile_expr` — bit-identical NTILE semantics
+    (the oracle keeps the window spelling as the exactness anchor),
+    zero Window operators, zero single-partition stages. The three
+    passes CHAIN (each carries all columns), so no rejoin is needed.
+    Spend sums in BIGINT cents so every score boundary is
+    engine-identical."""
 
     orders = t(spark, sf_dir, "orders")
     anchor = orders.agg(F.max("o_orderdate").alias("mx")).first().mx
@@ -1028,18 +1107,24 @@ def x4_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("monetary_cents"),
     )
-    r = F.ntile(5).over(Window.orderBy(F.desc("recency_days"), F.col("o_custkey")))
-    f = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.col("o_custkey")))
-    m = F.ntile(5).over(Window.orderBy(F.asc("monetary_cents"), F.col("o_custkey")))
+    scored, n = rfm, None
+    for name, cols in (
+        ("r_score", [F.col("recency_days").desc(), F.col("o_custkey").asc()]),
+        ("f_score", [F.col("frequency").asc(), F.col("o_custkey").asc()]),
+        ("m_score", [F.col("monetary_cents").asc(), F.col("o_custkey").asc()]),
+    ):
+        scored, total = global_row_number(scored, cols)
+        n = total if n is None else n
+        scored = scored.withColumn(name, ntile_expr(F.col("_rn"), n, 5)).drop("_rn")
     return (
-        rfm.select(
+        scored.select(
             "o_custkey",
             "recency_days",
             "frequency",
             "monetary_cents",
-            r.cast("long").alias("r_score"),
-            f.cast("long").alias("f_score"),
-            m.cast("long").alias("m_score"),
+            "r_score",
+            "f_score",
+            "m_score",
         )
         .withColumn(
             "rfm_code",

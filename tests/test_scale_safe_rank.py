@@ -1,0 +1,83 @@
+"""The scale-safe exact-rank primitives (round-5 de-globalization):
+
+- ``global_row_number`` must be bit-identical to ``row_number() OVER
+  (ORDER BY ...)`` regardless of the input's physical layout — it is
+  the engine's replacement for single-partition global windows.
+- ``ntile_expr`` must reproduce ANSI ``NTILE(k)`` from (rn, n) for
+  every remainder class.
+- ``x4_contrastive_triplets``' negative pool must be a deterministic,
+  layout-independent, BOUNDED top-1000 md5 sample of the corpus (the
+  round-4 verdict flagged the previous full-corpus cross join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def test_global_row_number_matches_window_any_layout(spark, sf_dir):
+    from etl_generator_demo_spark.operators.analytics_ext import global_row_number
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    cols = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    expected = {
+        r.o_orderkey: r.rn
+        for r in o.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            ),
+        ).collect()
+    }
+    n_exp = len(expected)
+    for layout in (o, o.repartition(1), o.repartition(37, "o_orderkey")):
+        got, n = global_row_number(layout, cols)
+        assert n == n_exp
+        rows = got.collect()
+        assert {r.o_orderkey: r["_rn"] for r in rows} == expected
+
+
+def test_ntile_expr_matches_window_every_remainder(spark):
+    from etl_generator_demo_spark.operators.analytics_ext import ntile_expr
+
+    for n in (1, 3, 4, 5, 6, 7, 12, 101):
+        df = spark.range(1, n + 1).withColumnRenamed("id", "rn")
+        for k in (1, 2, 5, 8):
+            got = {
+                r.rn: r.tile
+                for r in df.withColumn(
+                    "tile", ntile_expr(F.col("rn"), n, k)
+                ).collect()
+            }
+            exp = {
+                r.rn: r.tile
+                for r in df.withColumn(
+                    "tile", F.ntile(k).over(Window.orderBy("rn"))
+                ).collect()
+            }
+            assert got == exp, (n, k)
+
+
+def test_contrastive_negative_pool_bounded_and_deterministic(spark, sf_dir):
+    from etl_generator_demo_spark.registry import load_all
+
+    fn = load_all()["x4_contrastive_triplets"].fn
+    a = fn(spark, sf_dir).collect()
+    b = fn(spark, sf_dir).collect()
+    assert a == b and a  # reproducible run-to-run
+    # every negative comes from the md5-ranked top-1000 pool
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pool = {
+        r.doc_id
+        for r in docs.select("doc_id")
+        .orderBy(F.md5(F.concat(F.lit("pool|"), F.col("doc_id").cast("string"))), "doc_id")
+        .limit(1000)
+        .collect()
+    }
+    assert len(pool) <= 1000
+    for r in a:
+        assert r.negative in pool
+        assert r.negative != r.anchor and r.negative != r.positive

@@ -199,7 +199,10 @@ EXPECTATIONS: dict[str, dict] = {
     # one cumulative-weight window on the group key; totals broadcast
     "a_weighted_median": {"max_exchanges": 3, "min_broadcast": 1},
     # customer-grain rollup + three NTILE windows over the rollup
-    "x4_rfm_scores": {"max_exchanges": 2},
+    # exact distributed ntile: three global_row_number passes behind
+    # localCheckpoint lineage cuts (range shuffles, never a global
+    # window); the visible plan is the final projection + output order
+    "x4_rfm_scores": {"max_exchanges": 2, "no_window": True},
     # query relation broadcast; ONE corpus pass + per-query rank window
     "x3_knn_label_vote": {"max_exchanges": 2, "min_broadcast": 1},
     # CC behind localCheckpoint; rejoin + survivorship agg
