@@ -57,7 +57,20 @@ def bucketed_table(
 ) -> DataFrame:
     """Persist df as a bucketed managed table and return its scan.
     Joining two tables bucketed on the same key with the same bucket
-    count eliminates the shuffle entirely."""
+    count eliminates the shuffle entirely.
+
+    Hygiene: a fresh (in-memory) metastore + a leftover warehouse
+    directory from an interrupted prior run makes ``saveAsTable`` fail
+    with LOCATION_ALREADY_EXISTS — ``mode("overwrite")`` can't save it
+    because the catalog has no such table to overwrite. Drop both the
+    table AND any stale location first, so a dirty workspace can never
+    poison the write."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = spark._jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{name.lower()}")
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     (
         df.write.mode("overwrite")
         .bucketBy(buckets, key)
