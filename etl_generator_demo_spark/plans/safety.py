@@ -38,9 +38,6 @@ _WRITE_KEYWORDS = {
     "LOAD",
 }
 
-_COMMENT_RE = re.compile(r"(--[^\n]*\n?)|(/\*.*?\*/)", re.DOTALL)
-
-
 @dataclass(frozen=True)
 class SafetyVerdict:
     is_blocked: bool
@@ -48,8 +45,69 @@ class SafetyVerdict:
     is_write: bool
 
 
+def _skip_string(s: str, i: int) -> int:
+    """``s[i]`` is an opening quote; return the index of the matching
+    closing quote (or ``len(s)`` if unterminated).
+
+    Escape rules match Spark's DEFAULT lexer
+    (``spark.sql.parser.escapedStringLiterals=false``, which the
+    engine's sessions never override): inside ``'...'`` and ``"..."``
+    both the doubled-quote escape (``''``) AND the backslash escape
+    (``\\'``) keep the scanner inside the literal — a scanner honoring
+    only one of them can be desynced by the other, letting CTE-prefixed
+    DML read as a SELECT body (the round-4 advice hole). Backtick
+    identifiers know only the doubled-backtick escape; backslash is an
+    ordinary character there."""
+    quote = s[i]
+    n = len(s)
+    i += 1
+    while i < n:
+        ch = s[i]
+        if ch == "\\" and quote in "'\"":
+            i += 2  # backslash escapes the next char (incl. the quote)
+            continue
+        if ch == quote:
+            if i + 1 < n and s[i + 1] == quote:  # doubled-quote escape
+                i += 2
+                continue
+            return i
+        i += 1
+    return n
+
+
+def _strip_comments(sql: str) -> str:
+    """Remove ``--`` and ``/* */`` comments with the SAME quote-aware
+    walk the classifier uses, so comment markers INSIDE string literals
+    (``SELECT '--x'``) survive and quotes inside comments don't leak
+    into the scan. (The previous regex pre-pass deleted ``'--x'``'s
+    closing quote and unbalanced the paren walk — a front-door false
+    positive on valid SELECTs.)"""
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(sql[i : j + 1])
+            i = j + 1
+        elif ch == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            out.append(" ")
+            i = n if j == -1 else j + 1
+        elif ch == "/" and sql[i : i + 2] == "/*":
+            j = sql.find("*/", i + 2)
+            out.append(" ")
+            i = n if j == -1 else j + 2
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def _first_keyword(sql: str) -> str:
-    stripped = _COMMENT_RE.sub(" ", sql).strip().rstrip(";").strip()
+    stripped = _strip_comments(sql).strip().rstrip(";").strip()
+    if stripped.startswith("("):
+        # parenthesized query expression: can only be a read
+        return "("
     m = re.match(r"[A-Za-z_]+", stripped)
     return m.group(0).upper() if m else ""
 
@@ -62,23 +120,17 @@ def _cte_body_keyword(sql: str) -> str:
     execute it). Walk the CTE list at paren depth 0 — after each
     definition's closing paren the next token is either ``,`` (another
     CTE) or the body's first keyword. String literals and quoted
-    identifiers are skipped so parens inside them don't count.
-    Returns "" when no body is found (malformed WITH) — the caller's
-    conservative-block branch handles it."""
-    stripped = _COMMENT_RE.sub(" ", sql).strip().rstrip(";").strip()
+    identifiers are skipped with the full Spark escape rules
+    (:func:`_skip_string`) so parens inside them don't count; a
+    parenthesized body ``WITH a AS (...) (SELECT ...)`` classifies as
+    the ``(`` read opener. Returns "" when no body is found (malformed
+    WITH) — the caller's conservative-block branch handles it."""
+    stripped = _strip_comments(sql).strip().rstrip(";").strip()
     i, n, depth = 0, len(stripped), 0
     while i < n:
         ch = stripped[i]
         if ch in "'\"`":
-            quote = ch
-            i += 1
-            while i < n:
-                if stripped[i] == quote:
-                    if i + 1 < n and stripped[i + 1] == quote:  # escaped ''
-                        i += 2
-                        continue
-                    break
-                i += 1
+            i = _skip_string(stripped, i)
         elif ch == "(":
             depth += 1
         elif ch == ")":
@@ -90,6 +142,8 @@ def _cte_body_keyword(sql: str) -> str:
                 if j < n and stripped[j] == ",":
                     i = j  # next CTE definition
                 else:
+                    if j < n and stripped[j] == "(":
+                        return "("  # parenthesized query body: a read
                     m = re.match(r"[A-Za-z_]+", stripped[j:])
                     tok = m.group(0).upper() if m else ""
                     if tok == "AS":
@@ -118,7 +172,7 @@ def validate_sql_safety(sql: str, allow_writes: bool = False) -> SafetyVerdict:
         body = _cte_body_keyword(sql)
         if body in _WRITE_KEYWORDS:
             kw = body
-        elif body in _READ_KEYWORDS or body == "":
+        elif body in _READ_KEYWORDS or body == "(" or body == "":
             # "" = malformed WITH; Spark's parser will reject it, and
             # a statement with no body cannot write
             return SafetyVerdict(False, None, False) if body else SafetyVerdict(
@@ -128,7 +182,7 @@ def validate_sql_safety(sql: str, allow_writes: bool = False) -> SafetyVerdict:
             return SafetyVerdict(
                 True, f"unrecognized WITH body statement: {body!r}", False
             )
-    if kw in _READ_KEYWORDS:
+    if kw in _READ_KEYWORDS or kw == "(":
         return SafetyVerdict(False, None, False)
     if kw in _WRITE_KEYWORDS:
         if allow_writes:

@@ -309,6 +309,74 @@ class TestGateAndLimitHoles:
             v = validate_sql_safety(sql)
             assert not v.is_blocked and not v.is_write, sql
 
+    def test_backslash_escape_cannot_desync_scanner(self):
+        """Spark's default lexer honors backslash escapes inside string
+        literals, so ``'\\''`` stays INSIDE the literal. A scanner that
+        only knows the doubled-quote escape sees the literal end early
+        and classifies the smuggled DML body as a SELECT — the round-4
+        advice hole. Both escape families must stay in-literal."""
+        from etl_generator_demo_spark.plans.safety import validate_sql_safety
+
+        for sql in (
+            # the advice's exact shape: the literal is '\''), y AS
+            # (SELECT 1) SELECT 1' so Spark's real body is the INSERT
+            "WITH x AS (SELECT '\\'), y AS (SELECT 1) SELECT 1' AS s) "
+            "INSERT INTO t SELECT 1",
+            'WITH x AS (SELECT "\\"), y AS (SELECT 1) SELECT 1" AS s) '
+            "DROP TABLE t",
+        ):
+            v = validate_sql_safety(sql)
+            assert v.is_blocked, sql
+        # benign reads with the same escapes must still pass — incl.
+        # the mirrored shapes where the literal SWALLOWS DML-looking
+        # text (Spark sees only a SELECT)
+        for sql in (
+            "WITH x AS (SELECT '\\'it''s' AS s) SELECT * FROM x",
+            "SELECT 'a\\\\' AS s",
+            "WITH x AS (SELECT `a``b` FROM t) SELECT * FROM x",
+            "WITH x AS (SELECT '\\') INSERT INTO t SELECT 1 --' AS s) "
+            "SELECT * FROM x",
+        ):
+            v = validate_sql_safety(sql)
+            assert not v.is_blocked and not v.is_write, sql
+
+    def test_comment_markers_inside_literals_are_not_comments(self):
+        """``--`` / ``/*`` INSIDE a string literal are data, not
+        comments: stripping them with a blind regex deleted the closing
+        quote and made the paren walk block valid SELECTs. Conversely a
+        quote inside a real comment must not open a literal."""
+        from etl_generator_demo_spark.plans.safety import validate_sql_safety
+
+        for sql in (
+            "WITH a AS (SELECT '--x' AS s) SELECT * FROM a",
+            "WITH a AS (SELECT '/*' AS s) SELECT * FROM a",
+            "SELECT '--not a comment' AS s",
+            "WITH a AS (SELECT 1) -- it's a comment ( \nSELECT * FROM a",
+            "WITH a AS (SELECT 1) /* don't ( */ SELECT * FROM a",
+        ):
+            v = validate_sql_safety(sql)
+            assert not v.is_blocked and not v.is_write, sql
+        for sql in (
+            "WITH a AS (SELECT '--x' AS s) DELETE FROM t",
+            "/* preamble */ INSERT INTO t SELECT 1",
+        ):
+            v = validate_sql_safety(sql)
+            assert v.is_blocked and v.is_write, sql
+
+    def test_parenthesized_query_bodies_are_reads(self):
+        """``WITH a AS (...) (SELECT ...)`` and a statement-leading
+        paren are query expressions — they cannot write and must not be
+        blocked as malformed."""
+        from etl_generator_demo_spark.plans.safety import validate_sql_safety
+
+        for sql in (
+            "WITH a AS (SELECT 1) (SELECT * FROM a)",
+            "(SELECT 1)",
+            "(SELECT 1) UNION ALL (SELECT 2)",
+        ):
+            v = validate_sql_safety(sql)
+            assert not v.is_blocked and not v.is_write, sql
+
     def test_subquery_limit_does_not_disable_auto_cap(self, spark, catalog):
         from etl_generator_demo_spark.plans.limits import apply_auto_limit, plan_has_limit
 
