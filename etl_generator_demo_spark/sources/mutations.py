@@ -273,26 +273,63 @@ def zorder_rewrite(
     predicates on either column skip most files on parquet row-group
     stats alone.
 
-    Keys (numeric) are rank-normalized through SAMPLED QUANTILE
-    boundaries: approxQuantile computes up to 2^min(bits,10) split
-    points driver-side (a model, not the data), Bucketizer maps values
+    Keys are rank-normalized through SAMPLED QUANTILE boundaries:
+    approxQuantile computes up to 2^min(bits,10) split points
+    driver-side (a model, not the data), Bucketizer maps values
     scan-side — no shuffle anywhere in the normalization. The earlier
     percent_rank() spelling was a GLOBAL window: the whole table
     through one task, twice — precisely wrong for the 100 TB OPTIMIZE
     idiom this function is. Skewed keys just collapse duplicate
     boundaries (fewer, fatter buckets — zone maps still narrow). Then
     bit-interleave + repartitionByRange(morton) + the staged swap.
-    Pruning behavior is asserted in tests via per-file min/max."""
+    Pruning behavior is asserted in tests via per-file min/max.
+
+    Any ORDERABLE column type works, not just numerics: dates and
+    timestamps rank through their epoch value, booleans through 0/1,
+    strings through an order-preserving 8-byte big-endian prefix key
+    (ties past 8 bytes share a bucket — zone maps still narrow).
+    Unorderable types (array/map/struct) raise a clear TypeError
+    instead of failing inside approxQuantile. NULL/NaN keys land in
+    Bucketizer's overflow bucket, which is CLAMPED to the top Morton
+    cell (previously its rescaled index overflowed 2^bits and the
+    interleave silently truncated the high bits, scattering NULLs)."""
     from pyspark.ml.feature import Bucketizer
     from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BooleanType,
+        DateType,
+        NumericType,
+        StringType,
+        TimestampType,
+    )
 
     recover_staged(path)
     df = spark.read.parquet(path)
     a, b = cols
+
+    def rank_key(c: str):
+        dt = df.schema[c].dataType
+        col = F.col(c)
+        if isinstance(dt, (NumericType, BooleanType)):
+            return col.cast("double")
+        if isinstance(dt, (DateType, TimestampType)):
+            return col.cast("timestamp").cast("double")  # monotone epoch
+        if isinstance(dt, StringType):
+            # big-endian first-8-bytes as an unsigned int: preserves
+            # lexicographic (binary-collation) order for bucketing
+            return F.conv(
+                F.rpad(F.hex(F.encode(col, "UTF-8")), 16, "0"), 16, 10
+            ).cast("double")
+        raise TypeError(
+            f"zorder_rewrite: column {c!r} has unorderable type {dt.simpleString()}; "
+            "use a numeric, date/timestamp, boolean, or string column"
+        )
+
+    df = df.withColumn("_ka_d", rank_key(a)).withColumn("_kb_d", rank_key(b))
     eff_bits = min(bits, 10)  # 1024 boundaries bound the driver model
     nb = 1 << eff_bits
     probs = [i / nb for i in range(1, nb)]
-    qa, qb = df.stat.approxQuantile([a, b], probs, 0.001)
+    qa, qb = df.stat.approxQuantile(["_ka_d", "_kb_d"], probs, 0.001)
 
     def splits(qs):
         uniq = sorted(set(qs))
@@ -301,7 +338,7 @@ def zorder_rewrite(
     sa, sb = splits(qa), splits(qb)
     buck = Bucketizer(
         splitsArray=[sa, sb],
-        inputCols=[a, b],
+        inputCols=["_ka_d", "_kb_d"],
         outputCols=["_ra_d", "_rb_d"],
         handleInvalid="keep",
     )
@@ -314,8 +351,14 @@ def zorder_rewrite(
     # narrowing at the small fixture before this)
     max_a = max(len(sa) - 2, 1)
     max_b = max(len(sb) - 2, 1)
-    ra = F.floor(F.col("_ra_d") * (nb - 1) / max_a).cast("long")
-    rb = F.floor(F.col("_rb_d") * (nb - 1) / max_b).cast("long")
+    # least() clamps the handleInvalid overflow bucket (NULL/NaN keys)
+    # to the top Morton cell instead of overflowing 2^eff_bits
+    ra = F.least(
+        F.floor(F.col("_ra_d") * (nb - 1) / max_a).cast("long"), F.lit(nb - 1)
+    )
+    rb = F.least(
+        F.floor(F.col("_rb_d") * (nb - 1) / max_b).cast("long"), F.lit(nb - 1)
+    )
     interleave = None
     for i in range(eff_bits):
         bit_a = F.shiftleft(F.shiftright(ra, i).bitwiseAND(1), 2 * i + 1)
@@ -326,6 +369,6 @@ def zorder_rewrite(
         df.withColumn("_z", interleave)
         .repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
-        .drop("_z", "_ra_d", "_rb_d")
+        .drop("_z", "_ka_d", "_kb_d", "_ra_d", "_rb_d")
     )
     _staged_overwrite(spark, path, out)

@@ -117,8 +117,14 @@ def incremental_agg_sink(target_dir: str, key_cols: list[str], sum_cols: list[st
     and MERGES into the parquet aggregate state as
     old ⊕ delta (counts and sums are commutative monoids, so arrival
     order and batch boundaries cannot change the fixpoint). Replayed
-    batch_ids are skipped via a committed-ids sidecar — exactly-once
-    by idempotence over the staged-swap writer.
+    batch_ids are skipped via a committed-ids sidecar that lives
+    INSIDE the state directory and is written into the staging dir
+    BEFORE the swap — state and marker change places in the same
+    rename, so a crash anywhere leaves them consistent (a crash after
+    the swap used to re-apply the batch on restart and double-count).
+    The parquet reader ignores the sidecar (underscore-prefixed, like
+    ``_SUCCESS``). Single-writer per target_dir, same contract as
+    ``_staged_overwrite``.
 
     At 100 TB this is the cheap nightly alternative to recompute: the
     state is |keys| rows regardless of history, and each batch costs
@@ -127,18 +133,27 @@ def incremental_agg_sink(target_dir: str, key_cols: list[str], sum_cols: list[st
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         import json
         import os
+        import shutil
+        import tempfile
 
-        from etl_generator_demo_spark.sources.mutations import _staged_overwrite
+        from etl_generator_demo_spark.sources.mutations import recover_staged
 
         spark = batch_df.sparkSession
-        marker = os.path.join(target_dir, "_committed_batches.json")
+        data_dir = os.path.join(target_dir, "state")
+        recover_staged(data_dir)  # repair a crash inside a prior swap
+        marker_name = "_committed_batches.json"
         done: set[int] = set()
-        if os.path.exists(marker):
-            try:
-                with open(marker) as fh:
-                    done = set(json.load(fh))
-            except (OSError, ValueError):
-                done = set()
+        # current location (inside state) + legacy pre-r5 root location
+        for mpath in (
+            os.path.join(data_dir, marker_name),
+            os.path.join(target_dir, marker_name),
+        ):
+            if os.path.exists(mpath):
+                try:
+                    with open(mpath) as fh:
+                        done |= set(json.load(fh))
+                except (OSError, ValueError):
+                    pass
         if batch_id in done:
             return  # replay after a sink-side success: idempotent skip
 
@@ -146,25 +161,39 @@ def incremental_agg_sink(target_dir: str, key_cols: list[str], sum_cols: list[st
             F.count(F.lit(1)).cast("long").alias("n_rows"),
             *[F.sum(c).cast("long").alias(f"sum_{c}") for c in sum_cols],
         )
-        data_dir = os.path.join(target_dir, "state")
-        if os.path.exists(os.path.join(data_dir, "_SUCCESS")):
-            cur = spark.read.parquet(data_dir)
-            merged = (
-                cur.unionByName(delta)
-                .groupBy(*key_cols)
-                .agg(
-                    F.sum("n_rows").cast("long").alias("n_rows"),
-                    *[
-                        F.sum(f"sum_{c}").cast("long").alias(f"sum_{c}")
-                        for c in sum_cols
-                    ],
+        os.makedirs(target_dir, exist_ok=True)
+        staging = tempfile.mkdtemp(prefix=".staging_", dir=os.path.abspath(target_dir))
+        try:
+            if os.path.exists(os.path.join(data_dir, "_SUCCESS")):
+                cur = spark.read.parquet(data_dir)
+                merged = (
+                    cur.unionByName(delta)
+                    .groupBy(*key_cols)
+                    .agg(
+                        F.sum("n_rows").cast("long").alias("n_rows"),
+                        *[
+                            F.sum(f"sum_{c}").cast("long").alias(f"sum_{c}")
+                            for c in sum_cols
+                        ],
+                    )
                 )
-            )
-            _staged_overwrite(spark, data_dir, merged)
-        else:
-            os.makedirs(target_dir, exist_ok=True)
-            delta.write.mode("overwrite").parquet(data_dir)
-        with open(marker, "w") as fh:
-            json.dump(sorted(done | {batch_id}), fh)
+                merged.write.mode("overwrite").parquet(staging)
+            else:
+                delta.write.mode("overwrite").parquet(staging)
+            # marker joins the data in staging: they swap in atomically
+            with open(os.path.join(staging, marker_name), "w") as fh:
+                json.dump(sorted(done | {batch_id}), fh)
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        old = data_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(data_dir):
+            os.rename(data_dir, old)
+        os.rename(staging, data_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        legacy = os.path.join(target_dir, marker_name)
+        if os.path.exists(legacy):  # ids already folded into the sidecar
+            os.remove(legacy)
 
     return write_batch

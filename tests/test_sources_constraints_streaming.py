@@ -528,6 +528,59 @@ def test_zorder_rewrite_narrows_both_zone_maps(spark, sf_dir, tmp_path):
     assert after["o_totalprice"] < before["o_totalprice"] * 0.7
 
 
+def test_zorder_rewrite_orderable_nonnumeric_keys(spark, sf_dir, tmp_path):
+    """Round-4 advice: z-ordering on a DATE or STRING key used to die
+    inside approxQuantile/Bucketizer (numeric-only), and NULL keys
+    overflowed the Morton bit range. Dates rank via epoch, strings via
+    an order-preserving 8-byte prefix, NULLs clamp to the top cell —
+    rows survive byte-for-byte and the date axis still clusters."""
+    import glob
+
+    from etl_generator_demo_spark.catalog import read_table
+    from etl_generator_demo_spark.sources.mutations import zorder_rewrite
+
+    path = str(tmp_path / "orders_zd")
+    base = (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            # every 7th row gets a NULL priority to hit the overflow bucket
+            F.when(F.col("o_orderkey") % 7 != 0, F.col("o_orderpriority")).alias(
+                "o_orderpriority"
+            ),
+        )
+    )
+    base.repartition(8).write.parquet(path)
+    want = {(r.o_orderkey, r.o_orderdate, r.o_orderpriority) for r in base.collect()}
+
+    def date_span(p):
+        tot = 0.0
+        for f in glob.glob(p + "/part-*.parquet"):
+            r = spark.read.parquet(f).agg(
+                F.min("o_orderdate").alias("mn"), F.max("o_orderdate").alias("mx")
+            ).collect()[0]
+            tot += float((r.mx - r.mn).days if hasattr(r.mx - r.mn, "days") else 0)
+        return tot
+
+    before = date_span(path)
+    zorder_rewrite(spark, path, ("o_orderdate", "o_orderpriority"), n_files=8)
+    got = {
+        (r.o_orderkey, r.o_orderdate, r.o_orderpriority)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == want  # NULL keys survive the clamp, nothing scattered
+    assert date_span(path) < before * 0.7  # date axis clusters
+
+    # unorderable types fail fast with a clear message
+    import pytest
+
+    arr_path = str(tmp_path / "arr_z")
+    spark.range(10).withColumn("v", F.array(F.col("id"))).write.parquet(arr_path)
+    with pytest.raises(TypeError, match="unorderable"):
+        zorder_rewrite(spark, arr_path, ("v", "id"), n_files=2)
+
+
 def test_lateness_histogram_mass_and_bounds(spark, sf_dir):
     """Histogram covers every event exactly once; lateness is bounded
     by one day (disorder is within-day by construction)."""

@@ -137,3 +137,25 @@ def test_incremental_agg_sink_matches_batch_recompute(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(target + "/state").collect()
     }
     assert got2 == want
+
+    # atomicity: the committed-ids marker lives INSIDE the state dir so
+    # it swaps with the data — there is no window where the state holds
+    # a batch the marker doesn't know about (the double-count hole)
+    import json
+    import os
+
+    state = target + "/state"
+    assert os.path.exists(os.path.join(state, "_committed_batches.json"))
+    assert not os.path.exists(os.path.join(target, "_committed_batches.json"))
+
+    # crash INSIDE the swap (state parked at .old): the next batch call
+    # must recover the state and still skip the replayed id
+    os.rename(state, state + ".old")
+    sink(orders.limit(100), 0)
+    got3 = {
+        r["o_orderpriority"]: (r["n_rows"], r["sum_cents"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got3 == want
+    with open(os.path.join(state, "_committed_batches.json")) as fh:
+        assert 0 in set(json.load(fh))
