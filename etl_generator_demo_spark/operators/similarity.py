@@ -350,31 +350,30 @@ def _embeddings_rows(sf_dir: str, table: str = "embeddings") -> int:
         return 1 << 62
 
 
-def embedding_neardup_pairs(
-    spark: SparkSession, sf_dir: str, broadcast_vectors: bool | None = None
-) -> DataFrame:
-    """Bucketed embedding near-dup pairs (vec_a, vec_b, cosine),
-    unordered — shared by the pair query and the cluster-resolution
-    query.
+def _bucket_assignments(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    """(vec_id, lsh_table, bucket) for every corpus vector — the
+    bucket stage of the near-dup pipeline.
 
-    Plan shape (each stage chosen for shuffle width, not convenience):
-    - bucketing is an Arrow ``mapInPandas`` numpy matmul — 32 dot
-      products/row is the interpreted-HOF slow path, BLAS is ~10×;
-    - the candidate ``distinct`` is over the NARROW (vec_a, vec_b) id
-      pair only — carrying the two 64-dim vectors through that shuffle
-      (the naive plan) moves ~1 KB/row instead of 16 B/row;
-    - vectors are joined back AFTER dedup, and the exact re-rank is a
-      second vectorized numpy stage. The rejoin strategy is SIZED, not
-      hard-coded: broadcasting the whole embeddings table is only legal
-      while it fits in an executor (<= BROADCAST_VECTORS_MAX_ROWS, a
-      cheap parquet-footer count) — above that the plan falls back to a
-      keyed shuffle join on vec_id, which is the 100 TB shape. Pass
-      ``broadcast_vectors`` to force either plan. Same md5 hyperplanes
-      as the DuckDB oracle, so both engines agree bucket-for-bucket.
-    """
-    emb = t(spark, sf_dir, "embeddings")
-    if broadcast_vectors is None:
-        broadcast_vectors = _embeddings_rows(sf_dir) <= BROADCAST_VECTORS_MAX_ROWS
+    Served from the PERSISTED LSH index (``ann_index.ensure_lsh_index``
+    — same md5 hyperplanes, tables and planes as the oracle) whenever
+    one is warm or buildable: the index is ingest-time state, so the
+    query-time plan is a column-pruned parquet scan of (vec_id +
+    partition columns) instead of re-running the Arrow matmul over the
+    whole corpus on EVERY query — the round-4 perf-weak finding. The
+    bucket id is the index's partition-string encoding; only equality
+    matters to the (lsh_table, bucket) self-join, and the string bits
+    are in bijection with the packed-int encoding the fallback emits.
+
+    Falls back to the in-plan Arrow matmul when the index can't be
+    built (e.g. an unwritable cache root) — same assignments, computed
+    inline."""
+    try:
+        from etl_generator_demo_spark.operators.ann_index import ensure_lsh_index
+
+        path = ensure_lsh_index(spark, sf_dir, NEARDUP_TABLES, NEARDUP_PLANES)
+        return spark.read.parquet(path).select("vec_id", "lsh_table", "bucket")
+    except Exception:
+        pass
     # closure-captured plain data: executor workers can't import this
     # package, so the UDF must carry its constants by value
     plane_rows = [
@@ -410,9 +409,38 @@ def embedding_neardup_pairs(
                 }
             )
 
-    bk = emb.select("vec_id", "embedding").mapInPandas(
+    return emb.select("vec_id", "embedding").mapInPandas(
         bucket_rows, "vec_id long, lsh_table int, bucket long"
     )
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str, broadcast_vectors: bool | None = None
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs (vec_a, vec_b, cosine),
+    unordered — shared by the pair query and the cluster-resolution
+    query.
+
+    Plan shape (each stage chosen for shuffle width, not convenience):
+    - bucketing is served from the PERSISTED LSH index when warm (a
+      column-pruned parquet scan — see ``_bucket_assignments``), with
+      an Arrow numpy-matmul fallback computed inline;
+    - the candidate ``distinct`` is over the NARROW (vec_a, vec_b) id
+      pair only — carrying the two 64-dim vectors through that shuffle
+      (the naive plan) moves ~1 KB/row instead of 16 B/row;
+    - vectors are joined back AFTER dedup, and the exact re-rank is a
+      second vectorized numpy stage. The rejoin strategy is SIZED, not
+      hard-coded: broadcasting the whole embeddings table is only legal
+      while it fits in an executor (<= BROADCAST_VECTORS_MAX_ROWS, a
+      cheap parquet-footer count) — above that the plan falls back to a
+      keyed shuffle join on vec_id, which is the 100 TB shape. Pass
+      ``broadcast_vectors`` to force either plan. Same md5 hyperplanes
+      as the DuckDB oracle, so both engines agree bucket-for-bucket.
+    """
+    emb = t(spark, sf_dir, "embeddings")
+    if broadcast_vectors is None:
+        broadcast_vectors = _embeddings_rows(sf_dir) <= BROADCAST_VECTORS_MAX_ROWS
+    bk = _bucket_assignments(spark, sf_dir, emb)
     a = bk.select(F.col("vec_id").alias("vec_a"), "lsh_table", "bucket")
     b = bk.select(F.col("vec_id").alias("vec_b"), "lsh_table", "bucket")
     cand = (

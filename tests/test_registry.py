@@ -51,3 +51,38 @@ def test_driver_order_prioritizes_unproven_oracle_queries():
         assert all(reg[n].oracle is not None for n in order[:-n_rows_only])
     # oracle_sql() keys cover exactly the oracle-backed queries
     assert set(ep.oracle_sql()) == {n for n, rq in reg.items() if rq.oracle is not None}
+
+
+def test_never_green_queries_form_the_sample_prefix():
+    """Driver-sample insurance (round-4 advice #9): the driver records
+    CORRECTNESS rows for a STRICT 50-prefix of queries() each round, so
+    while any registered query has never earned a green driver row, the
+    prefix must consist of exactly those never-green names — otherwise
+    a sampled slot is wasted re-proving an already-green query and the
+    backlog never drains. Recomputed from the CORRECTNESS_r*.json
+    record so an ordering regression fails HERE, not a round later."""
+    import glob
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as ep
+
+    green: set[str] = set()
+    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+        with open(f) as fh:
+            for name, row in json.load(fh).items():
+                if (
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                ):
+                    green.add(name)
+    if not green:  # round 1: no record yet, nothing to order by
+        return
+    order = list(ep.queries())
+    never = [q for q in order if q not in green]
+    assert order[: len(never)] == never, (
+        "queries() must lead with the never-green backlog; first "
+        f"mismatch at position {next(i for i, q in enumerate(order[: len(never)]) if q in green)}"
+    )

@@ -30,7 +30,10 @@ EXPECTATIONS: dict[str, dict] = {
     "o_topk_orders": {"max_exchanges": 1, "take_ordered": True},
     "x2_minhash_lsh_pairs": {"max_exchanges": 6},
     "x3_cosine_topk": {"max_exchanges": 1, "take_ordered": True},
-    "x3_neardup_lsh_bucketed": {"max_exchanges": 6},
+    # bucket stage served from the persisted LSH index (r5): the plan
+    # is an index self-join + narrow pair distinct + broadcast vector
+    # rejoin — the corpus-wide Arrow bucket matmul is ingest-time now
+    "x3_neardup_lsh_bucketed": {"max_exchanges": 3, "min_broadcast": 2},
     # bounded-error verdict (like IVF below): the exact tier scans the
     # corpus by design; the LSH probe branch must prune on its
     # partition columns
