@@ -127,10 +127,20 @@ def a_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("W1",),
 )
 def w_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    """NTILE(4) price quartiles — exact, but WITHOUT the global window
+    funnel: :func:`global_row_number` (range-shuffle, cluster-parallel)
+    + the closed-form :func:`ntile_expr` reproduce the window function
+    bit-for-bit (the oracle keeps the NTILE spelling as the anchor).
+    Cast back to int to match NTILE's engine dtype."""
+    o = t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    d, n = global_row_number(
+        o, [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()]
+    )
     return (
-        o.select("o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        d.select(
+            "o_totalprice",
+            ntile_expr(F.col("_rn"), n, 4).cast("int").alias("quartile"),
+        )
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -2059,12 +2059,16 @@ def x4_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated form differs in the last ulp between implementations
     and flips fixed-point floors).
 
-    At 100 TB: one source-keyed window shuffle; the global rank window
-    is the exact tier (single-partition sort — same
-    exact-vs-`approx_percentile` contract as `a_percentiles`; the
-    scale path derives the grid from a sketch, identical downstream
-    plan). The doc→grid join broadcasts 101 rows."""
+    At 100 TB: one source-keyed window shuffle; the global rank is the
+    exact tier, computed by ``global_row_number`` (range-shuffle +
+    per-partition ids — cluster-parallel, NO single-partition sort;
+    same exact-vs-`approx_percentile` contract as `a_percentiles`: the
+    sketch path would derive the grid from approx_percentile with an
+    identical downstream plan). The doc→grid join broadcasts 101
+    rows."""
     from pyspark.sql import Window
+
+    from etl_generator_demo_spark.operators.analytics_ext import global_row_number
 
     scored = t(spark, sf_dir, "documents").select(
         "doc_id", "source", quality_score_expr("text").alias("q")
@@ -2076,14 +2080,16 @@ def x4_quantile_normalize_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q",
         F.floor(F.percent_rank().over(w) * 100).cast("long").alias("bucket"),
     )
-    wg = Window.orderBy("q", "doc_id")  # global rank: exact tier (see docstring)
-    gsorted = scored.select("q", F.row_number().over(wg).alias("rn"))
-    cnt = scored.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # global rank: exact tier (see docstring), distributed
+    gnum, n = global_row_number(
+        scored.select("q", "doc_id"), [F.col("q").asc(), F.col("doc_id").asc()],
+        rn_col="rn",
+    )
+    gsorted = gnum.select("q", "rn")
     gidx = (
         spark.range(101)
         .select(F.col("id").cast("long").alias("bucket"))
-        .crossJoin(F.broadcast(cnt))
-        .withColumn("rn", F.expr("bucket * (n - 1) DIV 100") + 1)
+        .withColumn("rn", F.expr(f"bucket * ({n} - 1) DIV 100") + 1)
         .join(gsorted, "rn")
         .select(
             "bucket",

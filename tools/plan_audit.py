@@ -324,6 +324,9 @@ EXPECTATIONS: dict[str, dict] = {
     "x4_chi2_lang_source": {"max_exchanges": 9, "min_broadcast": 2},
     # source-keyed window + global-rank exact tier (SinglePartition by
     # contract) + scalar count + 101-row grid broadcast + ordering
+    # per-source percent_rank window (keyed) + broadcast 101-row grid;
+    # the global exact-rank tier is global_row_number behind its
+    # checkpoint cut — no single-partition window survives in the plan
     "x4_quantile_normalize_scores": {"max_exchanges": 6, "min_broadcast": 2},
     # shard sketch groupBy + two scalar aggregates + 1-row cross join
     "a_hll_shard_merge": {"max_exchanges": 5},
@@ -440,7 +443,9 @@ EXPECTATIONS: dict[str, dict] = {
     "w3_range_frame_price_band": {"max_exchanges": 1},
     "w3_running_totals": {"max_exchanges": 2},
     "w_first_last_order_span": {"max_exchanges": 2},
-    "w_ntile_price_quartiles": {"max_exchanges": 1},
+    # exact distributed ntile (global_row_number behind a checkpoint
+    # cut): visible plan is quartile groupBy + output order, window-free
+    "w_ntile_price_quartiles": {"max_exchanges": 2, "no_window": True},
     "w_share_of_total": {"max_exchanges": 2},
     "x1_dedup_exact": {"max_exchanges": 2},
     "x1_dedup_normalized": {"max_exchanges": 2},
