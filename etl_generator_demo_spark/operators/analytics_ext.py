@@ -67,6 +67,65 @@ def global_row_number(df: DataFrame, order_cols, rn_col: str = "_rn"):
     return d.withColumn(rn_col, rn).drop("_gpid", "_gmid"), running
 
 
+def global_running(df: DataFrame, order_cols, value_col: str, kind: str = "sum",
+                   out_col: str = "_run") -> DataFrame:
+    """Exact distributed RUNNING aggregate (cumulative sum or max) over
+    a total order — the prefix-scan counterpart of
+    :func:`global_row_number`, replacing ``agg(...).over(
+    Window.orderBy(...))``'s single-partition funnel.
+
+    Two-phase prefix scan:
+      1. ``repartitionByRange`` on the order columns (cluster-parallel;
+         callers pass a TOTAL order so ties can't straddle partitions),
+         ``localCheckpoint`` pins the layout.
+      2. In-partition running aggregate via a Window keyed on the
+         PHYSICAL partition id — a linear keyed exchange, never
+         SinglePartition.
+      3. Driver-side EXCLUSIVE prefix of the per-partition totals
+         (<= shuffle-partition-count rows, the engine's bounded
+         parameter-fetch contract), folded back in with a literal
+         ``create_map`` lookup.
+    Bit-identical to the global-window spelling for associative,
+    commutative aggregates (sum of longs, max of any orderable)."""
+    if kind not in ("sum", "max"):
+        raise ValueError(f"global_running supports sum/max, got {kind!r}")
+    agg = F.sum if kind == "sum" else F.max
+    d = (
+        df.repartitionByRange(*order_cols)
+        .withColumn("_gpid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    stats = sorted(
+        d.groupBy("_gpid").agg(agg(value_col).alias("v")).collect(),
+        key=lambda r: r["_gpid"],
+    )
+    entries, acc = [], None
+    for r in stats:
+        if acc is not None:
+            entries.extend([F.lit(int(r["_gpid"])), F.lit(acc)])
+        if r["v"] is not None:
+            if acc is None:
+                acc = r["v"]
+            elif kind == "sum":
+                acc = acc + r["v"]
+            else:
+                acc = max(acc, r["v"])
+    w = (
+        Window.partitionBy("_gpid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = agg(value_col).over(w)
+    if not entries:  # single populated partition: no prefix to fold in
+        return d.withColumn(out_col, local).drop("_gpid")
+    prefix = F.create_map(*entries)[F.col("_gpid")]
+    if kind == "sum":
+        out = local + F.coalesce(prefix, F.lit(0))
+    else:
+        out = F.when(prefix.isNull(), local).otherwise(F.greatest(local, prefix))
+    return d.withColumn(out_col, out).drop("_gpid")
+
+
 def ntile_expr(rn, n: int, k: int):
     """ANSI ``NTILE(k)`` as a closed-form expression of the exact
     global row number ``rn`` (1-based) and the total count ``n``:
@@ -1021,10 +1080,12 @@ def x4_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the peaks. Capacity-planning's canonical query, no interval
     self-join anywhere (an interval⋈interval overlap join is O(n²) per
     hot window — the sweep is O(n log n) and shuffles only boundary
-    events). The curve window is a single total order at 50 users; at
-    100 TB you partition the sweep by day first (boundaries crossing
-    midnight carry over as documented in SCALE.md) or keep per-shard
-    curves and merge peaks."""
+    events). The concurrency curve is :func:`global_running` — a
+    range-partitioned two-phase prefix sum, bit-identical to the
+    ``SUM OVER (ORDER BY ts)`` spelling the oracle keeps but with no
+    single-partition stage, so the sweep itself now scales; at 100 TB
+    you can additionally shard by day and merge peaks as documented in
+    SCALE.md."""
 
     ev = (
         t(spark, sf_dir, "events")
@@ -1040,11 +1101,8 @@ def x4_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         sessions.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
     )
     merged = deltas.groupBy("ts").agg(F.sum("delta").alias("net"))
-    curve = merged.withColumn(
-        "conc",
-        F.sum("net").over(
-            Window.orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
-        ),
+    curve = global_running(
+        merged, [F.col("ts").asc()], "net", kind="sum", out_col="conc"
     )
     return (
         curve.groupBy(F.to_date("ts").alias("day"))

@@ -121,16 +121,19 @@ def x4_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value). Every sum is an exact BIGINT; the two divisions are
     the only float ops and have identical shape in both engines.
 
-    Scale: the ranked window runs over the KEY relation (|keys| ≪
-    |rows|, already map-combined); for billion-key audits swap the
-    exact rank for a sampled or bucketed estimate."""
-    from pyspark.sql import Window
+    Scale: the rank runs over the KEY relation (|keys| ≪ |rows|,
+    already map-combined) and uses the distributed exact
+    ``global_row_number`` — no single-partition window even at
+    billion-key grain (a sampled estimate remains cheaper still when
+    exactness isn't required)."""
+    from etl_generator_demo_spark.operators.analytics_ext import global_row_number
 
     ev = t(spark, sf_dir, "events")
     c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    r = c.select(
-        "c", F.row_number().over(Window.orderBy("c", "user_id")).alias("i")
+    ranked, _n = global_row_number(
+        c, [F.col("c").asc(), F.col("user_id").asc()], rn_col="i"
     )
+    r = ranked.select("c", "i")
     s = r.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("c").cast("long").alias("tot"),

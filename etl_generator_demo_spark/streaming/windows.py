@@ -399,21 +399,31 @@ def st_lateness_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     99.9% of mass drops 0.1% of events — exactly the trade
     `st_late_data_watermark_semantics` demonstrates downstream.
     Lateness in exact integer seconds (microsecond epoch arithmetic);
-    one running-max window + one map-combined groupBy."""
-    from pyspark.sql import Window as W
+    the running high-water mark is ``global_running`` max — a
+    range-partitioned two-phase prefix scan over the replay order,
+    bit-identical to the global-window spelling the oracle keeps but
+    with no single-partition stage — plus one map-combined groupBy."""
+    from etl_generator_demo_spark.operators.analytics_ext import global_running
 
-    ev = t(spark, sf_dir, "events").select("event_id", F.col("ts").cast("timestamp").alias("ts"))
-    hw = F.max("ts").over(
-        W.orderBy(
-            F.to_date("ts"), F.md5(F.col("event_id").cast("string")), "event_id"
-        ).rowsBetween(W.unboundedPreceding, 0)
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withColumn("_day", F.to_date("ts"))
+        .withColumn("_shuf", F.md5(F.col("event_id").cast("string")))
+    )
+    curved = global_running(
+        ev,
+        [F.col("_day").asc(), F.col("_shuf").asc(), F.col("event_id").asc()],
+        "ts",
+        kind="max",
+        out_col="_hw",
     )
     late_s = (
-        (F.unix_micros(hw) - F.unix_micros(F.col("ts"))) / F.lit(1_000_000)
+        (F.unix_micros(F.col("_hw")) - F.unix_micros(F.col("ts"))) / F.lit(1_000_000)
     ).cast("long")
     bucket = F.floor(late_s / LATENESS_BUCKET_S).cast("long")
     return (
-        ev.select(bucket.alias("bucket"))
+        curved.select(bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
         .select(

@@ -61,6 +61,29 @@ def test_ntile_expr_matches_window_every_remainder(spark):
             assert got == exp, (n, k)
 
 
+def test_global_running_matches_window_sum_and_max(spark, sf_dir):
+    from etl_generator_demo_spark.operators.analytics_ext import global_running
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", (F.col("user_id") % 7 - 3).alias("v"), "ts"
+    )
+    cols = [F.col("event_id").asc()]
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    exp_sum = {r.event_id: r.s for r in ev.withColumn("s", F.sum("v").over(w)).collect()}
+    exp_max = {r.event_id: r.m for r in ev.withColumn("m", F.max("ts").over(w)).collect()}
+    for layout in (ev, ev.repartition(1), ev.repartition(23, "user_id")):
+        got_s = {
+            r.event_id: r["_run"]
+            for r in global_running(layout, cols, "v", kind="sum").collect()
+        }
+        assert got_s == exp_sum
+        got_m = {
+            r.event_id: r["_run"]
+            for r in global_running(layout, cols, "ts", kind="max").collect()
+        }
+        assert got_m == exp_max
+
+
 def test_contrastive_negative_pool_bounded_and_deterministic(spark, sf_dir):
     from etl_generator_demo_spark.registry import load_all
 

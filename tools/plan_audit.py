@@ -196,7 +196,11 @@ EXPECTATIONS: dict[str, dict] = {
     # one Arrow encode pass; only the output ordering shuffles
     "x3_pq_codes": {"max_exchanges": 1},
     # sweep-line: session rollup + boundary-merge + curve window + day agg
-    "x4_concurrent_sessions": {"max_exchanges": 4, "pushed": True},
+    # sweep-line curve via global_running (two-phase prefix sum): the
+    # localCheckpoint cuts the visible plan at the range-partitioned
+    # boundary relation, so the user_id pushdown happens in the
+    # checkpointed job; visible shuffles = pid window + day agg + order
+    "x4_concurrent_sessions": {"max_exchanges": 3},
     # bigram explode + two vocab groupBys; 256-row weight model broadcast
     "x4_dsir_importance": {"max_exchanges": 4, "min_broadcast": 1},
     # one cumulative-weight window on the group key; totals broadcast
@@ -430,7 +434,10 @@ EXPECTATIONS: dict[str, dict] = {
     "sq_in_and_not_exists": {"max_exchanges": 1},
     "sq_scalar_above_1p5x_avg": {"max_exchanges": 2},
     "st_late_data_watermark_semantics": {"max_exchanges": 2},
-    "st_lateness_histogram": {"max_exchanges": 1},
+    # running high-water mark via global_running (two-phase prefix
+    # max, keyed pid window — never SinglePartition): pid window +
+    # bucket groupBy + output order
+    "st_lateness_histogram": {"max_exchanges": 3},
     "st_sliding_windows": {"max_exchanges": 2},
     "st_tumbling_hourly": {"max_exchanges": 2},
     "u_cte_above_avg_nations": {"max_exchanges": 3},
