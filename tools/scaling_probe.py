@@ -64,6 +64,18 @@ QUERIES = [
     "x3_dim_covariance",
     "x4_multitouch_attribution",
     "x4_journey_signatures",
+    # round-5 de-globalizations: the distributed exact-rank/prefix-scan
+    # primitives (global_row_number / global_running) must grow
+    # ~linearly where the old single-partition windows grew with a
+    # 1-task sort; the with-ties cutoff and the bounded negative pool
+    # must stay ~flat on the filtered side
+    "x4_rfm_scores",
+    "w_ntile_price_quartiles",
+    "x4_key_skew_audit",
+    "st_lateness_histogram",
+    "o_top_recent_with_ties",
+    "x4_contrastive_triplets",
+    "x3_neardup_lsh_bucketed",
 ]
 
 KEY_COLS = {
