@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from etl_generator_demo_spark.operators.dedup import (
     _DUCK_SHINGLES,
     _duck_minhash_cols,
+    corpus_candidate_pairs,
     doc_shingles,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -156,7 +157,7 @@ def x2_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's recursive-CTE transitive closure over the identical pair
     set, so cluster assignment is hash-checked exactly."""
     docs = t(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(minhash_signatures(doc_shingles(docs, distinct=False)))
+    pairs = corpus_candidate_pairs(spark, sf_dir)  # persisted band index when warm
     cc = connected_components(docs.select("doc_id"), pairs)
     return (
         cc.withColumn("is_keep", F.col("cluster_id") == F.col("doc_id"))
@@ -232,7 +233,7 @@ def x2_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     one grouped aggregate; collect_set stays bounded by cluster size,
     which the LSH threshold bounds in turn."""
     docs = t(spark, sf_dir, "documents")
-    pairs = lsh_candidate_pairs(minhash_signatures(doc_shingles(docs, distinct=False)))
+    pairs = corpus_candidate_pairs(spark, sf_dir)  # persisted band index when warm
     cc = connected_components(docs.select("doc_id"), pairs)
     return (
         cc.join(docs, "doc_id")

@@ -73,6 +73,24 @@ def ensure_corpus_band_index(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def ensure_full_band_index(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the FULL corpus's band index (no batch split carved
+    out) once per fixture; return its path. This is the ingest-time
+    state the batch near-dup queries (`x2_minhash_lsh_pairs`,
+    `x2_dedup_clusters`, triplet mining) probe at query time instead
+    of re-running the shingle→minhash→band pipeline per run — same md5
+    family as the DuckDB oracles, so served results stay hash-exact.
+    Warm calls cost one stat."""
+    path = os.path.join(
+        INDEX_ROOT, _corpus_fingerprint(sf_dir, table="documents"), "bands_full"
+    )
+    if not _is_built(path):
+        document_bands(t(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
 def incremental_dedup(
     corpus_bands: DataFrame, batch_bands: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

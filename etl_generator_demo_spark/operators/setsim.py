@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_generator_demo_spark.operators.dedup import (
+    corpus_candidate_pairs,
     doc_shingles,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -404,9 +405,7 @@ def x4_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents")
     pos = (
-        lsh_candidate_pairs(
-            minhash_signatures(doc_shingles(docs, distinct=False))
-        )
+        corpus_candidate_pairs(spark, sf_dir)  # persisted band index when warm
         .select(F.col("doc_a").alias("anchor"), F.col("doc_b").alias("positive"))
         .distinct()
         .localCheckpoint(eager=True)
