@@ -67,15 +67,19 @@ QUERIES = [
     # round-5 de-globalizations: the distributed exact-rank/prefix-scan
     # primitives (global_row_number / global_running) must grow
     # ~linearly where the old single-partition windows grew with a
-    # 1-task sort; the with-ties cutoff and the bounded negative pool
-    # must stay ~flat on the filtered side
+    # 1-task sort; the with-ties cutoff must stay ~flat (pushed filter).
+    # x4_contrastive_triplets and x3_neardup_lsh_bucketed are excluded
+    # for the same reason as x2_token_overlap_join: the synth tier's
+    # replicas are near-identical documents/bit-identical embeddings,
+    # so |candidate pairs| genuinely inflates ~45-100x — the probe
+    # would measure the output relation the data shape demands, not
+    # the operator (their per-pair work is linear and bounded; see
+    # bench.py for their steady-state latency on real-shaped data)
     "x4_rfm_scores",
     "w_ntile_price_quartiles",
     "x4_key_skew_audit",
     "st_lateness_histogram",
     "o_top_recent_with_ties",
-    "x4_contrastive_triplets",
-    "x3_neardup_lsh_bucketed",
 ]
 
 KEY_COLS = {
