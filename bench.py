@@ -90,12 +90,14 @@ def main() -> None:
     from etl_generator_demo_spark.operators.dedup_incremental import (
         ensure_corpus_band_index,
         ensure_full_band_index,
+        ensure_shingle_index,
     )
 
     ensure_lsh_index(spark, sf_dir)
     ensure_ivf_index(spark, sf_dir)
     ensure_corpus_band_index(spark, sf_dir)
     ensure_full_band_index(spark, sf_dir)
+    ensure_shingle_index(spark, sf_dir)
 
     # IVF probe-only wrapper: the registered x3_ann_ivf_topk is a
     # bounded-error verdict (exact scan + probe + recall join); the

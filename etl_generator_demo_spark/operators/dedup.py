@@ -204,6 +204,27 @@ def corpus_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct ``(doc_id, shingle)`` for the FULL documents corpus,
+    served from the persisted shingle store (`ensure_shingle_index` —
+    ingest-time state, one linear text pass + distinct per fixture)
+    when warm or buildable: every exact-tier shingle consumer then
+    starts from a parquet scan instead of re-running the Arrow
+    shingling stage per query. Falls back to the inline pipeline when
+    the cache root is unavailable. Row-identical either way, so
+    downstream results stay hash-exact vs the DuckDB oracles. The
+    MinHash path keeps its own ``distinct=False`` pipeline inside the
+    band index (min() is duplicate-invariant; see `banded_keys`)."""
+    try:
+        from etl_generator_demo_spark.operators.dedup_incremental import (
+            ensure_shingle_index,
+        )
+
+        return spark.read.parquet(ensure_shingle_index(spark, sf_dir))
+    except Exception:
+        return doc_shingles(t(spark, sf_dir, "documents"))
+
+
 def ngram_jaccard_pairs(
     shingles: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
 ) -> DataFrame:
@@ -372,9 +393,12 @@ def x2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-gram Jaccard >= 0.5 via inverted-index join (the
-    verification tier for LSH candidates)."""
-    docs = t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(doc_shingles(docs)).orderBy("doc_a", "doc_b")
+    verification tier for LSH candidates). Shingle sets come from the
+    persisted store (`corpus_shingles`) — the text pass is ingest
+    state, the query is the inverted-index join."""
+    return ngram_jaccard_pairs(corpus_shingles(spark, sf_dir)).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def _duck_simhash_sql(bits: int = SIMHASH_BITS) -> str:
@@ -400,9 +424,9 @@ def _duck_simhash_sql(bits: int = SIMHASH_BITS) -> str:
 
 @register("x2_simhash_fingerprints", oracle=_duck_simhash_sql(), survey_ids=("X2",))
 def x2_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document; equal fingerprints = near-dup group."""
-    docs = t(spark, sf_dir, "documents")
-    return simhash_fingerprints(doc_shingles(docs)).orderBy("doc_id")
+    """16-bit SimHash per document; equal fingerprints = near-dup
+    group. Served from the persisted shingle store."""
+    return simhash_fingerprints(corpus_shingles(spark, sf_dir)).orderBy("doc_id")
 
 
 def verified_neardup_pairs(
@@ -603,13 +627,17 @@ def x2_shingle_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in total shingles, no pairwise anything. At 100 TB the
     shingle-count table is the big intermediate; it shuffles once and
     is never collected."""
-    return shingle_dup_coverage(t(spark, sf_dir, "documents")).orderBy("doc_id")
+    return shingle_dup_coverage(
+        t(spark, sf_dir, "documents"), shingles=corpus_shingles(spark, sf_dir)
+    ).orderBy("doc_id")
 
 
-def shingle_dup_coverage(docs: DataFrame) -> DataFrame:
+def shingle_dup_coverage(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
     """Library form over any (doc_id, text) relation: per-doc distinct
-    shingle count, shared-shingle count, and dup_frac (floor-scaled)."""
-    sh = doc_shingles(docs)  # distinct (doc_id, shingle)
+    shingle count, shared-shingle count, and dup_frac (floor-scaled).
+    ``shingles`` lets a caller supply a precomputed/persisted distinct
+    shingle relation for the same docs (`corpus_shingles`)."""
+    sh = shingles if shingles is not None else doc_shingles(docs)  # distinct
     stats = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("docs_with"))
     per_doc = (
         sh.join(stats, "shingle")
@@ -692,8 +720,9 @@ def x2_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutually independent near-dup family next to MinHash-Jaccard and
     embedding-LSH."""
     bits, band_w = SIMHASH_PAIR_BITS, SIMHASH_PAIR_BITS // SIMHASH_BANDS
-    docs = t(spark, sf_dir, "documents")
-    fp = simhash_fingerprints(doc_shingles(docs), bits=bits).localCheckpoint(eager=True)
+    fp = simhash_fingerprints(
+        corpus_shingles(spark, sf_dir), bits=bits
+    ).localCheckpoint(eager=True)
     bands = None
     for k in range(SIMHASH_BANDS):
         b = fp.select(
@@ -789,8 +818,7 @@ def x2_lsh_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs, so the all-pairs intersection would be paid-for
     work thrown away. The oracle keeps the mechanical full chain; the
     left join makes the outputs identical."""
-    docs = t(spark, sf_dir, "documents")
-    sh = doc_shingles(docs)
+    sh = corpus_shingles(spark, sf_dir)
     sigs = minhash_signatures(sh)
     keyed = banded_keys(sigs)
     a, b = keyed.alias("a"), keyed.alias("b")
@@ -966,8 +994,7 @@ def x2_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2 ids + k 8-char slots); the exact tier's inverted index is
     candidate-restricted (shingles semi-pruned to candidate docs — the
     `x2_neardup_verified` discipline)."""
-    docs = t(spark, sf_dir, "documents")
-    sh = doc_shingles(docs)
+    sh = corpus_shingles(spark, sf_dir)
     sigs = minhash_signatures(sh)
     pairs = lsh_candidate_pairs(sigs).localCheckpoint()  # narrow; reused 3x
     cand_docs = (
@@ -1079,8 +1106,7 @@ def x2_dedup_qa_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     MARGIN (the 0.5-0.6 band: are these really dups?) without
     re-reviewing the obvious 0.9s. Integer band/score arithmetic end
     to end."""
-    docs = t(spark, sf_dir, "documents")
-    sh = doc_shingles(docs).localCheckpoint(eager=True)
+    sh = corpus_shingles(spark, sf_dir).localCheckpoint(eager=True)
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("card"))
     inter = (
         sh.alias("a")

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from etl_generator_demo_spark.operators.dedup import (
     corpus_candidate_pairs,
+    corpus_shingles,
     doc_shingles,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -287,10 +288,9 @@ def x2_shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed once per unordered pair, then scored in both directions);
     all-integer threshold; at 100 TB this is the verification tier over
     LSH candidates, like every exact pair scorer here."""
-    docs = t(spark, sf_dir, "documents")
-    # shingles feed cardinalities + both sides of the inverted-index
-    # join — materialize once
-    sh = doc_shingles(docs).localCheckpoint(eager=True)
+    # shingles (persisted store) feed cardinalities + both sides of
+    # the inverted-index join — materialize once
+    sh = corpus_shingles(spark, sf_dir).localCheckpoint(eager=True)
     card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("card"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -530,8 +530,7 @@ def x2_bbit_minhash_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     All-integer arithmetic: Ĵ_e6 = (16m − 8)·1e6 div 120 (clamped at
     0), exact Jaccard in e6 by integer division — every column hashes
     engine-identically."""
-    docs = t(spark, sf_dir, "documents")
-    sh = doc_shingles(docs).localCheckpoint(eager=True)
+    sh = corpus_shingles(spark, sf_dir).localCheckpoint(eager=True)
     # signatures feed the band join + BOTH nibble sides — one groupBy
     sigs = minhash_signatures(sh.select("doc_id", "shingle"), num_hashes=8).localCheckpoint(
         eager=True

@@ -194,10 +194,13 @@ def x4_lang_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x4_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprints: exact content hash + winnowing-style
-    min-shingle hash (stable under small edits elsewhere in the doc)."""
+    min-shingle hash (stable under small edits elsewhere in the doc).
+    Shingles served from the persisted store."""
+    from etl_generator_demo_spark.operators.dedup import corpus_shingles
+
     docs = t(spark, sf_dir, "documents")
     winnow = (
-        doc_shingles(docs)
+        corpus_shingles(spark, sf_dir)
         .groupBy("doc_id")
         .agg(F.min(F.md5("shingle")).alias("min_shingle_fp"))
     )
@@ -383,9 +386,9 @@ def x4_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench_shingles = (
         doc_shingles(docs.filter(is_bench)).select("shingle").distinct()
     )
-    corpus_shingles = doc_shingles(docs.filter(~is_bench))  # distinct per doc
+    train_shingles = doc_shingles(docs.filter(~is_bench))  # distinct per doc
     return (
-        corpus_shingles.join(F.broadcast(bench_shingles), "shingle")
+        train_shingles.join(F.broadcast(bench_shingles), "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
         .orderBy("doc_id")
@@ -1398,10 +1401,9 @@ def x4_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ORDER-AWARE — of two identical docs, the first scores 1.0 and
     the second 0.0. One map-combined min per shingle + one co-keyed
     join back + one per-doc agg; never pairwise."""
-    docs = t(spark, sf_dir, "documents")
-    from etl_generator_demo_spark.operators.dedup import doc_shingles
+    from etl_generator_demo_spark.operators.dedup import corpus_shingles
 
-    sh = doc_shingles(docs)  # distinct (doc_id, shingle)
+    sh = corpus_shingles(spark, sf_dir)  # distinct (doc_id, shingle)
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     novel = F.sum(
         F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)

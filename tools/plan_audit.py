@@ -84,7 +84,7 @@ EXPECTATIONS: dict[str, dict] = {
     # decode agg: one groupBy exchange + ordered output
     "x5_decode_features": {"max_exchanges": 2},
     # shingle counts + co-keyed join back + per-doc agg + output order
-    "x2_shingle_dup_coverage": {"max_exchanges": 5},
+    "x2_shingle_dup_coverage": {"max_exchanges": 3},
     # adjacency window + two count aggs + joins back + per-doc agg
     "x4_bigram_lm_quality": {"max_exchanges": 6, "min_broadcast": 1},
     # per-lang count + quota broadcast + md5-rank window + output order
@@ -101,7 +101,7 @@ EXPECTATIONS: dict[str, dict] = {
     "x4_chunk_with_overlap": {"max_exchanges": 1},
     # fingerprint groupBy (behind localCheckpoint) + band self-join +
     # pair distinct + rejoin + output order
-    "x2_simhash_neardup_pairs": {"max_exchanges": 7},
+    "x2_simhash_neardup_pairs": {"max_exchanges": 2},
     # one doc_id window shuffle + distinct + output order
     "x4_winnowing_fingerprints": {"max_exchanges": 3},
     # query-term stats and the scalar stats row broadcast; corpus-keyed
@@ -139,7 +139,7 @@ EXPECTATIONS: dict[str, dict] = {
     "x4_vocab_growth": {"max_exchanges": 4},
     # band join + inverted-index verify + per-bucket agg — the verify
     # tier reuses the shingle relation, so budget covers both chains
-    "x2_lsh_precision_report": {"max_exchanges": 10},
+    "x2_lsh_precision_report": {"max_exchanges": 8},
     # one lead() window on the natural key + output ordering
     "d_scd2_user_state": {"max_exchanges": 2, "pushed": True},
     # four stage scalar aggregates over the shared pipeline chain
@@ -192,7 +192,7 @@ EXPECTATIONS: dict[str, dict] = {
     "o_keyset_page": {"max_exchanges": 0, "take_ordered": True},
     # checkpointed shingles feed card + both join sides; inter agg +
     # direction union + rejoins
-    "x2_shingle_containment_pairs": {"max_exchanges": 7},
+    "x2_shingle_containment_pairs": {"max_exchanges": 5},
     # one Arrow encode pass; only the output ordering shuffles
     "x3_pq_codes": {"max_exchanges": 1},
     # sweep-line: session rollup + boundary-merge + curve window + day agg
@@ -219,7 +219,7 @@ EXPECTATIONS: dict[str, dict] = {
     # Catalyst decorrelates LATERAL into the ranked join
     "u_lateral_topn_per_nation": {"max_exchanges": 2, "min_broadcast": 1},
     # first-owner min + co-keyed join back + per-doc agg
-    "x4_shingle_novelty": {"max_exchanges": 4},
+    "x4_shingle_novelty": {"max_exchanges": 3},
     # length scan × |caps| explode (map-side) + one grouped agg
     "x4_seqlen_cap_selection": {"max_exchanges": 2},
     # windowed counts + per-window rank + output order
@@ -268,7 +268,7 @@ EXPECTATIONS: dict[str, dict] = {
     },
     # checkpointed shingles + signatures; band join + nibble joins +
     # exact-tier verification chains
-    "x2_bbit_minhash_estimates": {"max_exchanges": 6, "min_broadcast": 2},
+    "x2_bbit_minhash_estimates": {"max_exchanges": 5, "min_broadcast": 2},
     # six-table join, five dims broadcast; shuffles: orders⋈lineitem +
     # the year aggregate
     "q8_market_share": {"max_exchanges": 3, "min_broadcast": 4, "pushed": True},
@@ -458,10 +458,13 @@ EXPECTATIONS: dict[str, dict] = {
     "x1_dedup_normalized": {"max_exchanges": 2},
     "x2_cluster_size_histogram": {"max_exchanges": 3},
     "x2_dedup_qa_sample": {"max_exchanges": 4},
-    "x2_minhash_estimate_error": {"max_exchanges": 10},
+    "x2_minhash_estimate_error": {"max_exchanges": 8},
     "x2_minhash_lsh_pairs_guarded": {"max_exchanges": 5},
-    "x2_ngram_jaccard_pairs": {"max_exchanges": 6},
-    "x2_simhash_fingerprints": {"max_exchanges": 3},
+    # shingle-set consumers serve from the persisted distinct-shingle
+    # store since r5 (ensure_shingle_index): the Arrow text pass and
+    # the distinct shuffle are ingest-time, so warm budgets tightened
+    "x2_ngram_jaccard_pairs": {"max_exchanges": 3, "min_broadcast": 2},
+    "x2_simhash_fingerprints": {"max_exchanges": 2},
     "x3_label_centroids": {"max_exchanges": 4},
     "x3_quantize_int8": {"max_exchanges": 1},
     "x4_balanced_sample_per_lang": {"max_exchanges": 2},
