@@ -107,9 +107,22 @@ def ensure_shingle_index(spark: SparkSession, sf_dir: str) -> str:
         "shingles_distinct",
     )
     if not _is_built(path):
-        doc_shingles(t(spark, sf_dir, "documents")).write.mode(
-            "overwrite"
-        ).parquet(path)
+        # inverted-index layout: hash-partition by shingle (all copies
+        # of a shingle in one file) and sort within partitions, so
+        # parquet dictionary + delta encoding collapse the exploded
+        # relation ~3x (unsorted, the store out-weighs the source text
+        # and scan I/O eats the saved shingling CPU at the 100x tier).
+        # Hash-32, NOT repartitionByRange: a small corpus's range
+        # layout collapses to 1-2 hot files and AQE then starves the
+        # downstream self-joins of scan parallelism; hash keeps a flat
+        # file-count floor while preserving per-shingle adjacency.
+        (
+            doc_shingles(t(spark, sf_dir, "documents"))
+            .repartition(32, "shingle")
+            .sortWithinPartitions("shingle", "doc_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
     return path
 
 
