@@ -120,8 +120,18 @@ def global_running(df: DataFrame, order_cols, value_col: str, kind: str = "sum",
         return d.withColumn(out_col, local).drop("_gpid")
     prefix = F.create_map(*entries)[F.col("_gpid")]
     if kind == "sum":
-        out = local + F.coalesce(prefix, F.lit(0))
+        # SQL running-SUM null semantics: null only while NO non-null
+        # value has been seen yet. ``local`` is null when this
+        # partition's prefix rows are all null, and ``prefix`` is null
+        # when no earlier partition contributed — a bare local+prefix
+        # would null out rows whose running sum lives entirely in the
+        # prefix (all-null partition after populated ones).
+        out = F.when(local.isNull() & prefix.isNull(), F.lit(None)).otherwise(
+            F.coalesce(local, F.lit(0)) + F.coalesce(prefix, F.lit(0))
+        )
     else:
+        # greatest() skips nulls, so a null local (all-null partition)
+        # correctly yields the prefix max and vice versa
         out = F.when(prefix.isNull(), local).otherwise(F.greatest(local, prefix))
     return d.withColumn(out_col, out).drop("_gpid")
 

@@ -84,6 +84,36 @@ def test_global_running_matches_window_sum_and_max(spark, sf_dir):
         assert got_m == exp_max
 
 
+def test_global_running_null_runs_match_window(spark):
+    """SQL running-aggregate null semantics survive distribution: a
+    whole RANGE PARTITION of nulls must inherit the prefix (a bare
+    local+prefix would null it out), and rows before any non-null
+    value stay null. Build long all-null runs at the head, middle and
+    tail of the order so several range partitions are entirely null."""
+    from etl_generator_demo_spark.operators.analytics_ext import global_running
+
+    rows = []
+    for i in range(1, 2001):
+        null = i <= 300 or 800 <= i <= 1400 or i > 1900
+        rows.append((i, None if null else i % 13 - 3))
+    df = spark.createDataFrame(rows, "k int, v int")
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    exp_s = {r.k: r.s for r in df.withColumn("s", F.sum("v").over(w)).collect()}
+    exp_m = {r.k: r.m for r in df.withColumn("m", F.max("v").over(w)).collect()}
+    cols = [F.col("k").asc()]
+    for layout in (df, df.repartition(40)):
+        got_s = {
+            r.k: r["_run"]
+            for r in global_running(layout, cols, "v", kind="sum").collect()
+        }
+        assert got_s == exp_s
+        got_m = {
+            r.k: r["_run"]
+            for r in global_running(layout, cols, "v", kind="max").collect()
+        }
+        assert got_m == exp_m
+
+
 def test_contrastive_negative_pool_bounded_and_deterministic(spark, sf_dir):
     from etl_generator_demo_spark.registry import load_all
 
