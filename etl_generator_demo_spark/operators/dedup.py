@@ -34,6 +34,26 @@ from pyspark.sql import functions as F
 from etl_generator_demo_spark.operators.relational import t
 from etl_generator_demo_spark.registry import register
 
+_log = __import__("logging").getLogger(__name__)
+_warned_fallbacks: set[str] = set()
+
+
+def _warn_fallback_once(site: str, exc: Exception) -> None:
+    """The persisted-store fallbacks are row-identical, so a permanent
+    index-build failure (unwritable cache root, corrupt store) is
+    otherwise invisible — every query silently pays the full inline
+    cost the bench numbers assume amortized. Log once per site."""
+    if site not in _warned_fallbacks:
+        _warned_fallbacks.add(site)
+        _log.warning(
+            "%s: persisted index unavailable (%s: %s); falling back to "
+            "the inline pipeline — results identical, ingest-stage cost "
+            "now paid per query",
+            site,
+            type(exc).__name__,
+            exc,
+        )
+
 SHINGLE_N = 5
 NUM_HASHES = 8
 BANDS = 2  # 2 bands x 4 rows
@@ -197,7 +217,8 @@ def corpus_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         keyed = spark.read.parquet(ensure_full_band_index(spark, sf_dir))
         return pairs_from_banded(keyed)
-    except Exception:
+    except Exception as exc:
+        _warn_fallback_once("corpus_candidate_pairs", exc)
         docs = t(spark, sf_dir, "documents")
         return lsh_candidate_pairs(
             minhash_signatures(doc_shingles(docs, distinct=False))
@@ -221,7 +242,8 @@ def corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         return spark.read.parquet(ensure_shingle_index(spark, sf_dir))
-    except Exception:
+    except Exception as exc:
+        _warn_fallback_once("corpus_shingles", exc)
         return doc_shingles(t(spark, sf_dir, "documents"))
 
 

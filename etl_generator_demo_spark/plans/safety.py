@@ -94,9 +94,21 @@ def _strip_comments(sql: str) -> str:
             out.append(" ")
             i = n if j == -1 else j + 1
         elif ch == "/" and sql[i : i + 2] == "/*":
-            j = sql.find("*/", i + 2)
+            # Spark (3.0+) bracketed comments NEST: '/* /* */ x */' is
+            # one comment. Track depth — ending at the first '*/' would
+            # resurface the tail ('x */ DROP ...') as live SQL and let a
+            # write launder past the gate. Unterminated comments run to
+            # EOF (matching Spark's lexer, which errors — nothing after
+            # an unterminated opener can execute anyway).
+            depth, i = 1, i + 2
+            while i < n and depth:
+                if sql[i : i + 2] == "/*":
+                    depth, i = depth + 1, i + 2
+                elif sql[i : i + 2] == "*/":
+                    depth, i = depth - 1, i + 2
+                else:
+                    i += 1
             out.append(" ")
-            i = n if j == -1 else j + 2
         else:
             out.append(ch)
             i += 1

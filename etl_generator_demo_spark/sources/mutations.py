@@ -286,8 +286,9 @@ def zorder_rewrite(
 
     Any ORDERABLE column type works, not just numerics: dates and
     timestamps rank through their epoch value, booleans through 0/1,
-    strings through an order-preserving 8-byte big-endian prefix key
-    (ties past 8 bytes share a bucket — zone maps still narrow).
+    strings through an order-preserving 6-byte big-endian prefix key
+    (48 bits — exact in the double the quantile model uses; ties past
+    6 bytes share a bucket — zone maps still narrow).
     Unorderable types (array/map/struct) raise a clear TypeError
     instead of failing inside approxQuantile. NULL/NaN keys land in
     Bucketizer's overflow bucket, which is CLAMPED to the top Morton
@@ -315,10 +316,14 @@ def zorder_rewrite(
         if isinstance(dt, (DateType, TimestampType)):
             return col.cast("timestamp").cast("double")  # monotone epoch
         if isinstance(dt, StringType):
-            # big-endian first-8-bytes as an unsigned int: preserves
-            # lexicographic (binary-collation) order for bucketing
+            # big-endian first-6-bytes as an unsigned int: preserves
+            # lexicographic (binary-collation) order for bucketing.
+            # 6 bytes = 48 bits stays exactly representable in the
+            # double the quantile model needs; an 8-byte prefix would
+            # exceed double's 53-bit mantissa, so bytes 7-8 silently
+            # stopped distinguishing order anyway
             return F.conv(
-                F.rpad(F.hex(F.encode(col, "UTF-8")), 16, "0"), 16, 10
+                F.rpad(F.hex(F.encode(col, "UTF-8")), 12, "0"), 16, 10
             ).cast("double")
         raise TypeError(
             f"zorder_rewrite: column {c!r} has unorderable type {dt.simpleString()}; "

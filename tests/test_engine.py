@@ -79,6 +79,19 @@ class TestSafetyGate:
     def test_empty_blocked(self):
         assert validate_sql_safety("   ").is_blocked
 
+    def test_nested_bracketed_comment_cannot_launder_a_write(self):
+        # Spark parses nested /* */ — '/* /* */ SELECT 1 */ DROP ...'
+        # is one comment followed by DropTable. A depth-unaware scanner
+        # ends the comment at the first '*/' and sees 'SELECT' first.
+        assert validate_sql_safety("/* /* */ SELECT 1 */ DROP TABLE t").is_blocked
+        assert validate_sql_safety(
+            "/* a /* b */ c */ INSERT INTO t VALUES (1)"
+        ).is_blocked
+        # and the read form stays unblocked
+        assert not validate_sql_safety("/* /* x */ y */ SELECT 1").is_blocked
+        # unterminated nested opener: comment-to-EOF, nothing executable
+        assert validate_sql_safety("/* /* */ DROP TABLE t").is_blocked
+
     def test_engine_blocks_write(self, engine):
         res = engine.execute("DROP TABLE orders")
         assert not res.success and res.is_blocked and "read-only" in res.block_reason

@@ -87,3 +87,28 @@ def test_band_index_pairs_parity_with_inline(spark, sf_dir):
     assert sorted(map(tuple, served.collect())) == sorted(
         map(tuple, inline.collect())
     )
+
+
+def test_index_fallback_logs_once(spark, sf_dir, caplog, monkeypatch):
+    """A persistent index-build failure must be OBSERVABLE: the inline
+    fallback is row-identical, so without the one-time warning a cold-
+    path regression silently pays the ingest cost on every query."""
+    import logging
+
+    import etl_generator_demo_spark.operators.dedup as dedup
+
+    monkeypatch.setattr(dedup, "_warned_fallbacks", set())
+
+    def boom(*a, **k):
+        raise OSError("unwritable index root (injected)")
+
+    import etl_generator_demo_spark.operators.dedup_incremental as di
+
+    monkeypatch.setattr(di, "ensure_shingle_index", boom)
+    with caplog.at_level(logging.WARNING, logger=dedup.__name__):
+        df1 = dedup.corpus_shingles(spark, sf_dir)
+        df2 = dedup.corpus_shingles(spark, sf_dir)
+    assert df1.columns == df2.columns
+    warns = [r for r in caplog.records if "corpus_shingles" in r.message]
+    assert len(warns) == 1, "fallback warning must fire exactly once"
+    assert "OSError" in warns[0].message

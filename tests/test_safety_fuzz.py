@@ -70,7 +70,18 @@ _EXPRS = (
     "'WITH'",
 )
 
-_COMMENTS = ("", " ", " -- c('\n", " /* ')-- */ ", " /* \"( */ ")
+_COMMENTS = (
+    "",
+    " ",
+    " -- c('\n",
+    " /* ')-- */ ",
+    " /* \"( */ ",
+    # Spark bracketed comments NEST — a depth-unaware scanner ends the
+    # comment at the first '*/' and resurfaces the tail as live SQL
+    " /* /* x */ y */ ",
+    " /* a /* b /* c */ */ d */ ",
+    " /* /* ')( */ -- */ ",
+)
 
 _READ_BODIES = (
     "SELECT {e} AS v",
