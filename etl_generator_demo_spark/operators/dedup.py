@@ -34,25 +34,11 @@ from pyspark.sql import functions as F
 from etl_generator_demo_spark.operators.relational import t
 from etl_generator_demo_spark.registry import register
 
+from etl_generator_demo_spark.operators._fallback import (
+    warn_fallback_once as _warn_fallback_once,
+)
+
 _log = __import__("logging").getLogger(__name__)
-_warned_fallbacks: set[str] = set()
-
-
-def _warn_fallback_once(site: str, exc: Exception) -> None:
-    """The persisted-store fallbacks are row-identical, so a permanent
-    index-build failure (unwritable cache root, corrupt store) is
-    otherwise invisible — every query silently pays the full inline
-    cost the bench numbers assume amortized. Log once per site."""
-    if site not in _warned_fallbacks:
-        _warned_fallbacks.add(site)
-        _log.warning(
-            "%s: persisted index unavailable (%s: %s); falling back to "
-            "the inline pipeline — results identical, ingest-stage cost "
-            "now paid per query",
-            site,
-            type(exc).__name__,
-            exc,
-        )
 
 SHINGLE_N = 5
 NUM_HASHES = 8

@@ -373,9 +373,9 @@ def _bucket_assignments(spark: SparkSession, sf_dir: str, emb: DataFrame) -> Dat
         path = ensure_lsh_index(spark, sf_dir, NEARDUP_TABLES, NEARDUP_PLANES)
         return spark.read.parquet(path).select("vec_id", "lsh_table", "bucket")
     except Exception as exc:
-        from etl_generator_demo_spark.operators.dedup import _warn_fallback_once
+        from etl_generator_demo_spark.operators._fallback import warn_fallback_once
 
-        _warn_fallback_once("similarity._bucket_assignments", exc)
+        warn_fallback_once("similarity._bucket_assignments", exc)
     # closure-captured plain data: executor workers can't import this
     # package, so the UDF must carry its constants by value
     plane_rows = [

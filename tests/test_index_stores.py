@@ -95,9 +95,10 @@ def test_index_fallback_logs_once(spark, sf_dir, caplog, monkeypatch):
     path regression silently pays the ingest cost on every query."""
     import logging
 
+    import etl_generator_demo_spark.operators._fallback as fb
     import etl_generator_demo_spark.operators.dedup as dedup
 
-    monkeypatch.setattr(dedup, "_warned_fallbacks", set())
+    monkeypatch.setattr(fb, "_warned_fallbacks", set())
 
     def boom(*a, **k):
         raise OSError("unwritable index root (injected)")
@@ -105,7 +106,7 @@ def test_index_fallback_logs_once(spark, sf_dir, caplog, monkeypatch):
     import etl_generator_demo_spark.operators.dedup_incremental as di
 
     monkeypatch.setattr(di, "ensure_shingle_index", boom)
-    with caplog.at_level(logging.WARNING, logger=dedup.__name__):
+    with caplog.at_level(logging.WARNING, logger=fb.__name__):
         df1 = dedup.corpus_shingles(spark, sf_dir)
         df2 = dedup.corpus_shingles(spark, sf_dir)
     assert df1.columns == df2.columns

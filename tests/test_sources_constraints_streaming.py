@@ -532,7 +532,9 @@ def test_zorder_rewrite_orderable_nonnumeric_keys(spark, sf_dir, tmp_path):
     """Round-4 advice: z-ordering on a DATE or STRING key used to die
     inside approxQuantile/Bucketizer (numeric-only), and NULL keys
     overflowed the Morton bit range. Dates rank via epoch, strings via
-    an order-preserving 8-byte prefix, NULLs clamp to the top cell —
+    an order-preserving 6-byte (48-bit) prefix — wide enough to rank,
+    narrow enough to stay exact in a double — NULLs clamp to the top
+    cell —
     rows survive byte-for-byte and the date axis still clusters."""
     import glob
 
