@@ -1,14 +1,22 @@
-"""Additional TPC-H query shapes: Q8, Q10, Q13, Q15, Q17, Q19, Q22.
+"""Additional TPC-H query shapes: Q8-Q13, Q15-Q17, Q19-Q22.
 
 The reference's query surface is "whatever SELECT-shaped SQL an LLM
 emits against a PostgreSQL/MySQL schema" (SURVEY §0; prompt grant
 ``sql_generator.py:37``), so the classic decision-support shapes are
 exactly the query classes a user of the reference exercises. Q1/Q2/Q3/
 Q4/Q6/Q7/Q14/Q18 live in ``relational.py``; this module adds the seven
-remaining shapes expressible over the fixture schema (Q11/Q16/Q20 need
-``partsupp``, which the fixtures do not ship; Q12/Q21 need
-``l_shipmode``/``l_commitdate``/``l_receiptdate`` — both gaps noted in
-COVERAGE.md):
+shapes directly expressible over the fixture schema plus — since round
+7 — fixture-adapted ANALOGUES of the six shapes whose canonical
+spelling needs columns the fixtures do not ship (``partsupp`` for
+Q9/Q11/Q16/Q20's supply side; ``l_shipmode``/``l_commitdate``/
+``l_receiptdate`` for Q12/Q21's lateness dimension). Each analogue
+keeps the published query's OPERATOR COMPOSITION exactly — the same
+join graph role, subquery class, and aggregate discipline — and swaps
+only the unavailable column for a shipped one (lateness becomes
+``l_shipdate > o_orderdate + INTERVAL``, supply cost becomes a
+``p_retailprice`` proxy, the part-supplier catalog becomes
+``SELECT DISTINCT l_partkey, l_suppkey FROM lineitem``). With these,
+all 22 TPC-H query shapes are registered and oracle-checked:
 
 - Q8  market share: share-of-group conditional aggregate over a
   six-table join with the nation dim in two roles.
@@ -419,4 +427,410 @@ def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
         .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: fixture-adapted analogues of the six blocked TPC-H shapes.
+# Published spellings need partsupp (Q9/Q11/Q16/Q20) or the lineitem
+# lateness columns (Q12/Q21); these keep the operator composition and
+# substitute shipped columns (module docstring). Reference parity:
+# the join graph the reference advertises to its LLM is exactly this
+# star schema (sample_metadata.py:68-74), and its sample-query prompt
+# demands join+aggregate shapes (sql_generator.py:209).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q9_profit_by_nation_year",
+    oracle="""
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+    FROM (
+        SELECT n_name AS nation,
+               CAST(YEAR(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS o_year,
+               l_extendedprice * (1 - l_discount)
+                 - 0.6 * p_retailprice * l_quantity AS amount
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    survey_ids=("J1", "J2", "J6", "A1", "F5", "P2"),
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-type profit by supplier nation and
+    order year. The published amount is
+    ``rev - ps_supplycost * l_quantity``; with no ``partsupp`` the unit
+    cost is the deterministic proxy ``0.6 * p_retailprice`` — same
+    expression shape (revenue minus quantity-scaled cost), same
+    five-table join with the part-name LIKE filter pushed into the
+    part scan. part/supplier/nation broadcast; the only shuffles are
+    orders⋈lineitem and the (nation, year) aggregate — both
+    map-combined, ~25 nations × ~7 years of groups."""
+    li = t(spark, sf_dir, "lineitem")
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("nation")
+    )
+    amount = _rev() - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(n), "s_nationkey")
+        .select(
+            "nation",
+            F.year(F.col("o_orderdate").cast("timestamp")).cast("long").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+    WITH supval AS (
+        SELECT l_partkey AS p_partkey,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_c2
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_7'
+        GROUP BY l_partkey
+    )
+    SELECT p_partkey, value_c2
+    FROM supval
+    WHERE value_c2 * 1000 > (SELECT SUM(value_c2) FROM supval)
+    ORDER BY value_c2 DESC, p_partkey
+    """,
+    survey_ids=("U1", "A2", "A4", "J1", "J6"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — important part values for one nation's
+    suppliers: an aggregate CTE consumed twice, once reduced to a
+    global scalar and once filtered by a HAVING against a fraction of
+    that scalar. The published value is ``ps_supplycost * ps_availqty``
+    over partsupp; the analogue values each part by what NATION_7's
+    suppliers shipped (price × quantity), in EXACT integer cents —
+    line price rounds half-up to cents once, quantities are integral
+    by construction — so the threshold compare ``1000·v > Σv`` is
+    integer-exact and can never flip on summation order (the float
+    spelling would make borderline parts engine-dependent). The
+    supplier⋈nation prune broadcasts into the lineitem scan; one
+    partkey aggregate; the 1-row total broadcasts back."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7").select(
+        F.col("n_nationkey").alias("s_nationkey")
+    )
+    nation_supp = s.join(F.broadcast(n), "s_nationkey").select("s_suppkey")
+    cents = (
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        * F.col("l_quantity").cast("long")
+    )
+    supval = (
+        li.join(F.broadcast(nation_supp), li["l_suppkey"] == nation_supp["s_suppkey"])
+        .groupBy(F.col("l_partkey").alias("p_partkey"))
+        .agg(F.sum(cents).cast("long").alias("value_c2"))
+    )
+    total = supval.agg(F.sum("value_c2").cast("long").alias("_tot"))
+    return (
+        supval.crossJoin(F.broadcast(total))
+        .filter(F.col("value_c2") * 1000 > F.col("_tot"))
+        .select("p_partkey", "value_c2")
+        .orderBy(F.col("value_c2").desc(), "p_partkey")
+    )
+
+
+@register(
+    "q12_late_lines_by_priority",
+    oracle="""
+    SELECT l_linestatus AS linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE CAST(l_shipdate AS TIMESTAMP)
+            > CAST(o_orderdate AS TIMESTAMP) + INTERVAL 60 DAY
+      AND CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01'
+      AND CAST(l_shipdate AS TIMESTAMP) <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    survey_ids=("J1", "A1", "F7", "F2"),
+)
+def q12_late_lines_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — priority mix of late shipments per mode
+    bucket: a fact-fact join whose WHERE carries a cross-table date
+    comparison, then a multi-status CASE aggregation (the
+    high/low-priority line counts). The fixtures ship no
+    ``l_shipmode``/``l_commitdate``/``l_receiptdate``, so lateness is
+    ``l_shipdate > o_orderdate + 60 days`` (a cross-table interval
+    predicate, exactly Q12's receipt-after-commit role) and the
+    grouping dim is ``l_linestatus`` (low-cardinality lineitem
+    attribute, Q12's shipmode role). The ship-year window prunes the
+    lineitem scan; the cross-table lateness predicate evaluates as the
+    join's residual; one tiny 2-group aggregate."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("timestamp") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate").cast("timestamp") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .filter(
+            F.col("l_shipdate").cast("timestamp")
+            > F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 60 DAYS")
+        )
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("linestatus")
+    )
+
+
+@register(
+    "q16_supplier_part_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    survey_ids=("J5", "J6", "A3", "P2", "A1"),
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — supplier variety per (brand, type, size)
+    excluding flagged suppliers: a distinct-projection of the
+    part-supplier association, a dim filter with IN-list + inequality,
+    a NOT IN anti join against a filtered supplier set, and a
+    COUNT(DISTINCT) aggregate. With no ``partsupp`` the association is
+    ``SELECT DISTINCT l_partkey, l_suppkey FROM lineitem`` (the pairs
+    that actually traded — partsupp's observable image), and the
+    complaint filter becomes negative account balance (no
+    ``s_comment`` column). The distinct pair projection map-combines
+    before its shuffle; part broadcasts with both predicates pushed;
+    the flagged-supplier set broadcasts into a left_anti join (NOT IN
+    is safe to rewrite as anti join here because ``s_suppkey`` is a
+    non-null key); the final distinct count reshuffles only the
+    surviving association rows."""
+    ps = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        ps.join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(flagged), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@register(
+    "q20_excess_shipments",
+    oracle="""
+    WITH shipped AS (
+        SELECT l_suppkey, l_partkey,
+               SUM(CAST(l_quantity AS BIGINT)) AS supp_qty
+        FROM lineitem
+        WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01'
+          AND CAST(l_shipdate AS TIMESTAMP) <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    part_tot AS (
+        SELECT l_partkey, SUM(supp_qty) AS part_qty
+        FROM shipped GROUP BY l_partkey
+    )
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_12')
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM shipped
+          JOIN part_tot USING (l_partkey)
+          JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE 'blue%' AND supp_qty * 5 > part_qty
+      )
+    ORDER BY s_suppkey
+    """,
+    survey_ids=("U1", "J5", "J6", "A1", "P2"),
+)
+def q20_excess_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers with excess share of a part family:
+    a two-level aggregate CTE chain (per (supplier, part) quantity,
+    then per-part totals) driving a threshold comparison, reduced to a
+    distinct supplier set that semi-joins the nation-filtered supplier
+    dim. The published form compares ``ps_availqty`` with half the
+    shipped quantity; with no partsupp the analogue flags suppliers
+    carrying over 20% of a blue part's year volume (``5·supp_qty >
+    part_qty`` — EXACT integer arithmetic, quantities are integral).
+    The year filter prunes the lineitem scan; both aggregates
+    map-combine on high-cardinality uniform keys; part (name-pruned)
+    and the qualifying-supplier set broadcast; the outer join order
+    keeps the big side pruned before any wide row is formed."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("timestamp") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate").cast("timestamp") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_suppkey", "l_partkey", "l_quantity")
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("supp_qty")
+    )
+    part_tot = shipped.groupBy("l_partkey").agg(
+        F.sum("supp_qty").cast("long").alias("part_qty")
+    )
+    blue = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("blue%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    qualifying = (
+        shipped.join(part_tot, "l_partkey")
+        .join(F.broadcast(blue), "l_partkey")
+        .filter(F.col("supp_qty") * 5 > F.col("part_qty"))
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    n = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_12")
+    ).select(F.col("n_nationkey").alias("s_nationkey"), "n_name")
+    return (
+        t(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .join(F.broadcast(n), "s_nationkey")
+        .join(F.broadcast(qualifying), "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    oracle="""
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders   ON o_orderkey = l1.l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE o_orderstatus = 'F'
+      AND n_name = 'NATION_5'
+      AND CAST(l1.l_shipdate AS TIMESTAMP)
+            > CAST(o_orderdate AS TIMESTAMP) + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND CAST(l3.l_shipdate AS TIMESTAMP)
+                  > CAST(o_orderdate AS TIMESTAMP) + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    survey_ids=("J2", "J5", "J6", "A1", "O4"),
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who kept finished orders waiting:
+    the EXISTS + NOT EXISTS pair over the same fact (another supplier
+    participated in the order; no OTHER supplier was late), with
+    lateness adapted to ``l_shipdate > o_orderdate + 60 days`` (the
+    receipt-after-commit role; fixtures ship neither commit nor
+    receipt dates).
+
+    Spark spelling: instead of two correlated-subquery rescans of
+    lineitem, ONE aggregate pass computes per-order ``n_supp``
+    (distinct suppliers) and ``n_late_supp`` (distinct late
+    suppliers); the EXISTS pair is then the predicate
+    ``n_supp >= 2 AND n_late_supp = 1`` evaluated on the late lines of
+    the target nation's suppliers. The rewrite is exact: a late l1
+    line makes its supplier a member of the order's late-supplier set,
+    so "no other late supplier" ⇔ that set is exactly {l1.supplier},
+    and "another supplier exists" ⇔ the order's supplier set has ≥2
+    members. COUNT keeps per-LINE grain (Q21's numwait counts late
+    lines). Plan: orders(F)⋈lineitem shuffle join computes lateness
+    once (localCheckpoint-free, one pass reused via two branches);
+    per-order stats aggregate map-combines; nation-pruned supplier set
+    broadcasts; the final top-20 is TakeOrdered."""
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    lines = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate").cast("timestamp")
+            > F.col("o_orderdate").cast("timestamp") + F.expr("INTERVAL 60 DAYS")
+        ).alias("is_late"),
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    ns = (
+        t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_5")
+        .select(F.col("n_nationkey").alias("s_nationkey"))
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(ns), "s_nationkey")
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    )
+    return (
+        lines.filter(F.col("is_late"))
+        .join(F.broadcast(supp), "l_suppkey")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
     )

@@ -492,6 +492,18 @@ EXPECTATIONS: dict[str, dict] = {
     "x5_frame_samples": {"max_exchanges": 1},
     "x5_multimodal_meta": {"max_exchanges": 1},
     "x5_resize_plan": {"max_exchanges": 1},
+    # ------------------------------------------------------------------
+    # Round 7: TPC-H analogues of the six blocked shapes. Budgets =
+    # observed at sf0.01. Shuffle inventory per docstring: the only
+    # exchanges are fact-fact joins, map-combined aggregates, and
+    # output ordering; every dim side broadcasts.
+    # ------------------------------------------------------------------
+    "q9_profit_by_nation_year": {"max_exchanges": 2, "min_broadcast": 3, "pushed": True},
+    "q11_important_parts": {"max_exchanges": 4, "min_broadcast": 2, "pushed": True},
+    "q12_late_lines_by_priority": {"max_exchanges": 2, "min_broadcast": 1, "pushed": True},
+    "q16_supplier_part_variety": {"max_exchanges": 4, "min_broadcast": 2, "pushed": True},
+    "q20_excess_shipments": {"max_exchanges": 5, "min_broadcast": 3, "pushed": True},
+    "q21_suppliers_kept_waiting": {"max_exchanges": 4, "min_broadcast": 2, "pushed": True},
 }
 
 
