@@ -632,3 +632,51 @@ def x4_rolling_7d_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "a_mode_orderpriority",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ),
+    m AS (
+        SELECT o_orderstatus, MAX(n) AS mx FROM c GROUP BY o_orderstatus
+    )
+    SELECT c.o_orderstatus AS status,
+           MIN(c.o_orderpriority) AS mode_priority,
+           CAST(MAX(c.n) AS BIGINT) AS mode_count
+    FROM c JOIN m ON c.o_orderstatus = m.o_orderstatus AND c.n = m.mx
+    GROUP BY c.o_orderstatus
+    ORDER BY status
+    """,
+    survey_ids=("A1", "A2", "J1"),
+)
+def a_mode_orderpriority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE per group with a pinned tie discipline — the
+    most frequent order priority per order status, ties resolved to
+    the SMALLEST value. Engines disagree on bare ``mode()`` tie
+    behavior (Spark's ``mode`` and DuckDB's ``mode`` both pick an
+    arbitrary winner), so the portable spelling is the argmax join:
+    count per (group, value), max count per group, equi-join the two
+    on (group, count), MIN(value) collapses ties deterministically.
+    Both aggregates map-combine; the max-count side is |groups| rows
+    and broadcasts; identical plan shape at any corpus size because
+    every shuffle is keyed on the (tiny) group domain."""
+    c = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    m = c.groupBy("o_orderstatus").agg(F.max("n").alias("mx"))
+    return (
+        c.join(F.broadcast(m), ["o_orderstatus"])
+        .filter(F.col("n") == F.col("mx"))
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.min("o_orderpriority").alias("mode_priority"),
+            F.max("n").cast("long").alias("mode_count"),
+        )
+        .orderBy("status")
+    )

@@ -2655,3 +2655,305 @@ def x4_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.sum(F.abs(F.col("rev") - F.col("prev1")))
         ).alias("weekly_signal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: rank-statistics suite — Spearman, Gini-by-group, burstiness,
+# market concentration. All exact-integer / deterministic-IEEE idioms
+# (ranks are permutations under total orders with unique tiebreakers;
+# every float op is computed from exact integer sums in the same
+# operation order on both engines).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x4_spearman_rank_corr",
+    oracle="""
+    WITH m AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS b
+        FROM events GROUP BY user_id
+    ),
+    r AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY a, user_id) AS ra,
+               ROW_NUMBER() OVER (ORDER BY b, user_id) AS rb
+        FROM m
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+           CAST(FLOOR((1 - 6.0 * CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT)
+                           / (COUNT(*) * (COUNT(*) * COUNT(*) - 1.0)))
+                      * 1000000) AS BIGINT) AS rho_e6
+    FROM r
+    """,
+    survey_ids=("X4", "W1", "A2"),
+)
+def x4_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two per-user engagement
+    metrics (click count vs purchase count) — the monotone-association
+    test data curation uses where Pearson is distorted by heavy tails.
+    Ranks are ROW_NUMBER permutations under (metric, user_id) total
+    orders — both metrics are exact integers, so unlike ranking a
+    float SUM the order can never flip on summation order — and
+    ρ = 1 − 6·Σd²/(n(n²−1)) is evaluated from exact BIGINT sums with
+    the identical operation sequence in both engines.
+
+    Scale: the per-user aggregate map-combines; BOTH rankings run
+    through the distributed exact ``global_row_number`` (range shuffle
+    + per-partition rebase — never a single-partition window); the
+    final scalar is one map-combined reduce. The rank join keys on
+    user_id, high-cardinality uniform."""
+    ev = t(spark, sf_dir, "events")
+    m = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    ra, _n = global_row_number(
+        m.select("user_id", "a"), [F.col("a").asc(), F.col("user_id").asc()],
+        rn_col="ra",
+    )
+    rb, _n2 = global_row_number(
+        m.select("user_id", "b"), [F.col("b").asc(), F.col("user_id").asc()],
+        rn_col="rb",
+    )
+    d = ra.select("user_id", "ra").join(rb.select("user_id", "rb"), "user_id")
+    dd = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(dd).cast("long").alias("sum_d2"),
+    ).select(
+        "n_users",
+        "sum_d2",
+        F.floor(
+            (
+                1
+                - 6.0
+                * F.col("sum_d2")
+                / (F.col("n_users") * (F.col("n_users") * F.col("n_users") - 1.0))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("rho_e6"),
+    )
+
+
+@register(
+    "x4_gini_doclen_by_lang",
+    oracle="""
+    WITH r AS (
+        SELECT lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS i
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(FLOOR((2.0 * CAST(SUM(i * n_chars) AS BIGINT)
+                           / (COUNT(*) * CAST(SUM(n_chars) AS BIGINT))
+                       - (COUNT(*) + 1.0) / COUNT(*)) * 1000000)
+                AS BIGINT) AS gini_e6
+    FROM r
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    survey_ids=("X4", "W1", "A1"),
+)
+def x4_gini_doclen_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Gini coefficient of document length — the
+    length-inequality audit that flags a language slice dominated by a
+    few huge documents before it skews token budgets. Same rank
+    formula as the key-skew audit (G = 2Σi·xᵢ/(nΣx) − (n+1)/n, exact
+    BIGINT sums), but the rank is PER GROUP — computed scale-safe as
+    ONE global rank over (lang, n_chars, doc_id) rebased by each
+    group's minimum rank: ``global_row_number`` never single-partition
+    funnels, and the per-lang minima are a |langs|-row broadcast. A
+    per-group window would instead funnel each language through one
+    task — exactly the skew this query is built to detect."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("x")
+    )
+    ranked, _n = global_row_number(
+        d, [F.col("lang").asc(), F.col("x").asc(), F.col("doc_id").asc()],
+        rn_col="grn",
+    )
+    mins = ranked.groupBy("lang").agg(F.min("grn").alias("_mn"))
+    i = F.col("grn") - F.col("_mn") + 1
+    per = (
+        ranked.join(F.broadcast(mins), "lang")
+        .select("lang", "x", i.alias("i"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("x").cast("long").alias("total_chars"),
+            F.sum(F.col("i") * F.col("x")).cast("long").alias("_s1"),
+        )
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "total_chars",
+        F.floor(
+            (
+                2.0 * F.col("_s1") / (F.col("n_docs") * F.col("total_chars"))
+                - (F.col("n_docs") + 1.0) / F.col("n_docs")
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("gini_e6"),
+    ).orderBy("lang")
+
+
+@register(
+    "x4_burstiness_per_user",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               CAST(epoch_us(ts) // 1000000 AS BIGINT)
+               - LAG(CAST(epoch_us(ts) // 1000000 AS BIGINT))
+                   OVER (PARTITION BY user_id
+                         ORDER BY epoch_us(ts), event_id) AS gap
+        FROM events
+    ),
+    s AS (
+        SELECT user_id,
+               CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+               CAST(SUM(gap) AS BIGINT) AS sum_gap_s,
+               CAST(SUM(gap * gap) AS BIGINT) AS q
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY user_id
+    )
+    SELECT user_id, n_gaps, sum_gap_s,
+           CAST(FLOOR(
+               (SQRT(CAST(n_gaps * q - sum_gap_s * sum_gap_s AS DOUBLE))
+                - sum_gap_s) * 1000000.0
+               / (SQRT(CAST(n_gaps * q - sum_gap_s * sum_gap_s AS DOUBLE))
+                  + sum_gap_s)
+           ) AS BIGINT) AS b_e6
+    FROM s
+    WHERE n_gaps >= 10
+    ORDER BY b_e6 DESC, user_id
+    LIMIT 25
+    """,
+    survey_ids=("X4", "W2", "A1", "O4"),
+)
+def x4_burstiness_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user burstiness coefficient B = (σ−μ)/(σ+μ) over
+    inter-event gaps (Goh–Barabási): B→−1 for clockwork activity,
+    B→+1 for extreme bursts — the signal that separates organic users
+    from schedulers/bots in training-data curation. Gaps are exact
+    integer SECONDS (epoch-µs integer-divided, lag over a per-user
+    total order); σ and μ come from the integer sums (n, Σg, Σg²) via
+    σ/μ = sqrt(n·Q − S²)/S, so the only float ops are one
+    IEEE-exact-rounded sqrt and one division applied in the identical
+    order on both engines. Top-25 bursty users compiles to
+    TakeOrdered.
+
+    Scale: the lag window is keyed per user (bounded partitions); the
+    moment aggregate map-combines. Σg² stays in BIGINT up to ~month
+    gaps at billion-event grain; beyond that the same sums carry as
+    DECIMAL(38,0) with an identical plan."""
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    g = (
+        t(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        )
+        .select(
+            "user_id",
+            (
+                F.expr("us div 1000000") - F.lag(F.expr("us div 1000000")).over(w)
+            ).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+    s = g.groupBy("user_id").agg(
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.sum("gap").cast("long").alias("sum_gap_s"),
+        F.sum(F.col("gap") * F.col("gap")).cast("long").alias("q"),
+    ).filter(F.col("n_gaps") >= 10)
+    disp = F.sqrt(
+        (F.col("n_gaps") * F.col("q") - F.col("sum_gap_s") * F.col("sum_gap_s"))
+        .cast("double")
+    )
+    return (
+        s.select(
+            "user_id",
+            "n_gaps",
+            "sum_gap_s",
+            F.floor(
+                (disp - F.col("sum_gap_s"))
+                * 1_000_000.0
+                / (disp + F.col("sum_gap_s"))
+            )
+            .cast("long")
+            .alias("b_e6"),
+        )
+        .orderBy(F.col("b_e6").desc(), "user_id")
+        .limit(25)
+    )
+
+
+@register(
+    "x4_herfindahl_source_concentration",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY lang, source
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST((CAST(SUM(n * n) AS BIGINT) * 1000000)
+                // (CAST(SUM(n) AS BIGINT) * CAST(SUM(n) AS BIGINT))
+                AS BIGINT) AS hhi_e6,
+           CAST((CAST(SUM(n) AS BIGINT) * CAST(SUM(n) AS BIGINT) * 1000000)
+                // CAST(SUM(n * n) AS BIGINT)
+                AS BIGINT) AS eff_sources_e6
+    FROM c
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    survey_ids=("X4", "A1"),
+)
+def x4_herfindahl_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of each language's documents
+    across sources, plus the effective source count (1/HHI) — the
+    diversification audit that flags a language slice secretly
+    single-sourced (HHI→1e6) before a crawl outage or dedup pass
+    silently deletes the slice. Pure integer arithmetic end to end:
+    counts, squared-count sums, and e6 fixed-point via INTEGER
+    division — no float anywhere, so the hash can't drift. Two
+    map-combined aggregates on (lang, source) then (lang); nothing
+    else. The same plan at 100 TB is two partial-agg shuffles of at
+    most |lang × source| rows."""
+    c = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    s = c.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum(F.col("n") * F.col("n")).cast("long").alias("_ss"),
+    )
+    return s.select(
+        "lang",
+        "n_sources",
+        "n_docs",
+        F.expr("CAST((_ss * 1000000) DIV (n_docs * n_docs) AS LONG)").alias("hhi_e6"),
+        F.expr("CAST((n_docs * n_docs * 1000000) DIV _ss AS LONG)").alias(
+            "eff_sources_e6"
+        ),
+    ).orderBy("lang")

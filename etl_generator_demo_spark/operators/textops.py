@@ -2209,3 +2209,186 @@ def x4_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max(d).cast("long").alias("ks_d_e6"))
         .select("n0", "n1", "ks_d_e6", (F.col("ks_d_e6") > thr).alias("drifted_5pct"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: lexical-diversity suite — Simpson index, type-token ratio,
+# coverage-at-k. All exact-integer idioms over the whitespace-token
+# relation (same tokenizer as the heavy-hitter / Zipf / vocab queries).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x4_token_simpson_diversity",
+    oracle="""
+    WITH c AS (
+        SELECT source, tk, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tk
+              FROM documents)
+        GROUP BY source, tk
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(1000000 - (CAST(SUM(n * (n - 1)) AS BIGINT) * 1000000)
+                          // (CAST(SUM(n) AS BIGINT)
+                              * (CAST(SUM(n) AS BIGINT) - 1))
+                AS BIGINT) AS simpson_e6
+    FROM c
+    GROUP BY source
+    ORDER BY source
+    """,
+    survey_ids=("X4", "A1"),
+)
+def x4_token_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity index per source over the token unigram
+    distribution — D = 1 − Σn(n−1)/(N(N−1)), the probability two
+    random tokens differ. A collapsing D flags template/boilerplate
+    sources before they flood a training mix; unlike Shannon entropy
+    the index needs NO logarithm, so every term stays an exact BIGINT
+    and the e6 fixed-point is INTEGER division — nothing can drift
+    between engines. Plan: explode → (source, token) map-combined
+    count → per-source second aggregate; shuffle volume is bounded by
+    vocabulary size, not corpus size. (At 100-TB token counts Σn(n−1)
+    wants DECIMAL(38,0); identical plan.)"""
+    docs = t(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tk"))
+        .groupBy("source", "tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    s = c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("_coll"),
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        F.expr(
+            "CAST(1000000 - (_coll * 1000000) DIV (n_tokens * (n_tokens - 1)) AS LONG)"
+        ).alias("simpson_e6"),
+    ).orderBy("source")
+
+
+@register(
+    "x4_type_token_ratio",
+    oracle="""
+    WITH c AS (
+        SELECT source, tk, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tk
+              FROM documents)
+        GROUP BY source, tk
+    )
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST((CAST(COUNT(*) AS BIGINT) * 1000000)
+                // CAST(SUM(n) AS BIGINT) AS BIGINT) AS ttr_e6,
+           CAST((CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 * 1000000) // CAST(COUNT(*) AS BIGINT)
+                AS BIGINT) AS hapax_share_e6
+    FROM c
+    GROUP BY source
+    ORDER BY source
+    """,
+    survey_ids=("X4", "A1"),
+)
+def x4_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical richness per source: type-token ratio (distinct tokens
+    over total tokens) and hapax-legomena share (vocabulary seen
+    exactly once) — the two standard screens for synthetic or
+    over-deduplicated text (TTR collapses on template spam, hapax
+    share collapses when a source is machine-paraphrased). Exact
+    integer counts + integer-division e6 fixed-point; same
+    vocabulary-bounded two-level aggregate shape as the Simpson
+    index (the two stay separate queries because curation pipelines
+    gate on them independently)."""
+    docs = t(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tk"))
+        .groupBy("source", "tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    s = c.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("hapax"),
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        "vocab",
+        "hapax",
+        F.expr("CAST((vocab * 1000000) DIV n_tokens AS LONG)").alias("ttr_e6"),
+        F.expr("CAST((hapax * 1000000) DIV vocab AS LONG)").alias("hapax_share_e6"),
+    ).orderBy("source")
+
+
+@register(
+    "x4_ngram_coverage_topk",
+    oracle="""
+    WITH c AS (
+        SELECT tk, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tk FROM documents)
+        GROUP BY tk
+    ),
+    r AS (
+        SELECT n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, tk) AS rn,
+               CAST(SUM(n) OVER (ORDER BY n DESC, tk
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS BIGINT) AS cum
+        FROM c
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c)
+    SELECT rn AS k, cum AS cum_tokens,
+           CAST((cum * 1000000) // t AS BIGINT) AS covered_e6
+    FROM r, tot
+    WHERE rn IN (5, 10, 25)
+    ORDER BY k
+    """,
+    survey_ids=("X4", "W1", "W3", "A1"),
+)
+def x4_ngram_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve at k ∈ {5, 10, 25}: what fraction
+    of all token occurrences the k most frequent types account for —
+    the number that sizes a tokenizer vocabulary and predicts how far
+    a stopword list reaches. Frequency ranking AND the cumulative
+    occurrence sum both run over the (n DESC, token) total order via
+    the distributed exact primitives — ``global_row_number`` for the
+    rank, ``global_running`` for the prefix sum — so the vocabulary
+    relation is never funneled through a single-partition window (at
+    web scale the vocabulary alone is billions of types). The three
+    output rows select by exact rank; coverage is integer-division e6
+    fixed-point."""
+    from etl_generator_demo_spark.operators.analytics_ext import (
+        global_row_number,
+        global_running,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    c = (
+        docs.select(F.explode(F.split("text", " ")).alias("tk"))
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ranked, _n = global_row_number(
+        c, [F.col("n").desc(), F.col("tk").asc()], rn_col="rn"
+    )
+    cum = global_running(
+        ranked, [F.col("rn").asc()], "n", kind="sum", out_col="cum"
+    )
+    tot = c.agg(F.sum("n").cast("long").alias("t"))
+    return (
+        cum.filter(F.col("rn").isin(5, 10, 25))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rn").cast("long").alias("k"),
+            F.col("cum").cast("long").alias("cum_tokens"),
+            F.expr("CAST((cum * 1000000) DIV t AS LONG)").alias("covered_e6"),
+        )
+        .orderBy("k")
+    )

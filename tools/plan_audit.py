@@ -504,6 +504,21 @@ EXPECTATIONS: dict[str, dict] = {
     "q16_supplier_part_variety": {"max_exchanges": 4, "min_broadcast": 2, "pushed": True},
     "q20_excess_shipments": {"max_exchanges": 5, "min_broadcast": 3, "pushed": True},
     "q21_suppliers_kept_waiting": {"max_exchanges": 4, "min_broadcast": 2, "pushed": True},
+    # ------------------------------------------------------------------
+    # Round 7: rank-statistics + lexical-diversity suite. Budgets =
+    # observed at sf0.01. The global_row_number/global_running callers
+    # (spearman, gini, ngram_coverage) have localCheckpoint lineage
+    # cuts, so the visible plan understates total exchanges — the pin
+    # guards the SERVED plan like the other checkpointed entries.
+    # ------------------------------------------------------------------
+    "a_mode_orderpriority": {"max_exchanges": 5, "min_broadcast": 1},
+    "x4_spearman_rank_corr": {"max_exchanges": 1, "min_broadcast": 1},
+    "x4_gini_doclen_by_lang": {"max_exchanges": 3, "min_broadcast": 1},
+    "x4_burstiness_per_user": {"max_exchanges": 1},
+    "x4_herfindahl_source_concentration": {"max_exchanges": 3},
+    "x4_token_simpson_diversity": {"max_exchanges": 3},
+    "x4_type_token_ratio": {"max_exchanges": 3},
+    "x4_ngram_coverage_topk": {"max_exchanges": 4},
 }
 
 
