@@ -63,26 +63,14 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from etl_generator_demo_spark.registry import load_all
-    from etl_generator_demo_spark.session import get_spark
-
-    spark = get_spark("bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    registry = load_all()
-
-    # JVM/codegen warmup on the smallest fixture so headline timings
-    # measure the queries, not JIT.
-    registry["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").collect()
-
-    # Warm the persisted ANN/band index caches BEFORE timing: the
-    # x3_ann_* and x2_dedup_incremental headliners probe materialized
-    # indexes (ann_index.py), and an index build belongs to ingest, not
-    # query latency. ensure_* is a single _SUCCESS stat when warm, so
-    # the timed runs below measure the steady-state probe only (the
-    # min-of-2 would hide a cold build anyway; this makes run 1 honest
-    # too).
+def _warm_indexes(spark, sf_dir: str) -> None:
+    """Warm the persisted ANN/band index caches BEFORE timing: the
+    x3_ann_* and x2_dedup_incremental headliners probe materialized
+    indexes (ann_index.py), and an index build belongs to ingest, not
+    query latency. ensure_* is a single _SUCCESS stat when warm, so
+    the timed runs below measure the steady-state probe only (the
+    min-of-2 would hide a cold build anyway; this makes run 1 honest
+    too)."""
     from etl_generator_demo_spark.operators.ann_index import (
         ensure_ivf_index,
         ensure_lsh_index,
@@ -98,6 +86,22 @@ def main() -> None:
     ensure_corpus_band_index(spark, sf_dir)
     ensure_full_band_index(spark, sf_dir)
     ensure_shingle_index(spark, sf_dir)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from etl_generator_demo_spark.registry import load_all
+    from etl_generator_demo_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_all()
+
+    # JVM/codegen warmup on the smallest fixture so headline timings
+    # measure the queries, not JIT.
+    registry["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").collect()
+
+    _warm_indexes(spark, sf_dir)
 
     # IVF probe-only wrapper: the registered x3_ann_ivf_topk is a
     # bounded-error verdict (exact scan + probe + recall join); the
@@ -124,32 +128,61 @@ def main() -> None:
 
     extra = {"x3_ann_ivf_probe": _ivf_probe_bench}
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry[name].fn if name in registry else extra[name]
-        # three runs, report the min: run 1 is dominated by plan
-        # compilation + whole-stage-codegen JIT and run 2 can still pay
-        # lazy JIT tails (measured: x2_dedup_incremental 3.8/1.3/1.0 s —
-        # the round-4 "wobble" was min-of-2 catching run 2), which
-        # amortize to zero on a long-lived cluster — steady-state is
-        # the honest number.
-        best = float("inf")
-        rows = []
-        for _ in range(3):
-            t0 = time.time()
-            rows = fn(spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        print(f"  {name}: {best:.2f}s ({len(rows)} rows)", file=sys.stderr)
+    def run_set(the_sf_dir: str) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = registry[name].fn if name in registry else extra[name]
+            # three runs, report the min: run 1 is dominated by plan
+            # compilation + whole-stage-codegen JIT and run 2 can still
+            # pay lazy JIT tails (measured: x2_dedup_incremental
+            # 3.8/1.3/1.0 s — the round-4 "wobble" was min-of-2
+            # catching run 2), which amortize to zero on a long-lived
+            # cluster — steady-state is the honest number.
+            best = float("inf")
+            rows = []
+            for _ in range(3):
+                t0 = time.time()
+                rows = fn(spark, the_sf_dir).collect()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
+            print(f"  {name}: {best:.2f}s ({len(rows)} rows)", file=sys.stderr)
+        return timings
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    def parse_sf(d: str):
+        sf = d.rstrip("/").rsplit("sf", 1)[-1]
+        return float(sf) if sf.replace(".", "").isdigit() else sf
+
+    timings = run_set(sf_dir)
+
+    # Second scale factor (round-6 verdict advice #2): the committed
+    # bench record itself must show the scaling slope, not just the
+    # one-off PROBE_r5 artifact. Runs AFTER the primary set so the
+    # primary numbers stay comparable with earlier rounds' JVM-warmth
+    # conditions. Opt out with SPARK_GRAFT_BENCH_SECONDARY="" when
+    # timing a single SF in isolation (never time two things at once).
+    secondary_dir = os.environ.get(
+        "SPARK_GRAFT_BENCH_SECONDARY", "/root/testdata/sf0.01"
+    )
+    secondary = None
+    if secondary_dir and os.path.isdir(secondary_dir) and secondary_dir != sf_dir:
+        print(f"-- secondary SF: {secondary_dir}", file=sys.stderr)
+        _warm_indexes(spark, secondary_dir)
+        sec_timings = run_set(secondary_dir)
+        secondary = {
+            "sf": parse_sf(secondary_dir),
+            "value": round(sum(sec_timings.values()), 3),
+            "queries": sec_timings,
+        }
+
     out = {
         "metric": "headline_query_wall_clock_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": parse_sf(sf_dir),
     }
+    if secondary is not None:
+        out["secondary"] = secondary
     print(json.dumps(out))
 
 
