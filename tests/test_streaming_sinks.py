@@ -159,3 +159,95 @@ def test_incremental_agg_sink_matches_batch_recompute(spark, sf_dir, tmp_path):
     assert got3 == want
     with open(os.path.join(state, "_committed_batches.json")) as fh:
         assert 0 in set(json.load(fh))
+
+
+def test_incremental_agg_sink_crash_inside_swap_window(spark, sf_dir, tmp_path, monkeypatch):
+    """Round-6 verdict advice #3: the swap window's crash case was
+    asserted only in comments — inject the crash for real. The
+    two-rename swap in ``incremental_agg_sink`` dies BETWEEN
+    ``rename(state, state.old)`` and ``rename(staging, state)``
+    (the non-atomic window: state missing, data parked at .old, the
+    new state+marker orphaned in staging). On restart the next batch
+    call must (a) recover the pre-crash state via ``recover_staged``,
+    (b) re-apply the crashed batch exactly once — its id never reached
+    a live marker — and (c) end bit-identical to the never-crashed
+    run: no double-count, no lost batch."""
+    import json
+    import os
+
+    from etl_generator_demo_spark.catalog import read_table
+    from etl_generator_demo_spark.streaming.sinks import incremental_agg_sink
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    # deterministic disjoint micro-batches (row-level subtract would
+    # drop duplicate (priority, cents) rows from the second batch)
+    b0 = orders.filter(F.col("o_orderkey") % 2 == 0)
+    b1 = orders.filter(F.col("o_orderkey") % 2 == 1)
+
+    target = str(tmp_path / "agg_state")
+    state = os.path.join(target, "state")
+    sink = incremental_agg_sink(target, ["o_orderpriority"], ["cents"])
+
+    sink(b0, 0)  # clean first batch
+    committed_before = {
+        r["o_orderpriority"]: (r["n_rows"], r["sum_cents"])
+        for r in spark.read.parquet(state).collect()
+    }
+
+    # -- crash injection: let rename #1 (state -> state.old) succeed,
+    # kill the process at rename #2 (staging -> state)
+    real_rename = os.rename
+
+    def crashing_rename(src, dst):
+        if dst == state and os.path.basename(src).startswith(".staging_"):
+            raise RuntimeError("injected crash inside the swap window")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(os, "rename", crashing_rename)
+    try:
+        sink(b1, 1)
+        raise AssertionError("injected crash did not fire")
+    except RuntimeError as exc:
+        assert "injected crash" in str(exc)
+    monkeypatch.undo()
+
+    # mid-window invariants: state gone, pre-crash data parked at .old,
+    # marker does NOT contain the crashed batch anywhere live
+    assert not os.path.exists(state)
+    assert os.path.exists(state + ".old")
+    with open(os.path.join(state + ".old", "_committed_batches.json")) as fh:
+        assert set(json.load(fh)) == {0}
+
+    # -- restart: the streaming engine replays batch 1
+    sink(b1, 1)
+
+    got = {
+        r["o_orderpriority"]: (r["n_rows"], r["sum_cents"])
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r["o_orderpriority"]: (r["n"], r["s"])
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("cents").cast("long").alias("s"))
+        .collect()
+    }
+    assert got == want, "state after crash+replay must equal the never-crashed fixpoint"
+    # recovery happened (no .old left), marker now carries both ids
+    assert not os.path.exists(state + ".old")
+    with open(os.path.join(state, "_committed_batches.json")) as fh:
+        assert set(json.load(fh)) == {0, 1}
+
+    # a SECOND replay of the recovered batch is the idempotent skip
+    sink(b1, 1)
+    got2 = {
+        r["o_orderpriority"]: (r["n_rows"], r["sum_cents"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got2 == want
+    # sanity: the pre-crash snapshot really was a strict subset
+    assert committed_before != want
