@@ -90,9 +90,25 @@ def _strip_comments(sql: str) -> str:
             out.append(sql[i : j + 1])
             i = j + 1
         elif ch == "-" and sql[i : i + 2] == "--":
-            j = sql.find("\n", i)
+            # Spark's SIMPLE_COMMENT is ``'--' ('\\\n' | ~[\r\n])*``:
+            # a backslash immediately before a newline CONTINUES the
+            # comment onto the next line, and a bare ``\r`` always
+            # terminates (it is outside both alternatives). Ending at
+            # the first newline — what this scanner did before round
+            # 7's grammar-aware fuzz caught it — lets
+            # ``--\<nl>SELECT decoy<nl>INSERT ...`` launder a write:
+            # the scanner classifies the decoy SELECT while Spark's
+            # lexer swallows it as comment and executes the INSERT.
+            i += 2
+            while i < n:
+                if sql[i] == "\\" and i + 1 < n and sql[i + 1] == "\n":
+                    i += 2  # line continuation: still inside the comment
+                elif sql[i] in "\r\n":
+                    i += 1
+                    break
+                else:
+                    i += 1
             out.append(" ")
-            i = n if j == -1 else j + 1
         elif ch == "/" and sql[i : i + 2] == "/*":
             # Spark (3.0+) bracketed comments NEST: '/* /* */ x */' is
             # one comment. Track depth — ending at the first '*/' would
@@ -124,6 +140,42 @@ def _first_keyword(sql: str) -> str:
     return m.group(0).upper() if m else ""
 
 
+def _is_identifier_list(s: str) -> bool:
+    """True when ``s`` parses as a comma-separated identifier list —
+    the shape of a CTE column-alias list. Identifiers may be plain
+    (any keyword counts: Spark's non-ANSI mode accepts ``(select)``
+    as a column list) or backquoted with the doubled-backtick escape
+    (a backquoted name may contain commas — split-on-comma is not
+    enough, so this walks with the quote-aware scanner)."""
+    i, n = 0, len(s)
+    expect_ident, seen_any = True, False
+    while i < n:
+        ch = s[i]
+        if ch.isspace():
+            i += 1
+        elif ch == "`":
+            if not expect_ident:
+                return False
+            j = _skip_string(s, i)
+            if j >= n:
+                return False  # unterminated backquote
+            i = j + 1
+            expect_ident, seen_any = False, True
+        elif re.match(r"[A-Za-z_]", ch):
+            if not expect_ident:
+                return False
+            i += re.match(r"[A-Za-z_0-9]+", s[i:]).end()
+            expect_ident, seen_any = False, True
+        elif ch == ",":
+            if expect_ident:
+                return False
+            expect_ident = True
+            i += 1
+        else:
+            return False
+    return seen_any and not expect_ident
+
+
 def _cte_body_keyword(sql: str) -> str:
     """Leading keyword of the statement BODY after a WITH clause.
 
@@ -135,27 +187,49 @@ def _cte_body_keyword(sql: str) -> str:
     identifiers are skipped with the full Spark escape rules
     (:func:`_skip_string`) so parens inside them don't count; a
     parenthesized body ``WITH a AS (...) (SELECT ...)`` classifies as
-    the ``(`` read opener. Returns "" when no body is found (malformed
-    WITH) — the caller's conservative-block branch handles it."""
+    the ``(`` read opener.
+
+    ``AS`` is OPTIONAL in Spark's grammar (``namedQuery: name
+    (columnAliases)? AS? '(' query ')'``) — the round-7 grammar-aware
+    fuzz caught the walker treating the query paren of
+    ``WITH c0(s) (SELECT ...) INSERT ...`` as a parenthesized read
+    body and laundering the INSERT. Disambiguation now mirrors the
+    parser's binding (verified empirically, incl. keyword-named and
+    backquoted-comma columns): a depth-0 group shaped like an
+    identifier list is a column-alias list, so a following ``(``
+    opens this CTE's query; any other group is the query itself, so a
+    following ``(`` opens the body. Returns "" when no body is found
+    (malformed WITH) — the caller's conservative-block branch handles
+    it."""
     stripped = _strip_comments(sql).strip().rstrip(";").strip()
     i, n, depth = 0, len(stripped), 0
+    group_start = -1
     while i < n:
         ch = stripped[i]
         if ch in "'\"`":
             i = _skip_string(stripped, i)
         elif ch == "(":
+            if depth == 0:
+                group_start = i
             depth += 1
         elif ch == ")":
             depth -= 1
             if depth == 0:
+                inner = stripped[group_start + 1 : i]
                 j = i + 1
                 while j < n and stripped[j].isspace():
                     j += 1
                 if j < n and stripped[j] == ",":
                     i = j  # next CTE definition
-                else:
-                    if j < n and stripped[j] == "(":
+                elif j < n and stripped[j] == "(":
+                    if _is_identifier_list(inner):
+                        # the closed group was a column-alias list with
+                        # AS omitted; the upcoming group is this CTE's
+                        # query — reprocess it as a new depth-0 group
+                        i = j - 1
+                    else:
                         return "("  # parenthesized query body: a read
+                else:
                     m = re.match(r"[A-Za-z_]+", stripped[j:])
                     tok = m.group(0).upper() if m else ""
                     if tok == "AS":
