@@ -680,3 +680,51 @@ def a_mode_orderpriority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "a_filtered_aggregates",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT')
+                AS BIGINT) AS n_urgent,
+           CAST(COUNT(*) FILTER (WHERE o_orderpriority IN
+                                 ('2-HIGH', '3-MEDIUM')) AS BIGINT) AS n_mid,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT)
+                AS low_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+    survey_ids=("A1", "A4", "F7"),
+)
+def a_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``FILTER (WHERE ...)`` aggregate clause — several
+    differently-filtered aggregates in ONE grouped pass, the SQL:2003
+    surface LLM-generated analytics SQL reaches for constantly (and
+    the cleaner spelling of the CASE-WHEN-inside-SUM idiom). Supported
+    natively by both Spark (3.0+) and DuckDB, so the oracle runs the
+    identical text. One map-combined aggregate; monetary sums in exact
+    half-up cents; a filtered SUM over an empty group is NULL in both
+    engines (not 0 — the CASE spelling would differ)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.expr(
+                "CAST(COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS LONG)"
+            ).alias("n_urgent"),
+            F.expr(
+                "CAST(COUNT(*) FILTER (WHERE o_orderpriority IN "
+                "('2-HIGH', '3-MEDIUM')) AS LONG)"
+            ).alias("n_mid"),
+            F.expr(
+                "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS LONG)) "
+                "FILTER (WHERE o_orderpriority = '5-LOW') AS LONG)"
+            ).alias("low_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+        .orderBy("status")
+    )

@@ -219,3 +219,64 @@ def j8_asof_forward_next_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "purchase_ts", F.col("asof_view_ts").alias("asof_view_ts")
     ).orderBy("event_id")
+
+
+@register(
+    "j8_asof_tolerance_click",
+    oracle="""
+    WITH clicks AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts,
+           CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR THEN c.ts END
+               AS asof_click_ts,
+           CAST(CASE WHEN c.ts >= p.ts - INTERVAL 1 HOUR
+                     THEN 1 ELSE 0 END AS BIGINT) AS attributed
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+    survey_ids=("J8",),
+)
+def j8_asof_tolerance_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness TOLERANCE (pandas ``merge_asof(...,
+    tolerance=...)`` / kdb ``wj`` semantics): each purchase joins to
+    the user's most recent click at or before it, but a match older
+    than 1 hour is rejected to NULL — attribution windows, sensor
+    freshness gates, point-in-time feature staleness budgets all need
+    the bounded variant, not bare as-of. Composition: the same single
+    union + per-key window carry as :func:`asof_join` (one keyed
+    shuffle, linear — no range explosion), then the tolerance is one
+    scan-side predicate on the carried timestamp. The oracle is
+    DuckDB's native ASOF LEFT JOIN with the same post-filter, so the
+    tolerance semantics (boundary INCLUSIVE at exactly -1 hour) are
+    pinned cross-engine."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        value_cols=["click_ts"],
+    )
+    fresh = F.col("asof_click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_ts",
+        F.when(fresh, F.col("asof_click_ts")).alias("asof_click_ts"),
+        F.when(fresh, 1).otherwise(0).cast("long").alias("attributed"),
+    ).orderBy("event_id")

@@ -506,3 +506,105 @@ def u_recursive_cte_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Catalog(spark, sf_dir).register_views(("customer",))
     return spark.sql(_RECURSIVE_TREE_SQL.format(div="DIV"))
+
+
+@register(
+    "g_clustering_coefficient",
+    oracle="""
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+        SELECT pa AS u, pb AS v FROM e
+        UNION ALL
+        SELECT pb AS u, pa AS v FROM e
+    ),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY u),
+    tri AS (
+        SELECT u, CAST(COUNT(*) AS BIGINT) AS tri
+        FROM (
+            SELECT s1.u, s1.v AS a, s2.v AS b
+            FROM sym s1
+            JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+            JOIN e ON e.pa = s1.v AND e.pb = s2.v
+        )
+        GROUP BY u
+    )
+    SELECT d.node, d.deg, COALESCE(t.tri, 0) AS tri,
+           CAST((2 * COALESCE(t.tri, 0) * 1000000)
+                // (d.deg * (d.deg - 1)) AS BIGINT) AS lcc_e6
+    FROM deg d
+    LEFT JOIN tri t ON t.u = d.node
+    WHERE d.deg >= 3
+    ORDER BY lcc_e6 DESC, d.node
+    LIMIT 20
+    """,
+    survey_ids=("J3", "A1", "O4"),
+)
+def g_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL clustering coefficient per node — 2·tri(v)/(deg(v)·
+    (deg(v)−1)), the per-node counterpart of `g_triangle_count`'s
+    global census: which parts sit inside cliquish co-purchase
+    neighborhoods (community seeds) vs hub-and-spoke ones. The
+    per-node triangle counts reuse the degree-ordered orientation:
+    wedges enumerate only at each edge's lower-(deg,id) endpoint —
+    O(m^1.5) worst case, hub-safe — and every closed triangle
+    (src, v, w) credits its THREE corners via one explode, so the
+    per-node credit relation is 3·|triangles| rows. Exact integers
+    end to end (e6 via integer division); the oracle closes triangles
+    with the naive symmetric 3-way self-join — hash equality proves
+    the oriented enumeration exact, corner for corner."""
+    edges = copurchase_edges(t(spark, sf_dir, "lineitem"))
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("pa"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("pb"), F.col("deg").alias("deg_b"))
+    ranked = edges.join(da, "pa").join(db, "pb")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("pa") < F.col("pb"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("pa")).otherwise(F.col("pb")).alias("src"),
+        F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
+    )
+    wedges = (
+        oriented.alias("e1")
+        .join(oriented.alias("e2"), "src")
+        .filter(F.col("e1.dst") < F.col("e2.dst"))
+        .select("src", F.col("e1.dst").alias("v"), F.col("e2.dst").alias("w"))
+    )
+    closing = edges.select(F.col("pa").alias("v"), F.col("pb").alias("w"))
+    triangles = wedges.join(closing, ["v", "w"], "left_semi")
+    corner_credit = triangles.select(
+        F.explode(F.array("src", "v", "w")).alias("node")
+    )
+    tri = corner_credit.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("tri")
+    )
+    return (
+        deg.filter(F.col("deg") >= 3)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("tri"), F.lit(0)).cast("long").alias("tri"),
+        )
+        .select(
+            "node",
+            "deg",
+            "tri",
+            F.expr("CAST((2 * tri * 1000000) DIV (deg * (deg - 1)) AS LONG)").alias(
+                "lcc_e6"
+            ),
+        )
+        .orderBy(F.col("lcc_e6").desc(), "node")
+        .limit(20)
+    )

@@ -2392,3 +2392,73 @@ def x4_ngram_coverage_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "x4_shannon_entropy_lang",
+    oracle="""
+    WITH c AS (
+        SELECT lang, tk, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS tk
+              FROM documents)
+        GROUP BY lang, tk
+    ),
+    s AS (
+        SELECT lang,
+               CAST(SUM(n) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS vocab,
+               CAST(SUM(n * CAST(FLOOR(LN(n) * 1000000000) AS BIGINT))
+                    AS BIGINT) AS slog
+        FROM c GROUP BY lang
+    )
+    SELECT lang, tot AS n_tokens, vocab,
+           CAST(FLOOR((LN(CAST(tot AS DOUBLE))
+                       - CAST(slog AS DOUBLE)
+                         / (CAST(tot AS DOUBLE) * 1000000000.0))
+                      * 1000000) AS BIGINT) AS entropy_nats_e6
+    FROM s
+    ORDER BY lang
+    """,
+    survey_ids=("X4", "A1"),
+)
+def x4_shannon_entropy_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of the token unigram distribution per
+    language — the information-density screen that complements the
+    log-free Simpson index: entropy collapses on templated text even
+    when the vocabulary stays wide. Uses the identity
+    H = ln N − (1/N)·Σ n·ln n so the only per-term float is
+    ``FLOOR(ln(n)·1e9)``, folded into an ORDER-INDEPENDENT exact
+    integer sum (the Kaplan–Meier e9-floored-log idiom) — a naive
+    Σ p·ln p float sum would hash-drift on aggregation order. Plan:
+    the same vocabulary-bounded two-level aggregate as the diversity
+    suite."""
+    docs = t(spark, sf_dir, "documents")
+    c = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tk"))
+        .groupBy("lang", "tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    s = c.groupBy("lang").agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(
+            F.col("n") * F.floor(F.log(F.col("n")) * 1_000_000_000).cast("long")
+        )
+        .cast("long")
+        .alias("slog"),
+    )
+    return s.select(
+        "lang",
+        F.col("tot").alias("n_tokens"),
+        "vocab",
+        F.floor(
+            (
+                F.log(F.col("tot").cast("double"))
+                - F.col("slog").cast("double")
+                / (F.col("tot").cast("double") * 1_000_000_000.0)
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("entropy_nats_e6"),
+    ).orderBy("lang")

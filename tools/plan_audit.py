@@ -519,6 +519,14 @@ EXPECTATIONS: dict[str, dict] = {
     "x4_token_simpson_diversity": {"max_exchanges": 3},
     "x4_type_token_ratio": {"max_exchanges": 3},
     "x4_ngram_coverage_topk": {"max_exchanges": 4},
+    # Round-7 second batch: FILTER-clause aggregate, tolerance as-of,
+    # local clustering coefficient (deg-ordered orientation inherits
+    # g_triangle_count's shuffle inventory + the corner-credit agg),
+    # Shannon entropy (vocabulary-bounded two-level aggregate).
+    "a_filtered_aggregates": {"max_exchanges": 2},  # FILTER is aggregate-level; the scan is full by design
+    "j8_asof_tolerance_click": {"max_exchanges": 2, "pushed": True},
+    "g_clustering_coefficient": {"max_exchanges": 9},
+    "x4_shannon_entropy_lang": {"max_exchanges": 3},
 }
 
 
