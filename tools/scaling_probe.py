@@ -80,6 +80,24 @@ QUERIES = [
     "x4_key_skew_audit",
     "st_lateness_histogram",
     "o_top_recent_with_ties",
+    # round-7 additions: the rank-statistics suite (two global_row_number
+    # passes for Spearman; per-group rebased global rank for Gini; the
+    # rank+prefix-scan pair for coverage-at-k) must stay ~linear like
+    # the other de-globalized primitives; burstiness is one keyed lag
+    # window + a moment aggregate; the Q21 analogue is the EXISTS pair
+    # rewritten as one per-order aggregate (watch the orders⋈lineitem
+    # shuffle stay linear); local clustering coefficient inherits the
+    # O(m^1.5) oriented wedge bound — on the synth tier the part
+    # catalog is shared across replicas so the co-purchase graph
+    # DENSIFIES (edge count saturates at C(|parts|,2)): its growth
+    # measures the data shape's densification, worth watching but not
+    # a plan regression signal like the linear rows above.
+    "x4_spearman_rank_corr",
+    "x4_gini_doclen_by_lang",
+    "x4_burstiness_per_user",
+    "x4_ngram_coverage_topk",
+    "q21_suppliers_kept_waiting",
+    "g_clustering_coefficient",
 ]
 
 KEY_COLS = {
