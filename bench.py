@@ -60,6 +60,11 @@ HEADLINE = [
     # late round-4: d^2-bounded Arrow Gram partials (covariance) —
     # the shuffle-volume-independent partial-aggregation pattern
     "x3_dim_covariance",
+    # round-7: the Q21 analogue (EXISTS pair rewritten as one
+    # per-order aggregate — the heaviest new fact-join shape) and the
+    # coverage curve (global_row_number + global_running composition)
+    "q21_suppliers_kept_waiting",
+    "x4_ngram_coverage_topk",
 ]
 
 
