@@ -158,3 +158,78 @@ def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enrich_purchases_with_segment(
         t(spark, sf_dir, "events"), t(spark, sf_dir, "customer")
     ).orderBy("window_start", "segment")
+
+
+def attribution_join_outer(clicks: DataFrame, purchases: DataFrame) -> DataFrame:
+    """LEFT OUTER variant of :func:`attribution_join`: every purchase
+    emits, unattributed ones with a null click. Same shape batch and
+    streaming; under streaming the null-match rows are emitted by
+    WATERMARK PASSAGE — a purchase's state row flushes with nulls only
+    once the watermark clears its join window (purchase_ts), so the
+    outer side can never emit a null for a click that might still
+    arrive. The time bound is both the join predicate and the state
+    TTL, exactly as in the inner form."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (p["user_id"] == c["c_user"])
+        & (c["click_ts"] <= p["purchase_ts"])
+        & (c["click_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {ATTRIBUTION_GAP_MINUTES} MINUTES"))
+    )
+    return p.join(c, cond, "left_outer").select(
+        "purchase_id",
+        "user_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        F.when(F.col("click_id").isNull(), 1).otherwise(0).cast("long").alias(
+            "unattributed"
+        ),
+    )
+
+
+@register(
+    "st_stream_stream_left_outer",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           CAST(p.ts AS TIMESTAMP)  AS purchase_ts,
+           c.event_id               AS click_id,
+           CAST(c.ts AS TIMESTAMP)  AS click_ts,
+           CAST(CASE WHEN c.event_id IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS unattributed
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+                                    - INTERVAL '{ATTRIBUTION_GAP_MINUTES} minutes'
+    ORDER BY purchase_id, click_id
+    """,
+    survey_ids=("§2.11", "J4", "J7"),
+)
+def st_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch registration of the stream-stream LEFT OUTER interval
+    join — the attribution query that also surfaces UNATTRIBUTED
+    purchases (organic conversions), which the inner form silently
+    drops. Streaming left-outer is the semantically hard case: Spark
+    only allows it because the watermark + time-bound pair proves when
+    "no matching click can still arrive", at which point the buffered
+    purchase flushes with nulls — the pytest runs this exact plan as a
+    real two-stream join and pins BOTH the emitted null-match set (=
+    the batch result restricted to purchases the final watermark
+    cleared) and the withheld tail (purchases inside the final
+    watermark window emit nothing rather than a premature null)."""
+    ev = t(spark, sf_dir, "events")
+    return attribution_join_outer(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    ).orderBy("purchase_id", "click_id")

@@ -677,3 +677,82 @@ def test_delete_parquet_keeps_null_predicate_rows(spark, tmp_path):
     n = delete_parquet(spark, path, "c = 'bad'")
     left = {r["id"] for r in spark.read.parquet(path).collect()}
     assert n == 1 and left == {2, 3}
+
+
+def test_stream_stream_left_outer_null_emission(spark, sf_dir, tmp_path):
+    """Real stream-stream LEFT OUTER interval join (round 7): matched
+    rows must equal the batch join's matched set, null-match rows must
+    be (a) a subset of the batch unattributed set — a stream must
+    never invent an unattributed purchase while its click could still
+    arrive — and (b) exactly the purchases the FINAL watermark
+    cleared: the withheld tail (purchases newer than watermark) emits
+    nothing rather than a premature null."""
+    import datetime
+
+    from etl_generator_demo_spark.catalog import read_table
+    from etl_generator_demo_spark.streaming.joins import (
+        attribution_join_outer,
+        st_stream_stream_left_outer,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    c_dir, p_dir = str(tmp_path / "clicks_o"), str(tmp_path / "purch_o")
+    # one time-sorted file per stream: all data arrives in microbatch 1
+    # (no disorder), the availableNow final batch advances the
+    # watermark and flushes the provably-unmatched purchases
+    ev.filter(F.col("event_type") == "click").repartition(1).sortWithinPartitions(
+        "ts"
+    ).write.parquet(c_dir)
+    ev.filter(F.col("event_type") == "purchase").repartition(1).sortWithinPartitions(
+        "ts"
+    ).write.parquet(p_dir)
+
+    delay = "1 hour"
+    clicks = (
+        spark.readStream.schema(ev.schema).parquet(c_dir).withWatermark("ts", delay)
+    )
+    purchases = (
+        spark.readStream.schema(ev.schema).parquet(p_dir).withWatermark("ts", delay)
+    )
+    q = (
+        attribution_join_outer(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("outer_attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.sql(
+        "SELECT purchase_id, click_id, purchase_ts FROM outer_attrib"
+    ).collect()
+    got_matched = {(r["purchase_id"], r["click_id"]) for r in got if r["click_id"] is not None}
+    got_nulls = {r["purchase_id"] for r in got if r["click_id"] is None}
+
+    batch = st_stream_stream_left_outer(spark, sf_dir).collect()
+    want_matched = {
+        (r["purchase_id"], r["click_id"]) for r in batch if r["click_id"] is not None
+    }
+    want_null_ts = {
+        r["purchase_id"]: r["purchase_ts"] for r in batch if r["click_id"] is None
+    }
+
+    # (1) inner results identical — outer adds rows, never changes them
+    assert got_matched == want_matched and len(want_matched) >= 2
+    # (2) soundness: no invented unattributed purchases
+    assert got_nulls <= set(want_null_ts)
+    # (3) completeness up to the final watermark: every batch-null
+    # purchase older than (global max event time - delay) must have
+    # flushed; the tail may legitimately be withheld
+    max_c = ev.filter(F.col("event_type") == "click").agg(F.max("ts")).first()[0]
+    max_p = ev.filter(F.col("event_type") == "purchase").agg(F.max("ts")).first()[0]
+    wm = min(max_c, max_p) - datetime.timedelta(hours=1)
+    margin = datetime.timedelta(minutes=5)
+    must_flush = {pid for pid, ts in want_null_ts.items() if ts < wm - margin}
+    assert must_flush, "fixture should leave some provably-unmatched purchases"
+    assert must_flush <= got_nulls
+    # (4) the withheld tail really is withheld-or-valid: anything the
+    # stream emitted beyond must_flush still lies at/before watermark
+    for pid in got_nulls - must_flush:
+        assert want_null_ts[pid] <= wm + margin

@@ -527,6 +527,10 @@ EXPECTATIONS: dict[str, dict] = {
     "j8_asof_tolerance_click": {"max_exchanges": 2, "pushed": True},
     "g_clustering_coefficient": {"max_exchanges": 9},
     "x4_shannon_entropy_lang": {"max_exchanges": 3},
+    # stream-stream LEFT OUTER interval join (batch registration): the
+    # click side broadcasts at fixture ratios; under streaming the same
+    # plan is a state-store join keyed on user_id
+    "st_stream_stream_left_outer": {"max_exchanges": 1, "min_broadcast": 1, "pushed": True},
 }
 
 
