@@ -728,3 +728,85 @@ def a_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@register(
+    "a_listagg_ordered",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus AS status,
+           STRING_AGG(o_orderpriority || ':' || CAST(n AS VARCHAR), ','
+                      ORDER BY o_orderpriority) AS prio_profile
+    FROM c
+    GROUP BY o_orderstatus
+    ORDER BY status
+    """,
+    survey_ids=("A1", "A4", "F4"),
+)
+def a_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ordered string aggregation — SQL:2016
+    ``LISTAGG ... WITHIN GROUP (ORDER BY ...)``, new in Spark 4.0
+    (DuckDB spells it ``STRING_AGG(expr, sep ORDER BY ...)``). The
+    report-feed staple for "one row per entity with an ordered CSV
+    profile". Aggregated OVER THE VALUE DOMAIN, not raw rows: counts
+    per (status, priority) first — |domain| strings of bounded length
+    — then the ordered concat, so the output string can never grow
+    with the fact table (the raw-row spelling is the classic
+    driver-OOM at scale). The WITHIN GROUP order makes the result
+    deterministic, which is what lets the oracle hash it."""
+    c = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return (
+        c.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.expr(
+                "listagg(concat(o_orderpriority, ':', CAST(n AS STRING)), ',') "
+                "WITHIN GROUP (ORDER BY o_orderpriority)"
+            ).alias("prio_profile")
+        )
+        .orderBy("status")
+    )
+
+
+@register(
+    "a_group_by_all_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(YEAR(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS ship_year,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+    survey_ids=("A1", "O1", "F7"),
+)
+def a_group_by_all_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` + ``ORDER BY ALL`` — the modern-SQL
+    abbreviation (DuckDB-originated, in Spark since 3.4) that
+    LLM-generated SQL now emits constantly: grouping keys are inferred
+    as every non-aggregate select expression, ordering as the full
+    select list. The ONE SQL text runs verbatim on both engines — the
+    registered query IS ``spark.sql`` of the oracle string (modulo the
+    view name), so this pins that Spark's inference picks exactly
+    (returnflag, linestatus, ship_year), the same as DuckDB's. Plan:
+    the inferred grouping compiles to the ordinary map-combined hash
+    aggregate + one output ordering."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gba_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(YEAR(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS ship_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM _gba_lineitem
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

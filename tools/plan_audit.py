@@ -531,6 +531,10 @@ EXPECTATIONS: dict[str, dict] = {
     # click side broadcasts at fixture ratios; under streaming the same
     # plan is a state-store join keyed on user_id
     "st_stream_stream_left_outer": {"max_exchanges": 1, "min_broadcast": 1, "pushed": True},
+    # modern-SQL surface pair: domain-bounded ordered LISTAGG; GROUP
+    # BY ALL compiles to the ordinary hash aggregate + output ordering
+    "a_listagg_ordered": {"max_exchanges": 3},
+    "a_group_by_all_revenue": {"max_exchanges": 2},
 }
 
 
