@@ -377,3 +377,107 @@ def zorder_rewrite(
         .drop("_z", "_ka_d", "_kb_d", "_ra_d", "_rb_d")
     )
     _staged_overwrite(spark, path, out)
+
+
+class AuditFailure(Exception):
+    """Raised by :func:`write_audit_publish` when an audit rejects the
+    staged table; carries the failing audit's name and detail."""
+
+    def __init__(self, audit: str, detail: str):
+        self.audit = audit
+        self.detail = detail
+        super().__init__(f"audit {audit!r} rejected staged write: {detail}")
+
+
+def write_audit_publish(
+    spark: SparkSession,
+    path: str,
+    df,
+    audits: "list[tuple[str, callable]]",
+) -> dict:
+    """Write-Audit-Publish (the Iceberg/Netflix WAP discipline) over
+    the parquet staged-swap machinery: write ``df`` to a STAGING
+    directory, run every audit against the staged data — audits read
+    the staged table as a DataFrame and return an error string (falsy
+    = pass) — and only if all pass, atomically swap the staging dir
+    into ``path``. A failing audit aborts with :class:`AuditFailure`
+    and the live table is NEVER touched; a crash inside the publish
+    swap is repaired by :func:`recover_staged` exactly like every
+    other mutation here. Returns {"rows": n, "audits": [names]}.
+
+    This is the missing governance tier between raw overwrite and a
+    lakehouse: bad data (nulls in a key, row-count collapse, schema
+    drift) is caught while it is still invisible to readers. At
+    100 TB the audits are ordinary distributed queries over the
+    staged files; the publish itself stays a metadata-only rename.
+    Production path: Iceberg's ``write.wap.enabled`` + branch commit,
+    same three phases (SURVEY §7.4)."""
+    import tempfile
+
+    parent = os.path.dirname(os.path.abspath(path))
+    os.makedirs(parent, exist_ok=True)
+    recover_staged(path)
+    staging = tempfile.mkdtemp(prefix=".staging_", dir=parent)
+    try:
+        df.write.mode("overwrite").parquet(staging)
+        staged = spark.read.parquet(staging)
+        n = staged.count()
+        for name, audit in audits:
+            err = audit(staged)
+            if err:
+                raise AuditFailure(name, str(err))
+    except Exception:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    old = path + ".old"
+    _rm(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    _rm(old)
+    return {"rows": n, "audits": [name for name, _ in audits]}
+
+
+def audit_not_null(*cols: str):
+    """WAP audit: named columns carry no NULLs in the staged data."""
+
+    def check(staged) -> str:
+        from pyspark.sql import functions as F
+
+        bad = {
+            c: staged.filter(F.col(c).isNull()).count() for c in cols
+        }
+        bad = {c: n for c, n in bad.items() if n}
+        return f"null keys: {bad}" if bad else ""
+
+    return check
+
+
+def audit_min_rows(expected: int, tolerance: float = 0.5):
+    """WAP audit: staged row count must not collapse below
+    ``tolerance`` × ``expected`` (the classic truncated-upstream bug a
+    blind overwrite publishes without blinking)."""
+
+    def check(staged) -> str:
+        n = staged.count()
+        floor_n = int(expected * tolerance)
+        return (
+            f"row collapse: staged {n} < {floor_n} (= {tolerance} x {expected})"
+            if n < floor_n
+            else ""
+        )
+
+    return check
+
+
+def audit_unique_key(*cols: str):
+    """WAP audit: the named column set is a unique key in the staged
+    data (duplicate-explosion guard for merge/backfill jobs)."""
+
+    def check(staged) -> str:
+        dup = (
+            staged.groupBy(*cols).count().filter("count > 1").count()
+        )
+        return f"{dup} duplicated key groups on {cols}" if dup else ""
+
+    return check

@@ -756,3 +756,117 @@ def test_stream_stream_left_outer_null_emission(spark, sf_dir, tmp_path):
     # stream emitted beyond must_flush still lies at/before watermark
     for pid in got_nulls - must_flush:
         assert want_null_ts[pid] <= wm + margin
+
+
+class TestWriteAuditPublish:
+    """WAP (round 7): bad data must be caught while still invisible —
+    a failing audit aborts with the LIVE table untouched; a clean run
+    publishes atomically; the crash window self-heals."""
+
+    def _orders(self, spark, sf_dir):
+        from etl_generator_demo_spark.catalog import read_table
+
+        return read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+
+    def test_audits_pass_then_publish(self, spark, sf_dir, tmp_path):
+        import os
+
+        from etl_generator_demo_spark.sources.mutations import (
+            audit_min_rows,
+            audit_not_null,
+            audit_unique_key,
+            write_audit_publish,
+        )
+
+        df = self._orders(spark, sf_dir)
+        path = str(tmp_path / "orders_wap")
+        res = write_audit_publish(
+            spark,
+            path,
+            df,
+            [
+                ("keys_not_null", audit_not_null("o_orderkey")),
+                ("volume", audit_min_rows(df.count())),
+                ("pk_unique", audit_unique_key("o_orderkey")),
+            ],
+        )
+        assert res["rows"] == df.count() == spark.read.parquet(path).count()
+        # no staging/old debris
+        parent = os.path.dirname(path)
+        assert not [d for d in os.listdir(parent) if d.startswith(".staging_")]
+        assert not os.path.exists(path + ".old")
+
+    def test_failing_audit_never_touches_live_table(self, spark, sf_dir, tmp_path):
+        import os
+
+        import pytest
+
+        from etl_generator_demo_spark.sources.mutations import (
+            AuditFailure,
+            audit_min_rows,
+            audit_unique_key,
+            write_audit_publish,
+        )
+
+        df = self._orders(spark, sf_dir)
+        path = str(tmp_path / "orders_wap")
+        write_audit_publish(spark, path, df, [("volume", audit_min_rows(df.count()))])
+        live_before = spark.read.parquet(path).count()
+
+        # upstream truncation: candidate has 1% of the rows
+        broken = df.limit(max(1, df.count() // 100))
+        with pytest.raises(AuditFailure) as e:
+            write_audit_publish(
+                spark, path, broken, [("volume", audit_min_rows(df.count()))]
+            )
+        assert e.value.audit == "volume" and "collapse" in str(e.value)
+        assert spark.read.parquet(path).count() == live_before  # untouched
+        assert not [
+            d for d in os.listdir(os.path.dirname(path)) if d.startswith(".staging_")
+        ]
+
+        # duplicate explosion: a self-union doubles every key
+        with pytest.raises(AuditFailure) as e:
+            write_audit_publish(
+                spark, path, df.unionAll(df), [("pk", audit_unique_key("o_orderkey"))]
+            )
+        assert e.value.audit == "pk"
+        assert spark.read.parquet(path).count() == live_before
+
+    def test_publish_crash_window_self_heals(self, spark, sf_dir, tmp_path, monkeypatch):
+        import os
+
+        from etl_generator_demo_spark.sources.mutations import (
+            audit_min_rows,
+            write_audit_publish,
+        )
+
+        df = self._orders(spark, sf_dir)
+        path = str(tmp_path / "orders_wap")
+        write_audit_publish(spark, path, df, [])
+        want = spark.read.parquet(path).count()
+
+        real_rename = os.rename
+
+        def crashing_rename(src, dst):
+            if dst == path and os.path.basename(src).startswith(".staging_"):
+                raise RuntimeError("injected crash inside the publish swap")
+            real_rename(src, dst)
+
+        monkeypatch.setattr(os, "rename", crashing_rename)
+        try:
+            write_audit_publish(spark, path, df, [])
+            raise AssertionError("injected crash did not fire")
+        except RuntimeError as exc:
+            assert "injected crash" in str(exc)
+        monkeypatch.undo()
+        # live table is parked at .old; the next WAP call recovers it
+        # and publishes cleanly
+        assert not os.path.exists(path) and os.path.exists(path + ".old")
+        res = write_audit_publish(
+            spark, path, df, [("volume", audit_min_rows(want))]
+        )
+        assert res["rows"] == want == spark.read.parquet(path).count()
+        assert not os.path.exists(path + ".old")
