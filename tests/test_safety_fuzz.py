@@ -410,3 +410,27 @@ def test_as_omitted_cte_cannot_launder_writes(parser):
         parser.parsePlan(sql)  # must be valid
         v = validate_sql_safety(sql, allow_writes=False)
         assert not v.is_blocked, f"false positive: {sql!r} ({v.block_reason})"
+
+
+def test_execute_immediate_is_blocked_as_indirection(parser):
+    """Spark 4's EXECUTE IMMEDIATE is dynamic SQL — the payload can be
+    a session variable bound at runtime, so no lexical gate can prove
+    the inner statement reads. The only sound verdict for a read-only
+    gate is to block the INDIRECTION itself, even when the literal
+    payload happens to be a SELECT (same posture as blocking
+    unrecognized statements). Both forms parse in Spark
+    (UnresolvedExecuteImmediate), both must block; DECLARE (session
+    variable creation, the other half of the vector) likewise."""
+    for sql in (
+        "EXECUTE IMMEDIATE 'SELECT 1'",
+        "EXECUTE IMMEDIATE 'DROP TABLE t'",
+        "EXECUTE IMMEDIATE 'SELECT ?' USING 5",
+        "EXECUTE IMMEDIATE sql_text_variable",
+        "DECLARE sql_text_variable STRING",
+    ):
+        try:
+            parser.parsePlan(sql)
+        except Exception:
+            pass  # parseability is incidental; the verdict must hold
+        v = validate_sql_safety(sql, allow_writes=False)
+        assert v.is_blocked, f"dynamic-SQL indirection passed the gate: {sql!r}"
