@@ -574,3 +574,53 @@ def f_variant_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "f_iso_week_revenue",
+    oracle="""
+    SELECT CAST(isoyear(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS iso_year,
+           CAST(week(CAST(l_shipdate AS TIMESTAMP)) AS BIGINT) AS iso_week,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-12-01'
+      AND CAST(l_shipdate AS TIMESTAMP) <  TIMESTAMP '1998-02-01'
+    GROUP BY iso_year, iso_week
+    ORDER BY iso_year, iso_week
+    """,
+    survey_ids=("F2", "A1", "F7"),
+)
+def f_iso_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly revenue keyed by the ISO-8601 (year-of-week, week)
+    pair — the calendar-semantics trap in every weekly report: around
+    New Year a date's ISO week can belong to the PREVIOUS or NEXT
+    calendar year (2023-01-01 is week 52 of ISO year 2022;
+    2020-12-31 is week 53 of 2020), so the naive ``(year(d),
+    weekofyear(d))`` key splits one ISO week into two groups and
+    double-reports it. Spark's ``extract(YEAROFWEEK ...)`` +
+    ``weekofyear`` and DuckDB's ``isoyear`` + ``week`` implement the
+    same ISO rule — verified on the boundary cases — so the pair
+    groups identically on both engines. The scan window straddles two
+    New Years to keep the trap in the data. One pushed-filter scan +
+    one map-combined aggregate."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("timestamp") >= F.lit("1996-12-01").cast("timestamp"))
+        & (F.col("l_shipdate").cast("timestamp") < F.lit("1998-02-01").cast("timestamp"))
+    )
+    ts = F.col("l_shipdate").cast("timestamp")
+    return (
+        li.select(
+            F.expr("extract(YEAROFWEEK FROM cast(l_shipdate AS timestamp))")
+            .cast("long")
+            .alias("iso_year"),
+            F.weekofyear(ts).cast("long").alias("iso_week"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+        .groupBy("iso_year", "iso_week")
+        .agg(
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+        .orderBy("iso_year", "iso_week")
+    )

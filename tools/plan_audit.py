@@ -535,6 +535,9 @@ EXPECTATIONS: dict[str, dict] = {
     # BY ALL compiles to the ordinary hash aggregate + output ordering
     "a_listagg_ordered": {"max_exchanges": 3},
     "a_group_by_all_revenue": {"max_exchanges": 2},
+    # ISO week/year-of-week calendar parity: pushed scan window + one
+    # map-combined aggregate + output ordering
+    "f_iso_week_revenue": {"max_exchanges": 2, "pushed": True},
 }
 
 
