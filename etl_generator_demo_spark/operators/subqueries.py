@@ -75,3 +75,58 @@ def sq_in_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name in ("part", "lineitem"):
         t(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark.sql(_IN_EXISTS_SQL)
+
+
+@register(
+    "sq_notin_null_semantics",
+    oracle="""
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_custkey NOT IN
+               (SELECT NULLIF(c_custkey, 1) FROM customer))
+            AS notin_null_poisoned,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+         WHERE NOT EXISTS
+               (SELECT 1 FROM customer c
+                WHERE NULLIF(c.c_custkey, 1) = o.o_custkey))
+            AS notexists_correct,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+         WHERE o_custkey NOT IN
+               (SELECT c_custkey FROM customer WHERE c_custkey <> 1))
+            AS notin_null_free
+    """,
+    survey_ids=("U1", "J5", "A2"),
+)
+def sq_notin_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three-valued-logic ``NOT IN`` trap, pinned cross-engine: a
+    single NULL in the subquery list makes ``x NOT IN (...)`` never
+    TRUE (it is FALSE for matches and NULL otherwise), so the
+    null-poisoned count is **0** — while the NOT EXISTS spelling and
+    the null-free NOT IN both return the orders of the excluded
+    customer. LLM-generated SQL hits this constantly (it writes NOT
+    IN against nullable FK columns); an engine that "fixes" the
+    semantics silently would diverge from every production database.
+    Spark compiles the poisoned form to a null-aware anti join
+    (NAAJ); DuckDB evaluates the same ANSI rule — the query proves
+    they agree on all three counts. Scalar subqueries broadcast; the
+    anti joins key on custkey."""
+    for name in ("orders", "customer"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"_sqn_{name}")
+    return spark.sql(
+        """
+        SELECT
+            (SELECT CAST(COUNT(*) AS LONG) FROM _sqn_orders
+             WHERE o_custkey NOT IN
+                   (SELECT NULLIF(c_custkey, 1) FROM _sqn_customer))
+                AS notin_null_poisoned,
+            (SELECT CAST(COUNT(*) AS LONG) FROM _sqn_orders o
+             WHERE NOT EXISTS
+                   (SELECT 1 FROM _sqn_customer c
+                    WHERE NULLIF(c.c_custkey, 1) = o.o_custkey))
+                AS notexists_correct,
+            (SELECT CAST(COUNT(*) AS LONG) FROM _sqn_orders
+             WHERE o_custkey NOT IN
+                   (SELECT c_custkey FROM _sqn_customer WHERE c_custkey <> 1))
+                AS notin_null_free
+        """
+    )

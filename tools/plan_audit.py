@@ -538,6 +538,9 @@ EXPECTATIONS: dict[str, dict] = {
     # ISO week/year-of-week calendar parity: pushed scan window + one
     # map-combined aggregate + output ordering
     "f_iso_week_revenue": {"max_exchanges": 2, "pushed": True},
+    # three scalar-subquery branches: NAAJ/anti joins fold to scalar
+    # counts; visible plan is the broadcast scalar assembly
+    "sq_notin_null_semantics": {"max_exchanges": 1},
 }
 
 
