@@ -669,3 +669,37 @@ def o_top_recent_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("o_orderdate"), "o_orderkey")
     )
+
+
+@register(
+    "o_topk_explicit_null_order",
+    oracle="""
+    SELECT o_orderkey,
+           NULLIF(o_orderpriority, '1-URGENT') AS pri_or_null,
+           ROUND(o_totalprice, 2) AS price
+    FROM orders
+    ORDER BY pri_or_null ASC NULLS FIRST, o_orderkey
+    LIMIT 25
+    """,
+    survey_ids=("O1", "O4", "F1"),
+)
+def o_topk_explicit_null_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k under a NULLABLE sort key with EXPLICIT null placement —
+    the ordering trap between engines: Spark's ASC default is NULLS
+    FIRST, DuckDB's is NULLS LAST (and they flip disagreement again
+    on DESC), so any top-k over a nullable key that omits the NULLS
+    clause silently returns different rows per engine. The explicit
+    ``NULLS FIRST`` makes the limit bite INSIDE the null region
+    (urgent orders null out via NULLIF), so a default-divergence
+    would flip the entire result set, not a tail row. Compiles to
+    TakeOrderedAndProject — null placement costs nothing at scale."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.expr("NULLIF(o_orderpriority, '1-URGENT')").alias("pri_or_null"),
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy(F.col("pri_or_null").asc_nulls_first(), "o_orderkey")
+        .limit(25)
+    )

@@ -541,6 +541,8 @@ EXPECTATIONS: dict[str, dict] = {
     # three scalar-subquery branches: NAAJ/anti joins fold to scalar
     # counts; visible plan is the broadcast scalar assembly
     "sq_notin_null_semantics": {"max_exchanges": 1},
+    # nullable-key top-k with explicit NULLS FIRST: zero exchanges
+    "o_topk_explicit_null_order": {"max_exchanges": 0, "take_ordered": True},
 }
 
 
