@@ -624,3 +624,47 @@ def f_iso_week_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iso_year", "iso_week")
     )
+
+
+@register(
+    "f_negative_arith_semantics",
+    oracle="""
+    SELECT CAST(-7 % 3 AS BIGINT)  AS mod_neg_dividend,
+           CAST(7 % -3 AS BIGINT)  AS mod_neg_divisor,
+           CAST(-7 // 3 AS BIGINT) AS intdiv_neg,
+           CAST(MOD(-7, 3) AS BIGINT) AS mod_fn_neg,
+           CAST(TRUNC(-7.5) AS BIGINT) AS trunc_cast_neg,
+           CAST(COUNT(*) AS BIGINT) AS n_regions
+    FROM region
+    """,
+    survey_ids=("F5", "F3"),
+)
+def f_negative_arith_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-operand arithmetic semantics, pinned cross-engine —
+    the corner where SQL dialects genuinely fork and LLM-generated
+    SQL silently inherits whichever engine it was tested on:
+
+    - ``%`` / ``MOD`` take the DIVIDEND's sign (C-style) in BOTH
+      Spark and DuckDB: −7 % 3 = −1, 7 % −3 = 1 (Python's own ``%``
+      would give 2 and −2 — a hand-written oracle in Python would be
+      WRONG here).
+    - integer division truncates toward zero in both (−7 DIV 3 = −2;
+      floor division would give −3).
+    - float→int CAST is where they DIVERGE: Spark ``CAST(-7.5 AS
+      INT)`` truncates to −7, DuckDB's casts ROUND to −8 — so the
+      portable spelling, used by every fixed-point idiom in this
+      repo, is an explicit FLOOR/TRUNC before the cast (the Spark
+      side here mirrors DuckDB's ``TRUNC(-7.5)`` with its native
+      truncating cast; the oracle writes TRUNC explicitly).
+
+    Computed over the region table so the constants flow through a
+    real scan; one row out."""
+    r = t(spark, sf_dir, "region")
+    return r.agg(F.count(F.lit(1)).cast("long").alias("n_regions")).select(
+        F.expr("CAST(-7 % 3 AS LONG)").alias("mod_neg_dividend"),
+        F.expr("CAST(7 % -3 AS LONG)").alias("mod_neg_divisor"),
+        F.expr("CAST(-7 DIV 3 AS LONG)").alias("intdiv_neg"),
+        F.expr("CAST(MOD(-7, 3) AS LONG)").alias("mod_fn_neg"),
+        F.expr("CAST(CAST(-7.5 AS INT) AS LONG)").alias("trunc_cast_neg"),
+        "n_regions",
+    )

@@ -543,6 +543,8 @@ EXPECTATIONS: dict[str, dict] = {
     "sq_notin_null_semantics": {"max_exchanges": 1},
     # nullable-key top-k with explicit NULLS FIRST: zero exchanges
     "o_topk_explicit_null_order": {"max_exchanges": 0, "take_ordered": True},
+    # constant arithmetic over one scan + scalar count: <=1 exchange
+    "f_negative_arith_semantics": {"max_exchanges": 1},
 }
 
 
