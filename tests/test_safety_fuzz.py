@@ -253,7 +253,7 @@ def _grammar_statement(draw) -> tuple[str, bool]:
     s = lambda: draw(_sep)  # noqa: E731 — fresh trivia at every seam
     e = draw(_literal)
     ident = draw(_ident)
-    kind = draw(st.integers(0, 7))
+    kind = draw(st.integers(0, 11))
     if kind == 0:
         body, wrote = f"SELECT{s()}{e}{s()}AS{s()}{ident}", False
     elif kind == 1:
@@ -268,8 +268,21 @@ def _grammar_statement(draw) -> tuple[str, bool]:
         body, wrote = f"DELETE{s()}FROM{s()}t{s()}WHERE{s()}s{s()}={s()}{e}", True
     elif kind == 6:
         body, wrote = f"UPDATE{s()}t{s()}SET{s()}s{s()}={s()}{e}", True
-    else:
+    elif kind == 7:
         body, wrote = f"DROP{s()}TABLE{s()}t", True
+    elif kind == 8:
+        body, wrote = f"TABLE{s()}src", False
+    elif kind == 9:
+        # AS-omitted CTE-in-view composition: CREATE is a write no
+        # matter how read-shaped its query body is
+        body, wrote = (
+            f"CREATE{s()}VIEW{s()}v{s()}AS{s()}SELECT{s()}{e}{s()}AS{s()}{ident}",
+            True,
+        )
+    elif kind == 10:
+        body, wrote = f"INSERT{s()}OVERWRITE{s()}TABLE{s()}t{s()}SELECT{s()}{e}", True
+    else:
+        body, wrote = f"MERGE{s()}INTO{s()}t{s()}USING{s()}u{s()}ON{s()}t.a{s()}={s()}u.a{s()}WHEN{s()}MATCHED{s()}THEN{s()}DELETE", True
     n_ctes = draw(st.integers(0, 2))
     if n_ctes:
         ctes = []
