@@ -502,7 +502,7 @@ EXPECTATIONS: dict[str, dict] = {
     "q11_important_parts": {"max_exchanges": 4, "min_broadcast": 2, "pushed": True},
     "q12_late_lines_by_priority": {"max_exchanges": 2, "min_broadcast": 1, "pushed": True},
     "q16_supplier_part_variety": {"max_exchanges": 4, "min_broadcast": 2, "pushed": True},
-    "q20_excess_shipments": {"max_exchanges": 5, "min_broadcast": 3, "pushed": True},
+    "q20_excess_shipments": {"max_exchanges": 4, "min_broadcast": 3, "pushed": True},  # r7 window spelling: one scan, no agg rejoin
     "q21_suppliers_kept_waiting": {"max_exchanges": 2, "min_broadcast": 2, "pushed": True},  # r7 window spelling: one fact join, no stats rejoin
     # ------------------------------------------------------------------
     # Round 7: rank-statistics + lexical-diversity suite. Budgets =
