@@ -286,11 +286,11 @@ EXPECTATIONS: dict[str, dict] = {
     # revenue CTE aggregated per branch + scalar MAX + ordered output;
     # supplier and the 1-row max broadcast
     "q15_top_supplier": {"max_exchanges": 5, "min_broadcast": 2, "pushed": True},
-    # brand part set broadcast twice (semi-filter both passes); per-part
-    # avg + threshold join on partkey + global agg
+    # r7 window spelling: brand part set broadcast ONCE (single pass);
+    # per-part avg is a window over the partkey partition + global agg
     "q17_small_quantity_revenue": {
-        "max_exchanges": 4,
-        "min_broadcast": 2,
+        "max_exchanges": 2,
+        "min_broadcast": 1,
         "pushed": True,
     },
     # disjunction evaluated as broadcast-join residual; envelope
