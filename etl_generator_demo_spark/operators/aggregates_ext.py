@@ -659,19 +659,25 @@ def a_mode_orderpriority(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SMALLEST value. Engines disagree on bare ``mode()`` tie
     behavior (Spark's ``mode`` and DuckDB's ``mode`` both pick an
     arbitrary winner), so the portable spelling is the argmax join:
-    count per (group, value), max count per group, equi-join the two
-    on (group, count), MIN(value) collapses ties deterministically.
-    Both aggregates map-combine; the max-count side is |groups| rows
-    and broadcasts; identical plan shape at any corpus size because
-    every shuffle is keyed on the (tiny) group domain."""
+    count per (group, value), max count per group, keep the rows at
+    the max, MIN(value) collapses ties deterministically. The
+    per-group max is a WINDOW over the counts relation — |group ×
+    value-domain| rows, so the window partitions are tiny — which
+    keeps the fact scan to ONE pass (the aggregate-then-rejoin
+    spelling recomputed the counts aggregate, scanning orders twice;
+    measured 47% slower at sf0.1). The count aggregate map-combines;
+    identical plan shape at any corpus size because every shuffle is
+    keyed on the (tiny) group domain."""
+    from pyspark.sql import Window
+
     c = (
         t(spark, sf_dir, "orders")
         .groupBy("o_orderstatus", "o_orderpriority")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    m = c.groupBy("o_orderstatus").agg(F.max("n").alias("mx"))
+    w = Window.partitionBy("o_orderstatus")
     return (
-        c.join(F.broadcast(m), ["o_orderstatus"])
+        c.withColumn("mx", F.max("n").over(w))
         .filter(F.col("n") == F.col("mx"))
         .groupBy(F.col("o_orderstatus").alias("status"))
         .agg(

@@ -511,7 +511,7 @@ EXPECTATIONS: dict[str, dict] = {
     # cuts, so the visible plan understates total exchanges — the pin
     # guards the SERVED plan like the other checkpointed entries.
     # ------------------------------------------------------------------
-    "a_mode_orderpriority": {"max_exchanges": 5, "min_broadcast": 1},
+    "a_mode_orderpriority": {"max_exchanges": 3},  # r7 window spelling: one fact pass, no rejoin
     "x4_spearman_rank_corr": {"max_exchanges": 1, "min_broadcast": 1},
     "x4_gini_doclen_by_lang": {"max_exchanges": 3, "min_broadcast": 1},
     "x4_burstiness_per_user": {"max_exchanges": 1},
