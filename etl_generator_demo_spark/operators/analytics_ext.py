@@ -2957,3 +2957,149 @@ def x4_herfindahl_source_concentration(spark: SparkSession, sf_dir: str) -> Data
             "eff_sources_e6"
         ),
     ).orderBy("lang")
+
+
+@register(
+    "x4_wilson_conversion_rank",
+    oracle="""
+    WITH s AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, n, x,
+           CAST(FLOOR(
+               ((CAST(x AS DOUBLE) / n) + 2.0 / n
+                - 2.0 * SQRT((CAST(x AS DOUBLE) / n)
+                             * (1.0 - CAST(x AS DOUBLE) / n) / n
+                             + 1.0 / (CAST(n AS DOUBLE) * n)))
+               / (1.0 + 4.0 / n) * 1000000
+           ) AS BIGINT) AS wilson_lb_e6
+    FROM s
+    WHERE n >= 20
+    ORDER BY wilson_lb_e6 DESC, user_id
+    LIMIT 25
+    """,
+    survey_ids=("X4", "A1", "O4"),
+)
+def x4_wilson_conversion_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank users by the WILSON SCORE lower bound of their conversion
+    rate (purchases per event) — the small-sample-honest ranking
+    statistic (a 1/1 user must NOT outrank a 95/100 user, which the
+    raw proportion does): used for review scores, CTR ranking, and
+    data-source reliability ordering. z is fixed at 2 (the standard
+    "rule of two"), so z² = 4 and every constant in the bound
+    (p + 2/n − 2·√(p(1−p)/n + 1/n²)) / (1 + 4/n)
+    is exactly representable — the whole expression is deterministic
+    IEEE arithmetic from exact BIGINT counts evaluated in the
+    identical operation order on both engines, then e6-floored. One
+    map-combined aggregate; top-25 compiles to TakeOrdered."""
+    s = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+        .filter(F.col("n") >= 20)
+    )
+    p = F.col("x").cast("double") / F.col("n")
+    nn = F.col("n")
+    bound = (
+        (p + 2.0 / nn - 2.0 * F.sqrt(p * (1.0 - p) / nn + 1.0 / (nn.cast("double") * nn)))
+        / (1.0 + 4.0 / nn)
+    )
+    return (
+        s.select(
+            "user_id",
+            "n",
+            "x",
+            F.floor(bound * 1_000_000).cast("long").alias("wilson_lb_e6"),
+        )
+        .orderBy(F.col("wilson_lb_e6").desc(), "user_id")
+        .limit(25)
+    )
+
+
+@register(
+    "x4_mutual_information_lang_source",
+    oracle="""
+    WITH c AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nij
+        FROM documents GROUP BY lang, source
+    ),
+    r AS (SELECT lang, CAST(SUM(nij) AS BIGINT) AS ni FROM c GROUP BY lang),
+    l AS (SELECT source, CAST(SUM(nij) AS BIGINT) AS nj FROM c GROUP BY source),
+    tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n FROM c),
+    contrib AS (
+        SELECT c.nij,
+               CAST(c.nij * CAST(FLOOR(LN(CAST(c.nij AS DOUBLE) * n
+                                        / (CAST(ni AS DOUBLE) * nj))
+                                       * 1000000000) AS BIGINT) AS BIGINT)
+                   AS w
+        FROM c JOIN r USING (lang) JOIN l USING (source) CROSS JOIN tot
+    )
+    SELECT (SELECT n FROM tot) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS mi_weighted_e9,
+           CAST(FLOOR(CAST(SUM(w) AS DOUBLE)
+                      / (CAST((SELECT n FROM tot) AS DOUBLE) * 1000000000)
+                      * 1000000) AS BIGINT) AS mi_nats_e6
+    FROM contrib
+    """,
+    survey_ids=("X4", "A1", "J1"),
+)
+def x4_mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between language and source over the
+    document contingency table — the effect-size companion to the
+    chi² independence test (`x4_chi2_lang_source`): MI says HOW MANY
+    nats knowing the source tells you about the language, the number
+    that decides whether stratified sampling must condition on both.
+    MI = (1/N)·Σ nᵢⱼ·ln(nᵢⱼ·N / (nᵢ·nⱼ)); each cell's log is
+    e9-floored to an exact BIGINT BEFORE the weighted sum (the
+    Kaplan–Meier idiom), so the aggregate is order-independent and
+    engine-exact; the final normalization is one deterministic float
+    division. Plan: the contingency aggregate map-combines ONCE; the
+    marginals are window sums over the cells relation itself —
+    |cells| ≤ |lang|×|source| is a bounded DOMAIN product, so even
+    the global-total window partition is a constant-size relation
+    (the rejoin spelling would rescan documents once per marginal —
+    the round-7 spelling-sweep anti-pattern)."""
+    c = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("nij"))
+    )
+    contrib = c.select(
+        F.sum("nij").over(Window.partitionBy()).cast("long").alias("n"),
+        (
+            F.col("nij")
+            * F.floor(
+                F.log(
+                    F.col("nij").cast("double")
+                    * F.sum("nij").over(Window.partitionBy())
+                    / (
+                        F.sum("nij").over(Window.partitionBy("lang")).cast("double")
+                        * F.sum("nij").over(Window.partitionBy("source"))
+                    )
+                )
+                * 1_000_000_000
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    return contrib.groupBy("n").agg(F.sum("w").cast("long").alias("mi_weighted_e9")).select(
+        F.col("n").alias("n_docs"),
+        "mi_weighted_e9",
+        F.floor(
+            F.col("mi_weighted_e9").cast("double")
+            / (F.col("n").cast("double") * 1_000_000_000)
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("mi_nats_e6"),
+    )

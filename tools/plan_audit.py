@@ -545,6 +545,11 @@ EXPECTATIONS: dict[str, dict] = {
     "o_topk_explicit_null_order": {"max_exchanges": 0, "take_ordered": True},
     # constant arithmetic over one scan + scalar count: <=1 exchange
     "f_negative_arith_semantics": {"max_exchanges": 1},
+    # Wilson bound: one map-combined aggregate -> TakeOrdered
+    "x4_wilson_conversion_rank": {"max_exchanges": 1, "take_ordered": True},
+    # MI: one contingency aggregate; marginals are windows over the
+    # bounded |lang x source| cells relation
+    "x4_mutual_information_lang_source": {"max_exchanges": 2},
 }
 
 
