@@ -2937,7 +2937,11 @@ def x4_herfindahl_source_concentration(spark: SparkSession, sf_dir: str) -> Data
     division — no float anywhere, so the hash can't drift. Two
     map-combined aggregates on (lang, source) then (lang); nothing
     else. The same plan at 100 TB is two partial-agg shuffles of at
-    most |lang × source| rows."""
+    most |lang × source| rows. The squared terms (Σn² and n_docs²·1e6)
+    are carried as DECIMAL(38,0): int64 overflows n_docs²·1e6 once a
+    language slice exceeds ~3.03M docs (ANSI-mode ARITHMETIC_OVERFLOW
+    at 100 TB, silent wraparound otherwise); 38 digits hold to
+    ~10¹⁶ docs per slice."""
     c = (
         t(spark, sf_dir, "documents")
         .groupBy("lang", "source")
@@ -2946,16 +2950,20 @@ def x4_herfindahl_source_concentration(spark: SparkSession, sf_dir: str) -> Data
     s = c.groupBy("lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_sources"),
         F.sum("n").cast("long").alias("n_docs"),
-        F.sum(F.col("n") * F.col("n")).cast("long").alias("_ss"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("_ss"),
     )
     return s.select(
         "lang",
         "n_sources",
         "n_docs",
-        F.expr("CAST((_ss * 1000000) DIV (n_docs * n_docs) AS LONG)").alias("hhi_e6"),
-        F.expr("CAST((n_docs * n_docs * 1000000) DIV _ss AS LONG)").alias(
-            "eff_sources_e6"
-        ),
+        F.expr(
+            "CAST((_ss * 1000000) DIV (CAST(n_docs AS DECIMAL(38,0)) * n_docs)"
+            " AS LONG)"
+        ).alias("hhi_e6"),
+        F.expr(
+            "CAST((CAST(n_docs AS DECIMAL(38,0)) * n_docs * 1000000) DIV _ss"
+            " AS LONG)"
+        ).alias("eff_sources_e6"),
     ).orderBy("lang")
 
 

@@ -536,7 +536,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     line price rounds half-up to cents once, quantities are integral
     by construction — so the threshold compare ``1000·v > Σv`` is
     integer-exact and can never flip on summation order (the float
-    spelling would make borderline parts engine-dependent). The
+    spelling would make borderline parts engine-dependent); the
+    ``1000·v`` side is widened to DECIMAL(38,0) so the compare cannot
+    overflow int64 when a single part's cents-value passes ~9.2e15. The
     supplier⋈nation prune broadcasts into the lineitem scan; one
     partkey aggregate; the 1-row total broadcasts back."""
     li = t(spark, sf_dir, "lineitem").select(
@@ -559,7 +561,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = supval.agg(F.sum("value_c2").cast("long").alias("_tot"))
     return (
         supval.crossJoin(F.broadcast(total))
-        .filter(F.col("value_c2") * 1000 > F.col("_tot"))
+        .filter(F.col("value_c2").cast("decimal(38,0)") * 1000 > F.col("_tot"))
         .select("p_partkey", "value_c2")
         .orderBy(F.col("value_c2").desc(), "p_partkey")
     )

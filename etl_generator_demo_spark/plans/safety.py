@@ -146,7 +146,17 @@ def _is_identifier_list(s: str) -> bool:
     (any keyword counts: Spark's non-ANSI mode accepts ``(select)``
     as a column list) or backquoted with the doubled-backtick escape
     (a backquoted name may contain commas — split-on-comma is not
-    enough, so this walks with the quote-aware scanner)."""
+    enough, so this walks with the quote-aware scanner).
+
+    Plain identifiers are ``[A-Za-z0-9_]+`` — DIGIT-LEADING included,
+    because Spark's lexer rule is ``IDENTIFIER: (LETTER|DIGIT|'_')+``
+    with maximal munch, so ``WITH c(2b) (SELECT 1) ...`` binds ``2b``
+    as a column alias (round-8 advice: rejecting it made the walker
+    treat the query paren as a parenthesized read body and launder a
+    following INSERT). Over-accepting here is conservative-safe: a
+    bare identifier list is never itself a valid query, so classifying
+    a group as an alias list can only push the walk FORWARD to the
+    real body keyword, never turn a write into a read."""
     i, n = 0, len(s)
     expect_ident, seen_any = True, False
     while i < n:
@@ -161,7 +171,7 @@ def _is_identifier_list(s: str) -> bool:
                 return False  # unterminated backquote
             i = j + 1
             expect_ident, seen_any = False, True
-        elif re.match(r"[A-Za-z_]", ch):
+        elif re.match(r"[A-Za-z0-9_]", ch):
             if not expect_ident:
                 return False
             i += re.match(r"[A-Za-z_0-9]+", s[i:]).end()

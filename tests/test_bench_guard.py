@@ -1,0 +1,74 @@
+"""bench.py contamination guard (round 8).
+
+BENCH_r07 committed a box-noise run ~21% above a quiet re-run; the
+guard makes that failure mode visible (loadavg in the artifact) and
+self-healing (min-across-passes retry when the shared-query total
+deviates upward >15% from the last committed record). These tests pin
+the record-discovery helper — the retry loop itself is three lines of
+arithmetic exercised by the driver's real per-round run.
+"""
+
+import json
+
+import bench
+
+
+def _write(tmp_path, name, payload):
+    (tmp_path / name).write_text(json.dumps(payload))
+
+
+def test_last_committed_reads_raw_bench_line(tmp_path):
+    _write(
+        tmp_path,
+        "BENCH_r03.json",
+        {"metric": "m", "value": 2.0, "sf": 0.1, "queries": {"q1": 2.0}},
+    )
+    name, q = bench._last_committed(0.1, here=str(tmp_path))
+    assert name == "BENCH_r03.json" and q == {"q1": 2.0}
+
+
+def test_last_committed_reads_driver_wrapper_and_picks_newest(tmp_path):
+    # the driver wraps the bench JSON line under "parsed" alongside
+    # n/rc/cpus/sf metadata (observed in the committed BENCH_r07.json)
+    _write(
+        tmp_path,
+        "BENCH_r02.json",
+        {"metric": "m", "sf": 0.1, "queries": {"q1": 9.0}},
+    )
+    _write(
+        tmp_path,
+        "BENCH_r10.json",
+        {
+            "n": 10,
+            "rc": 0,
+            "sf": 0.1,
+            "parsed": {"sf": 0.1, "queries": {"q1": 1.5, "q2": 0.5}},
+        },
+    )
+    name, q = bench._last_committed(0.1, here=str(tmp_path))
+    assert name == "BENCH_r10.json" and q == {"q1": 1.5, "q2": 0.5}
+
+
+def test_last_committed_rejects_sf_mismatch_and_absence(tmp_path):
+    assert bench._last_committed(0.1, here=str(tmp_path)) is None
+    _write(
+        tmp_path,
+        "BENCH_r01.json",
+        {"metric": "m", "sf": 0.01, "queries": {"q1": 1.0}},
+    )
+    assert bench._last_committed(0.1, here=str(tmp_path)) is None
+
+
+def test_last_committed_survives_garbage(tmp_path):
+    (tmp_path / "BENCH_r05.json").write_text("{not json")
+    assert bench._last_committed(0.1, here=str(tmp_path)) is None
+
+
+def test_repo_record_is_discoverable():
+    """The real repo's newest BENCH_r*.json must parse — if the driver
+    changes its wrapper shape the guard silently disarms, which this
+    catches."""
+    found = bench._last_committed(0.1)
+    assert found is not None
+    name, q = found
+    assert q and all(isinstance(v, float) for v in q.values())

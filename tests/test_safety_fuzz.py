@@ -124,7 +124,7 @@ def _statement(draw) -> str:
         ctes = []
         for i in range(n_ctes):
             name = f"c{i}" if draw(st.booleans()) else f"`c``{i}`"
-            cols = draw(st.sampled_from(("", "(s)")))
+            cols = draw(st.sampled_from(("", "(s)", "(2b)")))
             ctes.append(
                 f"{name}{cols} AS (SELECT {draw(_expr)} AS s)"
             )
@@ -241,7 +241,9 @@ _literal = st.one_of(st.just("1"), _lit_single, _lit_double)
 # markers and structure chars are ORDINARY characters inside
 _bq_unit = st.sampled_from(["a", "``", "'", '"', "--", "/*", "*/", "(", ")", ";", " "])
 _bq_ident = st.lists(_bq_unit, max_size=4).map(lambda u: "`" + "".join(u) + "`")
-_ident = st.one_of(st.just("v"), _bq_ident)
+# digit-leading plain names are legal Spark identifiers (lexer:
+# (LETTER|DIGIT|'_')+, maximal munch) — the round-8 advice exploit class
+_ident = st.one_of(st.just("v"), st.just("2b"), _bq_ident)
 
 
 @st.composite
@@ -288,8 +290,12 @@ def _grammar_statement(draw) -> tuple[str, bool]:
         ctes = []
         for i in range(n_ctes):
             name = draw(st.one_of(st.just(f"c{i}"), st.just(f"`c`` {i}'--`")))
-            cols = draw(st.sampled_from(["", "(s)"]))
-            ctes.append(f"{name}{cols}{s()}AS{s()}({s()}SELECT{s()}{draw(_literal)}{s()}AS{s()}s{s()})")
+            cols = draw(st.sampled_from(["", "(s)", "(2b)"]))
+            # AS is optional in namedQuery — omit it only when a column
+            # list disambiguates (name (query) without either parses as
+            # a function-call-shaped relation error in some positions)
+            as_kw = "AS" if not cols or draw(st.booleans()) else ""
+            ctes.append(f"{name}{cols}{s()}{as_kw}{s()}({s()}SELECT{s()}{draw(_literal)}{s()}AS{s()}s{s()})")
         stmt = f"WITH{s()}" + ("," + s()).join(ctes) + s() + body
     else:
         stmt = body
@@ -404,9 +410,18 @@ def test_as_omitted_cte_cannot_launder_writes(parser):
         # swallows the AS and the walker still must not misbind
         "WITH c0(s)--\\\nAS\n( SELECT 1 AS s ) INSERT INTO t SELECT 1 AS v",
         "WITH a AS (SELECT 1), b(x) (SELECT 2) DELETE FROM t",
+        # round-8 advice find, pinned: Spark's lexer is IDENTIFIER:
+        # (LETTER|DIGIT|'_')+ with maximal munch — DIGIT-LEADING
+        # aliases like 2b are legal column names, and rejecting them
+        # in _is_identifier_list made the walker read the query paren
+        # as a parenthesized read body, laundering the INSERT
+        "WITH c(2b) (SELECT 1) INSERT INTO t SELECT * FROM c",
+        "WITH c(2b, 9_x) (SELECT 1, 2) DELETE FROM t",
+        "WITH a(1x) (SELECT 1), b AS (SELECT 2) INSERT INTO t SELECT 1",
     ]
     cases_read = [
         "WITH c0(s) (SELECT 1 AS s) SELECT * FROM c0",
+        "WITH c(2b) (SELECT 1) SELECT * FROM c",
         "WITH c0 AS (SELECT 1 AS s) (SELECT 2)",
         # group IS the query (starts with a query token), so the next
         # paren is a parenthesized read body
