@@ -1,0 +1,598 @@
+"""Round-8 graph family: community detection and graph statistics over
+the part co-purchase graph.
+
+Completes the relationship-mining surface begun by ``g_triangle_count``
+/ ``g_pagerank_tree`` / ``g_clustering_coefficient`` in
+``hierarchy.py`` — the reference exposes its join graph to users
+(``/root/reference/sample_metadata.py:68-74``), and these are the
+operators a user of that surface runs to MINE the relationships rather
+than merely traverse them.
+
+Discipline (same as the rest of the iterative family):
+
+- every iteration is an aggregate-join keyed on a graph key (node or
+  edge) — partial aggregation shuffles one row per (node, label), never
+  per edge-visit;
+- fixed iteration counts, unrolled-CTE oracles — both engines run the
+  identical synchronous schedule, so results are hash-exact;
+- ``localCheckpoint(eager=True)`` per round cuts lineage growth (the
+  O(log n)-round lesson from ``dedup_clusters.py``);
+- all scores integer fixed-point (e6/e9) or FLOOR-scaled ratios of
+  exact integer sums — nothing can wobble between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .hierarchy import copurchase_edges
+from .relational import t
+
+#: Synchronous label-propagation rounds. Fixed (not run-to-convergence):
+#: synchronous LPA can 2-cycle on bipartite structures, so a fixed
+#: schedule is the only deterministic cross-engine contract; 4 rounds
+#: propagates labels across a diameter-8 neighborhood which saturates
+#: the co-purchase fixture (and is the standard "few sweeps" regime of
+#: Raghavan et al. 2007).
+LPA_ROUNDS = 4
+
+#: Peeling rounds for the fixed-round k-core approximation. Each round
+#: removes every node of current degree < k; the true k-core is the
+#: fixpoint, reached here when a round removes nothing (the fixture
+#: converges in 3; a 100 TB run sizes rounds ~O(log n) like the
+#: connected-components operator).
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+#: Adamic-Adar center cap: wedges are enumerated at their common
+#: neighbor, a Σdeg² relation that a hub node makes quadratic. Capping
+#: the CENTER degree (standard hub-capped AA) bounds it at cap²·n while
+#: only discounting the near-zero 1/ln(deg) contributions of mega-hubs;
+#: identical cap in the oracle keeps the check exact.
+AA_CENTER_CAP = 64
+
+_EDGES_SQL = """
+    e AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (
+        SELECT pa AS u, pb AS v FROM e
+        UNION ALL
+        SELECT pb AS u, pa AS v FROM e
+    )
+"""
+
+
+def _sym(edges: DataFrame) -> DataFrame:
+    return edges.select(F.col("pa").alias("u"), F.col("pb").alias("v")).unionAll(
+        edges.select(F.col("pb").alias("u"), F.col("pa").alias("v"))
+    )
+
+
+def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """(node, community) after ``rounds`` synchronous LPA sweeps.
+
+    Initial label = own id; each sweep every node adopts the most
+    frequent label among its neighbors, ties broken by SMALLEST label
+    (min-label determinism, as in the connected-components operator).
+    The arg-max is the aggregate ``max(struct(c, -label))`` — one
+    partial-aggregable reduction per node, no window — so each round is
+    exactly two keyed shuffles (neighbor-label count, per-node max),
+    each carrying at most one row per (node, distinct neighbor label).
+    Every node has degree ≥ 1 by construction (the node set is the edge
+    endpoints), so the count relation covers all nodes every round."""
+    sym = _sym(edges).localCheckpoint(eager=True)
+    labels = sym.select("u").distinct().select(
+        F.col("u").alias("node"), F.col("u").cast("long").alias("label")
+    )
+    for _ in range(rounds):
+        nbr = sym.join(
+            labels.select(F.col("node").alias("v"), "label"), "v"
+        ).select(F.col("u").alias("node"), "label")
+        cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("m")
+            )
+            .select("node", (-F.col("m.nl")).cast("long").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def _lpa_oracle_ctes(rounds: int = LPA_ROUNDS) -> str:
+    """Unrolled-CTE LPA over the co-purchase graph, ending in a CTE
+    named ``lab{rounds}`` with columns (node, label)."""
+    sql = f"""
+    WITH {_EDGES_SQL},
+    lab0 AS (SELECT DISTINCT u AS node, CAST(u AS BIGINT) AS label FROM sym)
+    """
+    for k in range(1, rounds + 1):
+        sql += f""",
+    cnt{k} AS (
+        SELECT s.u AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM sym s JOIN lab{k - 1} l ON l.node = s.v
+        GROUP BY s.u, l.label
+    ),
+    lab{k} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY node ORDER BY c DESC, label ASC
+                   ) AS rn
+            FROM cnt{k}
+        ) WHERE rn = 1
+    )
+    """
+    return sql
+
+
+@register(
+    "g_label_propagation",
+    oracle=_lpa_oracle_ctes()
+    + f"""
+    SELECT node, label AS community FROM lab{LPA_ROUNDS} ORDER BY node
+    """,
+    survey_ids=("J3", "A1", "U1"),
+)
+def g_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the part co-purchase graph — the graph family's
+    community member, after the census (`g_triangle_count`), centrality
+    (`g_pagerank_tree`), and cohesion (`g_clustering_coefficient`)
+    operators. Emits every node's community label after LPA_ROUNDS
+    fixed sweeps; min-label tie-break makes the sweep schedule the only
+    degree of freedom, and fixing it makes the result hash-exact
+    against the unrolled-CTE oracle. Scale: each sweep is two keyed
+    shuffles bounded by Σ|distinct neighbor labels| ≤ |sym edges|;
+    label state is one long per node; localCheckpoint per sweep keeps
+    lineage flat — the identical shape to the proven log-round
+    connected-components operator (`dedup_clusters.py`)."""
+    labels = label_propagation(copurchase_edges(t(spark, sf_dir, "lineitem")))
+    return labels.select("node", F.col("label").alias("community")).orderBy(
+        "node"
+    )
+
+
+@register(
+    "g_community_sizes",
+    oracle=_lpa_oracle_ctes()
+    + f"""
+    , members AS (
+        SELECT label AS community, node FROM lab{LPA_ROUNDS}
+    ),
+    internal AS (
+        SELECT ma.community, CAST(COUNT(*) AS BIGINT) AS internal_edges
+        FROM e
+        JOIN members ma ON ma.node = e.pa
+        JOIN members mb ON mb.node = e.pb
+        WHERE ma.community = mb.community
+        GROUP BY ma.community
+    ),
+    deg AS (
+        SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u
+    )
+    SELECT m.community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(d.deg) AS BIGINT) AS degree_sum,
+           COALESCE(ANY_VALUE(i.internal_edges), 0) AS internal_edges
+    FROM members m
+    JOIN deg d ON d.node = m.node
+    LEFT JOIN internal i ON i.community = m.community
+    GROUP BY m.community
+    ORDER BY n_members DESC, m.community
+    LIMIT 25
+    """,
+    survey_ids=("J3", "A1", "O4"),
+)
+def g_community_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 LPA communities by size with their internal edge count
+    and degree mass — the summary a curation pipeline reads before
+    deciding whether a 'community' is a real product cluster or one
+    giant percolated blob (n_members vs internal_edges tells which).
+    All integers; the internal-edge count joins the edge list to the
+    label map on each endpoint — two broadcast-able joins at fixture
+    scale, two co-keyed shuffles at 100 TB."""
+    edges = copurchase_edges(t(spark, sf_dir, "lineitem")).localCheckpoint(
+        eager=True
+    )
+    labels = label_propagation(edges)
+    members = labels.select(F.col("label").alias("community"), "node")
+    deg = (
+        _sym(edges)
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    internal = (
+        edges.join(
+            members.select(F.col("node").alias("pa"), F.col("community").alias("ca")),
+            "pa",
+        )
+        .join(
+            members.select(F.col("node").alias("pb"), F.col("community").alias("cb")),
+            "pb",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_edges"))
+    )
+    return (
+        members.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("deg").cast("long").alias("degree_sum"),
+        )
+        .join(internal, "community", "left")
+        .select(
+            "community",
+            "n_members",
+            "degree_sum",
+            F.coalesce(F.col("internal_edges"), F.lit(0))
+            .cast("long")
+            .alias("internal_edges"),
+        )
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(25)
+    )
+
+
+@register(
+    "g_modularity_lpa",
+    oracle=_lpa_oracle_ctes()
+    + f"""
+    , members AS (SELECT label AS community, node FROM lab{LPA_ROUNDS}),
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY u),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    ec AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS sum_ec
+        FROM e
+        JOIN members ma ON ma.node = e.pa
+        JOIN members mb ON mb.node = e.pb
+        WHERE ma.community = mb.community
+    ),
+    dc AS (
+        SELECT CAST(SUM(dsum * dsum) AS BIGINT) AS sum_dc2
+        FROM (
+            SELECT mm.community, CAST(SUM(d.deg) AS BIGINT) AS dsum
+            FROM members mm JOIN deg d ON d.node = mm.node
+            GROUP BY mm.community
+        )
+    ),
+    nc AS (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS n_communities
+           FROM lab{LPA_ROUNDS})
+    SELECT m.m AS n_edges, nc.n_communities, ec.sum_ec, dc.sum_dc2,
+           CAST(FLOOR(
+               1000000.0 * (4.0 * m.m * ec.sum_ec - dc.sum_dc2)
+               / (4.0 * m.m * m.m)
+           ) AS BIGINT) AS modularity_e6
+    FROM m, ec, dc, nc
+    """,
+    survey_ids=("J3", "A2", "U1"),
+)
+def g_modularity_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA partition, one row — the quality
+    score that says whether the propagated communities beat a random
+    cut (Q>0). Q = Σ_c(e_c/m − (d_c/2m)²) is carried as the exact
+    integer pair (4m·Σe_c − Σd_c², 4m²) and FLOOR-scaled once at the
+    end — the double division is the only float op and both engines
+    perform the identical (int-exact-to-double) operation, so e6 floors
+    agree. (Int64 holds to m ~ 1.5e9 edges; the 100 TB spelling carries
+    the two sums as DECIMAL(38,0), same plan.)"""
+    edges = copurchase_edges(t(spark, sf_dir, "lineitem")).localCheckpoint(
+        eager=True
+    )
+    labels = label_propagation(edges)
+    members = labels.select(F.col("label").alias("community"), "node")
+    deg = (
+        _sym(edges)
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    sum_ec = (
+        edges.join(
+            members.select(F.col("node").alias("pa"), F.col("community").alias("ca")),
+            "pa",
+        )
+        .join(
+            members.select(F.col("node").alias("pb"), F.col("community").alias("cb")),
+            "pb",
+        )
+        .filter(F.col("ca") == F.col("cb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("sum_ec"))
+    )
+    sum_dc2 = (
+        members.join(deg, "node")
+        .groupBy("community")
+        .agg(F.sum("deg").cast("long").alias("dsum"))
+        .agg(F.sum(F.col("dsum") * F.col("dsum")).cast("long").alias("sum_dc2"))
+    )
+    n_comm = labels.agg(
+        F.countDistinct("label").cast("long").alias("n_communities")
+    )
+    return (
+        m.crossJoin(F.broadcast(n_comm))
+        .crossJoin(F.broadcast(sum_ec))
+        .crossJoin(F.broadcast(sum_dc2))
+        .select(
+            "n_edges",
+            "n_communities",
+            "sum_ec",
+            "sum_dc2",
+            F.floor(
+                1000000.0
+                * (
+                    4.0 * F.col("n_edges") * F.col("sum_ec")
+                    - F.col("sum_dc2")
+                )
+                / (4.0 * F.col("n_edges") * F.col("n_edges"))
+            )
+            .cast("long")
+            .alias("modularity_e6"),
+        )
+    )
+
+
+def _kcore_oracle() -> str:
+    sql = f"""
+    WITH {_EDGES_SQL},
+    s0 AS (SELECT u, v FROM sym)
+    """
+    prev = "s0"
+    for r in range(1, KCORE_ROUNDS + 1):
+        sql += f""",
+    keep{r} AS (
+        SELECT u AS node FROM {prev}
+        GROUP BY u HAVING COUNT(*) >= {KCORE_K}
+    ),
+    s{r} AS (
+        SELECT s.u, s.v FROM {prev} s
+        JOIN keep{r} ka ON ka.node = s.u
+        JOIN keep{r} kb ON kb.node = s.v
+    )
+    """
+        prev = f"s{r}"
+    sql += f"""
+    SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM {prev}
+    GROUP BY u
+    ORDER BY node
+    """
+    return sql
+
+
+@register(
+    "g_kcore_membership",
+    oracle=_kcore_oracle(),
+    survey_ids=("J3", "A1", "A4", "U1"),
+)
+def g_kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core membership by fixed-round peeling: each round drops
+    every node whose CURRENT degree is below k and the edges touching
+    it, the standard iterative k-core algorithm with a fixed round
+    budget (KCORE_ROUNDS; the fixture reaches the true 3-core fixpoint
+    — a round that removes nothing — inside the budget, and the
+    unrolled oracle runs the identical schedule either way). Output is
+    the surviving nodes with their in-core degree: the dense backbone
+    of the co-purchase graph, which is what a recommender mines and a
+    sampler must not break. Each peel is one degree aggregate + two
+    semi-join-shaped edge filters, all keyed on node — no shuffle
+    carries more than the live edge list."""
+    sym = _sym(
+        copurchase_edges(t(spark, sf_dir, "lineitem"))
+    ).localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select(F.col("u").alias("node"))
+        )
+        sym = (
+            sym.join(keep.select(F.col("node").alias("u")), "u", "left_semi")
+            .join(keep.select(F.col("node").alias("v")), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+        .orderBy("node")
+    )
+
+
+@register(
+    "g_degree_assortativity",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY u),
+    pairs AS (
+        SELECT da.deg AS x, db.deg AS y
+        FROM sym s
+        JOIN deg da ON da.node = s.u
+        JOIN deg db ON db.node = s.v
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sx2
+        FROM pairs
+    )
+    SELECT m2, sx, sxy, sx2,
+           CAST(FLOOR(
+               1000000.0 * (m2 * sxy - sx * sx) / (m2 * sx2 - sx * sx)
+           ) AS BIGINT) AS assortativity_e6
+    FROM sums
+    """,
+    survey_ids=("J3", "A2"),
+)
+def g_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): Pearson correlation of
+    endpoint degrees over the directed edge list — do high-degree parts
+    co-purchase with other hubs (r>0, social-network-like) or with
+    leaves (r<0, technological/hub-spoke)? Because the symmetrized edge
+    list makes the x and y marginals identical, the Pearson quotient
+    needs NO square root: r = (M·Σxy − (Σx)²)/(M·Σx² − (Σx)²), a ratio
+    of exact BIGINT sums FLOOR-scaled once (the raw sums ship in the
+    row so the e6 value is auditable). One degree aggregate + two
+    node-keyed joins + one global sum — nothing wider than the edge
+    list ever shuffles."""
+    sym = _sym(copurchase_edges(t(spark, sf_dir, "lineitem")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    pairs = (
+        sym.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("x")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("y")), "v")
+        .select("x", "y")
+    )
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+    )
+    return sums.select(
+        "m2",
+        "sx",
+        "sxy",
+        "sx2",
+        F.floor(
+            1000000.0
+            * (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx"))
+            / (F.col("m2") * F.col("sx2") - F.col("sx") * F.col("sx"))
+        )
+        .cast("long")
+        .alias("assortativity_e6"),
+    )
+
+
+@register(
+    "g_adamic_adar_topk",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY u),
+    centers AS (
+        SELECT node, deg FROM deg WHERE deg BETWEEN 2 AND {AA_CENTER_CAP}
+    ),
+    wedges AS (
+        SELECT s1.v AS a, s2.v AS b,
+               CAST(FLOOR(1000000000.0 / LN(c.deg)) AS BIGINT) AS term_e9
+        FROM sym s1
+        JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v
+        JOIN centers c ON c.node = s1.u
+    ),
+    scored AS (
+        SELECT a, b, CAST(SUM(term_e9) AS BIGINT) AS aa_e9,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors
+        FROM wedges
+        GROUP BY a, b
+    )
+    SELECT s.a AS node_a, s.b AS node_b, s.common_neighbors, s.aa_e9
+    FROM scored s
+    LEFT JOIN e ON e.pa = s.a AND e.pb = s.b
+    WHERE e.pa IS NULL
+    ORDER BY s.aa_e9 DESC, s.a, s.b
+    LIMIT 25
+    """,
+    survey_ids=("J3", "J5", "A1", "O4"),
+)
+def g_adamic_adar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction: for UNLINKED part pairs, score
+    sum over common neighbors u of 1/ln(deg u) — rare shared neighbors count more
+    — and emit the top-25 predicted edges. Wedges are enumerated at
+    their center with the center's degree capped at AA_CENTER_CAP
+    (hub-capped AA: a mega-hub's 1/ln(deg) terms are the flattest
+    signal and its wedge set is the quadratic one — the cap bounds the
+    wedge relation at cap²·n rows while the oracle applies the same cap
+    so the check stays exact). Per-term e9 floor BEFORE the sum keeps
+    the aggregate integer-exact under any summation order; the
+    anti-join against the edge list makes it a PREDICTION (existing
+    edges excluded)."""
+    edges = copurchase_edges(t(spark, sf_dir, "lineitem")).localCheckpoint(
+        eager=True
+    )
+    sym = _sym(edges)
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    centers = deg.filter(
+        (F.col("deg") >= 2) & (F.col("deg") <= AA_CENTER_CAP)
+    )
+    wedges = (
+        sym.alias("s1")
+        .join(sym.alias("s2"), "u")
+        .filter(F.col("s1.v") < F.col("s2.v"))
+        .join(
+            centers.select(F.col("node").alias("u"), "deg"), "u"
+        )
+        .select(
+            F.col("s1.v").alias("a"),
+            F.col("s2.v").alias("b"),
+            F.floor(1000000000.0 / F.log(F.col("deg"))).cast("long").alias(
+                "term_e9"
+            ),
+        )
+    )
+    scored = wedges.groupBy("a", "b").agg(
+        F.sum("term_e9").cast("long").alias("aa_e9"),
+        F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+    )
+    unlinked = scored.join(
+        edges,
+        (scored["a"] == edges["pa"]) & (scored["b"] == edges["pb"]),
+        "left_anti",
+    )
+    return (
+        unlinked.select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            "common_neighbors",
+            "aa_e9",
+        )
+        .orderBy(F.col("aa_e9").desc(), "node_a", "node_b")
+        .limit(25)
+    )
+
+
+@register(
+    "g_degree_histogram",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY u)
+    SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg
+    GROUP BY deg
+    ORDER BY deg
+    """,
+    survey_ids=("J3", "A1", "O1"),
+)
+def g_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph — the first plot
+    anyone makes of a graph (is it scale-free? where do the hubs
+    start?) and the input that justifies `g_adamic_adar_topk`'s hub cap
+    and the skew toolbox's salting thresholds. Two map-combined
+    aggregates; output is bounded by max degree, independent of graph
+    size."""
+    sym = _sym(copurchase_edges(t(spark, sf_dir, "lineitem")))
+    return (
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .groupBy("deg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .orderBy("deg")
+    )

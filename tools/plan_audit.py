@@ -550,6 +550,17 @@ EXPECTATIONS: dict[str, dict] = {
     # MI: one contingency aggregate; marginals are windows over the
     # bounded |lang x source| cells relation
     "x4_mutual_information_lang_source": {"max_exchanges": 2},
+    # Round-8 graph family. LPA/k-core localCheckpoint per round, so
+    # the visible plan is the post-iteration tail only (like
+    # x2_dedup_clusters); the per-round budget is two keyed shuffles
+    # (count + arg-max) documented in graph_ext.py.
+    "g_label_propagation": {"max_exchanges": 1},
+    "g_community_sizes": {"max_exchanges": 7, "min_broadcast": 1},
+    "g_modularity_lpa": {"max_exchanges": 11, "min_broadcast": 3},
+    "g_kcore_membership": {"max_exchanges": 2},
+    "g_degree_assortativity": {"max_exchanges": 7},
+    "g_adamic_adar_topk": {"max_exchanges": 5, "min_broadcast": 1},
+    "g_degree_histogram": {"max_exchanges": 5},
 }
 
 
