@@ -233,3 +233,89 @@ def st_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
     ).orderBy("purchase_id", "click_id")
+
+
+def attribution_join_full_outer(
+    clicks: DataFrame, purchases: DataFrame
+) -> DataFrame:
+    """FULL OUTER variant — completes the outer-join matrix after the
+    round-7 left-outer: every purchase emits (unattributed ones with a
+    null click, as before) AND every click emits (ones that converted
+    nothing with a null purchase — the abandoned-intent side the left
+    form drops). Same shape batch and streaming; under streaming BOTH
+    unmatched sides are emitted by watermark passage — a buffered row
+    on either side flushes with nulls only once the watermark proves
+    its join window empty, so neither side can invent an unmatched row
+    early. The time bound is both the join predicate and the state TTL
+    for both state stores."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    cond = (
+        (p["user_id"] == c["c_user"])
+        & (c["click_ts"] <= p["purchase_ts"])
+        & (c["click_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {ATTRIBUTION_GAP_MINUTES} MINUTES"))
+    )
+    return p.join(c, cond, "full_outer").select(
+        F.coalesce(F.col("user_id"), F.col("c_user")).alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        F.when(F.col("purchase_id").isNull(), F.lit("click_only"))
+        .when(F.col("click_id").isNull(), F.lit("purchase_only"))
+        .otherwise(F.lit("matched"))
+        .alias("match_type"),
+    )
+
+
+@register(
+    "st_stream_stream_full_outer",
+    oracle=f"""
+    SELECT COALESCE(p.user_id, c.user_id) AS user_id,
+           p.event_id               AS purchase_id,
+           CAST(p.ts AS TIMESTAMP)  AS purchase_ts,
+           c.event_id               AS click_id,
+           CAST(c.ts AS TIMESTAMP)  AS click_ts,
+           CASE WHEN p.event_id IS NULL THEN 'click_only'
+                WHEN c.event_id IS NULL THEN 'purchase_only'
+                ELSE 'matched' END  AS match_type
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+     AND CAST(c.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP)
+                                    - INTERVAL '{ATTRIBUTION_GAP_MINUTES} minutes'
+    ORDER BY user_id,
+             purchase_id ASC NULLS FIRST,
+             click_id ASC NULLS FIRST
+    """,
+    survey_ids=("§2.11", "J4", "J7"),
+)
+def st_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch registration of the stream-stream FULL OUTER interval
+    join — attribution that keeps BOTH unmatched sides: organic
+    purchases (null click) and non-converting clicks (null purchase).
+    This is the last cell of the streaming outer-join matrix (inner r6,
+    left r7). The ORDER BY pins NULLS FIRST explicitly on both
+    nullable keys because the engines' ASC-null defaults differ (Spark
+    NULLS FIRST, DuckDB NULLS LAST — the `o_topk_explicit_null_order`
+    lesson). The pytest runs this exact plan as a real two-stream
+    full-outer join and pins the three emitted row classes against the
+    batch result under the final watermark."""
+    ev = t(spark, sf_dir, "events")
+    return attribution_join_full_outer(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+    ).orderBy(
+        "user_id",
+        F.col("purchase_id").asc_nulls_first(),
+        F.col("click_id").asc_nulls_first(),
+    )

@@ -758,6 +758,119 @@ def test_stream_stream_left_outer_null_emission(spark, sf_dir, tmp_path):
         assert want_null_ts[pid] <= wm + margin
 
 
+def test_stream_stream_full_outer_both_null_sides(spark, sf_dir, tmp_path):
+    """Real stream-stream FULL OUTER interval join (round 8) — the last
+    cell of the outer-join matrix. Three row classes must each check
+    out against the batch join under the final watermark:
+      matched        == the batch matched set exactly;
+      purchase_only  (null click): subset of batch, complete below the
+                     watermark — same contract as the left-outer test;
+      click_only     (null purchase): the NEW side — a click that
+                     converted nothing flushes with a null purchase
+                     only once the watermark proves no qualifying
+                     purchase can still arrive (its join window extends
+                     GAP minutes FORWARD of the click, so the eviction
+                     bound is click_ts + gap + delay)."""
+    import datetime
+
+    from etl_generator_demo_spark.catalog import read_table
+    from etl_generator_demo_spark.streaming.joins import (
+        ATTRIBUTION_GAP_MINUTES,
+        attribution_join_full_outer,
+        st_stream_stream_full_outer,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    c_dir, p_dir = str(tmp_path / "clicks_f"), str(tmp_path / "purch_f")
+    ev.filter(F.col("event_type") == "click").repartition(1).sortWithinPartitions(
+        "ts"
+    ).write.parquet(c_dir)
+    ev.filter(F.col("event_type") == "purchase").repartition(1).sortWithinPartitions(
+        "ts"
+    ).write.parquet(p_dir)
+
+    delay = "1 hour"
+    clicks = (
+        spark.readStream.schema(ev.schema).parquet(c_dir).withWatermark("ts", delay)
+    )
+    purchases = (
+        spark.readStream.schema(ev.schema).parquet(p_dir).withWatermark("ts", delay)
+    )
+    q = (
+        attribution_join_full_outer(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("full_outer_attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.sql(
+        "SELECT purchase_id, click_id, match_type FROM full_outer_attrib"
+    ).collect()
+    got_matched = {
+        (r["purchase_id"], r["click_id"]) for r in got if r["match_type"] == "matched"
+    }
+    got_p_only = {r["purchase_id"] for r in got if r["match_type"] == "purchase_only"}
+    got_c_only = {r["click_id"] for r in got if r["match_type"] == "click_only"}
+    # the stream must label consistently: no row with both ids null
+    assert all(
+        (r["purchase_id"] is None) != (r["click_id"] is None)
+        for r in got
+        if r["match_type"] != "matched"
+    )
+
+    batch = st_stream_stream_full_outer(spark, sf_dir).collect()
+    want_matched = {
+        (r["purchase_id"], r["click_id"])
+        for r in batch
+        if r["match_type"] == "matched"
+    }
+    want_p_only_ts = {
+        r["purchase_id"]: r["purchase_ts"]
+        for r in batch
+        if r["match_type"] == "purchase_only"
+    }
+    want_c_only_ts = {
+        r["click_id"]: r["click_ts"]
+        for r in batch
+        if r["match_type"] == "click_only"
+    }
+
+    # (1) inner results identical
+    assert got_matched == want_matched and len(want_matched) >= 2
+    # (2) soundness both sides: no invented unmatched rows
+    assert got_p_only <= set(want_p_only_ts)
+    assert got_c_only <= set(want_c_only_ts)
+    # (3) completeness below the final watermark, per side. The
+    # purchase side's window looks BACK gap minutes (evictable at
+    # purchase_ts); the click side's window extends FORWARD gap
+    # minutes (evictable at click_ts + gap).
+    max_c = ev.filter(F.col("event_type") == "click").agg(F.max("ts")).first()[0]
+    max_p = ev.filter(F.col("event_type") == "purchase").agg(F.max("ts")).first()[0]
+    wm = min(max_c, max_p) - datetime.timedelta(hours=1)
+    margin = datetime.timedelta(minutes=5)
+    gap = datetime.timedelta(minutes=ATTRIBUTION_GAP_MINUTES)
+    must_flush_p = {
+        pid for pid, ts in want_p_only_ts.items() if ts < wm - margin
+    }
+    must_flush_c = {
+        cid for cid, ts in want_c_only_ts.items() if ts + gap < wm - margin
+    }
+    assert must_flush_p and must_flush_c, (
+        "fixture should leave provably-unmatched rows on both sides"
+    )
+    assert must_flush_p <= got_p_only
+    assert must_flush_c <= got_c_only
+    # (4) anything emitted beyond must-flush is still at/before the
+    # watermark once its window is accounted for
+    for pid in got_p_only - must_flush_p:
+        assert want_p_only_ts[pid] <= wm + margin
+    for cid in got_c_only - must_flush_c:
+        assert want_c_only_ts[cid] + gap <= wm + margin
+
+
 class TestWriteAuditPublish:
     """WAP (round 7): bad data must be caught while still invisible —
     a failing audit aborts with the LIVE table untouched; a clean run

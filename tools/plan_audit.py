@@ -561,6 +561,12 @@ EXPECTATIONS: dict[str, dict] = {
     "g_degree_assortativity": {"max_exchanges": 7},
     "g_adamic_adar_topk": {"max_exchanges": 5, "min_broadcast": 1},
     "g_degree_histogram": {"max_exchanges": 5},
+    # stream-stream FULL OUTER interval join (batch registration):
+    # full outer cannot broadcast (both sides must retain unmatched
+    # rows), so the correct plan IS the co-partitioned sort-merge join
+    # — under streaming the same shape is the symmetric state-store
+    # join with watermark eviction on both sides
+    "st_stream_stream_full_outer": {"max_exchanges": 3, "pushed": True},
 }
 
 
