@@ -596,3 +596,146 @@ def g_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .orderBy("deg")
     )
+
+
+# ---------------------------------------------------------------------------
+# (placed here to keep analytics_ext.py under its current review size;
+# the time-series monitor kit it extends lives in analytics_ext.py)
+
+STL_HALF = 3  # centered moving-average half-width: 7-day trend window
+
+
+@register(
+    "x4_stl_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS rev
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY CAST(CAST(ts AS TIMESTAMP) AS DATE)
+    ),
+    seq AS (
+        SELECT day, rev, ROW_NUMBER() OVER (ORDER BY day) AS idx,
+               CAST(day - DATE '1970-01-01' AS BIGINT) % 7 AS dow_idx
+        FROM daily
+    ),
+    tr AS (
+        SELECT day, rev, idx, dow_idx,
+               CAST(SUM(rev) OVER w7 AS BIGINT) AS sum7,
+               CAST(COUNT(*) OVER w7 AS BIGINT) AS n7
+        FROM seq
+        WINDOW w7 AS (ORDER BY idx
+                      ROWS BETWEEN {STL_HALF} PRECEDING
+                               AND {STL_HALF} FOLLOWING)
+    ),
+    det AS (
+        SELECT *, CASE WHEN n7 = {2 * STL_HALF + 1}
+                       THEN {2 * STL_HALF + 1} * rev - sum7 END AS detr7
+        FROM tr
+    ),
+    seas AS (
+        SELECT dow_idx,
+               CAST(SUM(detr7) AS BIGINT) AS s_sum,
+               CAST(COUNT(detr7) AS BIGINT) AS s_n
+        FROM det WHERE detr7 IS NOT NULL
+        GROUP BY dow_idx
+    )
+    SELECT d.day, d.rev,
+           CASE WHEN d.n7 = {2 * STL_HALF + 1}
+                THEN CAST(FLOOR(100.0 * d.sum7 / {2 * STL_HALF + 1}) AS BIGINT)
+           END AS trend_e2,
+           CASE WHEN d.n7 = {2 * STL_HALF + 1}
+                THEN CAST(FLOOR(100.0 * s.s_sum
+                                / ({2 * STL_HALF + 1} * s.s_n)) AS BIGINT)
+           END AS seasonal_e2,
+           CASE WHEN d.n7 = {2 * STL_HALF + 1}
+                THEN 100 * d.rev
+                     - CAST(FLOOR(100.0 * d.sum7 / {2 * STL_HALF + 1}) AS BIGINT)
+                     - CAST(FLOOR(100.0 * s.s_sum
+                                  / ({2 * STL_HALF + 1} * s.s_n)) AS BIGINT)
+           END AS remainder_e2
+    FROM det d
+    LEFT JOIN seas s ON s.dow_idx = d.dow_idx
+    ORDER BY d.day
+    """,
+    survey_ids=("W3", "A1", "F4", "U1"),
+)
+def x4_stl_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal decomposition of the daily purchase-revenue
+    series: trend = centered 7-day moving average over the observed-day
+    sequence, seasonal = day-of-week means of the detrended series,
+    remainder = what's left — joining Mann-Kendall (trend direction),
+    CUSUM (level shifts) and ACF (periodicity) to complete the
+    time-series monitor kit in analytics_ext.py. Exactness: the
+    detrended series is carried ×7 (detr7 = 7·rev − sum7, an exact
+    BIGINT — the n-scaled-deviation trick from CUSUM/ACF), day-of-week
+    comes from epoch-day arithmetic (both engines' DOW builtins
+    disagree on numbering), and the only float ops are two
+    FLOOR(100.0·int/int) scalings whose operands are exact — so the e2
+    fixed-point outputs cannot drift. Edge days without a full 7-day
+    window carry NULL components, never a shortened average. The day
+    grid is |days|-bounded (the documented lattice-bounded window
+    class); the one full-data pass is the daily rollup."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = (
+        ev.groupBy(F.to_date(F.col("ts").cast("timestamp")).alias("day"))
+        .agg(F.sum(F.floor("value").cast("long")).cast("long").alias("rev"))
+        .localCheckpoint(eager=True)
+    )
+    return stl_decompose(daily)
+
+
+def stl_decompose(daily: DataFrame) -> DataFrame:
+    """STL-lite core over a (day, rev) relation — split out so the
+    closed-form pytest anchors (pure-linear series → zero seasonal and
+    remainder; pure-weekly series → exact seasonal recovery) can run it
+    on synthetic inputs."""
+    from pyspark.sql import Window
+
+    width = 2 * STL_HALF + 1
+    seq = daily.select(
+        "day",
+        "rev",
+        F.row_number().over(Window.orderBy("day")).alias("idx"),
+        (F.datediff("day", F.lit("1970-01-01")).cast("long") % 7).alias(
+            "dow_idx"
+        ),
+    )
+    w7 = Window.orderBy("idx").rowsBetween(-STL_HALF, STL_HALF)
+    tr = seq.select(
+        "day",
+        "rev",
+        "dow_idx",
+        F.sum("rev").over(w7).cast("long").alias("sum7"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("n7"),
+    )
+    det = tr.withColumn(
+        "detr7",
+        F.when(F.col("n7") == width, width * F.col("rev") - F.col("sum7")),
+    )
+    seas = (
+        det.filter(F.col("detr7").isNotNull())
+        .groupBy("dow_idx")
+        .agg(
+            F.sum("detr7").cast("long").alias("s_sum"),
+            F.count("detr7").cast("long").alias("s_n"),
+        )
+    )
+    trend_e2 = F.floor(100.0 * F.col("sum7") / width).cast("long")
+    seasonal_e2 = F.floor(
+        100.0 * F.col("s_sum") / (width * F.col("s_n"))
+    ).cast("long")
+    full = F.col("n7") == width
+    return (
+        det.join(F.broadcast(seas), "dow_idx", "left")
+        .select(
+            "day",
+            "rev",
+            F.when(full, trend_e2).alias("trend_e2"),
+            F.when(full, seasonal_e2).alias("seasonal_e2"),
+            F.when(
+                full, 100 * F.col("rev") - trend_e2 - seasonal_e2
+            ).alias("remainder_e2"),
+        )
+        .orderBy("day")
+    )

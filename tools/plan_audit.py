@@ -567,6 +567,9 @@ EXPECTATIONS: dict[str, dict] = {
     # — under streaming the same shape is the symmetric state-store
     # join with watermark eviction on both sides
     "st_stream_stream_full_outer": {"max_exchanges": 3, "pushed": True},
+    # STL-lite: daily rollup (localCheckpoint cuts the scan) then
+    # |days|-bounded lattice windows + one broadcast dow join
+    "x4_stl_daily_revenue": {"max_exchanges": 2, "min_broadcast": 1},
 }
 
 
