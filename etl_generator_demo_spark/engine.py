@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import decimal as _decimal
+import re as _re
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -80,11 +81,19 @@ class BlockedStatementError(RuntimeError):
 
 
 class ExecutionEngine:
-    """SQL-string front door over one SparkSession."""
+    """SQL-string front door over one SparkSession.
 
-    def __init__(self, spark: SparkSession, allow_writes: bool = False):
+    ``catalog`` (optional) enables the textual-DML routes that plain
+    Spark cannot execute itself — today ``MERGE INTO`` on the
+    catalog's parquet tables (reference parity:
+    ``db_connector.py:244-251`` commits any DML text; see
+    ``plans/merge.py``). Without a catalog those statements return an
+    error envelope rather than silently no-op."""
+
+    def __init__(self, spark: SparkSession, allow_writes: bool = False, catalog=None):
         self.spark = spark
         self.allow_writes = allow_writes
+        self.catalog = catalog
 
     def dataframe(self, sql: str, limit: int | None = DEFAULT_LIMIT) -> DataFrame:
         """Parse + analyze + auto-limit, returning the lazy DataFrame.
@@ -115,6 +124,8 @@ class ExecutionEngine:
                 is_blocked=True,
                 block_reason=verdict.block_reason,
             )
+        if verdict.is_write and _leads_with_merge(sql):
+            return self._execute_merge(sql)
         try:
             df = self.spark.sql(sql)
             if not verdict.is_write and limit:
@@ -127,3 +138,63 @@ class ExecutionEngine:
         return ExecutionResult(
             success=True, columns=columns, rows=rows, row_count=len(rows)
         )
+
+    def _execute_merge(self, sql: str) -> ExecutionResult:
+        """Route star-form ``MERGE INTO`` to the parquet upsert
+        (``sources/mutations.merge_parquet``). Runs only after the
+        safety gate has passed the statement as an allowed write.
+        Returns the affected rowcount like the reference's non-SELECT
+        branch (``db_connector.py:244-251``); the single summary row
+        breaks out updated vs inserted."""
+        import os
+
+        from etl_generator_demo_spark.plans.merge import UnsupportedMergeError, parse_merge
+        from etl_generator_demo_spark.sources.mutations import merge_parquet
+
+        if self.catalog is None:
+            return ExecutionResult(
+                success=False,
+                error="MERGE routing requires an engine catalog (parquet table paths)",
+            )
+        try:
+            spec = parse_merge(sql)
+        except UnsupportedMergeError as exc:
+            return ExecutionResult(success=False, error=f"MERGE not routable: {exc}")
+        path = self.catalog.path(spec.target)
+        if not (os.path.exists(path) or os.path.isdir(path)):
+            return ExecutionResult(
+                success=False, error=f"MERGE target {spec.target!r} is not a catalog table"
+            )
+        try:
+            if spec.source_sql is not None:
+                source = self.spark.sql(spec.source_sql)
+            else:
+                source = self.spark.table(spec.source_table)
+            n_updated, n_inserted = merge_parquet(
+                self.spark, path, source, list(spec.key_cols)
+            )
+        except Exception as exc:
+            return ExecutionResult(success=False, error=str(exc)[:2000])
+        # the swap replaced the files under `path` (a single-file
+        # fixture becomes a directory): refresh the cached listing AND
+        # re-register any existing view, whose resolved relation still
+        # pins the old leaf files
+        self.spark.catalog.refreshByPath(path)
+        try:
+            if self.spark.catalog.tableExists(spec.target):
+                self.catalog.register_views((spec.target,))
+        except Exception:
+            pass  # view refresh is best-effort; the table itself is swapped
+        self.catalog.invalidate()
+        return ExecutionResult(
+            success=True,
+            columns=["n_updated", "n_inserted"],
+            rows=[{"n_updated": n_updated, "n_inserted": n_inserted}],
+            row_count=n_updated + n_inserted,
+        )
+
+
+def _leads_with_merge(sql: str) -> bool:
+    from etl_generator_demo_spark.plans.safety import _strip_comments
+
+    return bool(_re.match(r"\s*MERGE\b", _strip_comments(sql or ""), _re.I))
