@@ -67,5 +67,6 @@ def load_all() -> dict[str, RegisteredQuery]:
     import etl_generator_demo_spark.operators.setsim  # noqa: F401
     import etl_generator_demo_spark.operators.tpch_ext  # noqa: F401
     import etl_generator_demo_spark.operators.graph_ext  # noqa: F401
+    import etl_generator_demo_spark.operators.surfaces_r8  # noqa: F401
 
     return REGISTRY

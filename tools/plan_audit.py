@@ -570,6 +570,32 @@ EXPECTATIONS: dict[str, dict] = {
     # STL-lite: daily rollup (localCheckpoint cuts the scan) then
     # |days|-bounded lattice windows + one broadcast dow join
     "x4_stl_daily_revenue": {"max_exchanges": 2, "min_broadcast": 1},
+    # Round-8 SQL-surface family. Quantified ALL/ANY rewrite: the two
+    # per-group extrema relations broadcast (supplier-max is tiny; the
+    # orders-max join may also fold under AQE) — the correlated probe
+    # the syntax implies must never appear
+    "sq_quantified_all_any": {"max_exchanges": 3, "min_broadcast": 1},
+    # null-safe equi-join over the status×priority-bounded grouped
+    # relation: EqualNullSafe must plan as a (broadcast) HASH join,
+    # never a nested loop
+    "j_null_safe_equality": {"max_exchanges": 3, "min_broadcast": 1},
+    # one partitioned window pass (rank + 4 IGNORE NULLS navigations
+    # share the frame) over one scan
+    "w_nth_value_ignore_nulls": {"max_exchanges": 2},
+    # calendar grid: scan + distinct on the pushed day>=28 filter
+    "f_interval_month_arithmetic": {"max_exchanges": 2, "pushed": True},
+    # backward + forward union-window asofs co-keyed on user_id, then
+    # one broadcast-able equi-join on the probe id
+    "j8_asof_nearest": {"max_exchanges": 3, "min_broadcast": 1},
+    # five sufficient statistics in ONE map-side-combined global
+    # aggregate over the daily rollup
+    "a_regr_slope_revenue": {"max_exchanges": 2},
+    # same budget shape as g_adamic_adar_topk + the two degree joins
+    "g_jaccard_link_prediction": {"max_exchanges": 7, "min_broadcast": 3},
+    # histograms are bin-bounded and localCheckpointed; everything
+    # downstream (pair grid, two KL sums) joins bounded relations —
+    # broadcast throughout
+    "x4_js_divergence_sources": {"max_exchanges": 7, "min_broadcast": 4},
 }
 
 
