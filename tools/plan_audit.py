@@ -596,6 +596,26 @@ EXPECTATIONS: dict[str, dict] = {
     # downstream (pair grid, two KL sums) joins bounded relations —
     # broadcast throughout
     "x4_js_divergence_sources": {"max_exchanges": 7, "min_broadcast": 4},
+    # the distributed transition counting collapses into the bounded
+    # collect (taxonomy² cells); the returned relation is the
+    # driver-solved 4-row table — no shuffle by construction
+    "x4_markov_attribution": {"max_exchanges": 0},
+    # journey windows + transition groupBy + per-source entropy agg
+    "x4_entropy_rate_transitions": {"max_exchanges": 4},
+    # checkpointed cell table; O(cells²) theta join + three margin aggs
+    "x4_kendall_tau_bins": {"max_exchanges": 6},
+    # checkpointed contingency table + margins/grid/χ²/V closed form
+    "x4_cramers_v_lang_source": {"max_exchanges": 9, "min_broadcast": 1},
+    # checkpointed quantized relation + model-broadcast distance pass
+    "x3_silhouette_centroid": {"max_exchanges": 2},
+    # one window pass + one aggregate (winsorized sum reconstructed)
+    "x4_winsorized_stats": {"max_exchanges": 2},
+    # day-lattice rollup (checkpoint truncates the plan) + pair agg
+    "x4_theil_sen_trend": {"max_exchanges": 1},
+    # (day,user) distinct + ×7 explode + semi grid join + distinct agg
+    "w_sliding_distinct_users": {"max_exchanges": 5, "min_broadcast": 1},
+    # 168-cell profile: checkpointed counts + broadcast grid/total
+    "x4_hour_dow_seasonality": {"max_exchanges": 2, "min_broadcast": 1},
 }
 
 
