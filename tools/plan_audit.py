@@ -382,6 +382,8 @@ EXPECTATIONS: dict[str, dict] = {
     # one of these plans now fails the audit. Codegen presence is
     # asserted for every entry by the generic check.
     # ------------------------------------------------------------------
+    # keyed dedup window shuffle + per-type agg + output ordering
+    "st_dedup_first_occurrence": {"max_exchanges": 3},
     "a_approx_distinct": {"max_exchanges": 2},
     "a_approx_distinct_by_group": {"max_exchanges": 3},
     "a_argmax_top_customer_per_segment": {"max_exchanges": 2},
