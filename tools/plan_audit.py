@@ -384,6 +384,16 @@ EXPECTATIONS: dict[str, dict] = {
     # ------------------------------------------------------------------
     # keyed dedup window shuffle + per-type agg + output ordering
     "st_dedup_first_occurrence": {"max_exchanges": 3},
+    # bitmap tier (type,bucket)->type + exact countDistinct tier +
+    # broadcast verdict join + ordering
+    "a_bitmap_distinct": {"max_exchanges": 5},
+    "f_try_error_safe_ops": {"max_exchanges": 2},
+    "f_hash_functions": {"max_exchanges": 3},
+    "u_posexplode_ordinality": {"max_exchanges": 3},
+    # monthly rollup + lattice-bounded month-grid window + ordering
+    "f_yoy_mom_growth": {"max_exchanges": 2},
+    # one map-combined global moment pass, shared across three pairs
+    "a_corr_matrix_lineitem": {"max_exchanges": 3},
     "a_approx_distinct": {"max_exchanges": 2},
     "a_approx_distinct_by_group": {"max_exchanges": 3},
     "a_argmax_top_customer_per_segment": {"max_exchanges": 2},
