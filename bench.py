@@ -111,6 +111,42 @@ def _last_committed(cur_sf, here: str | None = None):
         return None
 
 
+def _wait_for_idle():
+    """Idle gate (round-9, after BENCH_r08 started at loadavg 7.24 and
+    the 15% ratio gate let an ~11%-inflated record through): refuse to
+    START timing while the 5-min loadavg says another workload owns
+    the box. Polls until the 1- AND 5-min loadavg drop under
+    SPARK_GRAFT_BENCH_IDLE_LOAD (default 4.0 ≈ 2× a quiet-box bound of
+    ~2 observed across r1-r8 artifacts), bounded by
+    SPARK_GRAFT_BENCH_IDLE_WAIT seconds (default 600) so a permanently
+    busy box degrades to a flagged record instead of a hang. Runs
+    BEFORE the SparkSession exists, so our own work never trips it.
+    Returns the artifact field."""
+    threshold = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_LOAD", "4.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT", "600"))
+    start = [round(x, 2) for x in os.getloadavg()]
+    waited = 0.0
+    while True:
+        one, five, _ = os.getloadavg()
+        if max(one, five) <= threshold or waited >= max_wait:
+            break
+        print(
+            f"-- idle gate: loadavg {one:.2f}/{five:.2f} > {threshold}; "
+            f"waiting ({waited:.0f}s/{max_wait:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(15.0)
+        waited += 15.0
+    end = os.getloadavg()
+    return {
+        "threshold": threshold,
+        "loadavg_before_wait": start,
+        "loadavg_after_wait": [round(x, 2) for x in end],
+        "waited_sec": round(waited, 1),
+        "timed_out": waited >= max_wait and max(end[0], end[1]) > threshold,
+    }
+
+
 def _warm_indexes(spark, sf_dir: str) -> None:
     """Warm the persisted ANN/band index caches BEFORE timing: the
     x3_ann_* and x2_dedup_incremental headliners probe materialized
@@ -138,6 +174,7 @@ def _warm_indexes(spark, sf_dir: str) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    idle_gate = _wait_for_idle()  # before the JVM: gate on OTHER work
     from etl_generator_demo_spark.registry import load_all
     from etl_generator_demo_spark.session import get_spark
 
@@ -201,14 +238,30 @@ def main() -> None:
         return float(sf) if sf.replace(".", "").isdigit() else sf
 
     loadavg_start = os.getloadavg()
+    # Min-of-N passes (round-9 advice): BENCH_r08 shipped with
+    # passes=1 and ~11% whole-box inflation under the 15% gate. Always
+    # take >=2 full passes and keep each query's min — steady-state
+    # with warm caches is the honest number on a shared box; a
+    # transient load spike during one pass cannot contaminate both.
+    min_passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
     timings = run_set(sf_dir)
     passes = 1
+    while passes < min_passes:
+        repass = run_set(sf_dir)
+        timings = {k: min(timings[k], repass[k]) for k in timings}
+        passes += 1
     guard = None
     prev = _last_committed(parse_sf(sf_dir))
+    # retry threshold tightened 15% -> 8% (round-9 advice): with
+    # min-of-2 passes the residual pass-to-pass jitter on a quiet box
+    # is ~2-3%, so an 8% upward deviation vs the committed record is a
+    # load signature, not variance
+    thresh = float(os.environ.get("SPARK_GRAFT_BENCH_NOISE_RATIO", "1.08"))
     if prev is not None:
         prev_name, prev_q = prev
         shared = sorted(set(prev_q) & set(timings))
         max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
+        retries = 0
         while shared:
             now_total = sum(timings[k] for k in shared)
             prev_total = sum(prev_q[k] for k in shared)
@@ -224,11 +277,12 @@ def main() -> None:
             # can only inflate wall-clock; running faster than a
             # (possibly itself-noisy, cf. BENCH_r07) committed record
             # needs no retry
-            if ratio <= 1.15 or passes > max_retries:
+            if ratio <= thresh or retries >= max_retries:
                 break
             print(
                 f"-- noise guard: shared total {now_total:.2f}s vs committed "
-                f"{prev_total:.2f}s ({ratio:.2f}x) deviates >15%; re-passing",
+                f"{prev_total:.2f}s ({ratio:.2f}x) deviates >{thresh - 1:.0%}; "
+                "re-passing",
                 file=sys.stderr,
             )
             repass = run_set(sf_dir)
@@ -236,8 +290,9 @@ def main() -> None:
                 k: min(timings[k], repass[k]) for k in timings
             }
             passes += 1
+            retries += 1
         if guard is not None:
-            guard["noise_suspect"] = guard["ratio_vs_prev"] > 1.15
+            guard["noise_suspect"] = guard["ratio_vs_prev"] > thresh
 
     # Second scale factor (round-6 verdict advice #2): the committed
     # bench record itself must show the scaling slope, not just the
@@ -253,10 +308,14 @@ def main() -> None:
         print(f"-- secondary SF: {secondary_dir}", file=sys.stderr)
         _warm_indexes(spark, secondary_dir)
         sec_timings = run_set(secondary_dir)
+        for _ in range(min_passes - 1):  # same min-of-N policy
+            rp = run_set(secondary_dir)
+            sec_timings = {k: min(sec_timings[k], rp[k]) for k in sec_timings}
         secondary = {
             "sf": parse_sf(secondary_dir),
             "value": round(sum(sec_timings.values()), 3),
             "queries": sec_timings,
+            "passes": min_passes,
         }
 
     out = {
@@ -268,6 +327,7 @@ def main() -> None:
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "passes": passes,
+        "idle_gate": idle_gate,
     }
     if guard is not None:
         out["noise_guard"] = guard

@@ -149,7 +149,7 @@ class ExecutionEngine:
         import os
 
         from etl_generator_demo_spark.plans.merge import UnsupportedMergeError, parse_merge
-        from etl_generator_demo_spark.sources.mutations import merge_parquet
+        from etl_generator_demo_spark.sources.mutations import merge_parquet, recover_staged
 
         if self.catalog is None:
             return ExecutionResult(
@@ -161,6 +161,10 @@ class ExecutionEngine:
         except UnsupportedMergeError as exc:
             return ExecutionResult(success=False, error=f"MERGE not routable: {exc}")
         path = self.catalog.path(spec.target)
+        # heal the staged-swap crash window first (table parked at
+        # `path + '.old'` by an interrupted swap) so a crashed merge
+        # stays routable through the front door (r8 advice)
+        recover_staged(path)
         if not (os.path.exists(path) or os.path.isdir(path)):
             return ExecutionResult(
                 success=False, error=f"MERGE target {spec.target!r} is not a catalog table"

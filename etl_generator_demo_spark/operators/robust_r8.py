@@ -351,7 +351,13 @@ def x4_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerators in both engines, where Spark's `div` alone truncates
     toward zero); the median is the lower-median order statistic under
     a (slope, d1, d2) total order — deterministic element selection,
-    no interpolation."""
+    no interpolation. Selection is DISTRIBUTED (r8 advice — never
+    collect the ~n²/2 pair array into one task): range-partition the
+    slopes by the total order, count per partition (≤P rows to the
+    driver), locate the partition holding global rank ⌈n/2⌉ from the
+    cumulative counts, then row_number only within that one
+    partition — each task holds ~1/P of the pairs, so the 10-year
+    lattice's ~6.7M pairs never sort in a single executor."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     daily = (
         ev.groupBy(F.col("ts").cast("date").alias("day"))
@@ -378,20 +384,39 @@ def x4_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(num - pmod(num, den)) div den").alias("slope_e6"),
     )
     n_days = daily.count()  # bounded-lattice scalar (day count)
-    med = slopes.agg(
-        F.sort_array(
-            F.collect_list(F.struct("slope_e6", "d1", "d2"))
-        ).alias("ord"),
-    ).select(
-        F.lit(n_days).cast("long").alias("n_days"),
-        F.size("ord").cast("long").alias("n_pairs"),
-        F.element_at(
-            F.col("ord"), ((F.size("ord") + 1) / 2).cast("int")
-        )["slope_e6"]
-        .cast("long")
-        .alias("theil_sen_slope_e6"),
+    schema = "n_days long, n_pairs long, theil_sen_slope_e6 long"
+    # localCheckpoint pins the sampled range boundaries and partition
+    # ids so the count job and the selection job see the same layout
+    parts = (
+        slopes.repartitionByRange(32, "slope_e6", "d1", "d2")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    return med
+    counts = sorted(
+        parts.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect(),
+        key=lambda r: r["pid"],
+    )  # bounded: ≤32 rows (one per range partition)
+    n_pairs = sum(int(r["c"]) for r in counts)
+    if n_pairs == 0:
+        return spark.createDataFrame([], schema=schema)
+    k = (n_pairs + 1) // 2
+    acc = 0
+    for r in counts:  # locate the range partition holding global rank k
+        if acc + int(r["c"]) >= k:
+            sel_pid, local_k = int(r["pid"]), k - acc
+            break
+        acc += int(r["c"])
+    w_sel = Window.partitionBy("pid").orderBy("slope_e6", "d1", "d2")
+    return (
+        parts.filter(F.col("pid") == sel_pid)
+        .withColumn("rn", F.row_number().over(w_sel))
+        .filter(F.col("rn") == local_k)
+        .select(
+            F.lit(n_days).cast("long").alias("n_days"),
+            F.lit(n_pairs).cast("long").alias("n_pairs"),
+            F.col("slope_e6").cast("long").alias("theil_sen_slope_e6"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -85,23 +85,35 @@ _JOURNEY_SQL = """
 def _markov_oracle() -> str:
     """Unrolled synchronous absorption iteration, identical integer
     floor arithmetic to the Spark-side solve (HUGEINT products — the
-    DuckDB spelling of the unbounded-int discipline)."""
+    DuckDB spelling of the unbounded-int discipline). The attribution
+    share uses the pmod floor-division idiom on HUGEINT (never a
+    double FLOOR: effect_e12·1e6 ≈ 1e18 exceeds a double's 2^53 exact
+    range — r8 advice), exactly mirroring Python's ``//``; the idiom
+    assumes the effect total is positive, which holds whenever any
+    channel carries conversions (removal effects are non-negative)."""
     chans = ", ".join(f"('{c}')" for c in ("base",) + CHANNELS)
     steps = [
         """
     v0 AS (SELECT rm, s, CAST(0 AS HUGEINT) AS val FROM vden)"""
     ]
     for k in range(MARKOV_ITERS):
+        # LEFT JOIN on vtrans (r8 advice): a state whose every outgoing
+        # transition targets the removed channel keeps its vden row with
+        # val 0 (COALESCE of the all-NULL SUM) instead of dropping out of
+        # v_k — so a variant where one channel owns all of START's
+        # transitions still yields its START row (conv 0), matching the
+        # Spark-side solve's row set.
         steps.append(f"""
     v{k + 1} AS MATERIALIZED (
         SELECT d.rm, d.s,
-               (SUM(CASE WHEN tr.tgt = 'purchase'
+               (COALESCE(SUM(CASE WHEN tr.tgt = 'purchase'
                          THEN CAST(tr.n AS HUGEINT) * {MARKOV_SCALE}
                          WHEN tr.tgt = 'END' THEN CAST(0 AS HUGEINT)
-                         ELSE CAST(tr.n AS HUGEINT) * COALESCE(pv.val, 0) END)
+                         ELSE CAST(tr.n AS HUGEINT) * COALESCE(pv.val, 0) END),
+                         CAST(0 AS HUGEINT))
                 // d.den) AS val
         FROM vden d
-        JOIN vtrans tr ON tr.rm = d.rm AND tr.s = d.s
+        LEFT JOIN vtrans tr ON tr.rm = d.rm AND tr.s = d.s
         LEFT JOIN v{k} pv ON pv.rm = d.rm AND pv.s = tr.tgt
         GROUP BY d.rm, d.s, d.den
     )""")
@@ -128,12 +140,18 @@ def _markov_oracle() -> str:
                b.conv_e12 - c.conv_e12 AS removal_effect_e12
         FROM conv c, (SELECT conv_e12 FROM conv WHERE rm = 'base') b
         WHERE c.rm <> 'base'
+    ),
+    scaled AS (
+        SELECT channel, base_conv_e12, removed_conv_e12, removal_effect_e12,
+               CAST(removal_effect_e12 AS HUGEINT) * 1000000 AS num,
+               NULLIF(CAST((SELECT SUM(removal_effect_e12) FROM effects)
+                           AS HUGEINT), 0) AS tot
+        FROM effects
     )
     SELECT channel, base_conv_e12, removed_conv_e12, removal_effect_e12,
-           CAST(FLOOR(removal_effect_e12 * 1000000.0
-                      / NULLIF((SELECT SUM(removal_effect_e12) FROM effects), 0))
-                AS BIGINT) AS attribution_e6
-    FROM effects
+           CAST((num - ((num % tot + tot) % tot)) // tot AS BIGINT)
+               AS attribution_e6
+    FROM scaled
     ORDER BY channel
     """
     return final

@@ -59,17 +59,28 @@ JACCARD_CENTER_CAP = 64
 def sq_quantified_all_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantified subquery comparisons. The oracle uses ANSI ``> ALL``
     / ``< ANY`` natively; Spark has no quantified-subquery syntax, so
-    the engine applies the standard aggregate rewrite — ``x > ALL S``
-    becomes ``S empty OR x > max(S)`` (vacuous truth over the empty
-    set preserved via the left join's NULL), ``x < ANY S`` becomes
-    ``S nonempty AND x < max(S)`` (inner join). At scale both
-    aggregates are tiny per-group extrema relations that broadcast;
-    the correlated per-row probe the syntax implies never materializes."""
+    the engine applies the standard aggregate rewrite with full
+    three-valued semantics (r8 advice) — in a WHERE context,
+    ``x > ALL S`` keeps the row iff S is empty, or S has no NULLs and
+    ``x > max(S)`` (a NULL element makes the conjunction UNKNOWN
+    unless some comparison is already FALSE — either way the row is
+    dropped, so the rewrite carries a per-group null count and demands
+    it be zero; a left-join miss, i.e. the empty set, is told apart
+    from an all-NULL group by the count column's own NULL).
+    ``x < ANY S`` keeps the row iff ``x < max(S)`` over the non-NULL
+    elements — max already ignores NULLs and an UNKNOWN-only
+    disjunction drops the row, so the inner join on the max is exact
+    as-is. At scale both aggregates are tiny per-group extrema
+    relations that broadcast; the correlated per-row probe the syntax
+    implies never materializes."""
     cust = t(spark, sf_dir, "customer")
     sup_max = (
         t(spark, sf_dir, "supplier")
         .groupBy(F.col("s_nationkey").alias("c_nationkey"))
-        .agg(F.max("s_acctbal").alias("max_sup"))
+        .agg(
+            F.max("s_acctbal").alias("max_sup"),
+            F.sum(F.col("s_acctbal").isNull().cast("long")).alias("n_null_sup"),
+        )
     )
     ord_max = (
         t(spark, sf_dir, "orders")
@@ -78,7 +89,13 @@ def sq_quantified_all_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cust.join(F.broadcast(sup_max), "c_nationkey", "left")
-        .filter(F.col("max_sup").isNull() | (F.col("c_acctbal") > F.col("max_sup")))
+        .filter(
+            F.col("n_null_sup").isNull()  # empty S: > ALL vacuously TRUE
+            | (
+                (F.col("n_null_sup") == 0)
+                & (F.col("c_acctbal") > F.col("max_sup"))
+            )
+        )
         .join(ord_max, "c_custkey")
         .filter(F.col("c_acctbal") < F.col("max_ord"))
         .select(

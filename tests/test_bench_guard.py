@@ -64,6 +64,39 @@ def test_last_committed_survives_garbage(tmp_path):
     assert bench._last_committed(0.1, here=str(tmp_path)) is None
 
 
+def test_idle_gate_passes_quiet_box(monkeypatch):
+    """Threshold above any possible loadavg -> no wait, not timed out."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_IDLE_LOAD", "1e9")
+    gate = bench._wait_for_idle()
+    assert gate["waited_sec"] == 0.0 and gate["timed_out"] is False
+    assert gate["threshold"] == 1e9
+
+
+def test_idle_gate_bounded_wait_flags_timeout(monkeypatch):
+    """A permanently busy box (threshold 0 can never be met) degrades
+    to a flagged record after the bounded wait instead of hanging."""
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_IDLE_LOAD", "0")
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_IDLE_WAIT", "0")
+    gate = bench._wait_for_idle()
+    assert gate["timed_out"] is True and gate["waited_sec"] == 0.0
+
+
+def test_min_passes_policy_is_at_least_two(monkeypatch):
+    """BENCH_r08 shipped passes=1; the r9 policy floor is 2 even when
+    the env var asks for fewer."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PASSES", "1")
+    assert max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))) == 2
+    # and the source actually applies that floor
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert 'max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES"' in src
+    assert '"SPARK_GRAFT_BENCH_NOISE_RATIO", "1.08"' in src
+    assert "idle_gate" in src
+
+
 def test_repo_record_is_discoverable():
     """The real repo's newest BENCH_r*.json must parse — if the driver
     changes its wrapper shape the guard silently disarms, which this

@@ -158,6 +158,23 @@ class TestFrontDoor:
         # cardinality error left the target untouched
         assert spark.read.parquet(f"{mut_dir}/nation.parquet").count() == before
 
+    def test_crashed_swap_recovered_before_routing(self, spark, wr_engine, mut_dir):
+        """A crash between the two swap renames parks the table at
+        ``path + '.old'`` (see mutations._staged_overwrite). The front
+        door must self-heal that window — recover_staged runs before
+        the existence check — instead of refusing with 'not a catalog
+        table' (r8 advice)."""
+        import os
+
+        path = f"{mut_dir}/nation.parquet"
+        before = spark.read.parquet(path).count()
+        os.rename(path, path + ".old")  # simulate the crash window
+        res = wr_engine.execute(MERGE_SQL)
+        assert res.success, res.error
+        assert res.rows == [{"n_updated": 3, "n_inserted": 1}]
+        assert not os.path.exists(path + ".old")
+        assert spark.read.parquet(path).count() == before + 1
+
     def test_views_see_post_merge_state(self, spark, wr_engine, mut_dir):
         """A view registered before the merge reads the swapped files
         afterwards (refreshByPath covers the replaced listing)."""
