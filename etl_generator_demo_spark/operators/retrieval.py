@@ -202,3 +202,139 @@ def x4_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term_a", "term_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 + ANN (round 9)
+# ---------------------------------------------------------------------------
+
+#: RRF constant (Cormack/Clarke/Buettcher 2009's k=60), per-half pool
+#: depth, and fused result size. RRF terms are exact integers
+#: (1e9 // (k + rank)) so the fusion hashes across engines.
+RRF_K = 60
+RRF_POOL = 20
+RRF_TOP = 10
+
+
+def _rrf_oracle() -> str:
+    from etl_generator_demo_spark.operators.ann_index import LSH_PLANES, LSH_TABLES
+    from etl_generator_demo_spark.operators.similarity import _duck_bucket_expr
+
+    match = " OR ".join(
+        f"({_duck_bucket_expr(tbl, LSH_PLANES, col='e.v')}"
+        f" = {_duck_bucket_expr(tbl, LSH_PLANES, col='q.qv')})"
+        for tbl in range(LSH_TABLES)
+    )
+    return f"""
+    WITH bm_top AS ( {_bm25_oracle()} ),
+    bmr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY bm25_e6 DESC, doc_id) AS r_bm
+        FROM bm_top
+    ),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v
+        FROM embeddings WHERE vec_id <> 0
+    ),
+    ann_top AS (
+        SELECT e.vec_id,
+               FLOOR(LIST_DOT_PRODUCT(e.v, q.qv)
+                     / (SQRT(LIST_DOT_PRODUCT(e.v, e.v))
+                        * SQRT(LIST_DOT_PRODUCT(q.qv, q.qv)))
+                     * 1000000) / 1000000 AS cosine
+        FROM e, q
+        WHERE {match}
+        ORDER BY cosine DESC, vec_id
+        LIMIT {RRF_POOL}
+    ),
+    annr AS (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY cosine DESC, vec_id) AS r_ann
+        FROM ann_top
+    ),
+    fused AS (
+        SELECT COALESCE(b.doc_id, a.vec_id) AS doc_id, b.r_bm, a.r_ann
+        FROM bmr b FULL OUTER JOIN annr a ON b.doc_id = a.vec_id
+    )
+    SELECT doc_id,
+           CAST(r_bm AS BIGINT) AS bm25_rank,
+           CAST(r_ann AS BIGINT) AS ann_rank,
+           CAST(COALESCE(1000000000 // ({RRF_K} + r_bm), 0)
+                + COALESCE(1000000000 // ({RRF_K} + r_ann), 0) AS BIGINT)
+               AS rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT {RRF_TOP}
+    """
+
+
+@register(
+    "x4_rrf_hybrid_topk",
+    oracle=_rrf_oracle(),
+    survey_ids=("X4", "X3", "W1", "J4", "O4"),
+)
+def x4_rrf_hybrid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    half (fixed 3-term query, `x4_bm25_topk`'s scoring) and the ANN
+    semantic half (vec_id 0's embedding through the persisted
+    partition-pruned LSH index, `x3_ann_lsh_probe`'s path) — the
+    serving composition every RAG pipeline runs. The fixture links the
+    two id spaces 1:1 (vec_id i is the embedding of doc_id i).
+
+    RRF (Cormack et al. 2009): score(d) = Σ_halves 1/(k + rank_d),
+    k=60, carried as exact integer 1e9//(k+rank) terms so the fused
+    ordering hashes identically in both engines; a doc ranked in only
+    one half scores that half alone (full outer join, the other rank
+    NULL → 0 — so a doc top-ranked in either half survives fusion).
+
+    Scale: each half is already bounded — BM25 ends in a
+    TakeOrderedAndProject over map-filtered term stats, the LSH probe
+    reads only the query's 8 bucket directories — and the fusion
+    operates on two pool-sized (<= 20 row) relations: the rank windows
+    sort a pool, never a corpus, so the whole fusion stage is
+    broadcast-trivial at any corpus size."""
+    from pyspark.sql.window import Window
+
+    from etl_generator_demo_spark.operators.ann_index import lsh_probe_topk
+
+    bm = x4_bm25_topk(spark, sf_dir).select("doc_id", "bm25_e6")
+    # pool-bounded global window: <= RRF_POOL rows after the top-k
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25_e6"), "doc_id"))
+        .alias("r_bm"),
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()["embedding"]
+    ]
+    ann = lsh_probe_topk(spark, sf_dir, qv, k=RRF_POOL, exclude_ids=(0,)).select(
+        "vec_id", "cosine"
+    )
+    annr = ann.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), "vec_id"))
+        .alias("r_ann"),
+    )
+    return (
+        bmr.join(annr, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.col("r_bm").cast("long").alias("bm25_rank"),
+            F.col("r_ann").cast("long").alias("ann_rank"),
+            (
+                F.coalesce(F.expr(f"1000000000 div ({RRF_K} + r_bm)"), F.lit(0))
+                + F.coalesce(F.expr(f"1000000000 div ({RRF_K} + r_ann)"), F.lit(0))
+            )
+            .cast("long")
+            .alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(RRF_TOP)
+    )
