@@ -739,3 +739,153 @@ def stl_decompose(daily: DataFrame) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: exact weakly-connected components + component-size histogram
+# ---------------------------------------------------------------------------
+
+#: High-quantity co-purchase threshold: both endpoints of an edge must
+#: be lines with l_quantity >= this. The unfiltered co-purchase graph
+#: collapses into ONE 2000-part component at sf0.01 (probed) — a
+#: degenerate WCC instance; thresholding keeps the realistic shape
+#: (one giant component + a tail of small ones: 103 components, max
+#: 1237, at sf0.01) that actually exercises min-label propagation and
+#: the size histogram.
+WCC_HIGH_QTY = 45
+
+#: Unrolled oracle rounds for the synchronous min-label + pointer-
+#: doubling schedule. The hybrid converges in O(log n) rounds
+#: (propagation moves the min one hop, compression halves remaining
+#: label-chain length — the dedup_clusters bound); 20 > 2*log2(n) for
+#: the sf0.01 giant component (n=1237, log2≈10.3). The Spark side runs
+#: the SAME schedule to its proven label-sum fixpoint, so a
+#: hypothetical non-convergence at 20 rounds would surface as a loud
+#: hash mismatch, never a silent agreement.
+WCC_ROUNDS = 20
+
+_WCC_EDGES_SQL = f"""
+    e AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        WHERE a.l_quantity >= {WCC_HIGH_QTY} AND b.l_quantity >= {WCC_HIGH_QTY}
+    ),
+    sym AS (
+        SELECT pa AS u, pb AS v FROM e
+        UNION ALL
+        SELECT pb AS u, pa AS v FROM e
+    )
+"""
+
+
+def _wcc_label_cte() -> str:
+    """Unrolled synchronous min-label propagation + pointer doubling:
+    the exact SQL twin of ``dedup_clusters.connected_components``'s
+    per-round transformation (propagate: label <- min(own, neighbor
+    labels); compress: label <- label-of-label)."""
+    steps = ["l0 AS (SELECT DISTINCT u AS id, u AS label FROM sym)"]
+    for k in range(1, WCC_ROUNDS + 1):
+        steps.append(f"""
+    p{k} AS MATERIALIZED (
+        SELECT l.id, LEAST(l.label, COALESCE(MIN(lab.label), l.label)) AS label
+        FROM l{k - 1} l
+        LEFT JOIN sym s ON s.u = l.id
+        LEFT JOIN l{k - 1} lab ON lab.id = s.v
+        GROUP BY l.id, l.label
+    ),
+    l{k} AS MATERIALIZED (
+        SELECT a.id, LEAST(a.label, COALESCE(b.label, a.label)) AS label
+        FROM p{k} a LEFT JOIN p{k} b ON b.id = a.label
+    )""")
+    return ",".join(steps)
+
+
+def wcc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_id, component_id) over the high-quantity co-purchase
+    graph via the proven O(log n)-round pointer-doubling machinery."""
+    from .dedup_clusters import connected_components
+
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= WCC_HIGH_QTY
+    )
+    edges = copurchase_edges(li)
+    nodes = (
+        edges.select(F.col("pa").alias("part_id"))
+        .union(edges.select("pb"))
+        .distinct()
+    )
+    cc = connected_components(
+        nodes, edges, id_col="part_id", a_col="pa", b_col="pb"
+    )
+    return cc.select(
+        F.col("part_id").cast("long").alias("part_id"),
+        F.col("cluster_id").cast("long").alias("component_id"),
+    )
+
+
+@register(
+    "g_wcc_components",
+    oracle=f"""
+    WITH {_WCC_EDGES_SQL},
+    {_wcc_label_cte()}
+    SELECT id AS part_id, CAST(label AS BIGINT) AS component_id
+    FROM l{WCC_ROUNDS}
+    ORDER BY part_id
+    """,
+    survey_ids=("J3", "A1", "X2"),
+)
+def g_wcc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weakly-connected components of the high-quantity
+    co-purchase graph — the 100 TB WCC spelling: iterative min-label
+    propagation WITH pointer doubling (label <- label-of-label each
+    round), reusing ``dedup_clusters.connected_components``. Each round
+    is two narrow keyed joins + one groupBy, shuffling one row per
+    (node, neighbor-label); compression halves remaining label-chain
+    length per round, so convergence is O(log n) rounds even on the
+    giant component's longest induced path — never O(diameter) — with
+    per-round localCheckpoint keeping the plan O(1) deep. Convergence
+    is PROVEN per run by the label-sum fixpoint (labels only decrease;
+    unchanged sum => fixed point), and the fixpoint is the true WCC
+    (at fixpoint every node's label <= all neighbors' => constant per
+    component = min reachable id). The oracle runs the identical
+    schedule unrolled {WCC_ROUNDS} rounds (LPA-family idiom); LPA
+    (g_label_propagation) approximates communities — this closes the
+    family with the exact partition. Reference grounding: the FK
+    relationship graph the reference exposes to its NL->SQL users
+    (sample_metadata.py:68-74)."""
+    return wcc_components(spark, sf_dir).orderBy("part_id")
+
+
+@register(
+    "g_wcc_size_histogram",
+    oracle=f"""
+    WITH {_WCC_EDGES_SQL},
+    {_wcc_label_cte()},
+    sizes AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS component_size
+        FROM l{WCC_ROUNDS} GROUP BY label
+    )
+    SELECT component_size, CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM sizes
+    GROUP BY component_size
+    ORDER BY component_size
+    """,
+    survey_ids=("J3", "A1"),
+)
+def g_wcc_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size histogram of the exact WCC partition — the
+    one-line diagnostic that tells a dedup/graph pipeline whether its
+    graph is 'one giant hairball' (threshold too loose) or healthy
+    (giant component + power-law tail). Two map-combined groupBys over
+    the component assignment; at 100 TB both shuffles carry one row
+    per component then one per distinct size."""
+    cc = wcc_components(spark, sf_dir)
+    return (
+        cc.groupBy("component_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("component_size"))
+        .groupBy("component_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
+        .orderBy("component_size")
+    )
