@@ -94,3 +94,57 @@ def test_batch_twin_matches_window_spelling(spark, sf_dir):
         == 0
     )
     assert first.count() == mins.count()
+
+
+class TestUnionDedupTwoSources:
+    """Round 9: union-ingest idempotency across TWO file sources —
+    the overlap keys (delivered by both feeds) and the replayed
+    duplicates (every backfill file written twice) must each survive
+    exactly once in the fused output."""
+
+    def test_two_source_union_dedup_exactly_once(
+        self, spark, sf_dir, tmp_path_factory
+    ):
+        from etl_generator_demo_spark.catalog import read_table
+        from etl_generator_demo_spark.streaming.dedup import stream_union_dedup
+
+        ev = read_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        root = tmp_path_factory.mktemp("uniondedup")
+        src_a, src_b = str(root / "a"), str(root / "b")
+        # primary feed: click/view/signup; backfill feed: view/signup/
+        # purchase/error — view+signup arrive through BOTH feeds, and
+        # the backfill feed is additionally written twice (replay)
+        a = ev.filter(F.col("event_type").isin("click", "view", "signup"))
+        b = ev.filter(
+            F.col("event_type").isin("view", "signup", "purchase", "error")
+        )
+        a.coalesce(1).write.mode("append").parquet(src_a)
+        b.coalesce(1).write.mode("append").parquet(src_b)
+        b.coalesce(1).write.mode("append").parquet(src_b)  # replayed backfill
+
+        def feed(path):
+            return (
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+                .withWatermark("ts", "40 days")
+            )
+
+        q = (
+            stream_union_dedup([feed(src_a), feed(src_b)], keys=("event_id",))
+            .writeStream.format("memory")
+            .queryName("union_dedup_sink")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = spark.sql(
+            "SELECT event_id, COUNT(*) AS n FROM union_dedup_sink GROUP BY event_id"
+        )
+        assert got.filter(F.col("n") > 1).count() == 0  # exactly once
+        expect_ids = a.select("event_id").union(b.select("event_id")).distinct()
+        assert got.count() == expect_ids.count()  # full A-union-B coverage
