@@ -628,6 +628,24 @@ EXPECTATIONS: dict[str, dict] = {
     "w_sliding_distinct_users": {"max_exchanges": 5, "min_broadcast": 1},
     # 168-cell profile: checkpointed counts + broadcast grid/total
     "x4_hour_dow_seasonality": {"max_exchanges": 2, "min_broadcast": 1},
+    # Round-9 exact substring dedup (Lee et al. 2022). Spans: winnowing
+    # fp self-join + candidate-doc semi joins (broadcast) + kgram hash
+    # join + diagonal-run window + pair agg
+    "x2_exact_substr_spans": {"max_exchanges": 9, "min_broadcast": 5},
+    # coverage: kgram groupBy(h) + join back + per-doc window + doc join
+    "x2_duplicated_token_fraction": {"max_exchanges": 4},
+    "x2_exact_substr_corpus_rate": {"max_exchanges": 5},
+    # RRF fusion: both halves pool-bounded; the full outer join of two
+    # <=20-row rank lists cannot broadcast (outer both sides) — its
+    # SMJ is over pools, not corpora
+    "x4_rrf_hybrid_topk": {"max_exchanges": 7, "min_broadcast": 2},
+    # WCC: per-round shuffles hidden behind localCheckpoint (the
+    # dedup_clusters pattern); visible tail is the final projection
+    "g_wcc_components": {"max_exchanges": 1},
+    "g_wcc_size_histogram": {"max_exchanges": 3},
+    # union-ingest dedup batch twin: two scans union + keyed window +
+    # per-type agg
+    "st_union_dedup_two_sources": {"max_exchanges": 3},
 }
 
 
