@@ -334,3 +334,105 @@ def x2_exact_substr_corpus_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corpus_dup_frac_e6"
         ),
     )
+
+
+@register(
+    "x2_dup_span_removal",
+    oracle=f"""
+    WITH {_DUCK_KGRAMS},
+    own AS (
+        SELECT h, MIN(doc_id) AS owner
+        FROM kg GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    rem AS (
+        SELECT kg.doc_id, kg.pos
+        FROM kg JOIN own USING (h)
+        WHERE kg.doc_id <> own.owner
+    ),
+    cov AS (
+        SELECT doc_id,
+               LEAST({SPAN_K},
+                     COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                              - pos, {SPAN_K})) AS covered
+        FROM (SELECT DISTINCT doc_id, pos FROM rem)
+    ),
+    pd AS (
+        SELECT doc_id, CAST(SUM(covered) AS BIGINT) AS n_removed_tokens
+        FROM cov GROUP BY doc_id
+    ),
+    nt AS (
+        SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT pd.doc_id, nt.n_tokens, pd.n_removed_tokens,
+           nt.n_tokens - pd.n_removed_tokens AS n_kept_tokens,
+           CAST((nt.n_tokens - pd.n_removed_tokens) * 1000000 // nt.n_tokens
+                AS BIGINT) AS kept_frac_e6
+    FROM pd JOIN nt USING (doc_id)
+    ORDER BY doc_id
+    """,
+    survey_ids=("X2", "A1", "W3", "J1"),
+)
+def x2_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of ExactSubstr dedup (Lee et al. 2022 delete the
+    later copy of every duplicated span): per document, how many token
+    positions a keep-first removal pass deletes and what survives.
+
+    Policy (doc-level keep-first, the distributed-friendly variant):
+    each cross-doc shared K-gram hash is OWNED by the minimum doc_id
+    containing it; every other doc's positions covered by that gram
+    are removed. The owner keeps all its occurrences (within-doc
+    repeats are the repetition filter's job, `x4_repetition_scores`),
+    so exactly one document retains each duplicated span and the
+    policy is deterministic under any partitioning — no sequential
+    suffix-array pass, unlike the reference implementation in the
+    paper.
+
+    Plan shape = the coverage query plus a min aggregate: groupBy(h)
+    now also carries min(doc_id); the join back drops owner positions
+    map-side; the interval union is the same per-doc sorted window.
+    All stages linear in corpus tokens, keyed h then doc_id."""
+    docs = t(spark, sf_dir, "documents")
+    kg = _kgrams(docs)
+    own = (
+        kg.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "owner")
+    )
+    rem = (
+        kg.join(own, "h")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = rem.select(
+        "doc_id",
+        F.least(
+            F.lit(SPAN_K),
+            F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(SPAN_K)),
+        ).alias("covered"),
+    )
+    per_doc = cov.groupBy("doc_id").agg(
+        F.sum("covered").cast("long").alias("n_removed_tokens")
+    )
+    ntok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return (
+        per_doc.join(ntok, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_removed_tokens",
+            (F.col("n_tokens") - F.col("n_removed_tokens")).alias("n_kept_tokens"),
+            F.expr("((n_tokens - n_removed_tokens) * 1000000) div n_tokens").alias(
+                "kept_frac_e6"
+            ),
+        )
+        .orderBy("doc_id")
+    )

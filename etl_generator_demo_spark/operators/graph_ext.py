@@ -889,3 +889,100 @@ def g_wcc_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_components"))
         .orderBy("component_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: exact BFS hop distance from the hub part
+# ---------------------------------------------------------------------------
+
+#: Unrolled BFS rounds. The sf0.01 high-quantity giant component has
+#: eccentricity 19 from the hub (probed); 24 rounds leaves margin, and
+#: the Spark side runs the SAME frontier expansion to a proven
+#: fixpoint, so an insufficient unroll surfaces as a loud mismatch.
+BFS_ROUNDS = 24
+
+
+def _bfs_cte() -> str:
+    steps = [
+        """
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY u),
+    src AS (SELECT u FROM deg ORDER BY d DESC, u LIMIT 1),
+    d0 AS (SELECT u AS id, CAST(0 AS BIGINT) AS dist FROM src)"""
+    ]
+    for k in range(1, BFS_ROUNDS + 1):
+        steps.append(f"""
+    d{k} AS MATERIALIZED (
+        SELECT id, MIN(dist) AS dist FROM (
+            SELECT id, dist FROM d{k - 1}
+            UNION ALL
+            SELECT s.u AS id, d.dist + 1 AS dist
+            FROM d{k - 1} d JOIN sym s ON s.v = d.id
+        ) GROUP BY id
+    )""")
+    return ",".join(steps)
+
+
+@register(
+    "g_bfs_hop_histogram",
+    oracle=f"""
+    WITH {_WCC_EDGES_SQL},
+    {_bfs_cte()},
+    nodes AS (SELECT DISTINCT u AS id FROM sym)
+    SELECT d.dist AS hops, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM nodes n LEFT JOIN d{BFS_ROUNDS} d ON d.id = n.id
+    GROUP BY d.dist
+    ORDER BY hops NULLS LAST
+    """,
+    survey_ids=("J3", "A1"),
+)
+def g_bfs_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact single-source BFS over the high-quantity co-purchase
+    graph: hop distance from the HUB part (max degree, min-id ties) to
+    every part, summarized as a hop histogram; parts outside the hub's
+    component report NULL hops (257 of 1494 at sf0.01 — the same
+    thresholded graph as `g_wcc_components`, so the two queries
+    cross-validate: NULL count = non-giant component mass).
+
+    The distributed spelling is frontier expansion as an aggregate
+    join — each round joins the CURRENT distance relation to the edge
+    list and takes per-node MIN(dist) over old ∪ propagated, with
+    per-round localCheckpoint — run to a PROVEN fixpoint (row count
+    and dist sum both stable; distances only ever decrease). Rounds =
+    eccentricity (19 here), each shuffling at most one row per
+    (node, incoming distance) — the Pregel iteration spelled in two
+    keyed shuffles, no vertex program needed. The oracle unrolls the
+    identical schedule {BFS_ROUNDS} rounds."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= WCC_HIGH_QTY
+    )
+    sym = _sym(copurchase_edges(li)).localCheckpoint(eager=True)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    src = int(deg.orderBy(F.desc("d"), "u").first()["u"])  # hub scalar
+    dist = spark.createDataFrame([(src, 0)], "id long, dist long")
+    prev = (0, 0)
+    for _ in range(BFS_ROUNDS + 6):
+        cand = sym.join(
+            dist.select(F.col("id").alias("v"), "dist"), "v"
+        ).select(F.col("u").alias("id"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        row = dist.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).first()
+        cur = (int(row["n"]), int(row["s"] or 0))
+        if cur == prev:  # fixpoint: no new node, no shorter path
+            break
+        prev = cur
+    else:
+        raise RuntimeError("BFS did not converge within the round budget")
+    nodes = sym.select(F.col("u").alias("id")).distinct()
+    return (
+        nodes.join(dist, "id", "left")
+        .groupBy(F.col("dist").alias("hops"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .orderBy(F.col("hops").asc_nulls_last())
+    )

@@ -646,6 +646,23 @@ EXPECTATIONS: dict[str, dict] = {
     # union-ingest dedup batch twin: two scans union + keyed window +
     # per-type agg
     "st_union_dedup_two_sources": {"max_exchanges": 3},
+    # ExactSubstr apply step: coverage shape + the min-owner aggregate
+    "x2_dup_span_removal": {"max_exchanges": 4},
+    # QUALIFY rewrite: one keyed window + one rollup
+    "w_qualify_above_customer_avg": {"max_exchanges": 3},
+    # multiplier bootstrap: B-key map-combined agg + B-row windows +
+    # scalar cross join (replicate grid broadcast)
+    "x4_poisson_bootstrap_ci": {"max_exchanges": 3},
+    # BFS: per-round shuffles behind localCheckpoint; visible tail is
+    # the node left-join + histogram
+    "g_bfs_hop_histogram": {"max_exchanges": 4, "min_broadcast": 1},
+    # MMR: pool collected (bounded model fetch); result is a local
+    # relation — zero shuffles by construction
+    "x3_mmr_diversified_topk": {"max_exchanges": 0},
+    # PRF pass 1 + feedback mining (broadcast 10-doc set)
+    "x4_prf_expansion_terms": {"max_exchanges": 9, "min_broadcast": 3},
+    # PRF both passes; all small sides broadcast, TakeOrdered tail
+    "x4_prf_query_expansion": {"max_exchanges": 13, "min_broadcast": 7},
 }
 
 
