@@ -1,0 +1,230 @@
+"""Byte-pair-encoding merge training, relational (round 9).
+
+The inner loop of BPE tokenizer training (Sennrich et al. 2016) is
+"count adjacent symbol pairs over the weighted vocabulary, merge the
+most frequent, repeat". Libraries do this sequentially over a word
+list; at corpus scale the honest distributed spelling is relational —
+the symbol state is a (word, pos, sym) table, pair counting is one
+map-combined aggregate, and applying a merge is a window pass. This
+module unrolls the first BPE_STEPS merges, each step:
+
+1. **pair counts**: lead(sym) over each word, SUM(word_count) per
+   (sym, next) — one keyed aggregate over the VOCABULARY relation
+   (distinct words × their counts), corpus-size independent after the
+   initial word count;
+2. **winner**: max count, ties (left, right) lexicographic — a 1-row
+   relation CROSS JOINed (broadcast) into the apply step, so the loop
+   is fully declarative (no driver fetch feeds the next stage);
+3. **greedy leftmost application**, the subtle part: merging pair
+   (x, y) with x ≠ y can never overlap itself, but x == y (a run of
+   identical symbols) must merge at even offsets within each maximal
+   run — BPE's leftmost-first rule. Runs are found with the
+   pos − running-count-of-x constant-group idiom, offsets checked
+   even, consumed rows (the y of a merged pair) dropped, positions
+   renumbered dense for the next round.
+
+Exactness: pair counts are integer word-count sums; winner selection
+is a deterministic total order; application is positional logic — the
+unrolled DuckDB oracle replays every step value-for-value.
+
+Reference grounding: tokenizer training is the canonical corpus job
+of the LLM-data pipeline this engine targets (brief §"training-data
+pipeline"); the reference has no corpus operators at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from .relational import t
+
+#: Unrolled merge steps. Three steps exercise every code path (the
+#: x == y run logic fires whenever a doubled character wins).
+BPE_STEPS = 3
+
+
+def _bpe_step_sql(k: int) -> str:
+    return f"""
+    p{k} AS (
+        SELECT sym, nxt, CAST(SUM(wcount) AS BIGINT) AS cnt FROM (
+            SELECT sym, wcount,
+                   LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+            FROM s{k - 1}
+        ) WHERE nxt IS NOT NULL GROUP BY sym, nxt
+    ),
+    t{k} AS MATERIALIZED (
+        SELECT sym AS x, nxt AS y, cnt FROM p{k}
+        ORDER BY cnt DESC, sym, nxt LIMIT 1
+    ),
+    m{k} AS (
+        SELECT s.word, s.wcount, s.pos, s.sym, tt.x, tt.y,
+               LEAD(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt,
+               CASE WHEN s.sym = tt.x THEN s.pos
+                    - SUM(CASE WHEN s.sym = tt.x THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY s.word ORDER BY s.pos)
+               END AS grp
+        FROM s{k - 1} s CROSS JOIN t{k} tt
+    ),
+    m2{k} AS (
+        SELECT *,
+               (COALESCE(sym = x AND nxt = y, FALSE)
+                AND (x <> y
+                     OR (pos - MIN(pos) OVER (PARTITION BY word, grp)) % 2 = 0))
+                   AS merged
+        FROM m{k}
+    ),
+    m3{k} AS (
+        SELECT *,
+               COALESCE(LAG(merged) OVER (PARTITION BY word ORDER BY pos),
+                        FALSE) AS consumed
+        FROM m2{k}
+    ),
+    s{k} AS MATERIALIZED (
+        SELECT word, wcount,
+               ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+               CASE WHEN merged THEN sym || nxt ELSE sym END AS sym
+        FROM m3{k} WHERE NOT consumed
+    )"""
+
+
+def _bpe_oracle() -> str:
+    steps = "".join("," + _bpe_step_sql(k) for k in range(1, BPE_STEPS + 1))
+    union = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS step, x AS left_sym, y AS right_sym,"
+        f" cnt AS pair_count FROM t{k}"
+        for k in range(1, BPE_STEPS + 1)
+    )
+    return f"""
+    WITH vocab AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount FROM (
+            SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
+        ) WHERE word <> '' GROUP BY word
+    ),
+    s0 AS MATERIALIZED (
+        SELECT word, wcount,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(word, ''), 1) AS pos,
+               UNNEST(STRING_SPLIT(word, '')) AS sym
+        FROM vocab
+    )
+    {steps}
+    SELECT step, left_sym, right_sym, pair_count FROM ({union})
+    ORDER BY step
+    """
+
+
+def bpe_merge_step(s: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE merge over a (word, wcount, pos, sym) symbol state:
+    returns (winner, next_state). Fully declarative — the 1-row winner
+    broadcasts into the apply pass, so chaining steps builds one plan."""
+    w_word = Window.partitionBy("word").orderBy("pos")
+    pairs = (
+        s.select("sym", "wcount", F.lead("sym").over(w_word).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("sym", "nxt")
+        .agg(F.sum("wcount").cast("long").alias("cnt"))
+    )
+    top = (
+        pairs.orderBy(F.desc("cnt"), "sym", "nxt")
+        .limit(1)
+        .select(
+            F.col("sym").alias("x"), F.col("nxt").alias("y"), F.col("cnt")
+        )
+    )
+    m = s.crossJoin(F.broadcast(top)).select(
+        "word",
+        "wcount",
+        "pos",
+        "sym",
+        "x",
+        "y",
+        F.lead("sym").over(w_word).alias("nxt"),
+        F.when(
+            F.col("sym") == F.col("x"),
+            F.col("pos")
+            - F.sum((F.col("sym") == F.col("x")).cast("int")).over(w_word),
+        ).alias("grp"),
+    )
+    w_run = Window.partitionBy("word", "grp")
+    m2 = m.withColumn(
+        "merged",
+        F.coalesce(
+            (F.col("sym") == F.col("x")) & (F.col("nxt") == F.col("y")),
+            F.lit(False),
+        )
+        & (
+            (F.col("x") != F.col("y"))
+            | ((F.col("pos") - F.min("pos").over(w_run)) % 2 == 0)
+        ),
+    )
+    m3 = m2.withColumn(
+        "consumed",
+        F.coalesce(F.lag("merged").over(w_word), F.lit(False)),
+    )
+    nxt_state = (
+        m3.filter(~F.col("consumed"))
+        .select(
+            "word",
+            "wcount",
+            F.row_number().over(w_word).alias("pos"),
+            F.when(
+                F.col("merged"), F.concat(F.col("sym"), F.col("nxt"))
+            )
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+    return top, nxt_state
+
+
+@register(
+    "x4_bpe_merge_steps",
+    oracle=_bpe_oracle(),
+    survey_ids=("X4", "W2", "A1", "O4"),
+)
+def x4_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE_STEPS merges of BPE tokenizer training over the corpus
+    vocabulary — the canonical tokenizer-training job, spelled
+    relationally (see module docstring): per step, the winning
+    adjacent symbol pair and its weighted frequency.
+
+    Scale: after the one corpus-keyed word count, EVERYTHING operates
+    on the vocabulary relation (distinct words × counts — at 100 TB
+    this is the classic heavy-tail vocab, millions of rows, not the
+    corpus); each step is one word-keyed window pass + one
+    map-combined pair aggregate + a 1-row broadcast. The greedy
+    leftmost rule — including the x == y run-parity case BPE
+    implementations get wrong first — is pinned by closed-form pytest
+    anchors and the unrolled oracle."""
+    docs = t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcount"))
+    )
+    state = vocab.select(
+        "word",
+        "wcount",
+        F.posexplode(F.split("word", "")).alias("pos", "sym"),
+    )
+    tops = []
+    for k in range(1, BPE_STEPS + 1):
+        top, state = bpe_merge_step(state)
+        # localCheckpoint: cut the per-step plan growth (the iterative
+        # operator discipline) — state is vocabulary-sized
+        state = state.localCheckpoint(eager=True)
+        tops.append(
+            top.select(
+                F.lit(k).cast("long").alias("step"),
+                F.col("x").alias("left_sym"),
+                F.col("y").alias("right_sym"),
+                F.col("cnt").alias("pair_count"),
+            )
+        )
+    out = tops[0]
+    for tdf in tops[1:]:
+        out = out.unionByName(tdf)
+    return out.orderBy("step")

@@ -911,3 +911,115 @@ def x3_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             cov_num / (float(COV_SCALE * COV_SCALE) * F.col("n") * F.col("n")), 8
         ).alias("cov"),
     ).orderBy("i", "j")
+
+
+# ---------------------------------------------------------------------------
+# Round 9: leading principal component via fixed power iteration
+# ---------------------------------------------------------------------------
+
+#: Power-iteration rounds. Convergence rate is (λ2/λ1)^k; 12 rounds of
+#: exact integer iteration with e6 renormalization pins the leading
+#: direction far below the e6 floor on the fixture spectrum — and the
+#: schedule is FIXED, so both engines run the identical arithmetic
+#: (the LPA/Markov fixed-schedule contract).
+PCA_ITERS = 12
+
+
+def _pca_oracle() -> str:
+    """Unrolled power iteration over the exact integer covariance
+    numerators (same CTEs as x3_dim_covariance's oracle), HUGEINT
+    matvec + pmod floor renormalization each round."""
+    steps = [
+        f"""
+    cmat AS MATERIALIZED (
+        SELECT i, j, cov_num FROM covu
+        UNION ALL
+        SELECT j AS i, i AS j, cov_num FROM covu WHERE i <> j
+    ),
+    v0 AS (SELECT UNNEST(RANGE(0, {DIM})) AS i, CAST(1000000 AS HUGEINT) AS v)"""
+    ]
+    for k in range(1, PCA_ITERS + 1):
+        steps.append(f"""
+    w{k} AS MATERIALIZED (
+        SELECT c.i, SUM(CAST(c.cov_num AS HUGEINT) * pv.v) AS w
+        FROM cmat c JOIN v{k - 1} pv ON pv.i = c.j
+        GROUP BY c.i
+    ),
+    m{k} AS (SELECT MAX(ABS(w)) AS m FROM w{k}),
+    v{k} AS (
+        SELECT w.i,
+               (w.w * 1000000 - ((w.w * 1000000 % m.m + m.m) % m.m)) // m.m AS v
+        FROM w{k} w, m{k} m
+    )""")
+    return ",".join(steps)
+
+
+@register(
+    "x3_pca_power_iteration",
+    oracle=f"""
+    WITH dims AS (SELECT UNNEST(RANGE(0, {DIM})) AS i),
+    q AS (
+        SELECT vec_id, i,
+               CAST(FLOOR(embedding[CAST(i + 1 AS INT)]::DOUBLE * {COV_SCALE})
+                    AS BIGINT) AS xq
+        FROM embeddings, dims
+    ),
+    cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    sums AS (SELECT i, CAST(SUM(xq) AS BIGINT) AS sx FROM q GROUP BY i),
+    covu AS MATERIALIZED (
+        SELECT p.i, p.j,
+               CAST(cnt.n * p.sxy - sa.sx * sb.sx AS BIGINT) AS cov_num
+        FROM (
+            SELECT a.i AS i, b.i AS j, CAST(SUM(a.xq * b.xq) AS BIGINT) AS sxy
+            FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+            GROUP BY a.i, b.i
+        ) p
+        CROSS JOIN cnt
+        JOIN sums sa ON sa.i = p.i
+        JOIN sums sb ON sb.i = p.j
+    ),
+    {_pca_oracle()}
+    SELECT i AS dim_idx, CAST(v AS BIGINT) AS loading_e6
+    FROM v{PCA_ITERS}
+    ORDER BY dim_idx
+    """,
+    survey_ids=("X3", "A1"),
+)
+def x3_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal component of the embedding corpus by power
+    iteration — the anisotropy diagnostic ("is the embedding space
+    collapsing onto one direction?", Ethayarajh 2019) and the first
+    step of PCA whitening, computed WITHOUT any linear-algebra
+    library: 12 fixed rounds of v <- C·v with max-abs e6
+    renormalization, all exact integer arithmetic (HUGEINT products /
+    Python unbounded ints; renormalization by the pmod floor-division
+    idiom), so the final loadings hash engine-identically despite
+    being an iterative numeric method.
+
+    Scale split, stated precisely: the DISTRIBUTED work is the
+    covariance — the same d²-bounded Arrow Gram partials as
+    `x3_dim_covariance` (each partition emits d²/2 integer rows
+    regardless of row count; one (i,j)-keyed sum). The ITERATION runs
+    driver-side on the collected d×d matrix (64² = 4096 cells — the
+    bounded model fetch, k-means-centroid idiom); its cost is
+    independent of corpus size by construction. v0 = all-ones e6."""
+    cov = (
+        x3_dim_covariance(spark, sf_dir)
+        .select("i", "j", "cov_num")
+        .collect()  # bounded: d(d+1)/2 = 2080 integer cells
+    )
+    C: dict[tuple[int, int], int] = {}
+    for r in cov:
+        i, j, c = int(r["i"]), int(r["j"]), int(r["cov_num"])
+        C[(i, j)] = c
+        if i != j:
+            C[(j, i)] = c
+    v = {i: 1_000_000 for i in range(DIM)}
+    for _ in range(PCA_ITERS):
+        w = {
+            i: sum(C[(i, j)] * v[j] for j in range(DIM)) for i in range(DIM)
+        }
+        m = max(abs(x) for x in w.values())
+        v = {i: (w[i] * 1_000_000) // m for i in range(DIM)}
+    rows = [(i, v[i]) for i in range(DIM)]
+    return spark.createDataFrame(rows, "dim_idx long, loading_e6 long")

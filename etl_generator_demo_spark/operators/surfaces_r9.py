@@ -213,3 +213,110 @@ def x4_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boot_min_c2",
         "boot_max_c2",
     )
+
+
+@register(
+    "o_distinct_on_latest_order",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS latest_date,
+           CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c2
+    FROM (
+        SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_orderdate,
+               o_totalprice
+        FROM orders
+        ORDER BY o_custkey, CAST(o_orderdate AS DATE) DESC, o_orderkey DESC
+    )
+    ORDER BY o_custkey
+    """,
+    survey_ids=("O1", "W1", "A1"),
+)
+def o_distinct_on_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DISTINCT ON`` parity — the PostgreSQL-ism the reference's
+    users actually type (the reference IS a Postgres front end,
+    ``/root/reference/db_connector.py``; DuckDB inherits the syntax):
+    latest order per customer, ties to the larger orderkey. Spark has
+    no DISTINCT ON; the engine rewrite is the row_number-equals-1
+    window — Catalyst plans one keyed window exchange and
+    InferWindowGroupLimit prunes non-first rows before the filter, so
+    the rewrite costs exactly the keyed shuffle the semantics imply."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("latest_date"),
+            F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_c2"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "w_frame_exclude_current",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS price_c2,
+               SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                   EXCLUDE CURRENT ROW) AS peer_sum_c2,
+               COUNT(*) OVER (
+                   PARTITION BY o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                   EXCLUDE CURRENT ROW) AS peer_n
+        FROM orders
+    )
+    SELECT o_orderkey, o_custkey, price_c2,
+           CAST(peer_n AS BIGINT) AS peer_n,
+           CAST(peer_sum_c2 AS BIGINT) AS peer_sum_c2,
+           CASE WHEN peer_n > 0 THEN price_c2 * peer_n > peer_sum_c2 END
+               AS above_peers
+    FROM base
+    ORDER BY o_orderkey
+    """,
+    survey_ids=("W3", "F1"),
+)
+def w_frame_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 frame exclusion parity (``EXCLUDE CURRENT ROW``): each
+    order against the sum/count of its customer's OTHER orders — the
+    leave-one-out peer comparison (is this order above its peers,
+    judged without letting it drag its own average?). The oracle uses
+    DuckDB's native EXCLUDE clause; Spark has no frame exclusion, so
+    the engine rewrite subtracts the current row from the full-frame
+    aggregates — algebraically identical for SUM/COUNT, one keyed
+    window either way. A customer's only order has NO peers: peer_sum
+    is NULL (empty frame) and the verdict is NULL, reproduced exactly
+    by the rewrite's conditional."""
+    w = Window.partitionBy("o_custkey")
+    base = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("price_c2"),
+    )
+    withf = base.select(
+        "o_orderkey",
+        "o_custkey",
+        "price_c2",
+        (F.count(F.lit(1)).over(w) - 1).cast("long").alias("peer_n"),
+        (F.sum("price_c2").over(w) - F.col("price_c2")).alias("full_minus"),
+    )
+    return withf.select(
+        "o_orderkey",
+        "o_custkey",
+        "price_c2",
+        "peer_n",
+        F.when(F.col("peer_n") > 0, F.col("full_minus"))
+        .cast("long")
+        .alias("peer_sum_c2"),
+        F.when(
+            F.col("peer_n") > 0,
+            F.col("price_c2") * F.col("peer_n") > F.col("full_minus"),
+        ).alias("above_peers"),
+    ).orderBy("o_orderkey")

@@ -74,5 +74,6 @@ def load_all() -> dict[str, RegisteredQuery]:
     import etl_generator_demo_spark.operators.exact_r8  # noqa: F401
     import etl_generator_demo_spark.operators.dedup_substr  # noqa: F401
     import etl_generator_demo_spark.operators.surfaces_r9  # noqa: F401
+    import etl_generator_demo_spark.operators.bpe  # noqa: F401
 
     return REGISTRY

@@ -663,6 +663,16 @@ EXPECTATIONS: dict[str, dict] = {
     "x4_prf_expansion_terms": {"max_exchanges": 9, "min_broadcast": 3},
     # PRF both passes; all small sides broadcast, TakeOrdered tail
     "x4_prf_query_expansion": {"max_exchanges": 13, "min_broadcast": 7},
+    # DISTINCT ON rewrite: keyed window + InferWindowGroupLimit prune
+    "o_distinct_on_latest_order": {"max_exchanges": 2},
+    # EXCLUDE CURRENT ROW rewrite: one keyed window pass
+    "w_frame_exclude_current": {"max_exchanges": 2},
+    # PCA: Gram partials collected (bounded model fetch); the returned
+    # relation is the driver-iterated 64-row loading vector
+    "x3_pca_power_iteration": {"max_exchanges": 0},
+    # BPE: per-step shuffles behind localCheckpoint; visible tail is
+    # the final pair aggregate + 1-row tops union
+    "x4_bpe_merge_steps": {"max_exchanges": 6},
 }
 
 
