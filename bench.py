@@ -67,6 +67,15 @@ HEADLINE = [
     # coverage curve (global_row_number + global_running composition)
     "q21_suppliers_kept_waiting",
     "x4_ngram_coverage_topk",
+    # round-9 headliners: exact substring dedup (winnowing candidates
+    # + diagonal-run verify — the Lee et al. ExactSubstr path), the
+    # relational BPE trainer (3 vocab-keyed merge rounds), RRF hybrid
+    # retrieval (BM25 + pruned LSH probe + fusion), and exact WCC
+    # (pointer-doubling fixpoint on the thresholded graph)
+    "x2_exact_substr_spans",
+    "x4_bpe_merge_steps",
+    "x4_rrf_hybrid_topk",
+    "g_wcc_components",
 ]
 
 
