@@ -98,9 +98,9 @@ def _kgrams(d: DataFrame) -> DataFrame:
     ).filter(F.col("h").isNotNull())
 
 
-@register(
-    "x2_exact_substr_spans",
-    oracle=f"""
+#: Full spans oracle, shared: the cross-source rollup embeds it as a
+#: derived table.
+_SPANS_ORACLE = f"""
     WITH {_DUCK_KGRAMS},
     m AS (
         SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
@@ -122,8 +122,12 @@ def _kgrams(d: DataFrame) -> DataFrame:
            CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens
     FROM s WHERE span_tokens >= {SPAN_T}
     GROUP BY da, db
-    ORDER BY doc_a, doc_b
-    """,
+"""
+
+
+@register(
+    "x2_exact_substr_spans",
+    oracle=_SPANS_ORACLE + "    ORDER BY doc_a, doc_b",
     survey_ids=("X2", "J1", "W1", "A1"),
 )
 def x2_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,4 +439,61 @@ def x2_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+@register(
+    "x2_exact_substr_cross_source",
+    oracle=f"""
+    SELECT LEAST(sa.source, sb.source) AS source_lo,
+           GREATEST(sa.source, sb.source) AS source_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_doc_pairs,
+           CAST(SUM(j.n_spans) AS BIGINT) AS n_spans,
+           CAST(MAX(j.max_span_tokens) AS BIGINT) AS max_span_tokens
+    FROM ({_SPANS_ORACLE}) j
+    JOIN documents sa ON sa.doc_id = j.doc_a
+    JOIN documents sb ON sb.doc_id = j.doc_b
+    GROUP BY source_lo, source_hi
+    ORDER BY source_lo, source_hi
+    """,
+    survey_ids=("X2", "J1", "A1"),
+)
+def x2_exact_substr_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication provenance: which SOURCES share exact spans — the
+    rollup a curation team reads before deciding which feed to trim
+    (within-source template reuse vs cross-source scraping show up as
+    different cells). Per unordered source pair: duplicate doc-pair
+    count, total spans, longest span.
+
+    Built directly on `x2_exact_substr_spans`' pair relation (same
+    winnowing-lossless candidate stage); the source join broadcasts
+    the doc→source mapping only for the pair endpoints, and the final
+    rollup is |sources|²-bounded."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = x2_exact_substr_spans(spark, sf_dir)
+    j = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+            ),
+            "doc_b",
+        )
+    )
+    return (
+        j.groupBy(
+            F.least("src_a", "src_b").alias("source_lo"),
+            F.greatest("src_a", "src_b").alias("source_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_doc_pairs"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+            F.max("max_span_tokens").cast("long").alias("max_span_tokens"),
+        )
+        .orderBy("source_lo", "source_hi")
     )

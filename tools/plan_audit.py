@@ -673,6 +673,8 @@ EXPECTATIONS: dict[str, dict] = {
     # BPE: per-step shuffles behind localCheckpoint; visible tail is
     # the final pair aggregate + 1-row tops union
     "x4_bpe_merge_steps": {"max_exchanges": 6},
+    # spans pipeline + two broadcast doc->source joins + bounded rollup
+    "x2_exact_substr_cross_source": {"max_exchanges": 10, "min_broadcast": 7},
 }
 
 
