@@ -98,6 +98,22 @@ QUERIES = [
     "x4_ngram_coverage_topk",
     "q21_suppliers_kept_waiting",
     "g_clustering_coefficient",
+    # round-9 additions. The pair-free substring-dedup coverage is the
+    # linear tier (groupBy(h) + join back + per-doc window);
+    # x2_exact_substr_spans is EXCLUDED for the contrastive-triplets
+    # reason — synth replicas are identical texts, so the pair
+    # relation itself genuinely inflates ~x100. BPE operates on the
+    # vocabulary (shared across replicas: expect ~flat past the word
+    # count). RRF/bootstrap/PCA are probe-, grid-, and Gram-bounded
+    # (expect ~flat / ~linear-scan). WCC inherits the co-purchase
+    # densification caveat (parts shared across replicas), same as
+    # g_clustering_coefficient.
+    "x2_duplicated_token_fraction",
+    "x4_bpe_merge_steps",
+    "x4_rrf_hybrid_topk",
+    "x4_poisson_bootstrap_ci",
+    "x3_pca_power_iteration",
+    "g_wcc_components",
 ]
 
 KEY_COLS = {
