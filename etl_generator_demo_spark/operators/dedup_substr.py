@@ -497,3 +497,85 @@ def x2_exact_substr_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_lo", "source_hi")
     )
+
+
+def _jaccard_oracle() -> str:
+    """The registered x2_ngram_jaccard_pairs oracle, reused verbatim
+    as a derived table (registry lookup keeps the two definitions from
+    drifting apart)."""
+    import etl_generator_demo_spark.operators.dedup  # noqa: F401  (registers it)
+
+    from ..registry import REGISTRY
+
+    return REGISTRY["x2_ngram_jaccard_pairs"].oracle
+
+
+@register(
+    "x2_dedup_methods_agreement",
+    oracle=f"""
+    WITH jp AS (SELECT doc_a, doc_b FROM ({_jaccard_oracle()})),
+    sp AS (SELECT doc_a, doc_b FROM ({_SPANS_ORACLE})),
+    f AS (
+        SELECT jp.doc_a IS NOT NULL AS in_j,
+               sp.doc_a IS NOT NULL AS in_s
+        FROM jp FULL OUTER JOIN sp
+          ON jp.doc_a = sp.doc_a AND jp.doc_b = sp.doc_b
+    ),
+    c AS (
+        SELECT CAST(SUM(CASE WHEN in_j THEN 1 ELSE 0 END) AS BIGINT) AS n_j,
+               CAST(SUM(CASE WHEN in_s THEN 1 ELSE 0 END) AS BIGINT) AS n_s,
+               CAST(SUM(CASE WHEN in_j AND in_s THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_both
+        FROM f
+    )
+    SELECT n_j AS n_jaccard_pairs, n_s AS n_substr_pairs, n_both,
+           n_j - n_both AS n_jaccard_only,
+           n_s - n_both AS n_substr_only,
+           CAST(n_both * 1000000 // NULLIF(n_j + n_s - n_both, 0) AS BIGINT)
+               AS agreement_e6
+    FROM c
+    """,
+    survey_ids=("X2", "J4", "A2"),
+)
+def x2_dedup_methods_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Methods-agreement audit between the two dedup tiers: exact
+    5-gram Jaccard >= 0.5 (the SET-similarity view — order-insensitive,
+    whole-document) vs exact shared spans >= 8 tokens (the SEQUENCE
+    view — order-sensitive, local). Jaccard-only pairs are shuffled/
+    paraphrase-order rewrites; substring-only pairs share a long quote
+    inside otherwise-different documents — exactly the split a
+    curation policy treats differently (drop vs trim). One row:
+    both/either counts and the Jaccard-of-pair-sets agreement ratio.
+
+    Plan: both pair relations are the already-bounded pipelines
+    (inverted-index join; winnowing-lossless verify); the audit full
+    outer join operates on pair relations orders of magnitude smaller
+    than the corpus, and the final aggregate is one row."""
+    from .dedup import x2_ngram_jaccard_pairs
+
+    jac = x2_ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sub = x2_exact_substr_spans(spark, sf_dir).select("doc_a", "doc_b")
+    f = jac.withColumn("in_j", F.lit(True)).join(
+        sub.withColumn("in_s", F.lit(True)), ["doc_a", "doc_b"], "full"
+    )
+    c = f.agg(
+        F.sum(F.col("in_j").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_j"),
+        F.sum(F.col("in_s").isNotNull().cast("long"))
+        .cast("long")
+        .alias("n_s"),
+        F.sum((F.col("in_j").isNotNull() & F.col("in_s").isNotNull()).cast("long"))
+        .cast("long")
+        .alias("n_both"),
+    )
+    return c.select(
+        F.col("n_j").alias("n_jaccard_pairs"),
+        F.col("n_s").alias("n_substr_pairs"),
+        "n_both",
+        (F.col("n_j") - F.col("n_both")).alias("n_jaccard_only"),
+        (F.col("n_s") - F.col("n_both")).alias("n_substr_only"),
+        F.expr(
+            "(n_both * 1000000) div nullif(n_j + n_s - n_both, 0)"
+        ).alias("agreement_e6"),
+    )

@@ -675,6 +675,9 @@ EXPECTATIONS: dict[str, dict] = {
     "x4_bpe_merge_steps": {"max_exchanges": 6},
     # spans pipeline + two broadcast doc->source joins + bounded rollup
     "x2_exact_substr_cross_source": {"max_exchanges": 10, "min_broadcast": 7},
+    # both pair pipelines + pair-relation full outer (SMJ over pairs,
+    # not corpus) + one-row aggregate
+    "x2_dedup_methods_agreement": {"max_exchanges": 12, "min_broadcast": 8},
 }
 
 
