@@ -60,3 +60,37 @@ def test_wcc_histogram_consistent_with_assignment(spark, sf_dir):
     # fixture sanity: the thresholded graph has real structure (a
     # giant component AND small ones), not one hairball
     assert len(got) >= 3 and max(got) > 10
+
+
+def test_bfs_histogram_matches_python_bfs(spark, sf_dir):
+    """Independent verification for g_bfs_hop_histogram: a driver-side
+    deque BFS over the same edge list must produce the identical hop
+    histogram, including the NULL (unreachable) bucket."""
+    from collections import Counter, deque
+
+    from etl_generator_demo_spark.operators.graph_ext import g_bfs_hop_histogram
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= WCC_HIGH_QTY)
+    edges = [(r.pa, r.pb) for r in copurchase_edges(li).collect()]
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    src = sorted(adj, key=lambda x: (-len(adj[x]), x))[0]
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    hist = Counter(dist.values())
+    unreachable = len(adj) - len(dist)
+    got = {
+        r.hops: r.n_parts for r in g_bfs_hop_histogram(spark, sf_dir).collect()
+    }
+    expect = {int(k): int(v) for k, v in hist.items()}
+    if unreachable:
+        expect[None] = unreachable
+    assert got == expect
