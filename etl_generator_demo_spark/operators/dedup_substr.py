@@ -155,6 +155,14 @@ def x2_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics stay 'all pairs with a shared span >= T'."""
     docs = t(spark, sf_dir, "documents")
     fps = winnowing_fingerprints(docs)
+    return _verified_span_pairs(docs, fps).orderBy("doc_a", "doc_b")
+
+
+def _verified_span_pairs(docs: DataFrame, fps: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_spans, max_span_tokens): exact diagonal-run
+    span verification over the candidate pairs the given fingerprint
+    relation generates. Shared by the lossless query (all fps) and the
+    hot-fp-capped production variant."""
     cand = (
         fps.select(F.col("doc_id").alias("da"), "fp")
         .join(fps.select(F.col("doc_id").alias("db"), "fp"), "fp")
@@ -191,7 +199,6 @@ def x2_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_spans"),
             F.max("span_tokens").cast("long").alias("max_span_tokens"),
         )
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -578,4 +585,91 @@ def x2_dedup_methods_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "(n_both * 1000000) div nullif(n_j + n_s - n_both, 0)"
         ).alias("agreement_e6"),
+    )
+
+
+#: Hot-fingerprint cap for the guarded spans variant: fingerprints in
+#: more than FP_CAP distinct docs are boilerplate by definition and
+#: excluded from candidate generation (the Adamic-Adar hub-cap
+#: discipline applied to the dedup index). 2 bites on the fixture
+#: (max observed fp doc-frequency is 3-4), so the guarded result
+#: genuinely differs from the lossless one and the oracle must
+#: replicate the cap, not just the verify.
+FP_CAP = 2
+
+
+def _winnow_oracle() -> str:
+    """The registered x4_winnowing_fingerprints oracle, reused
+    verbatim as a derived table (registry lookup — definitions can't
+    drift)."""
+    import etl_generator_demo_spark.operators.textops  # noqa: F401
+
+    from ..registry import REGISTRY
+
+    return REGISTRY["x4_winnowing_fingerprints"].oracle
+
+
+@register(
+    "x2_exact_substr_spans_capped",
+    oracle=f"""
+    WITH wf AS (SELECT doc_id, fp FROM ({_winnow_oracle()})),
+    keepfp AS (
+        SELECT fp FROM wf GROUP BY fp
+        HAVING COUNT(DISTINCT doc_id) <= {FP_CAP}
+    ),
+    wfc AS (SELECT wf.doc_id, wf.fp FROM wf JOIN keepfp USING (fp)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM wfc a JOIN wfc b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    {_DUCK_KGRAMS},
+    m AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+        FROM kg a
+        JOIN kg b ON a.h = b.h AND a.doc_id < b.doc_id
+        JOIN cand c ON c.da = a.doc_id AND c.db = b.doc_id
+    ),
+    r AS (
+        SELECT da, db, pa,
+               pa - ROW_NUMBER() OVER (PARTITION BY da, db, pa - pb
+                                       ORDER BY pa) AS grp,
+               pa - pb AS diag
+        FROM m
+    ),
+    s AS (
+        SELECT da, db, CAST(COUNT(*) + {SPAN_K - 1} AS BIGINT) AS span_tokens
+        FROM r GROUP BY da, db, diag, grp
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens
+    FROM s WHERE span_tokens >= {SPAN_T}
+    GROUP BY da, db
+    ORDER BY doc_a, doc_b
+    """,
+    survey_ids=("X2", "J1", "W1", "A1"),
+)
+def x2_exact_substr_spans_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION spelling of the duplicate-span detector: the
+    hot-fingerprint cap ON (fps in > FP_CAP docs excluded from
+    candidate generation — they are boilerplate by definition, and at
+    100 TB they are the only super-linear key in the pipeline). The
+    semantics intentionally differ from the lossless
+    `x2_exact_substr_spans`: only pairs reachable through a NON-HOT
+    shared fingerprint are verified — the guarded-LSH discipline
+    (`x2_minhash_lsh_pairs_guarded`), with the pruning itself
+    hash-verified because the oracle replays winnowing + cap + verify
+    from the same md5 constants. On the fixture the cap of 2
+    genuinely removes candidates (max fp doc-frequency 3-4), so the
+    check proves the cap's exact effect, not a no-op."""
+    docs = t(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs)
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") <= FP_CAP)
+        .select("fp")
+    )
+    return _verified_span_pairs(docs, fps.join(keep, "fp")).orderBy(
+        "doc_a", "doc_b"
     )

@@ -678,6 +678,9 @@ EXPECTATIONS: dict[str, dict] = {
     # both pair pipelines + pair-relation full outer (SMJ over pairs,
     # not corpus) + one-row aggregate
     "x2_dedup_methods_agreement": {"max_exchanges": 12, "min_broadcast": 8},
+    # spans pipeline + the fp doc-frequency cap aggregate (one extra
+    # keyed shuffle + broadcast keep-list)
+    "x2_exact_substr_spans_capped": {"max_exchanges": 11, "min_broadcast": 9},
 }
 
 
