@@ -140,3 +140,67 @@ class TestRRFHybrid:
         fused = x4_rrf_hybrid_topk(spark, sf_dir).collect()
         keys = [(-r.rrf_score, r.doc_id) for r in fused]
         assert keys == sorted(keys)
+
+
+class TestMMRAndPRF:
+    def test_mmr_reduces_redundancy_vs_plain_topk(self, spark, sf_dir):
+        """The MMR selection's max pairwise similarity must not exceed
+        the plain top-k's (that is its objective), and rank 1 must be
+        the qsim argmax."""
+        import math
+
+        from etl_generator_demo_spark.operators.ann_index import lsh_probe_topk
+        from etl_generator_demo_spark.operators.relational import t
+        from etl_generator_demo_spark.operators.retrieval import (
+            MMR_SELECT,
+            x3_mmr_diversified_topk,
+        )
+
+        emb = t(spark, sf_dir, "embeddings")
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+        ]
+        pool = {
+            int(r["vec_id"]): [float(x) for x in r["embedding"]]
+            for r in lsh_probe_topk(spark, sf_dir, qv, k=20, exclude_ids=(0,))
+            .select("vec_id", "embedding")
+            .collect()
+        }
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (
+                math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+            )
+
+        sel = x3_mmr_diversified_topk(spark, sf_dir).collect()
+        assert [r.rnk for r in sel] == list(range(1, len(sel) + 1))
+        ids = [r.vec_id for r in sel]
+        assert len(set(ids)) == len(ids) <= MMR_SELECT
+        # rank 1 = plain qsim argmax (ties to smaller id)
+        best = max(pool, key=lambda i: (cos(pool[i], qv), -i))
+        assert ids[0] == best
+        # diversity: max pairwise sim among MMR picks <= among the
+        # plain top-|sel| by qsim
+        plain = sorted(pool, key=lambda i: (-cos(pool[i], qv), i))[: len(ids)]
+
+        def maxpair(lst):
+            return max(
+                cos(pool[a], pool[b]) for a in lst for b in lst if a != b
+            )
+
+        assert maxpair(ids) <= maxpair(plain) + 1e-12
+
+    def test_prf_expands_with_non_query_terms(self, spark, sf_dir):
+        from etl_generator_demo_spark.operators.retrieval import (
+            BM25_QUERY_TERMS,
+            PRF_EXP_TERMS,
+            x4_prf_expansion_terms,
+        )
+
+        terms = x4_prf_expansion_terms(spark, sf_dir).collect()
+        assert 0 < len(terms) <= PRF_EXP_TERMS
+        for r in terms:
+            assert r.term not in BM25_QUERY_TERMS
+            assert r.df_fb >= 1
