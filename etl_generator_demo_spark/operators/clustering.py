@@ -954,9 +954,10 @@ def _pca_oracle() -> str:
     return ",".join(steps)
 
 
-@register(
-    "x3_pca_power_iteration",
-    oracle=f"""
+#: Shared PCA WITH-preamble: exact covariance numerators + the
+#: unrolled power iteration, ending at relation v{PCA_ITERS}. Reused
+#: by the train query (loadings) and the apply query (projection).
+_PCA_WITH = f"""
     WITH dims AS (SELECT UNNEST(RANGE(0, {DIM})) AS i),
     q AS (
         SELECT vec_id, i,
@@ -978,7 +979,13 @@ def _pca_oracle() -> str:
         JOIN sums sa ON sa.i = p.i
         JOIN sums sb ON sb.i = p.j
     ),
-    {_pca_oracle()}
+    {{pca}}
+"""
+
+
+@register(
+    "x3_pca_power_iteration",
+    oracle=_PCA_WITH.format(pca=_pca_oracle()) + f"""
     SELECT i AS dim_idx, CAST(v AS BIGINT) AS loading_e6
     FROM v{PCA_ITERS}
     ORDER BY dim_idx
@@ -1003,6 +1010,14 @@ def x3_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side on the collected d×d matrix (64² = 4096 cells — the
     bounded model fetch, k-means-centroid idiom); its cost is
     independent of corpus size by construction. v0 = all-ones e6."""
+    v = pc1_loading(spark, sf_dir)
+    rows = [(i, v[i]) for i in range(DIM)]
+    return spark.createDataFrame(rows, "dim_idx long, loading_e6 long")
+
+
+def pc1_loading(spark: SparkSession, sf_dir: str) -> dict[int, int]:
+    """Leading-component loadings (dim -> e6 int) — the driver-side
+    model the apply-stage queries broadcast back into column space."""
     cov = (
         x3_dim_covariance(spark, sf_dir)
         .select("i", "j", "cov_num")
@@ -1021,5 +1036,66 @@ def x3_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         m = max(abs(x) for x in w.values())
         v = {i: (w[i] * 1_000_000) // m for i in range(DIM)}
-    rows = [(i, v[i]) for i in range(DIM)]
-    return spark.createDataFrame(rows, "dim_idx long, loading_e6 long")
+    return v
+
+
+#: Projection histogram bucket width (raw-score units: quantized
+#: coordinate (e3) × loading (e6) summed over 64 dims; fixture scores
+#: span ~±1.2e9, so 1e8 gives ~24 buckets).
+PC1_BUCKET = 100_000_000
+
+
+@register(
+    "x3_pc1_projection_histogram",
+    oracle=_PCA_WITH.format(pca=_pca_oracle()) + f"""
+    ,
+    proj AS (
+        SELECT q.vec_id, CAST(SUM(q.xq * v.v) AS BIGINT) AS score
+        FROM q JOIN v{PCA_ITERS} v ON v.i = q.i
+        GROUP BY q.vec_id
+    )
+    SELECT CAST((score - ((score % {PC1_BUCKET} + {PC1_BUCKET})
+                          % {PC1_BUCKET})) // {PC1_BUCKET} AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM proj
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    survey_ids=("X3", "A1", "F6"),
+)
+def x3_pc1_projection_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the PCA pair: project every embedding onto
+    the trained leading component (`pc1_loading`) and histogram the
+    scores — the anisotropy picture itself (a collapsed space shows
+    one heavy lobe), and the shape of every model-train-then-apply
+    composition: the model is a 64-int broadcast LITERAL baked into a
+    pure Catalyst expression (`zip_with` + `aggregate` over the
+    quantized coordinates — whole-stage codegen, no Python, no
+    shuffle until the bucket count). Scores are exact integers
+    (e3-quantized coordinate × e6 loading, summed); buckets use the
+    pmod floor-division idiom since projections go negative. At
+    100 TB this is one scan + one bucket-keyed map-combined
+    aggregate."""
+    v = pc1_loading(spark, sf_dir)
+    lits = F.array(*[F.lit(int(v[i])) for i in range(DIM)])
+    emb = t(spark, sf_dir, "embeddings")
+    score = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            lits,
+            lambda e, l: F.floor(e.cast("double") * COV_SCALE).cast("long") * l,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select(score.alias("score"))
+        .select(
+            F.expr(
+                f"(score - pmod(score, {PC1_BUCKET})) div {PC1_BUCKET}"
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .orderBy("bucket")
+    )

@@ -681,6 +681,9 @@ EXPECTATIONS: dict[str, dict] = {
     # spans pipeline + the fp doc-frequency cap aggregate (one extra
     # keyed shuffle + broadcast keep-list)
     "x2_exact_substr_spans_capped": {"max_exchanges": 11, "min_broadcast": 9},
+    # model apply: 64-int literal in a zip_with/aggregate expression —
+    # one scan + one bucket-keyed agg (+ output order); zero joins
+    "x3_pc1_projection_histogram": {"max_exchanges": 2},
 }
 
 
