@@ -3111,3 +3111,148 @@ def x4_mutual_information_lang_source(spark: SparkSession, sf_dir: str) -> DataF
         .cast("long")
         .alias("mi_nats_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 9: incremental JOIN-view maintenance (the bilinear delta rule)
+# ---------------------------------------------------------------------------
+@register(
+    "d_incremental_join_maintenance",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey,
+               c_mktsegment AS seg_old,
+               CASE WHEN c_custkey % 89 = 0 THEN 'MOVED'
+                    ELSE c_mktsegment END AS seg_new
+        FROM customer
+    ),
+    ords AS (
+        SELECT o_custkey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey % 97 = 0 AS is_new
+        FROM orders
+    ),
+    recomputed AS (
+        SELECT c.seg_new AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(o.cents) AS BIGINT) AS rev_recomputed
+        FROM ords o JOIN cust c ON c.c_custkey = o.o_custkey
+        GROUP BY c.seg_new
+    ),
+    v_base AS (
+        SELECT c.seg_old AS segment, CAST(SUM(o.cents) AS BIGINT) AS rev_base
+        FROM ords o JOIN cust c ON c.c_custkey = o.o_custkey
+        WHERE NOT o.is_new
+        GROUP BY c.seg_old
+    ),
+    moved AS (
+        SELECT c.seg_old, c.seg_new, CAST(SUM(o.cents) AS BIGINT) AS rev
+        FROM ords o JOIN cust c ON c.c_custkey = o.o_custkey
+        WHERE NOT o.is_new AND c.seg_old <> c.seg_new
+        GROUP BY c.seg_old, c.seg_new
+    ),
+    moved_out AS (SELECT seg_old AS segment, CAST(SUM(rev) AS BIGINT) AS rev
+                  FROM moved GROUP BY seg_old),
+    moved_in AS (SELECT seg_new AS segment, CAST(SUM(rev) AS BIGINT) AS rev
+                 FROM moved GROUP BY seg_new),
+    new_rev AS (
+        SELECT c.seg_new AS segment, CAST(SUM(o.cents) AS BIGINT) AS rev
+        FROM ords o JOIN cust c ON c.c_custkey = o.o_custkey
+        WHERE o.is_new
+        GROUP BY c.seg_new
+    )
+    SELECT r.segment, r.n_orders, r.rev_recomputed,
+           CAST(COALESCE(b.rev_base, 0) - COALESCE(mo.rev, 0)
+                + COALESCE(mi.rev, 0) + COALESCE(nr.rev, 0)
+                AS BIGINT) AS rev_incremental,
+           COALESCE(b.rev_base, 0) - COALESCE(mo.rev, 0)
+               + COALESCE(mi.rev, 0) + COALESCE(nr.rev, 0)
+               = r.rev_recomputed AS ivm_ok
+    FROM recomputed r
+    LEFT JOIN v_base b ON b.segment = r.segment
+    LEFT JOIN moved_out mo ON mo.segment = r.segment
+    LEFT JOIN moved_in mi ON mi.segment = r.segment
+    LEFT JOIN new_rev nr ON nr.segment = r.segment
+    ORDER BY r.segment
+    """,
+    survey_ids=("D1", "J1", "A1", "J4"),
+)
+def d_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the bilinear
+    delta rule Δ(A⋈B) = ΔA⋈B ∪ A⋈ΔB (∪ ΔA⋈ΔB) that
+    `d_incremental_agg_maintenance` (aggregate-only deltas) does not
+    exercise. The materialized view is per-segment revenue over
+    orders⋈customer; the simulated CDC batch both INSERTS facts
+    (every 97th order is the new batch = ΔA⋈B) and UPDATES the
+    dimension (every 89th customer moves to segment 'MOVED' = A⋈ΔB:
+    its base revenue leaves the old segment and enters the new one).
+    Both maintenance terms and the full recompute are computed, and
+    every row carries an exact-integer ``ivm_ok`` verdict — the hash
+    pins the delta algebra in both engines.
+
+    At 100 TB: the recompute tier scans everything (here only to
+    prove the verdict); the maintenance tier joins the DELTA-sized
+    relations — ΔA⋈B broadcasts the dim as usual, A⋈ΔB is the fact
+    table semi-joined to the changed-customer keys (delta-proportional
+    output, keyed join, the standard dimension-update cost) — and the
+    merge is |segments|-keyed left joins over group partials."""
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg_old"),
+        F.when(F.col("c_custkey") % 89 == 0, F.lit("MOVED"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg_new"),
+    )
+    ords = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 97 == 0).alias("is_new"),
+    )
+    joined = ords.join(
+        F.broadcast(cust), ords["o_custkey"] == cust["c_custkey"]
+    )
+    recomputed = joined.groupBy(F.col("seg_new").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("rev_recomputed"),
+    )
+    v_base = (
+        joined.filter(~F.col("is_new"))
+        .groupBy(F.col("seg_old").alias("segment"))
+        .agg(F.sum("cents").cast("long").alias("rev_base"))
+    )
+    moved = (
+        joined.filter(~F.col("is_new") & (F.col("seg_old") != F.col("seg_new")))
+        .groupBy("seg_old", "seg_new")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    moved_out = moved.groupBy(F.col("seg_old").alias("segment")).agg(
+        F.sum("rev").cast("long").alias("rev_out")
+    )
+    moved_in = moved.groupBy(F.col("seg_new").alias("segment")).agg(
+        F.sum("rev").cast("long").alias("rev_in")
+    )
+    new_rev = (
+        joined.filter(F.col("is_new"))
+        .groupBy(F.col("seg_new").alias("segment"))
+        .agg(F.sum("cents").cast("long").alias("rev_new"))
+    )
+    inc = (
+        F.coalesce(F.col("rev_base"), F.lit(0))
+        - F.coalesce(F.col("rev_out"), F.lit(0))
+        + F.coalesce(F.col("rev_in"), F.lit(0))
+        + F.coalesce(F.col("rev_new"), F.lit(0))
+    )
+    return (
+        recomputed.join(v_base, "segment", "left")
+        .join(moved_out, "segment", "left")
+        .join(moved_in, "segment", "left")
+        .join(new_rev, "segment", "left")
+        .select(
+            "segment",
+            "n_orders",
+            "rev_recomputed",
+            inc.cast("long").alias("rev_incremental"),
+            (inc == F.col("rev_recomputed")).alias("ivm_ok"),
+        )
+        .orderBy("segment")
+    )

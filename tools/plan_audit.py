@@ -684,6 +684,9 @@ EXPECTATIONS: dict[str, dict] = {
     # model apply: 64-int literal in a zip_with/aggregate expression —
     # one scan + one bucket-keyed agg (+ output order); zero joins
     "x3_pc1_projection_histogram": {"max_exchanges": 2},
+    # bilinear join-view IVM: dim broadcast, five segment-keyed group
+    # partials merged by broadcast left joins
+    "d_incremental_join_maintenance": {"max_exchanges": 8, "min_broadcast": 5},
 }
 
 
