@@ -90,11 +90,24 @@ HEADLINE = [
 # passes. If the deviation persists, the record is still emitted but
 # carries "noise_suspect": true — a flagged artifact, never silent.
 def _last_committed(cur_sf, here: str | None = None):
-    """(basename, {query: sec}) of the newest BENCH_r*.json whose
-    primary record matches ``cur_sf``, or None. Understands both the
-    raw bench line and the driver's wrapper (bench JSON under a
-    ``parsed`` key)."""
+    """(basename, {query: sec}) of the newest committed bench record
+    matching ``cur_sf``, or None. Prefers BENCH_LOCAL.json (the full
+    sidecar bench.py writes — immune to the driver's stdout-tail
+    truncation that left BENCH_r09.json with "parsed": null), then
+    falls back to the newest BENCH_r*.json, understanding both the raw
+    bench line and the driver's wrapper (bench JSON under ``parsed``)."""
     here = here or os.path.dirname(os.path.abspath(__file__))
+    local = os.path.join(here, "BENCH_LOCAL.json")
+    if os.path.exists(local):
+        try:
+            with open(local) as f:
+                rec = json.load(f)
+            if rec.get("sf") == cur_sf and "queries" in rec:
+                return "BENCH_LOCAL.json", {
+                    k: float(v) for k, v in rec["queries"].items()
+                }
+        except Exception:
+            pass
     best: tuple[int, str] | None = None
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
@@ -181,6 +194,22 @@ def _warm_indexes(spark, sf_dir: str) -> None:
     ensure_shingle_index(spark, sf_dir)
 
 
+def _resolve_passes() -> int:
+    """Pass-count policy (round-9 advice, factored for testability):
+    always >=2 full passes regardless of SPARK_GRAFT_BENCH_PASSES —
+    BENCH_r08 shipped with passes=1 and ~11% whole-box inflation
+    under the old 15% gate."""
+    return max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+
+
+def _resolve_noise_ratio() -> float:
+    """Retry threshold vs the last committed record (default 1.08):
+    with min-of-2 passes the residual pass-to-pass jitter on a quiet
+    box is ~2-3%, so an 8% upward deviation is a load signature, not
+    variance."""
+    return float(os.environ.get("SPARK_GRAFT_BENCH_NOISE_RATIO", "1.08"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     idle_gate = _wait_for_idle()  # before the JVM: gate on OTHER work
@@ -247,12 +276,11 @@ def main() -> None:
         return float(sf) if sf.replace(".", "").isdigit() else sf
 
     loadavg_start = os.getloadavg()
-    # Min-of-N passes (round-9 advice): BENCH_r08 shipped with
-    # passes=1 and ~11% whole-box inflation under the 15% gate. Always
-    # take >=2 full passes and keep each query's min — steady-state
-    # with warm caches is the honest number on a shared box; a
-    # transient load spike during one pass cannot contaminate both.
-    min_passes = max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2")))
+    # Min-of-N passes: keep each query's min across >=2 full passes —
+    # steady-state with warm caches is the honest number on a shared
+    # box; a transient load spike during one pass cannot contaminate
+    # both. Policy lives in _resolve_passes() (tested directly).
+    min_passes = _resolve_passes()
     timings = run_set(sf_dir)
     passes = 1
     while passes < min_passes:
@@ -261,11 +289,8 @@ def main() -> None:
         passes += 1
     guard = None
     prev = _last_committed(parse_sf(sf_dir))
-    # retry threshold tightened 15% -> 8% (round-9 advice): with
-    # min-of-2 passes the residual pass-to-pass jitter on a quiet box
-    # is ~2-3%, so an 8% upward deviation vs the committed record is a
-    # load signature, not variance
-    thresh = float(os.environ.get("SPARK_GRAFT_BENCH_NOISE_RATIO", "1.08"))
+    # retry threshold policy lives in _resolve_noise_ratio() (tested)
+    thresh = _resolve_noise_ratio()
     if prev is not None:
         prev_name, prev_q = prev
         shared = sorted(set(prev_q) & set(timings))
@@ -327,7 +352,7 @@ def main() -> None:
             "passes": min_passes,
         }
 
-    out = {
+    full = {
         "metric": "headline_query_wall_clock_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -339,10 +364,48 @@ def main() -> None:
         "idle_gate": idle_gate,
     }
     if guard is not None:
-        out["noise_guard"] = guard
+        full["noise_guard"] = guard
     if secondary is not None:
-        out["secondary"] = secondary
-    print(json.dumps(out))
+        full["secondary"] = secondary
+    # Full record to a committed sidecar: the driver captures only a
+    # bounded stdout tail (BENCH_r09.json shipped "parsed": null
+    # because the r9 line outgrew it), so the sidecar is the durable
+    # full artifact and the noise guard's preferred prev-record source.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    # Stdout line: the driver parses ONE JSON line from a ~2000-char
+    # tail — keep it compact (per-query timings stay; verbose nested
+    # detail collapses to scalars; secondary keeps its total only).
+    out = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": full["sf"],
+        "passes": passes,
+        "load_start_5m": round(loadavg_start[1], 2),
+        "idle_waited_sec": idle_gate.get("waited_sec"),
+        "idle_timed_out": idle_gate.get("timed_out"),
+    }
+    if guard is not None:
+        out["ratio_vs_prev"] = guard["ratio_vs_prev"]
+        out["noise_suspect"] = guard["noise_suspect"]
+    if secondary is not None:
+        out["secondary_sf"] = secondary["sf"]
+        out["secondary_total"] = secondary["value"]
+    line = json.dumps(out)
+    if len(line) > 1900:  # never let the line outgrow the tail again
+        for k in (
+            "idle_waited_sec",
+            "idle_timed_out",
+            "load_start_5m",
+            "ratio_vs_prev",
+        ):
+            out.pop(k, None)
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -357,7 +357,16 @@ def x4_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver), locate the partition holding global rank ⌈n/2⌉ from the
     cumulative counts, then row_number only within that one
     partition — each task holds ~1/P of the pairs, so the 10-year
-    lattice's ~6.7M pairs never sort in a single executor."""
+    lattice's ~6.7M pairs never sort in a single executor.
+
+    Empty-case contract (r9 advice, deliberate): with <2 distinct days
+    there are no pairwise slopes and BOTH engines return 0 rows (the
+    oracle's `ranked` CTE is empty, so its final SELECT emits nothing;
+    the Spark side short-circuits to an empty DataFrame on n_pairs=0).
+    This replaced the pre-r9 single-row (n_days, 0, NULL) shape — a
+    slope estimator with no pairs has no estimate, and an absent row
+    is the honest spelling; pinned by
+    tests/test_robust_stats.py::test_theil_sen_empty_case_contract."""
     ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
     daily = (
         ev.groupBy(F.col("ts").cast("date").alias("day"))

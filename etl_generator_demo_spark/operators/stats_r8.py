@@ -149,8 +149,12 @@ def _markov_oracle() -> str:
         FROM effects
     )
     SELECT channel, base_conv_e12, removed_conv_e12, removal_effect_e12,
-           CAST((num - ((num % tot + tot) % tot)) // tot AS BIGINT)
-               AS attribution_e6
+           -- the pmod floor-division idiom is floor-exact only for tot > 0
+           -- (r9 advice): NULL out attribution when the effect total is
+           -- non-positive, mirrored on the Spark side
+           CASE WHEN tot > 0
+                THEN CAST((num - ((num % tot + tot) % tot)) // tot AS BIGINT)
+                ELSE NULL END AS attribution_e6
     FROM scaled
     ORDER BY channel
     """
@@ -244,7 +248,12 @@ def x4_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             base_conv_e12=base_conv,
             removed_conv_e12=base_conv - effects[c],
             removal_effect_e12=effects[c],
-            attribution_e6=(effects[c] * 1_000_000) // total if total else None,
+            # attribution is defined only for a positive effect total
+            # (pmod floor idiom in the oracle is floor-exact only there);
+            # non-positive total -> NULL in both engines (r9 advice)
+            attribution_e6=(effects[c] * 1_000_000) // total
+            if total > 0
+            else None,
         )
         for c in sorted(CHANNELS)
     ]

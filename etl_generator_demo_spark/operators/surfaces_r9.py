@@ -101,9 +101,15 @@ BOOT_B = 32
     WITH reps AS (SELECT UNNEST(GENERATE_SERIES(0, {BOOT_B - 1})) AS b),
     w AS (
         SELECT r.b,
-               CASE (CAST(('0x' || SUBSTRING(MD5(CAST(r.b AS VARCHAR) || '_'
-                                                 || CAST(e.event_id AS VARCHAR)), 1, 8))
-                          AS BIGINT) % 4)
+               -- (first-8-hex-digits AS integer) % 4 depends only on the
+               -- 8th hex digit (16 ≡ 0 mod 4), so read that one digit via
+               -- STRPOS — version-stable core SQL, no hex-string cast
+               -- (r9 advice: the '0x'||... AS BIGINT cast is
+               -- DuckDB-version-sensitive)
+               CASE ((STRPOS('0123456789abcdef',
+                             SUBSTRING(MD5(CAST(r.b AS VARCHAR) || '_'
+                                           || CAST(e.event_id AS VARCHAR)), 8, 1))
+                      - 1) % 4)
                     WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 2 END AS wt,
                CAST(FLOOR(e.value * 100) AS BIGINT) AS v_c2
         FROM events e CROSS JOIN reps r

@@ -82,19 +82,24 @@ def test_idle_gate_bounded_wait_flags_timeout(monkeypatch):
 
 
 def test_min_passes_policy_is_at_least_two(monkeypatch):
-    """BENCH_r08 shipped passes=1; the r9 policy floor is 2 even when
-    the env var asks for fewer."""
-    import os
-
+    """BENCH_r08 shipped passes=1; the policy floor is 2 even when the
+    env var asks for fewer. Tested as function return values (r9
+    advice: not inspect.getsource substrings)."""
     monkeypatch.setenv("SPARK_GRAFT_BENCH_PASSES", "1")
-    assert max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))) == 2
-    # and the source actually applies that floor
-    import inspect
+    assert bench._resolve_passes() == 2
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_PASSES", "5")
+    assert bench._resolve_passes() == 5
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_PASSES", raising=False)
+    assert bench._resolve_passes() == 2
 
-    src = inspect.getsource(bench.main)
-    assert 'max(2, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES"' in src
-    assert '"SPARK_GRAFT_BENCH_NOISE_RATIO", "1.08"' in src
-    assert "idle_gate" in src
+
+def test_noise_ratio_policy(monkeypatch):
+    """Default retry threshold is 8% upward deviation; env override
+    is honored."""
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_NOISE_RATIO", raising=False)
+    assert bench._resolve_noise_ratio() == 1.08
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_NOISE_RATIO", "1.5")
+    assert bench._resolve_noise_ratio() == 1.5
 
 
 def test_repo_record_is_discoverable():

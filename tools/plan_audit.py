@@ -687,6 +687,35 @@ EXPECTATIONS: dict[str, dict] = {
     # bilinear join-view IVM: dim broadcast, five segment-keyed group
     # partials merged by broadcast left joins
     "d_incremental_join_maintenance": {"max_exchanges": 8, "min_broadcast": 5},
+    # --- round 10 ---
+    # rule battery: explode + per-doc agg + doc left-join + source rollup
+    "x4_gopher_quality_rules": {"max_exchanges": 4, "min_broadcast": 1},
+    # Hamilton allocation on the |langs| strata (broadcast), one keyed
+    # selection window, bounded rollup
+    "x4_stratified_proportional_sample": {"max_exchanges": 6, "min_broadcast": 1},
+    # basket pair self-join + supports + anchor broadcast + top-k window
+    "x4_item_item_recs": {"max_exchanges": 9, "min_broadcast": 3},
+    # HITS: per-sweep shuffles behind localCheckpoint; visible tail is
+    # the two 10-row tops union (the WCC/BPE pattern)
+    "g_hits_bipartite": {"max_exchanges": 0},
+    # Bellman-Ford rounds behind localCheckpoint; visible tail is the
+    # bucket histogram
+    "g_sssp_weighted": {"max_exchanges": 2},
+    # calendar-lattice driver solve: returned relation is one local row
+    "x4_holt_linear_forecast": {"max_exchanges": 0},
+    # global_row_number range shuffle (behind localCheckpoint) + shard rollup
+    "x4_curriculum_shards": {"max_exchanges": 3},
+    # bounds scalar + per-row morton arithmetic + bucket rollup
+    "d_zorder_clustering_keys": {"max_exchanges": 3},
+    # one array fold per row + label rollup
+    "x3_vector_norm_audit": {"max_exchanges": 2},
+    # BM25 chain + relevance join + two bounded rank windows + scalar cross
+    "x4_ndcg_eval": {"max_exchanges": 12, "min_broadcast": 3},
+    # merges behind localCheckpoint; visible: vocab join + source rollup
+    "x4_bpe_encode_corpus": {"max_exchanges": 3, "min_broadcast": 1},
+    # signature groupBy behind localCheckpoint; 4 config self-joins +
+    # distinct + 1-row aggregates unioned
+    "x2_lsh_band_tuning_curve": {"max_exchanges": 12, "min_broadcast": 4},
 }
 
 
