@@ -1,0 +1,71 @@
+"""Anchors for the round-10 batch-4 surfaces (verbatim SQL pins, PPR)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.relational import t
+from etl_generator_demo_spark.operators.surfaces_r10d import (
+    PPR_SCALE,
+    g_personalized_pagerank,
+    u_values_inline_table,
+    w_range_interval_verbatim,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_range_interval_window_hand_fixture(spark, tmp_path):
+    """Customer 1's two orders 19 days apart share a 30-day window
+    (peak = sum); customer 2's two orders 60 days apart never do
+    (peak = the larger single order)."""
+    rows = [
+        (1, 1, "F", 100.0, datetime.date(2024, 1, 1), "1-URGENT"),
+        (2, 1, "F", 50.0, datetime.date(2024, 1, 20), "1-URGENT"),
+        (3, 2, "F", 100.0, datetime.date(2024, 1, 1), "1-URGENT"),
+        (4, 2, "F", 50.0, datetime.date(2024, 3, 1), "1-URGENT"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    out = {
+        r["o_custkey"]: r
+        for r in w_range_interval_verbatim(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["peak_30d_spend_c2"] == 15000  # 100.00 + 50.00 in cents
+    assert out[2]["peak_30d_spend_c2"] == 10000  # windows never overlap
+    assert out[1]["n_orders"] == out[2]["n_orders"] == 2
+
+
+def test_values_inline_tiers_partition_customers(spark):
+    out = u_values_inline_table(spark, SF).collect()
+    names = {r["tier_name"] for r in out}
+    assert names <= {"debt", "low", "mid", "high"}
+    total = sum(r["n_customers"] for r in out)
+    n_cust = t(spark, SF, "customer").count()
+    # the tier ranges cover [-100000, 100000): every fixture balance
+    assert total == n_cust
+
+
+def test_ppr_source_dominates_and_mass_bounded(spark):
+    out = g_personalized_pagerank(spark, SF).collect()
+    assert out and len(out) <= 20
+    scores = [r["ppr_e9"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # teleport re-injection makes the source the top-ranked node
+    li = t(spark, SF, "lineitem")
+    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    e = a.join(b, "ok").filter(F.col("pa") < F.col("pb")).select("pa", "pb").distinct()
+    sym = e.select(F.col("pa").alias("u")).unionAll(e.select(F.col("pb").alias("u")))
+    hub = (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .orderBy(F.desc("d"), "u")
+        .first()["u"]
+    )
+    assert out[0]["part_id"] == hub
+    # per-edge flooring only leaks mass: total never exceeds SCALE
+    assert sum(scores) <= PPR_SCALE

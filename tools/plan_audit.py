@@ -716,6 +716,13 @@ EXPECTATIONS: dict[str, dict] = {
     # signature groupBy behind localCheckpoint; 4 config self-joins +
     # distinct + 1-row aggregates unioned
     "x2_lsh_band_tuning_curve": {"max_exchanges": 12, "min_broadcast": 4},
+    # verbatim interval-range window: one keyed window + rollup +
+    # TakeOrdered
+    "w_range_interval_verbatim": {"max_exchanges": 2, "take_ordered": True},
+    # 4-row VALUES dim -> BroadcastNestedLoopJoin (range condition)
+    "u_values_inline_table": {"max_exchanges": 2, "min_broadcast": 1},
+    # PPR rounds behind localCheckpoint; visible tail is TakeOrdered
+    "g_personalized_pagerank": {"max_exchanges": 1, "take_ordered": True},
 }
 
 
