@@ -1099,3 +1099,141 @@ def x3_pc1_projection_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
         .orderBy("bucket")
     )
+
+
+# ===========================================================================
+# Round 10: IVF n_probe recall sweep (the IVF twin of the LSH band
+# tuning curve — the knob-vs-recall table an ANN deployment reads
+# before fixing n_probe)
+# ===========================================================================
+
+#: Probe counts swept (k=8 lists: 8 probes == exhaustive, the sanity row).
+IVF_SWEEP_PROBES = (1, 2, 4, 8)
+IVF_SWEEP_K = 10
+
+
+def _ivf_sweep_oracle(
+    k: int = KMEANS_K, rounds: int = KMEANS_ROUNDS, dim: int = DIM
+) -> str:
+    qdist = (
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> (e.q[i] - q0.q[i]) * (e.q[i] - q0.q[i]))) AS BIGINT)"
+    )
+    cdist = (
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}),"
+        " i -> (c.c[i] - q0.q[i]) * (c.c[i] - q0.q[i]))) AS BIGINT)"
+    )
+    cfgs = []
+    for np_ in IVF_SWEEP_PROBES:
+        cfgs.append(f"""
+    SELECT CAST({np_} AS BIGINT) AS n_probe,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand{np_})
+               AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT vec_id FROM cand{np_} JOIN exact USING (vec_id)
+                  ORDER BY d, vec_id LIMIT {IVF_SWEEP_K}) t
+            JOIN exact_top USING (vec_id)) AS recalled_at_{IVF_SWEEP_K},
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM (SELECT vec_id FROM cand{np_} JOIN exact USING (vec_id)
+                  ORDER BY d, vec_id LIMIT {IVF_SWEEP_K}) t
+            JOIN exact_top USING (vec_id)) * 1000000 // {IVF_SWEEP_K}
+               AS recall_e6""")
+    cand_ctes = ",".join(
+        f"""
+    cand{np_} AS (
+        SELECT a.vec_id FROM a{rounds} a JOIN prank p USING (cluster_id)
+        WHERE p.pr <= {np_} AND a.vec_id <> 0
+    )"""
+        for np_ in IVF_SWEEP_PROBES
+    )
+    return f"""
+    WITH {_kmeans_cte(k, rounds, dim)},
+    q0 AS (SELECT q FROM e WHERE vec_id = 0),
+    exact AS (
+        SELECT e.vec_id, {qdist} AS d FROM e, q0 WHERE e.vec_id <> 0
+    ),
+    exact_top AS (
+        SELECT vec_id FROM exact ORDER BY d, vec_id LIMIT {IVF_SWEEP_K}
+    ),
+    cdist AS (
+        SELECT c.cluster_id, {cdist} AS d FROM c{rounds} c, q0
+    ),
+    prank AS (
+        SELECT cluster_id, ROW_NUMBER() OVER (ORDER BY d, cluster_id) AS pr
+        FROM cdist
+    ),
+    {cand_ctes}
+    SELECT * FROM ({" UNION ALL ".join(cfgs)})
+    ORDER BY n_probe
+    """
+
+
+@register(
+    "x3_ivf_nprobe_recall_sweep",
+    oracle=_ivf_sweep_oracle(),
+    survey_ids=("X3", "A1", "O4", "W1"),
+)
+def x3_ivf_nprobe_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 vs n_probe for the IVF coarse quantizer (the k-means
+    model above): for each probe count, restrict candidates to the
+    n_probe lists nearest the query and measure how many of the exact
+    top-10 survive — the IVF twin of `x2_lsh_band_tuning_curve`, and
+    the table that fixes the n_probe knob before an ANN rollout
+    (n_probe = k is the exhaustive sanity row: recall must be 10/10).
+
+    Exactness: everything runs on the e4-quantized integer grid —
+    distances are BIGINT Σ(q−q0)², rankings are (d, vec_id) total
+    orders, and the k-means model is the exact-integer Lloyd chain the
+    oracle unrolls, so every recall cell is hash-checked, not
+    self-reported. Scale: one corpus pass scores distances; per-config
+    work is a broadcast semi join against the ≤k probed list ids +
+    TakeOrdered top-10; the probe ORDER itself is k-row model math
+    solved driver-side (centroids are already a collected model)."""
+    emb, cents = kmeans_model(spark, sf_dir)
+    q0 = [int(x) for x in emb.filter(F.col("vec_id") == 0).first()["q"]]
+    q0col = F.array(*[F.lit(x) for x in q0])
+    exact = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", _sqdist(F.col("q"), q0col).alias("d"))
+        .localCheckpoint(eager=True)  # reused by every config
+    )
+    exact_top = exact.orderBy("d", "vec_id").limit(IVF_SWEEP_K).select("vec_id")
+    assign = _assign(emb, cents).select("vec_id", "cluster_id")
+    # probe order: k-row model arithmetic (centroids are driver-side)
+    order = sorted(
+        (sum((qi - ci) * (qi - ci) for qi, ci in zip(q0, c)), cid)
+        for cid, c in cents
+    )
+    ranked_cids = [cid for _d, cid in order]
+    outs = []
+    for np_ in IVF_SWEEP_PROBES:
+        probed = ranked_cids[:np_]
+        cands = assign.filter(
+            F.col("cluster_id").isin(probed) & (F.col("vec_id") != 0)
+        ).select("vec_id")
+        scored = cands.join(exact, "vec_id")
+        atop = scored.orderBy("d", "vec_id").limit(IVF_SWEEP_K).select("vec_id")
+        hits = atop.join(F.broadcast(exact_top), "vec_id")
+        row = (
+            cands.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+            .crossJoin(
+                hits.agg(
+                    F.count(F.lit(1))
+                    .cast("long")
+                    .alias(f"recalled_at_{IVF_SWEEP_K}")
+                )
+            )
+            .select(
+                F.lit(np_).cast("long").alias("n_probe"),
+                "n_candidates",
+                f"recalled_at_{IVF_SWEEP_K}",
+                F.expr(
+                    f"recalled_at_{IVF_SWEEP_K} * 1000000 div {IVF_SWEEP_K}"
+                ).alias("recall_e6"),
+            )
+        )
+        outs.append(row)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("n_probe")

@@ -69,3 +69,19 @@ def test_ppr_source_dominates_and_mass_bounded(spark):
     assert out[0]["part_id"] == hub
     # per-edge flooring only leaks mass: total never exceeds SCALE
     assert sum(scores) <= PPR_SCALE
+
+
+def test_ivf_nprobe_sweep_monotone_and_exhaustive(spark):
+    """Probed lists nest, so candidates and recall are monotone in
+    n_probe; probing all k lists IS the exact search (recall 10/10)."""
+    from etl_generator_demo_spark.operators.clustering import (
+        IVF_SWEEP_K,
+        x3_ivf_nprobe_recall_sweep,
+    )
+
+    rows = x3_ivf_nprobe_recall_sweep(spark, SF).collect()
+    cands = [r["n_candidates"] for r in rows]
+    rec = [r[f"recalled_at_{IVF_SWEEP_K}"] for r in rows]
+    assert cands == sorted(cands)
+    assert rec == sorted(rec)
+    assert rec[-1] == IVF_SWEEP_K  # exhaustive probe row is exact

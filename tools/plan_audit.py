@@ -723,6 +723,9 @@ EXPECTATIONS: dict[str, dict] = {
     "u_values_inline_table": {"max_exchanges": 2, "min_broadcast": 1},
     # PPR rounds behind localCheckpoint; visible tail is TakeOrdered
     "g_personalized_pagerank": {"max_exchanges": 1, "take_ordered": True},
+    # k-means behind kmeans_model's checkpoints; per-config candidate
+    # restriction + top-10 + hit join are all broadcast-side
+    "x3_ivf_nprobe_recall_sweep": {"max_exchanges": 4, "min_broadcast": 8},
 }
 
 
