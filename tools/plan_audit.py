@@ -726,6 +726,8 @@ EXPECTATIONS: dict[str, dict] = {
     # k-means behind kmeans_model's checkpoints; per-config candidate
     # restriction + top-10 + hit join are all broadcast-side
     "x3_ivf_nprobe_recall_sweep": {"max_exchanges": 4, "min_broadcast": 8},
+    # one-scan unpivot + column-keyed distinct/minmax aggregate
+    "d_analyze_table_stats": {"max_exchanges": 3},
 }
 
 
