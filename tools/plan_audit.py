@@ -730,6 +730,9 @@ EXPECTATIONS: dict[str, dict] = {
     "d_analyze_table_stats": {"max_exchanges": 3},
     # scan-side bucket expr + one map-combined agg + ordered limit
     "f_time_bucket_15min": {"max_exchanges": 1, "take_ordered": True},
+    # per-n: explode+distinct + broadcast eval semi + per-doc agg,
+    # three independent configs unioned
+    "x4_decontam_ngram_sweep": {"max_exchanges": 12, "min_broadcast": 3},
 }
 
 
