@@ -69,3 +69,46 @@ def test_empty_series_returns_no_rows(spark, tmp_path):
         "value double, props string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
     assert x4_holt_linear_forecast(spark, str(tmp_path)).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=60))
+def test_holt_level_stays_in_series_hull(series):
+    """With y >= 0 the smoothed level stays within a slack band of the
+    observed range: level is a damped average of observations, so it
+    cannot run away from the data (trend may, slowly)."""
+    level, trend = holt_linear(series)
+    lo, hi = min(series), max(series)
+    span = hi - lo + 1
+    assert lo - span <= level <= hi + span
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10**9),
+    st.integers(min_value=1, max_value=50),
+)
+def test_holt_constant_fixed_point_property(c, n):
+    assert holt_linear([c] * n) == (c, 0)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=2, max_size=40),
+    st.integers(min_value=1, max_value=10**6),
+)
+def test_holt_shift_equivariance(series, shift):
+    """Adding a constant to every observation shifts the level by that
+    constant and leaves the trend unchanged (the recursion is affine
+    in y with coefficient sum 1 for the level, 0 for the trend)."""
+    l0, b0 = holt_linear(series)
+    l1, b1 = holt_linear([y + shift for y in series])
+    assert (l1, b1) == (l0 + shift, b0)

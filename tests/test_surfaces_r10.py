@@ -246,3 +246,39 @@ def test_lsh_tuning_curve_monotone(spark):
         <= out[4]["n_candidate_pairs"]
         <= out[8]["n_candidate_pairs"]
     )
+
+
+# ---------------------------------------------------------------------------
+# morton property tests (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_MORTON = _morton_expr("px", "py", "//")
+
+
+def _ref_interleave(x, y):
+    z = 0
+    for i in range(8):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, 255), st.integers(0, 255))
+def test_morton_formula_matches_reference(px, py):
+    assert eval(_MORTON) == _ref_interleave(px, py)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(0, 255), st.integers(0, 255))
+def test_morton_is_injective_on_the_grid(px, py):
+    """The interleave is a bijection [0,255]^2 -> [0,65535]: decode by
+    de-interleaving and recover the inputs exactly."""
+    z = _ref_interleave(px, py)
+    rx = sum(((z >> (2 * i)) & 1) << i for i in range(8))
+    ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
+    assert (rx, ry) == (px, py)
+    assert 0 <= z <= 65535
