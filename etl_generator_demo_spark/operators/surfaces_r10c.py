@@ -115,3 +115,191 @@ def x2_lsh_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("bands")
+
+
+# ---------------------------------------------------------------------------
+# Jaccard verification-threshold sweep
+# ---------------------------------------------------------------------------
+
+#: Thresholds swept, as exact (num, den) ratios so the comparison is an
+#: integer cross-multiplication in both engines.
+JACCARD_SWEEP = ((30, 100), (50, 100), (70, 100), (90, 100))
+
+
+def _jaccard_sweep_oracle() -> str:
+    rows = []
+    for num, den in JACCARD_SWEEP:
+        rows.append(f"""
+    SELECT CAST({num} AS BIGINT) AS tau_e2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM inter i
+            JOIN card ca ON ca.doc_id = i.doc_a
+            JOIN card cb ON cb.doc_id = i.doc_b
+            WHERE {den} * i.inter >= {num} * (ca.card + cb.card - i.inter))
+               AS n_pairs,
+           (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM (
+                SELECT i.doc_a AS d FROM inter i
+                JOIN card ca ON ca.doc_id = i.doc_a
+                JOIN card cb ON cb.doc_id = i.doc_b
+                WHERE {den} * i.inter >= {num} * (ca.card + cb.card - i.inter)
+                UNION
+                SELECT i.doc_b FROM inter i
+                JOIN card ca ON ca.doc_id = i.doc_a
+                JOIN card cb ON cb.doc_id = i.doc_b
+                WHERE {den} * i.inter >= {num} * (ca.card + cb.card - i.inter)
+            )) AS n_docs_in_pairs""")
+    return f"""
+    {_DUCK_SHINGLES},
+    card AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS card
+             FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT * FROM ({" UNION ALL ".join(rows)})
+    ORDER BY tau_e2
+    """
+
+
+@register(
+    "x2_jaccard_threshold_sweep",
+    oracle=_jaccard_sweep_oracle(),
+    survey_ids=("X2", "J3", "A1", "U2"),
+)
+def x2_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair and affected-doc counts at Jaccard thresholds
+    0.3/0.5/0.7/0.9 — the verification-threshold tuning curve beside
+    the LSH band curve (`x2_lsh_band_tuning_curve` sizes the CANDIDATE
+    stage; this sizes the KEEP decision: how many docs a 0.7 cut
+    removes vs a 0.9 cut, before committing a corpus pass). The
+    committed production setting is `x2_ngram_jaccard_pairs`' 0.5.
+
+    Exactness: every threshold test is an integer cross-multiplication
+    ``den·inter ≥ num·(|a|+|b|−inter)`` — no float division anywhere.
+    Scale: the intersection relation comes from ONE inverted-index
+    join (never all-pairs; computed once, localCheckpointed), and each
+    threshold row is a pair-relation aggregate."""
+    from .dedup import corpus_shingles
+
+    sh = corpus_shingles(spark, sf_dir)
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("card"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    pairs = (
+        inter.join(card.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("card", "ca")
+        .join(card.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+        .withColumnRenamed("card", "cb")
+        .localCheckpoint(eager=True)  # one pair relation, four reads
+    )
+    outs = []
+    for num, den in JACCARD_SWEEP:
+        kept = pairs.filter(
+            den * F.col("inter") >= num * (F.col("ca") + F.col("cb") - F.col("inter"))
+        )
+        docs = (
+            kept.select(F.col("doc_a").alias("d"))
+            .unionByName(kept.select(F.col("doc_b").alias("d")))
+            .distinct()
+        )
+        outs.append(
+            kept.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .crossJoin(
+                docs.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_docs_in_pairs")
+                )
+            )
+            .select(
+                F.lit(num).cast("long").alias("tau_e2"),
+                "n_pairs",
+                "n_docs_in_pairs",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("tau_e2")
+
+
+# ---------------------------------------------------------------------------
+# LM quality-threshold sweep
+# ---------------------------------------------------------------------------
+
+#: Quality-gate thresholds swept (mean bigram log-prob; the committed
+#: production flag in x4_bigram_lm_quality cuts at -3.9).
+QUALITY_SWEEP_TAUS = (-3.5, -3.9, -4.3)
+
+
+def _quality_sweep_oracle() -> str:
+    from .textops import _BIGRAM_PERDOC_CHAIN
+
+    rows = []
+    for tau in QUALITY_SWEEP_TAUS:
+        rows.append(f"""
+    SELECT CAST({int(tau * 10)} AS BIGINT) AS tau_e1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM per_doc) AS n_scored,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM per_doc
+            WHERE avg_logprob >= {tau}) AS n_kept,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM per_doc
+            WHERE avg_logprob >= {tau}) * 1000000
+             // (SELECT COUNT(*) FROM per_doc) AS keep_rate_e6""")
+    return f"""
+    WITH {_BIGRAM_PERDOC_CHAIN}
+    SELECT * FROM ({" UNION ALL ".join(rows)})
+    ORDER BY tau_e1 DESC
+    """
+
+
+@register(
+    "x4_quality_threshold_sweep",
+    oracle=_quality_sweep_oracle(),
+    survey_ids=("X4", "A2", "P6"),
+)
+def x4_quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keep-rate at LM quality-gate thresholds -3.5/-3.9/-4.3
+    (mean bigram log-prob) — the tuning curve for the cheapest quality
+    cut, beside the band/Jaccard/n_probe/decontamination sweeps: each
+    pipeline knob ships with a measured curve, not a folklore constant.
+    The committed production flag (`x4_bigram_lm_quality`) cuts at
+    -3.9 — this shows what loosening/tightening by 0.4 nats releases.
+
+    Exactness: scores are on the scorer's 1e-4 floor grid and the
+    threshold literals parse to identical doubles in both engines (the
+    established `low_quality` comparison); keep rates are integer
+    floor ratios. Scale: the score relation is computed once
+    (localCheckpoint) and each threshold row is one aggregate over
+    docs, not tokens."""
+    from .textops import x4_bigram_lm_quality
+
+    per_doc = (
+        x4_bigram_lm_quality(spark, sf_dir)
+        .select("doc_id", "avg_logprob")
+        .localCheckpoint(eager=True)
+    )
+    n_scored = per_doc.count()  # split-size scalar (bounded fetch)
+    outs = []
+    for tau in QUALITY_SWEEP_TAUS:
+        outs.append(
+            per_doc.filter(F.col("avg_logprob") >= tau)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+            .select(
+                F.lit(int(tau * 10)).cast("long").alias("tau_e1"),
+                F.lit(n_scored).cast("long").alias("n_scored"),
+                "n_kept",
+                F.expr(f"n_kept * 1000000 div {n_scored}").alias(
+                    "keep_rate_e6"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy(F.desc("tau_e1"))

@@ -733,6 +733,11 @@ EXPECTATIONS: dict[str, dict] = {
     # per-n: explode+distinct + broadcast eval semi + per-doc agg,
     # three independent configs unioned
     "x4_decontam_ngram_sweep": {"max_exchanges": 12, "min_broadcast": 3},
+    # one inverted-index pair join behind localCheckpoint; per-tau
+    # pair-relation aggregates + endpoint distinct
+    "x2_jaccard_threshold_sweep": {"max_exchanges": 12, "min_broadcast": 4},
+    # score relation behind localCheckpoint; per-tau one aggregate
+    "x4_quality_threshold_sweep": {"max_exchanges": 3},
 }
 
 
