@@ -76,6 +76,14 @@ HEADLINE = [
     "x4_bpe_merge_steps",
     "x4_rrf_hybrid_topk",
     "g_wcc_components",
+    # round-10 headliners: tokenizer APPLICATION (the vocab-join
+    # serving path next to the merge trainer above), HITS (the
+    # iterative bipartite family's latency), and the Jaccard
+    # threshold sweep (one inverted-index pair join read four times —
+    # the tuning-curve family's cost shape)
+    "x4_bpe_encode_corpus",
+    "g_hits_bipartite",
+    "x2_jaccard_threshold_sweep",
 ]
 
 
