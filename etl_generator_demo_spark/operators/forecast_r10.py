@@ -12,10 +12,13 @@ CTE — no float accumulation anywhere:
     b_t = ⌊(3·b_{t-1} + (l_t − l_{t-1})) / 4⌋        (β = 1/4)
     l_1 = y_1,  b_1 = 0
 
-Floor (not truncating) division is used in BOTH engines — the trend
-numerator goes negative on downswings, where DuckDB's ``//`` on
-integers and Python's ``//`` both floor but SQL engines differ; the
-oracle spells it with the pmod idiom to be explicit.
+Floor (not truncating) division is required in BOTH engines — the
+trend numerator goes negative on downswings. DuckDB's integer ``//``
+TRUNCATES toward zero (``-7 // 2 = -3``, not Python's ``-4``), which
+is precisely why the oracle spells division with the pmod idiom: it
+subtracts ``pmod(numerator, divisor)`` first so every division is an
+exact multiple — floor and truncate then agree. Do NOT "simplify" the
+pmod away as redundant; without it the oracle diverges on negatives.
 
 Reference grounding: revenue-trend questions are the reference demo's
 headline NL queries (sql_generator.py demo templates); the reference

@@ -51,6 +51,16 @@ SSSP_ROUNDS = 4
 #: Distance histogram bucket width (e6 cost units).
 SSSP_BUCKET_E6 = 250_000
 
+#: SSSP basket cap: the co-purchase edge build pairs items within an
+#: order — per-key C(k,2), quadratic in basket size. Fixture baskets
+#: max out at 17 distinct parts (sf0.1), but a skewed-basket corpus
+#: (one mega-order touching 10^5 parts) would make that single key
+#: emit 5·10^9 pairs. The cap excludes baskets above 64 distinct items
+#: from the edge build in BOTH engines (same discipline as
+#: AA_CENTER_CAP in graph_ext.py), so the pair stage is bounded at
+#: cap²/2 rows per basket and the oracle check stays exact.
+SSSP_BASKET_CAP = 64
+
 _BIP_SQL = """
     bip AS (
         SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
@@ -197,11 +207,48 @@ def g_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_a.unionByName(top_h).orderBy("kind", "rnk")
 
 
-_WEDGES_SQL = """
+def sssp_copurchase_edges(li: DataFrame) -> DataFrame:
+    """Hub-capped co-purchase edge list (pa, pb, cnt) for the weighted
+    SSSP: distinct (order, part) pairs, baskets above SSSP_BASKET_CAP
+    distinct items excluded (see the constant's rationale), then the
+    within-basket pair join. The cap filter is an aggregate on the
+    same key the pair join shuffles on, so it rides the existing
+    exchange; the planted-hot-basket pytest pins that a mega-basket
+    contributes no pairs."""
+    tri = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_partkey").alias("pk"),
+    ).distinct()
+    okb = (
+        tri.groupBy("ok")
+        .agg(F.count(F.lit(1)).cast("long").alias("nk"))
+        .filter(F.col("nk") <= SSSP_BASKET_CAP)
+        .select("ok")
+    )
+    capped = tri.join(okb, "ok")
+    a = capped.select("ok", F.col("pk").alias("pa"))
+    b = capped.select("ok", F.col("pk").alias("pb"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("ok", "pa", "pb")
+        .distinct()
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+_WEDGES_SQL = f"""
+    okb AS (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING COUNT(DISTINCT l_partkey) <= {SSSP_BASKET_CAP}
+    ),
     ew AS (
         SELECT a.l_partkey AS pa, b.l_partkey AS pb,
                CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS cnt
         FROM lineitem a
+        JOIN okb USING (l_orderkey)
         JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         GROUP BY a.l_partkey, b.l_partkey
@@ -264,20 +311,7 @@ def g_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's CTE chain (at 100 TB: convergence loop with an
     empty-frontier early exit — same per-round plan)."""
     li = t(spark, sf_dir, "lineitem")
-    tri = li.select(
-        F.col("l_orderkey").alias("ok"),
-        F.col("l_partkey").alias("pk"),
-    )
-    a = tri.select("ok", F.col("pk").alias("pa"))
-    b = tri.select("ok", F.col("pk").alias("pb"))
-    ew = (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
-        .select("ok", "pa", "pb")
-        .distinct()
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    ew = sssp_copurchase_edges(li)
     wsym = (
         ew.select(
             F.col("pa").alias("u"),

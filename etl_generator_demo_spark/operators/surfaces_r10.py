@@ -373,9 +373,11 @@ def x4_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: basket→item pairs are generated per basket (baskets are
     bounded — an order has a handful of parts, so the self-join blowup
     is per-key C(k,2), never corpus²); supports are map-combined; the
-    cooc≥2 HAVING prunes the pair tail before the broadcast-joined
-    anchor restriction (|anchors| = 50 rows); top-k per item is one
-    keyed window over the already-pruned pair relation."""
+    anchor restriction (|anchors| = 50 rows, broadcast semi-join) is
+    pushed BELOW the basket self-join — per-pair cooc is unchanged by
+    it, so the pair shuffle only ever carries anchor pairs; cooc≥2
+    HAVING prunes the tail; top-k per item is one keyed window over
+    the already-pruned pair relation."""
     li = t(spark, sf_dir, "lineitem")
     bi = li.select(
         F.col("l_orderkey").alias("basket"), F.col("l_partkey").alias("item")
@@ -384,21 +386,30 @@ def x4_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_baskets")
     )
     anchors = support.orderBy(F.desc("n_baskets"), "item").limit(RECS_ANCHORS)
-    a = bi.select(F.col("basket"), F.col("item").alias("item_a"))
+    # Anchor pushdown: cooc(item_a, item_b) is computed per pair, so
+    # restricting item_a to the 50 anchors BEFORE the basket self-join
+    # is semantics-preserving — and shrinks the join's left side from
+    # the full corpus to the anchor rows, which is the difference
+    # between a corpus-pair shuffle and an anchor-pair one at 100 TB.
+    # One broadcast inner join carries n_baskets along (it is a
+    # function of item_a, so adding it to the groupBy key is free) —
+    # anchors is computed once, not once per use.
+    a = bi.select(F.col("basket"), F.col("item").alias("item_a")).join(
+        F.broadcast(
+            anchors.select(F.col("item").alias("item_a"), "n_baskets")
+        ),
+        "item_a",
+    )
     b = bi.select(F.col("basket"), F.col("item").alias("item_b"))
     pairs = (
         a.join(b, "basket")
         .filter(F.col("item_a") != F.col("item_b"))
-        .groupBy("item_a", "item_b")
+        .groupBy("item_a", "n_baskets", "item_b")
         .agg(F.count(F.lit(1)).cast("long").alias("cooc"))
         .filter(F.col("cooc") >= 2)
     )
     scored = (
         pairs.join(
-            F.broadcast(anchors.withColumnRenamed("item", "item_a")),
-            "item_a",
-        )
-        .join(
             support.select(
                 F.col("item").alias("item_b"),
                 F.col("n_baskets").alias("nb_b"),

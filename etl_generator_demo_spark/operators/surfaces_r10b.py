@@ -286,14 +286,23 @@ def x3_vector_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_vec = emb.select(
         "label",
         F.size("embedding").cast("long").alias("dims"),
-        F.aggregate(
-            F.transform(
-                "embedding",
-                lambda x: F.floor(x.cast("double") * 1000).cast("long"),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, q: acc + q * q,
-        ).alias("qnorm2"),
+        # Empty-array contract: NULL, not 0 — an empty embedding is a
+        # missing vector, not a zero vector. (The DuckDB oracle's
+        # correlated SUM over an empty UNNEST returns NULL; the Spark
+        # fold would return the 0 initializer, silently counting the
+        # row as a zero vector. Pinned by the empty-row pytest.)
+        F.when(F.size("embedding") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.aggregate(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, q: acc + q * q,
+            )
+        )
+        .alias("qnorm2"),
     )
     return (
         per_vec.groupBy("label")

@@ -1,0 +1,270 @@
+"""Round-11 operators: CDC log apply and the mergeable quantile
+sketch serving tier.
+
+CDC grounding: the reference's D1 commits arbitrary DML against the
+live database (db_connector.py:244-251 — cursor.execute + commit of
+whatever INSERT/UPDATE/DELETE the generator produced). At 100 TB that
+contract arrives as a change-data-capture event log, not statements:
+applying an ordered insert/update/delete stream to produce the
+current snapshot is the at-scale spelling of D1, the consuming
+sibling of `d_scd2_user_state` (which builds history from the same
+feed).
+
+Quantile grounding: `a_percentiles_approx` (aggregates_ext) is the
+exact tier; a 100 TB percentile never sorts globally — it builds
+per-shard mergeable summaries and merges them. The sketch here is an
+HDR-histogram-style decimal bucketing (2 significant digits → ≤5%
+relative error) chosen because the bucket function is pure integer /
+string arithmetic — deterministic in both engines, so the sketch
+merge is hash-exact, unlike float log2 bucketing whose FLOOR can
+straddle an ulp at power-of-two boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from .relational import t
+
+#: Deterministic event_type -> CDC op mapping: signup is the row
+#: birth, error is the tombstone, every other interaction upserts.
+_CDC_OP_SQL = (
+    "CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' "
+    "ELSE 'U' END"
+)
+
+#: Sketch shards: stands in for per-executor partial sketches. 32
+#: matches the local test parallelism; at 100 TB it is "one partial
+#: sketch per input partition" and the merge moves <= |buckets| rows
+#: per shard instead of the data.
+SKETCH_SHARDS = 32
+
+
+def cdc_snapshot(log: DataFrame) -> DataFrame:
+    """Apply an ordered CDC log (user_id, event_id, ts, op IN I/U/D,
+    value_cents) to its current snapshot: latest op per key wins
+    (ordered by ts then event_id — the log sequence number), a last
+    op of 'D' removes the key, and an I/U after a D legitimately
+    re-creates it. Replay-idempotent by construction: ops are counted
+    with COUNT(DISTINCT event_id), so re-delivering the same log
+    section (at-least-once transport) changes nothing — pinned by
+    pytest.
+
+    Scale: one shuffle on user_id shared by the ranking window and
+    the per-key op counts (same key -> same exchange); no self-join,
+    no driver collect. The snapshot is what a MERGE INTO target would
+    hold after draining the stream."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = log.withColumn("rn", F.row_number().over(w))
+    stats = log.groupBy("user_id").agg(
+        F.countDistinct("event_id").cast("long").alias("n_ops"),
+        F.countDistinct(
+            F.when(F.col("op") == "D", F.col("event_id"))
+        )
+        .cast("long")
+        .alias("n_tombstones"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .join(stats, "user_id")
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("value_cents").alias("last_value_cents"),
+            F.col("ts").alias("last_ts"),
+            "n_ops",
+            "n_tombstones",
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "d_cdc_apply_snapshot",
+    oracle=f"""
+    WITH log AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               {_CDC_OP_SQL} AS op,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents
+        FROM events
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM log
+    ),
+    stats AS (
+        SELECT user_id,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ops,
+               CAST(COUNT(DISTINCT CASE WHEN op = 'D' THEN event_id END)
+                    AS BIGINT) AS n_tombstones
+        FROM log GROUP BY user_id
+    )
+    SELECT r.user_id, r.op AS last_op, r.value_cents AS last_value_cents,
+           r.ts AS last_ts, s.n_ops, s.n_tombstones
+    FROM ranked r JOIN stats s USING (user_id)
+    WHERE r.rn = 1 AND r.op <> 'D'
+    ORDER BY r.user_id
+    """,
+    survey_ids=("D1", "W1", "A1", "F7"),
+)
+def d_cdc_apply_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: the events feed read as an insert/update/delete
+    change log (signup=I, error=D tombstone, other=U), reduced to the
+    current snapshot — latest op per user wins, tombstoned users
+    absent, post-tombstone activity re-creates the row. The at-scale
+    spelling of the reference's D1 DML commit (db_connector.py:
+    244-251): a 100 TB pipeline consumes the statement stream as a
+    log and folds it into state with one keyed shuffle, never
+    row-at-a-time execute+commit. Value cents are exact integers
+    (2-decimal doubles scale to within 1e-10 of an integer, so
+    ROUND's half-mode can never matter)."""
+    log = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.expr(_CDC_OP_SQL).alias("op"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+    )
+    return cdc_snapshot(log)
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile sketch (HDR-style decimal buckets)
+# ---------------------------------------------------------------------------
+
+#: Bucket = (decimal magnitude, first two significant digits), i.e.
+#: 2 significant digits -> upper/lower bound ratio <= 1.05 within a
+#: bucket (<=5% relative error on any reported quantile). Computed
+#: with string arithmetic (LENGTH / SUBSTR of the integer's decimal
+#: spelling) because that is bit-identical across engines, unlike
+#: FLOOR(LOG2(v)) whose double rounding can straddle exact powers.
+_BUCKET_SQL = (
+    "CAST(LENGTH(CAST({v} AS STRING)) AS BIGINT) * 100 + "
+    "CAST(SUBSTR(CAST({v} AS STRING), 1, 2) AS BIGINT)"
+)
+#: Inclusive bucket upper bound: (d2+1)*10^(e-2) - 1 for e >= 2, else
+#: d2 itself (single-digit values are their own bucket). POWER is
+#: exact in a double up to 10^15; price cents stay far below.
+#: {b} / 100 in the >=10 branch always has fraction in [.10, .99]
+#: (d2 >= 10 there), so FLOOR of the double quotient can never sit on
+#: an integer boundary — engine-safe without div/// dialect splits.
+_BUCKET_UB_SQL = (
+    "CASE WHEN {b} % 100 >= 10 THEN "
+    "CAST(({b} % 100 + 1) * POWER(10, FLOOR({b} / 100) - 2) AS BIGINT) - 1 "
+    "ELSE {b} % 100 END"
+)
+
+
+def _quantile_sketch_oracle() -> str:
+    b = _BUCKET_SQL.format(v="cents")
+    ub = _BUCKET_UB_SQL.format(b="bucket")
+    return f"""
+    WITH vals AS (
+        SELECT l_returnflag AS flag,
+               l_orderkey % {SKETCH_SHARDS} AS shard,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    shard_sketch AS (
+        SELECT flag, shard, {b} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM vals GROUP BY flag, shard, bucket
+    ),
+    merged AS (
+        SELECT flag, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM shard_sketch GROUP BY flag, bucket
+    ),
+    cdf AS (
+        SELECT flag, bucket, cnt,
+               SUM(cnt) OVER (PARTITION BY flag ORDER BY bucket) AS cum,
+               SUM(cnt) OVER (PARTITION BY flag) AS n
+        FROM merged
+    ),
+    qs AS (
+        SELECT flag, q,
+               MIN(bucket) AS qbucket
+        FROM cdf
+        CROSS JOIN (VALUES (50), (90), (99)) AS t(q)
+        WHERE cum * 100 >= q * n
+        GROUP BY flag, q
+    )
+    SELECT flag, CAST(q AS BIGINT) AS q,
+           CAST({ub.replace("bucket", "qbucket")} AS BIGINT)
+               AS quantile_ub_cents,
+           (SELECT CAST(MAX(n) AS BIGINT) FROM cdf c WHERE c.flag = qs.flag)
+               AS n_values,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM merged m
+            WHERE m.flag = qs.flag) AS n_buckets
+    FROM qs
+    ORDER BY flag, q
+    """
+
+
+@register(
+    "a_hdr_quantile_sketch",
+    oracle=_quantile_sketch_oracle(),
+    survey_ids=("A1", "A3", "W3", "F5"),
+)
+def a_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate quantiles — the 100 TB serving tier next
+    to the exact `a_percentiles_approx`: per-shard HDR-style decimal
+    bucket sketches (2 significant digits, <=5% relative error bound)
+    merged EXACTLY by summing bucket counts, then p50/p90/p99 read off
+    the merged CDF. The two-stage shape is the point: stage 1 is an
+    executor-local partial sketch (map-side combine does it for free),
+    stage 2 moves <= |buckets| rows per shard — never the data — and
+    bucket-count addition is associative+commutative, so the merged
+    sketch is bit-identical to a single-pass histogram (which is what
+    makes the result hash-checkable rather than
+    implementation-defined, unlike t-digest whose centroids depend on
+    merge order). Bucketing is integer/string arithmetic, identical
+    in both engines."""
+    vals = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_orderkey") % SKETCH_SHARDS).alias("shard"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    shard_sketch = vals.groupBy(
+        "flag", "shard", F.expr(_BUCKET_SQL.format(v="cents")).alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    merged = shard_sketch.groupBy("flag", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    w_cum = Window.partitionBy("flag").orderBy("bucket")
+    w_all = Window.partitionBy("flag")
+    cdf = merged.select(
+        "flag",
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_buckets"),
+    )
+    qtargets = spark.createDataFrame([(50,), (90,), (99,)], "q long")
+    qs = (
+        cdf.crossJoin(F.broadcast(qtargets))
+        .filter(F.col("cum") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("flag", "q")
+        .agg(
+            F.min("bucket").alias("qbucket"),
+            F.max("n").cast("long").alias("n_values"),
+            F.max("n_buckets").cast("long").alias("n_buckets"),
+        )
+    )
+    return qs.select(
+        "flag",
+        "q",
+        F.expr(_BUCKET_UB_SQL.format(b="qbucket"))
+        .cast("long")
+        .alias("quantile_ub_cents"),
+        "n_values",
+        "n_buckets",
+    ).orderBy("flag", "q")

@@ -110,3 +110,48 @@ def test_repo_record_is_discoverable():
     assert found is not None
     name, q = found
     assert q and all(isinstance(v, float) for v in q.values())
+
+
+def test_compact_stdout_line_degrades_to_totals():
+    """Stage-2 guard: when the per-query dict itself outgrows the
+    driver tail, the line degrades to totals (BENCH_LOCAL.json keeps
+    the full record) instead of reintroducing the BENCH_r09
+    parsed-null failure."""
+    import json
+
+    import bench
+
+    big = {
+        "metric": "headline_total_sec",
+        "value": 1.0,
+        "unit": "sec",
+        "queries": {f"q{i:03d}_padded_query_name_xxxx": 1.234 for i in range(120)},
+        "sf": 0.1,
+        "passes": 2,
+        "load_start_5m": 0.1,
+        "idle_waited_sec": 5,
+        "idle_timed_out": False,
+        "ratio_vs_prev": 1.0,
+        "noise_suspect": False,
+    }
+    line = bench._compact_stdout_line(dict(big))
+    assert len(line) <= 1900
+    parsed = json.loads(line)
+    assert parsed["value"] == 1.0  # totals survive
+    assert parsed["queries"] == {"_dropped": "see BENCH_LOCAL.json"}
+    # small records pass through untouched
+    small = {"metric": "m", "value": 1.0, "unit": "sec",
+             "queries": {"q1": 1.0}, "sf": 0.1, "ratio_vs_prev": 1.0}
+    assert json.loads(bench._compact_stdout_line(dict(small)))["queries"] == {
+        "q1": 1.0
+    }
+
+
+def test_calibration_task_runs_and_is_positive(spark):
+    """The host-speed calibration job must run on a vanilla session
+    and return a positive wall-clock — it is data-independent, so any
+    environment that can run Spark at all can run it."""
+    import bench
+
+    sec = bench._calibration_sec(spark)
+    assert isinstance(sec, float) and sec > 0

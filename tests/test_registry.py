@@ -139,3 +139,73 @@ def test_doc_counts_match_reality():
             f"{doc} pins a literal pytest count — it drifts every "
             "round; describe the suite without the number"
         )
+
+
+def test_probe_covers_round_registrations():
+    """Every query registered in the current round must carry a
+    scaling-probe row (or an explicit, reasoned exclusion) — SCALE.md
+    once claimed full r10 probe coverage while five registrations had
+    never been queued. The contract lives in tools/scaling_probe.py;
+    this pin makes a registration without a probe plan fail CI."""
+    import glob
+    import json
+    import os
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from etl_generator_demo_spark.registry import load_all
+    from tools.scaling_probe import (
+        PROBE_EXCLUDED,
+        QUERIES,
+        ROUND_REGISTRATIONS,
+    )
+
+    reg = load_all()
+    probed = set(QUERIES)
+    for rnd, names in ROUND_REGISTRATIONS.items():
+        for name in names:
+            assert name in reg, f"r{rnd} list names unregistered {name}"
+            assert name in probed or name in PROBE_EXCLUDED, (
+                f"r{rnd} registration {name} has no probe row and no"
+                " documented exclusion"
+            )
+    # excluded names must not ALSO be queued (a reason that no longer
+    # holds should be deleted, not shadowed)
+    assert not (set(PROBE_EXCLUDED) & probed)
+    # r10 backfills stay queued
+    for name in (
+        "f_time_bucket_15min",
+        "x2_jaccard_threshold_sweep",
+        "x4_decontam_ngram_sweep",
+        "x4_quality_threshold_sweep",
+    ):
+        assert name in probed
+    # any committed PROBE_r{N>=11}.json must cover the full queue
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in glob.glob(os.path.join(here, "PROBE_r*.json")):
+        n = int(re.search(r"PROBE_r(\d+)\.json$", path).group(1))
+        if n < 11:
+            continue
+        with open(path) as fh:
+            timings = json.load(fh)["timings"]
+        missing = probed - set(timings)
+        assert not missing, f"PROBE_r{n} missing rows for {sorted(missing)}"
+
+
+def test_rewritten_queries_reenter_driver_sample():
+    """A green driver row certifies the spelling that earned it: when
+    an implementation is rewritten, the query must re-enter the 50-slot
+    sample (bucket 4) so the NEW spelling earns a fresh row."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as ep
+    from etl_generator_demo_spark.registry import load_all
+
+    reg = load_all()
+    order = ep._driver_priority_order(reg)
+    head = set(order[:50])
+    for name in ep._REWRITTEN_SINCE_GREEN:
+        assert name in reg, name
+        assert name in head, f"{name} rewritten but outside sample head"

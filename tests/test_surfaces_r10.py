@@ -282,3 +282,74 @@ def test_morton_is_injective_on_the_grid(px, py):
     ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(8))
     assert (rx, ry) == (px, py)
     assert 0 <= z <= 65535
+
+
+def test_vector_norm_audit_empty_array_is_null(spark, tmp_path):
+    """Empty-array contract: an empty embedding yields qnorm2 NULL (a
+    missing vector), never 0 (a zero vector) — pinned cross-engine
+    against the DuckDB oracle on the same degenerate fixture."""
+    import duckdb
+
+    from etl_generator_demo_spark.registry import load_all
+
+    rows = [
+        (1, [1.0, 2.0], 7),
+        (2, [], 7),
+        (3, [0.0, 0.0], 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    df.write.mode("overwrite").parquet(path)
+    out = {
+        r["label"]: r
+        for r in x3_vector_norm_audit(spark, str(tmp_path)).collect()
+    }
+    a = out[7]
+    assert a["n_vecs"] == 2
+    assert a["n_zero_vecs"] == 0  # empty is NOT a zero vector
+    assert a["min_qnorm2"] == a["max_qnorm2"] == 1000**2 + 2000**2
+    assert (a["min_dims"], a["max_dims"]) == (0, 2)
+    b = out[8]
+    assert b["n_zero_vecs"] == 1 and b["min_qnorm2"] == 0
+    # cross-engine parity on the degenerate fixture
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS "
+        f"SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    sql = load_all()["x3_vector_norm_audit"].oracle
+    for lbl, n_zero, mn in con.execute(
+        f"SELECT label, n_zero_vecs, min_qnorm2 FROM ({sql}) ORDER BY label"
+    ).fetchall():
+        r = out[lbl]
+        assert r["n_zero_vecs"] == n_zero
+        assert r["min_qnorm2"] == mn
+
+
+def test_sssp_edge_build_hub_caps_mega_baskets(spark):
+    """Planted hot basket: an order with SSSP_BASKET_CAP+1 distinct
+    parts contributes ZERO pairs to the co-purchase edge list (the
+    per-key C(k,2) blowup is excluded in both engines), while normal
+    baskets pair as usual."""
+    from etl_generator_demo_spark.operators.graph_r10 import (
+        SSSP_BASKET_CAP,
+        sssp_copurchase_edges,
+    )
+
+    hot = [(1, p) for p in range(SSSP_BASKET_CAP + 1)]  # mega-basket
+    normal = [(2, 900), (2, 901), (3, 900), (3, 901), (3, 902)]
+    li = spark.createDataFrame(
+        hot + normal, "l_orderkey long, l_partkey long"
+    )
+    edges = sssp_copurchase_edges(li).collect()
+    got = {(r["pa"], r["pb"]): r["cnt"] for r in edges}
+    # no pair involves a hot-basket-only part (0..CAP-1 below 900)
+    assert all(pa >= 900 and pb >= 900 for pa, pb in got)
+    assert got == {(900, 901): 2, (900, 902): 1, (901, 902): 1}
+    # exactly at the cap is still included
+    at_cap = [(5, p) for p in range(SSSP_BASKET_CAP)]
+    li2 = spark.createDataFrame(at_cap, "l_orderkey long, l_partkey long")
+    n = sssp_copurchase_edges(li2).count()
+    assert n == SSSP_BASKET_CAP * (SSSP_BASKET_CAP - 1) // 2

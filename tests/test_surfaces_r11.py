@@ -1,0 +1,158 @@
+"""Round-11 operator tests: CDC apply and the mergeable quantile
+sketch."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.surfaces_r11 import (
+    SKETCH_SHARDS,
+    a_hdr_quantile_sketch,
+    cdc_snapshot,
+    d_cdc_apply_snapshot,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        [
+            (u, e, datetime(2024, 1, 1, 0, 0, s), op, v)
+            for (u, e, s, op, v) in rows
+        ],
+        "user_id long, event_id long, ts timestamp, op string,"
+        " value_cents long",
+    )
+
+
+def test_cdc_tombstone_removes_and_reinsert_recreates(spark):
+    rows = [
+        (1, 10, 1, "I", 100),  # born
+        (1, 11, 2, "U", 200),  # updated
+        (1, 12, 3, "D", 0),  # tombstoned -> absent
+        (2, 20, 1, "I", 500),
+        (2, 21, 2, "D", 0),
+        (2, 22, 3, "I", 700),  # re-created after delete
+    ]
+    out = {r["user_id"]: r for r in cdc_snapshot(_log(spark, rows)).collect()}
+    assert 1 not in out  # last op is the tombstone
+    assert out[2]["last_op"] == "I"
+    assert out[2]["last_value_cents"] == 700
+    assert out[2]["n_ops"] == 3 and out[2]["n_tombstones"] == 1
+
+
+def test_cdc_replay_idempotent(spark):
+    """At-least-once transport: applying the log unioned with itself
+    (every event delivered twice) yields the identical snapshot —
+    op counts are per distinct event_id, latest-wins is unaffected."""
+    rows = [
+        (1, 10, 1, "I", 100),
+        (1, 11, 2, "U", 250),
+        (2, 20, 1, "I", 500),
+        (2, 21, 5, "D", 0),
+        (3, 30, 4, "U", 900),
+    ]
+    log = _log(spark, rows)
+    once = cdc_snapshot(log).collect()
+    twice = cdc_snapshot(log.unionByName(log)).collect()
+    assert once == twice
+    assert {r["user_id"] for r in once} == {1, 3}
+
+
+def test_cdc_order_is_ts_then_seq(spark):
+    """Same-timestamp ops resolve by event_id (the log sequence
+    number), not arrival order."""
+    rows = [
+        (1, 11, 5, "U", 333),  # higher seq at the same ts wins
+        (1, 10, 5, "U", 111),
+    ]
+    out = cdc_snapshot(_log(spark, rows)).collect()
+    assert out[0]["last_value_cents"] == 333
+
+
+def test_cdc_fixture_snapshot_excludes_tombstoned(spark):
+    """On the real fixture: every user whose latest event is 'error'
+    is absent; everyone else present exactly once."""
+    from etl_generator_demo_spark.operators.relational import t
+
+    ev = t(spark, SF, "events")
+    w_last = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("m"))
+        .select("user_id", F.col("m.event_type").alias("last_type"))
+    )
+    expect_live = {
+        r["user_id"]
+        for r in w_last.filter(F.col("last_type") != "error").collect()
+    }
+    got = d_cdc_apply_snapshot(spark, SF).collect()
+    assert {r["user_id"] for r in got} == expect_live
+    assert len(got) == len({r["user_id"] for r in got})
+
+
+def test_quantile_sketch_bounds_and_merge_exactness(spark):
+    """The sketch quantile upper bound must sit within 5% above (and
+    never below) the exact quantile, and the per-shard merge must be
+    bit-identical to a direct single-pass histogram (associativity —
+    the property that makes the sketch mergeable at all)."""
+    from etl_generator_demo_spark.operators.relational import t
+
+    out = a_hdr_quantile_sketch(spark, SF).collect()
+    assert {r["q"] for r in out} == {50, 90, 99}
+    li = (
+        t(spark, SF, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    )
+    by_flag: dict[str, list[int]] = {}
+    for r in li:
+        by_flag.setdefault(r["flag"], []).append(r["cents"])
+    for r in out:
+        vals = sorted(by_flag[r["flag"]])
+        assert r["n_values"] == len(vals)
+        import math
+
+        exact = vals[math.ceil(r["q"] / 100 * len(vals)) - 1]
+        ub = r["quantile_ub_cents"]
+        assert ub >= exact, (r["flag"], r["q"], ub, exact)
+        # 2-significant-digit buckets: ub < exact_bucket_lb * 1.1 and
+        # the documented quantile error bound is <=5% of the value
+        assert ub <= exact * 1.1 + 9, (r["flag"], r["q"], ub, exact)
+
+
+def test_quantile_sketch_shard_merge_equals_direct(spark):
+    """Explicit mergeability proof on a controlled relation: sharded
+    bucket counts summed == direct bucket counts (associative), for a
+    value set that crosses decade boundaries."""
+    vals = list(range(1, 300)) + [10**k for k in range(1, 7)]
+    df = spark.createDataFrame(
+        [(i % SKETCH_SHARDS, v) for i, v in enumerate(vals)],
+        "shard long, cents long",
+    )
+    bucket = (
+        "CAST(LENGTH(CAST(cents AS STRING)) AS BIGINT) * 100 + "
+        "CAST(SUBSTR(CAST(cents AS STRING), 1, 2) AS BIGINT)"
+    )
+    direct = {
+        (r["bucket"], r["cnt"])
+        for r in df.groupBy(F.expr(bucket).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    merged = {
+        (r["bucket"], r["cnt"])
+        for r in df.groupBy("shard", F.expr(bucket).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("cnt"))
+        .collect()
+    }
+    assert direct == merged

@@ -723,6 +723,14 @@ EXPECTATIONS: dict[str, dict] = {
     "u_values_inline_table": {"max_exchanges": 2, "min_broadcast": 1},
     # PPR rounds behind localCheckpoint; visible tail is TakeOrdered
     "g_personalized_pagerank": {"max_exchanges": 1, "take_ordered": True},
+    # --- round 11 ---
+    # CDC apply: rank window + op-count agg share the user_id exchange;
+    # the snapshot join is the only extra (AQE broadcasts the 12-row
+    # latest side)
+    "d_cdc_apply_snapshot": {"max_exchanges": 4, "min_broadcast": 1},
+    # two sketch rollups (shard then merge), CDF windows, broadcast
+    # quantile targets
+    "a_hdr_quantile_sketch": {"max_exchanges": 4},
     # k-means behind kmeans_model's checkpoints; per-config candidate
     # restriction + top-10 + hit join are all broadcast-side
     "x3_ivf_nprobe_recall_sweep": {"max_exchanges": 4, "min_broadcast": 8},

@@ -145,7 +145,46 @@ QUERIES = [
     "g_hits_bipartite",
     "g_sssp_weighted",
     "g_personalized_pagerank",
+    # round-11 backfill of the four r10 registrations the r10 probe
+    # missed (f_time_bucket was registered after the run; the sweeps
+    # were never queued — exactly the ops whose cost multiplies: one
+    # pair relation read 4x, per-n shingle sets, per-tau keep scans).
+    "f_time_bucket_15min",
+    "x2_jaccard_threshold_sweep",
+    "x4_decontam_ngram_sweep",
+    "x4_quality_threshold_sweep",
+    # round-11 registrations: CDC apply is one keyed shuffle + join
+    # (expect ~linear); the sketch is two bounded rollups whose merge
+    # stage is |buckets|-sized (expect ~flat past the scan).
+    "d_cdc_apply_snapshot",
+    "a_hdr_quantile_sketch",
 ]
+
+#: Probe-completeness contract, pinned by tests/test_registry.py:
+#: every query registered in a round must either be in QUERIES or
+#: carry an entry here naming WHY its synth-tier probe would measure
+#: the data shape instead of the plan (the contrastive-triplets
+#: precedent: when the synthetic tier's near-identical replicas make
+#: the OUTPUT relation itself inflate quadratically, the timing
+#: measures output size the data demands, not a plan regression).
+PROBE_EXCLUDED = {
+    "x2_lsh_band_tuning_curve": (
+        "synth replica texts differ only in a prefix token, so minhash"
+        " signatures collide across replicas and the candidate-pair"
+        " relation inflates ~quadratically at every banding — the probe"
+        " would measure output size, not the operator"
+    ),
+}
+
+#: Names registered per round, for the completeness pin (git history
+#: is not importable from tests; maintained by hand like the doc
+#: counts). Grow the newest round's list with every registration.
+ROUND_REGISTRATIONS: dict[int, list[str]] = {
+    11: [
+        "d_cdc_apply_snapshot",
+        "a_hdr_quantile_sketch",
+    ],
+}
 
 KEY_COLS = {
     "lineitem": ["l_orderkey"],
