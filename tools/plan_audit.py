@@ -731,6 +731,10 @@ EXPECTATIONS: dict[str, dict] = {
     # two sketch rollups (shard then merge), CDF windows, broadcast
     # quantile targets
     "a_hdr_quantile_sketch": {"max_exchanges": 4},
+    # unigram-LM trainer: 40 unrolled DP steps behind localCheckpoint
+    # (the HITS/WCC pattern); visible tail is the final count-cost
+    # join + rank window
+    "x4_unigram_lm_vocab": {"max_exchanges": 3, "min_broadcast": 1},
     # k-means behind kmeans_model's checkpoints; per-config candidate
     # restriction + top-10 + hit join are all broadcast-side
     "x3_ivf_nprobe_recall_sweep": {"max_exchanges": 4, "min_broadcast": 8},
