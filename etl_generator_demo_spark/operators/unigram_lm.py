@@ -149,7 +149,10 @@ def _uni_dp_sql(it: int, vocab: str) -> str:
     return ",".join(parts)
 
 
-def _unigram_oracle() -> str:
+def _uni_training_ctes() -> str:
+    """The WITH body shared by the trainer and the encoder oracles:
+    word types -> candidates -> vocab -> edges -> UNI_EM_ITERS of
+    forward/backward DP + counts (cnt1..cntN, vocab1..vocabN)."""
     body = [f"""
     WITH wtok AS (
         SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents
@@ -197,10 +200,13 @@ def _unigram_oracle() -> str:
     )"""]
     for it in range(1, UNI_EM_ITERS + 1):
         body.append("," + _uni_dp_sql(it, f"vocab{it}"))
-        if it < UNI_EM_ITERS:
-            body.append("," + _uni_vocab_sql(it + 1, f"cnt{it}"))
+        body.append("," + _uni_vocab_sql(it + 1, f"cnt{it}"))
+    return "".join(body)
+
+
+def _unigram_oracle() -> str:
     last = UNI_EM_ITERS
-    body.append(f""",
+    return _uni_training_ctes() + f""",
     final AS (
         SELECT v.tok, c.cnt,
                CAST(FLOOR({UNI_SCALE} * LN(
@@ -216,8 +222,79 @@ def _unigram_oracle() -> str:
                AS rnk
     FROM final
     ORDER BY cnt DESC, tok LIMIT {UNI_TOPK}
+    """
+
+
+def _unigram_encode_oracle() -> str:
+    """Training CTEs + the serving pass: re-segment the corpus with
+    the trained model (vocab{N+1}: smoothed costs over the FULL
+    candidate vocabulary — zero-count tokens keep coverage), using the
+    combined metric 16*cost + 1 per edge so the DP minimizes total
+    cost first and token count second (ntok <= UNI_MAXWORD < 16, so
+    the low bits can never flip a cost comparison); per-source rollup
+    of words/chars/tokens + fertility."""
+    served = f"vocab{UNI_EM_ITERS + 1}"
+    parts = [_uni_training_ctes(), """,
+    gc0 AS (
+        SELECT word, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS m
+        FROM words
+    )"""]
+    for j in range(1, UNI_MAXWORD + 1):
+        parts.append(f""",
+    gc{j} AS MATERIALIZED (
+        SELECT * FROM gc{j - 1}
+        UNION ALL
+        SELECT e.word, CAST({j} AS BIGINT) AS pos,
+               CAST(MIN(g.m + v.cost * 16 + 1) AS BIGINT) AS m
+        FROM edges e
+        JOIN {served} v ON v.tok = e.tok
+        JOIN gc{j - 1} g ON g.word = e.word AND g.pos = e.i
+        WHERE e.j = {j}
+        GROUP BY e.word
+    )""")
+    parts.append(f""",
+    enc AS (
+        SELECT g.word, g.m % 16 AS ntok
+        FROM gc{UNI_MAXWORD} g
+        JOIN words w ON w.word = g.word AND g.pos = w.wlen
+    ),
+    swords AS (
+        SELECT source, word, CAST(COUNT(*) AS BIGINT) AS wc FROM (
+            SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS word
+            FROM documents
+        ) WHERE word <> '' GROUP BY source, word
+    ),
+    dsrc AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    agg AS (
+        SELECT sw.source,
+               CAST(SUM(sw.wc) AS BIGINT) AS n_words,
+               CAST(SUM(sw.wc * w.wlen) AS BIGINT) AS n_chars,
+               CAST(SUM(sw.wc * e.ntok) AS BIGINT) AS n_tokens
+        FROM swords sw
+        JOIN words w ON w.word = sw.word
+        JOIN enc e ON e.word = sw.word
+        GROUP BY sw.source
+    ),
+    skipped AS (
+        SELECT source, CAST(SUM(wc) AS BIGINT) AS n_skipped
+        FROM swords WHERE LENGTH(word) > {UNI_MAXWORD}
+        GROUP BY source
+    )
+    SELECT d.source, d.n_docs, a.n_words, a.n_chars, a.n_tokens,
+           CAST(a.n_tokens * 1000000 // a.n_words AS BIGINT)
+               AS fertility_e6,
+           CAST(a.n_chars * 1000000 // a.n_tokens AS BIGINT)
+               AS chars_per_token_e6,
+           CAST(COALESCE(k.n_skipped, 0) AS BIGINT) AS n_skipped_words
+    FROM dsrc d
+    JOIN agg a ON a.source = d.source
+    LEFT JOIN skipped k ON k.source = d.source
+    ORDER BY d.source
     """)
-    return "".join(body)
+    return "".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -244,12 +321,16 @@ def _uni_costs(vocab0: DataFrame, counts: DataFrame | None) -> DataFrame:
     )
 
 
-def unigram_lm_train(words: DataFrame) -> DataFrame:
-    """Train the unigram LM on a (word, wcount) word-type relation;
-    returns the top-UNI_TOPK final vocabulary (token, n_chars,
-    viterbi_count, cost_e6, rnk). See module docstring for the
-    algorithm; every DP step is one keyed join+aggregate, checkpointed
-    so 2 × 2 × UNI_MAXWORD unrolled steps never compound the plan."""
+def train_unigram(words: DataFrame):
+    """Run candidate selection + UNI_EM_ITERS Viterbi-EM iterations on
+    a (word, wcount) word-type relation. Returns (words, edges,
+    counts, costs): the capped word relation, the lattice edge
+    relation, the final iteration's Viterbi counts, and the final
+    smoothed costs over the ENTIRE candidate vocabulary (the model the
+    encode pass serves with — zero-count tokens keep their smoothed
+    cost so coverage survives). Every DP step is one keyed
+    join+aggregate, checkpointed so 2 × 2 × UNI_MAXWORD unrolled steps
+    never compound the plan."""
     words = (
         words.filter(
             (F.col("word") != "") & (F.length("word") <= UNI_MAXWORD)
@@ -380,6 +461,14 @@ def unigram_lm_train(words: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         costs = _uni_costs(vocab0, counts).localCheckpoint(eager=True)
+    return words, edges, counts, costs
+
+
+def unigram_lm_train(words: DataFrame) -> DataFrame:
+    """Top-UNI_TOPK trained vocabulary (token, n_chars, viterbi_count,
+    cost_e6, rnk) — the training-facing output; `train_unigram` holds
+    the algorithm."""
+    _, _, counts, costs = train_unigram(words)
     final = counts.join(costs.select("tok", F.col("cost").alias("cost_e6")),
                         "tok")
     from pyspark.sql.window import Window
@@ -423,3 +512,127 @@ def x4_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("wcount"))
     )
     return unigram_lm_train(words)
+
+
+def unigram_encode_stats(
+    words: DataFrame,
+    edges: DataFrame,
+    costs: DataFrame,
+    swords: DataFrame,
+    dsrc: DataFrame,
+) -> DataFrame:
+    """Serving pass: Viterbi-segment every word type with the trained
+    costs and roll token counts up per source. The DP minimizes the
+    combined metric 16*cost + 1 per lattice edge — total cost first,
+    token count second (ntok <= UNI_MAXWORD < 16 can never flip a cost
+    comparison), so tokens-per-word is a deterministic scalar, no path
+    walk. One forward pass of UNI_MAXWORD keyed steps on the word-type
+    relation; the corpus-wide work is only the per-source word count
+    (`swords`) and the final broadcast-joinable rollup."""
+    ecost = (
+        edges.join(costs, "tok")
+        .select("word", "i", "j", (F.col("cost") * 16 + 1).alias("em"))
+        .localCheckpoint(eager=True)
+    )
+    g = words.select(
+        "word",
+        F.lit(0).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("m"),
+    )
+    for j in range(1, UNI_MAXWORD + 1):
+        step = (
+            ecost.filter(F.col("j") == j)
+            .join(
+                g.select(
+                    "word", F.col("pos").alias("i"), F.col("m").alias("gm")
+                ),
+                ["word", "i"],
+            )
+            .groupBy("word")
+            .agg(F.min(F.col("gm") + F.col("em")).alias("m"))
+            .select(
+                "word",
+                F.lit(j).cast("long").alias("pos"),
+                F.col("m").cast("long").alias("m"),
+            )
+        )
+        g = g.unionByName(step).localCheckpoint(eager=True)
+    enc = g.join(
+        words.select("word", F.col("wlen").alias("pos")), ["word", "pos"]
+    ).select("word", (F.col("m") % 16).alias("ntok"))
+    agg = (
+        swords.join(words.select("word", "wlen"), "word")
+        .join(enc, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("wc").cast("long").alias("n_words"),
+            F.sum(F.col("wc") * F.col("wlen")).cast("long").alias("n_chars"),
+            F.sum(F.col("wc") * F.col("ntok"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    skipped = (
+        swords.filter(F.length("word") > UNI_MAXWORD)
+        .groupBy("source")
+        .agg(F.sum("wc").cast("long").alias("n_skipped"))
+    )
+    return (
+        dsrc.join(agg, "source")
+        .join(skipped, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 div n_words")
+            .cast("long")
+            .alias("fertility_e6"),
+            F.expr("n_chars * 1000000 div n_tokens")
+            .cast("long")
+            .alias("chars_per_token_e6"),
+            F.coalesce(F.col("n_skipped"), F.lit(0))
+            .cast("long")
+            .alias("n_skipped_words"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "x4_unigram_encode_corpus",
+    oracle=_unigram_encode_oracle(),
+    survey_ids=("X4", "A1", "F5", "U1"),
+)
+def x4_unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM corpus encoding — the serving sibling of
+    `x4_unigram_lm_vocab` (the pairing `x4_bpe_merge_steps` /
+    `x4_bpe_encode_corpus` has for BPE): train the model, then
+    Viterbi-segment the corpus with it and report per-source token
+    budgets (words, chars, tokens, fertility = tokens-per-word e6,
+    chars-per-token e6, plus over-cap skipped words for honesty).
+    Token budgeting with the ACTUAL tokenizer is how a 100 TB mixture
+    is sized; the per-word DP runs on word types, so serving cost is
+    vocabulary-bounded while the corpus contributes one per-source
+    word count."""
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcount"))
+    )
+    wcap, edges, _, costs = train_unigram(words)
+    swords = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wc"))
+    )
+    dsrc = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    return unigram_encode_stats(wcap, edges, costs, swords, dsrc)

@@ -154,3 +154,85 @@ def test_unigram_fixture_structure(spark):
     for r in out:
         assert 1 <= r["n_chars"] <= UNI_MAXTOK
         assert r["cost_e6"] > 0 and r["viterbi_count"] > 0
+
+
+def _py_encode_ntok(word_counts, costs):
+    """Reference encode: per word, combined-metric DP (16*cost + 1)."""
+    out = {}
+    for w in word_counts:
+        if not w or len(w) > UNI_MAXWORD:
+            continue
+        n = len(w)
+        g = [None] * (n + 1)
+        g[0] = 0
+        for j in range(1, n + 1):
+            best = None
+            for i in range(max(0, j - UNI_MAXTOK), j):
+                tok = w[i:j]
+                if g[i] is not None and tok in costs:
+                    v = g[i] + costs[tok] * 16 + 1
+                    best = v if best is None or v < best else best
+            g[j] = best
+        out[w] = g[n] % 16
+    return out
+
+
+def test_unigram_encode_matches_python_reference(spark):
+    from pyspark.sql import functions as F
+
+    from etl_generator_demo_spark.operators.unigram_lm import (
+        train_unigram,
+        unigram_encode_stats,
+    )
+
+    corpus = {"scan": 6, "scans": 4, "canon": 3, "ban": 2, "nab": 1}
+    sources = {  # (source, word) -> count; col sums match corpus
+        ("a", "scan"): 4, ("b", "scan"): 2,
+        ("a", "scans"): 1, ("b", "scans"): 3,
+        ("a", "canon"): 3, ("b", "ban"): 2, ("a", "nab"): 1,
+    }
+    words = spark.createDataFrame(
+        list(corpus.items()), "word string, wcount long"
+    )
+    swords = spark.createDataFrame(
+        [(s, w, c) for (s, w), c in sources.items()],
+        "source string, word string, wc long",
+    )
+    dsrc = spark.createDataFrame(
+        [("a", 10), ("b", 20)], "source string, n_docs long"
+    )
+    wcap, edges, _, costs = train_unigram(words)
+    got = {
+        r["source"]: r
+        for r in unigram_encode_stats(
+            wcap, edges, costs, swords, dsrc
+        ).collect()
+    }
+    _, py_costs = _py_train(corpus)
+    ntok = _py_encode_ntok(corpus, py_costs)
+    for src in ("a", "b"):
+        rows = {w: c for (s, w), c in sources.items() if s == src}
+        n_words = sum(rows.values())
+        n_chars = sum(len(w) * c for w, c in rows.items())
+        n_tokens = sum(ntok[w] * c for w, c in rows.items())
+        r = got[src]
+        assert r["n_words"] == n_words
+        assert r["n_chars"] == n_chars
+        assert r["n_tokens"] == n_tokens, (src, ntok)
+        assert r["fertility_e6"] == n_tokens * 1_000_000 // n_words
+        assert r["chars_per_token_e6"] == n_chars * 1_000_000 // n_tokens
+        assert r["n_skipped_words"] == 0
+
+
+def test_unigram_encode_fixture_sane(spark):
+    from etl_generator_demo_spark.operators.unigram_lm import (
+        x4_unigram_encode_corpus,
+    )
+
+    out = x4_unigram_encode_corpus(spark, SF).collect()
+    assert out
+    for r in out:
+        # every admitted word yields between 1 and ceil(len/1) tokens
+        assert r["n_words"] <= r["n_tokens"] <= r["n_chars"]
+        assert 1_000_000 <= r["fertility_e6"] <= UNI_MAXWORD * 1_000_000
+        assert r["chars_per_token_e6"] >= 1_000_000

@@ -735,6 +735,9 @@ EXPECTATIONS: dict[str, dict] = {
     # (the HITS/WCC pattern); visible tail is the final count-cost
     # join + rank window
     "x4_unigram_lm_vocab": {"max_exchanges": 3, "min_broadcast": 1},
+    # encode: per-source word count + rollup joins on the checkpointed
+    # model relations (AQE broadcasts the word-type sides)
+    "x4_unigram_encode_corpus": {"max_exchanges": 6, "min_broadcast": 2},
     # k-means behind kmeans_model's checkpoints; per-config candidate
     # restriction + top-10 + hit join are all broadcast-side
     "x3_ivf_nprobe_recall_sweep": {"max_exchanges": 4, "min_broadcast": 8},

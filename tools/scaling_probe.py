@@ -158,10 +158,11 @@ QUERIES = [
     # stage is |buckets|-sized (expect ~flat past the scan).
     "d_cdc_apply_snapshot",
     "a_hdr_quantile_sketch",
-    # unigram-LM trainer: operates on the word-TYPE relation after one
-    # corpus pass (expect ~flat past the word count — the BPE-trainer
-    # boundedness argument).
+    # unigram-LM trainer + encoder: operate on the word-TYPE relation
+    # after one corpus pass (expect ~flat past the word count — the
+    # BPE-trainer boundedness argument).
     "x4_unigram_lm_vocab",
+    "x4_unigram_encode_corpus",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -188,6 +189,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "d_cdc_apply_snapshot",
         "a_hdr_quantile_sketch",
         "x4_unigram_lm_vocab",
+        "x4_unigram_encode_corpus",
     ],
 }
 
