@@ -268,3 +268,167 @@ def a_hdr_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_values",
         "n_buckets",
     ).orderBy("flag", "q")
+
+
+# ---------------------------------------------------------------------------
+# sketch resolution sweep (the quantile sketch's tuning curve)
+# ---------------------------------------------------------------------------
+
+#: Sweep resolutions: significant decimal digits per bucket. r=1 is
+#: ~tens-of-percent error with a handful of buckets; r=3 is <=0.5%
+#: with ~x100 the buckets — the sketch's size-vs-accuracy knob.
+SKETCH_RESOLUTIONS = (1, 2, 3)
+
+
+def _sketch_sweep_oracle() -> str:
+    res = ", ".join(f"({r})" for r in SKETCH_RESOLUTIONS)
+    return f"""
+    WITH vals AS (
+        SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        FROM lineitem
+    ),
+    rb AS (
+        SELECT r, CAST(LENGTH(CAST(cents AS VARCHAR)) AS BIGINT) * 1000
+                   + CAST(SUBSTR(CAST(cents AS VARCHAR), 1, r) AS BIGINT)
+                   AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM vals CROSS JOIN (VALUES {res}) AS t(r)
+        GROUP BY r, bucket
+    ),
+    cdf AS (
+        SELECT r, bucket, cnt,
+               SUM(cnt) OVER (PARTITION BY r ORDER BY bucket) AS cum,
+               SUM(cnt) OVER (PARTITION BY r) AS n,
+               COUNT(*) OVER (PARTITION BY r) AS n_buckets
+        FROM rb
+    ),
+    sk AS (
+        SELECT r, q, MIN(bucket) AS qbucket,
+               CAST(MAX(n_buckets) AS BIGINT) AS n_buckets
+        FROM cdf CROSS JOIN (VALUES (50), (90), (99)) AS t(q)
+        WHERE cum * 100 >= q * n
+        GROUP BY r, q
+    ),
+    ecdf AS (
+        SELECT cents,
+               SUM(cnt) OVER (ORDER BY cents) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM (SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM vals GROUP BY cents)
+    ),
+    exact AS (
+        SELECT q, CAST(MIN(cents) AS BIGINT) AS exact_cents
+        FROM ecdf CROSS JOIN (VALUES (50), (90), (99)) AS t(q)
+        WHERE cum * 100 >= q * n
+        GROUP BY q
+    )
+    SELECT CAST(s.r AS BIGINT) AS r, CAST(s.q AS BIGINT) AS q,
+           CAST(CASE WHEN s.qbucket // 1000 > s.r THEN
+                    (s.qbucket % 1000 + 1)
+                    * POWER(10, s.qbucket // 1000 - s.r) - 1
+                ELSE s.qbucket % 1000 END AS BIGINT) AS sketch_ub_cents,
+           e.exact_cents,
+           CAST((CAST(CASE WHEN s.qbucket // 1000 > s.r THEN
+                    (s.qbucket % 1000 + 1)
+                    * POWER(10, s.qbucket // 1000 - s.r) - 1
+                ELSE s.qbucket % 1000 END AS BIGINT) - e.exact_cents)
+                * 1000000 // e.exact_cents AS BIGINT) AS rel_err_e6,
+           s.n_buckets
+    FROM sk s JOIN exact e ON e.q = s.q
+    ORDER BY r, q
+    """
+
+
+@register(
+    "a_sketch_resolution_sweep",
+    oracle=_sketch_sweep_oracle(),
+    survey_ids=("A1", "A3", "W3", "F5"),
+)
+def a_sketch_resolution_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile sketch's tuning curve: p50/p90/p99 upper bounds at
+    1, 2, and 3 significant-digit bucket resolutions, each against the
+    EXACT quantile (relative error e6) and the bucket count it paid
+    for — the size-vs-accuracy knob a production sketch is sized with
+    (the decontam-n-gram-sweep discipline applied to A3). One scan:
+    the value relation is exploded across resolutions (one keyed
+    rollup reads it three times logically, never three scans), and the
+    exact tier reuses the identical CDF-walk machinery at infinite
+    resolution (bucket = the value itself), so the sweep's exactness
+    argument is the sketch's own. Sketch UB must always sit >= exact
+    with error shrinking ~10x per digit — pinned by pytest."""
+    res = spark.createDataFrame(
+        [(r,) for r in SKETCH_RESOLUTIONS], "r long"
+    )
+    vals = t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cents")
+    )
+    rb = (
+        vals.crossJoin(F.broadcast(res))
+        .groupBy(
+            "r",
+            F.expr(
+                "CAST(LENGTH(CAST(cents AS STRING)) AS BIGINT) * 1000"
+                " + CAST(SUBSTR(CAST(cents AS STRING), 1, r) AS BIGINT)"
+            ).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_cum = Window.partitionBy("r").orderBy("bucket")
+    w_all = Window.partitionBy("r")
+    cdf = rb.select(
+        "r",
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_buckets"),
+    )
+    qtargets = spark.createDataFrame([(50,), (90,), (99,)], "q long")
+    sk = (
+        cdf.crossJoin(F.broadcast(qtargets))
+        .filter(F.col("cum") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("r", "q")
+        .agg(
+            F.min("bucket").alias("qbucket"),
+            F.max("n_buckets").cast("long").alias("n_buckets"),
+        )
+    )
+    # exact tier: value-TYPE relation (distinct cents — domain-bounded)
+    # with the de-globalized prefix scan, never a SinglePartition window
+    from .analytics_ext import global_running
+
+    dist = vals.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = dist.agg(F.sum("cnt").alias("n"))
+    ecdf = global_running(dist, ["cents"], "cnt", "sum", "cum").crossJoin(
+        F.broadcast(tot)
+    )
+    exact = (
+        ecdf.crossJoin(F.broadcast(qtargets))
+        .filter(F.col("cum") * 100 >= F.col("q") * F.col("n"))
+        .groupBy("q")
+        .agg(F.min("cents").cast("long").alias("exact_cents"))
+    )
+    ub = (
+        "CAST(CASE WHEN qbucket div 1000 > r THEN"
+        " (qbucket % 1000 + 1) * POWER(10, qbucket div 1000 - r) - 1"
+        " ELSE qbucket % 1000 END AS BIGINT)"
+    )
+    return (
+        sk.join(exact, "q")
+        .select(
+            "r",
+            "q",
+            F.expr(ub).alias("sketch_ub_cents"),
+            "exact_cents",
+            F.expr(
+                f"({ub} - exact_cents) * 1000000 div exact_cents"
+            )
+            .cast("long")
+            .alias("rel_err_e6"),
+            "n_buckets",
+        )
+        .orderBy("r", "q")
+    )

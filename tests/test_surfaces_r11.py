@@ -156,3 +156,31 @@ def test_quantile_sketch_shard_merge_equals_direct(spark):
         .collect()
     }
     assert direct == merged
+
+
+def test_sketch_resolution_sweep_error_shrinks(spark):
+    """The tuning curve's contract: UB >= exact everywhere, error
+    non-increasing as resolution grows (within each quantile), bucket
+    count growing with resolution, and the documented per-resolution
+    error bound rel_err <= 10^(1-r) (one leading digit ~ <=90%, two
+    ~ <=10%... the decimal-HDR geometry)."""
+    from etl_generator_demo_spark.operators.surfaces_r11 import (
+        a_sketch_resolution_sweep,
+    )
+
+    rows = a_sketch_resolution_sweep(spark, SF).collect()
+    assert len(rows) == 9
+    by_q: dict[int, list] = {}
+    nb_by_r: dict[int, int] = {}
+    for r in rows:
+        assert r["sketch_ub_cents"] >= r["exact_cents"]
+        assert r["rel_err_e6"] >= 0
+        # decimal-HDR bound: one bucket spans < 10^(1-r) of its value
+        assert r["rel_err_e6"] <= 10 ** (7 - r["r"]), r
+        by_q.setdefault(r["q"], []).append((r["r"], r["rel_err_e6"]))
+        nb_by_r[r["r"]] = r["n_buckets"]
+    for q, errs in by_q.items():
+        errs.sort()
+        vals = [e for _, e in errs]
+        assert vals == sorted(vals, reverse=True), (q, errs)
+    assert nb_by_r[1] <= nb_by_r[2] <= nb_by_r[3]

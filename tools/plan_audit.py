@@ -738,6 +738,10 @@ EXPECTATIONS: dict[str, dict] = {
     # encode: per-source word count + rollup joins on the checkpointed
     # model relations (AQE broadcasts the word-type sides)
     "x4_unigram_encode_corpus": {"max_exchanges": 6, "min_broadcast": 2},
+    # resolution sweep: exploded rollup + per-r CDF windows + the
+    # de-globalized exact prefix scan (range repartition counts as
+    # exchanges)
+    "a_sketch_resolution_sweep": {"max_exchanges": 7, "min_broadcast": 1},
     # k-means behind kmeans_model's checkpoints; per-config candidate
     # restriction + top-10 + hit join are all broadcast-side
     "x3_ivf_nprobe_recall_sweep": {"max_exchanges": 4, "min_broadcast": 8},

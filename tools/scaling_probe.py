@@ -163,6 +163,9 @@ QUERIES = [
     # BPE-trainer boundedness argument).
     "x4_unigram_lm_vocab",
     "x4_unigram_encode_corpus",
+    # resolution sweep: one scan exploded x3 + bucket-bounded CDFs +
+    # the value-type exact prefix scan (expect ~linear in the scan).
+    "a_sketch_resolution_sweep",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -190,6 +193,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "a_hdr_quantile_sketch",
         "x4_unigram_lm_vocab",
         "x4_unigram_encode_corpus",
+        "a_sketch_resolution_sweep",
     ],
 }
 
