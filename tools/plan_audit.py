@@ -742,6 +742,8 @@ EXPECTATIONS: dict[str, dict] = {
     # de-globalized exact prefix scan (range repartition counts as
     # exchanges)
     "a_sketch_resolution_sweep": {"max_exchanges": 7, "min_broadcast": 1},
+    # streaming CDC batch twin: one keyed arg-max aggregate + sort
+    "st_cdc_running_snapshot": {"max_exchanges": 2},
     # k-means behind kmeans_model's checkpoints; per-config candidate
     # restriction + top-10 + hit join are all broadcast-side
     "x3_ivf_nprobe_recall_sweep": {"max_exchanges": 4, "min_broadcast": 8},

@@ -166,6 +166,9 @@ QUERIES = [
     # resolution sweep: one scan exploded x3 + bucket-bounded CDFs +
     # the value-type exact prefix scan (expect ~linear in the scan).
     "a_sketch_resolution_sweep",
+    # streaming CDC batch twin: one keyed arg-max over the event scan
+    # (expect ~linear).
+    "st_cdc_running_snapshot",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -194,6 +197,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x4_unigram_lm_vocab",
         "x4_unigram_encode_corpus",
         "a_sketch_resolution_sweep",
+        "st_cdc_running_snapshot",
     ],
 }
 
