@@ -432,3 +432,233 @@ def a_sketch_resolution_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r", "q")
     )
+
+
+# ---------------------------------------------------------------------------
+# labeler agreement (Cohen's kappa on the lang-ID confusion matrix)
+# ---------------------------------------------------------------------------
+
+def _kappa_oracle() -> str:
+    from .textops import LANGID_CONFUSION_SQL
+
+    # LANGID_CONFUSION_SQL is a complete `WITH ... SELECT` statement;
+    # nest it as a derived relation and aggregate kappa on top.
+    return f"""
+    WITH conf AS ({LANGID_CONFUSION_SQL}),
+    totals AS (
+        SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+               CAST(SUM(n_docs) FILTER (WHERE actual = predicted)
+                    AS BIGINT) AS agree
+        FROM conf
+    ),
+    rows_ AS (
+        SELECT actual AS label, CAST(SUM(n_docs) AS BIGINT) AS r
+        FROM conf GROUP BY actual
+    ),
+    cols_ AS (
+        SELECT predicted AS label, CAST(SUM(n_docs) AS BIGINT) AS c
+        FROM conf GROUP BY predicted
+    ),
+    chance AS (
+        SELECT CAST(COALESCE(SUM(r.r * c.c), 0) AS BIGINT) AS s
+        FROM rows_ r JOIN cols_ c ON c.label = r.label
+    )
+    SELECT t.n AS n_docs, t.agree AS n_agree,
+           CAST(t.agree * 1000000 // t.n AS BIGINT) AS po_e6,
+           CAST(ch.s * 1000000 // (t.n * t.n) AS BIGINT) AS pe_e6,
+           CAST((t.n * t.agree - ch.s) * 1000000
+                // (t.n * t.n - ch.s) AS BIGINT) AS kappa_e6
+    FROM totals t CROSS JOIN chance ch
+    """
+
+
+@register(
+    "x4_labeler_agreement_kappa",
+    oracle=_kappa_oracle(),
+    survey_ids=("X4", "A2", "F6"),
+)
+def x4_labeler_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the fixture's declared language labels
+    and the trigram naive-Bayes classifier's predictions — the
+    inter-annotator-agreement number a labeling pipeline reports
+    (metadata vs content-classifier agreement, chance-corrected; raw
+    accuracy over-credits skewed label distributions). Kappa is a pure
+    rational of confusion-matrix integers, so the fixed point is EXACT
+    with no logs: kappa = (n·trace − Σ rᵢcᵢ) / (n² − Σ rᵢcᵢ), emitted
+    as e6 via integer division (truncating identically in both
+    engines; n ≤ ~10^6 keeps n²·10^6 inside int64 — per-shard kappa
+    merge is the >10^6-doc path since confusion matrices sum). Builds
+    on the registered confusion relation (one extra |labels|-bounded
+    rollup)."""
+    from .textops import x4_trigram_langid_confusion
+
+    # |langs|^2-bounded: pin it so the three rollups (totals, row
+    # marginals, column marginals) read the matrix, not the corpus 3x
+    conf = x4_trigram_langid_confusion(spark, sf_dir).localCheckpoint(
+        eager=True
+    )
+    totals = conf.agg(
+        F.sum("n_docs").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("actual") == F.col("predicted"), F.col("n_docs"))
+        )
+        .cast("long")
+        .alias("agree"),
+    )
+    rows_ = conf.groupBy(F.col("actual").alias("label")).agg(
+        F.sum("n_docs").alias("r")
+    )
+    cols_ = conf.groupBy(F.col("predicted").alias("label")).agg(
+        F.sum("n_docs").alias("c")
+    )
+    chance = (
+        rows_.join(cols_, "label")
+        .agg(
+            F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    return (
+        totals.crossJoin(F.broadcast(chance))
+        .select(
+            F.col("n").alias("n_docs"),
+            F.col("agree").alias("n_agree"),
+            F.expr("agree * 1000000 div n").cast("long").alias("po_e6"),
+            F.expr("s * 1000000 div (n * n)").cast("long").alias("pe_e6"),
+            F.expr(
+                "(n * agree - s) * 1000000 div (n * n - s)"
+            )
+            .cast("long")
+            .alias("kappa_e6"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# packing context-length sweep
+# ---------------------------------------------------------------------------
+
+#: Context lengths swept (tokens per training sequence).
+PACK_SWEEP_LENGTHS = (64, 128, 256, 512)
+
+
+def _pack_sweep_oracle() -> str:
+    lens = ", ".join(f"({v})" for v in PACK_SWEEP_LENGTHS)
+    return f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens
+                   AS tok_before
+        FROM sized
+    ),
+    src_tot AS (
+        SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+        FROM sized GROUP BY source
+    ),
+    per_l AS (
+        SELECT l.l, c.doc_id,
+               (c.tok_before + c.n_tokens - 1
+                >= (c.tok_before // l.l + 1) * l.l) AS straddles
+        FROM cum c CROSS JOIN (VALUES {lens}) AS l(l)
+    ),
+    chunks AS (
+        SELECT l.l,
+               CAST(SUM((s.src_tokens + l.l - 1) // l.l) AS BIGINT)
+                   AS n_chunks
+        FROM src_tot s CROSS JOIN (VALUES {lens}) AS l(l)
+        GROUP BY l.l
+    )
+    SELECT CAST(p.l AS BIGINT) AS context_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (WHERE p.straddles) AS BIGINT)
+               AS n_straddling_docs,
+           CAST(COUNT(*) FILTER (WHERE p.straddles) * 1000000 // COUNT(*)
+                AS BIGINT) AS straddle_rate_e6,
+           CAST(MAX(c.n_chunks) AS BIGINT) AS n_chunks
+    FROM per_l p JOIN chunks c ON c.l = p.l
+    GROUP BY p.l
+    ORDER BY context_len
+    """
+
+
+@register(
+    "x4_packing_context_sweep",
+    oracle=_pack_sweep_oracle(),
+    survey_ids=("X4", "W3", "A1"),
+)
+def x4_packing_context_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing family's tuning curve: for each training context
+    length, how many documents the concat-and-chunk layout
+    (`x4_sequence_packing`'s model) splits across a sequence boundary
+    — the boundary-breakage vs sequence-count tradeoff that picks a
+    context length for a corpus (longer sequences -> fewer chunks but
+    every straddled doc leaks attention across an EOD boundary). One
+    sized+prefix-sum relation exploded across the four lengths (never
+    four scans — the Jaccard-sweep discipline); the per-source prefix
+    sum is the packing operator's own deterministic concat order."""
+    sized = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = sized.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_before"),
+    )
+    lens = spark.createDataFrame(
+        [(v,) for v in PACK_SWEEP_LENGTHS], "l long"
+    )
+    per_l = cum.crossJoin(F.broadcast(lens)).select(
+        "l",
+        (
+            F.col("tok_before") + F.col("n_tokens") - 1
+            >= (F.expr("tok_before div l") + 1) * F.col("l")
+        ).alias("straddles"),
+    )
+    src_tot = sized.groupBy("source").agg(
+        F.sum("n_tokens").cast("long").alias("src_tokens")
+    )
+    chunks = (
+        src_tot.crossJoin(F.broadcast(lens))
+        .groupBy("l")
+        .agg(
+            F.sum(F.expr("(src_tokens + l - 1) div l"))
+            .cast("long")
+            .alias("n_chunks")
+        )
+    )
+    return (
+        per_l.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count(F.when(F.col("straddles"), 1))
+            .cast("long")
+            .alias("n_straddling_docs"),
+        )
+        .join(chunks, "l")
+        .select(
+            F.col("l").alias("context_len"),
+            "n_docs",
+            "n_straddling_docs",
+            F.expr("n_straddling_docs * 1000000 div n_docs")
+            .cast("long")
+            .alias("straddle_rate_e6"),
+            "n_chunks",
+        )
+        .orderBy("context_len")
+    )
+

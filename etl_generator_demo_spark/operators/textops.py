@@ -1501,9 +1501,9 @@ def x4_seqlen_cap_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cap")
 
 
-@register(
-    "x4_trigram_langid_confusion",
-    oracle="""
+#: Shared by x4_trigram_langid_confusion and the kappa aggregate
+#: (surfaces_r11): the naive-Bayes lang-ID confusion matrix.
+LANGID_CONFUSION_SQL = """
     WITH tri AS (
         SELECT d.doc_id, d.lang, SUBSTR(LOWER(d.text), g.i, 3) AS tri
         FROM documents d, LATERAL (
@@ -1536,7 +1536,12 @@ def x4_seqlen_cap_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM pred WHERE rk = 1
     GROUP BY actual, predicted
     ORDER BY actual, predicted
-    """,
+    """
+
+
+@register(
+    "x4_trigram_langid_confusion",
+    oracle=LANGID_CONFUSION_SQL,
     survey_ids=("X4",),
 )
 def x4_trigram_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:

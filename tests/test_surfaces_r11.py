@@ -184,3 +184,65 @@ def test_sketch_resolution_sweep_error_shrinks(spark):
         vals = [e for _, e in errs]
         assert vals == sorted(vals, reverse=True), (q, errs)
     assert nb_by_r[1] <= nb_by_r[2] <= nb_by_r[3]
+
+
+def test_kappa_closed_form_on_fixture(spark):
+    """Kappa recomputed in plain Python from the registered confusion
+    matrix must match the operator exactly (same truncating integer
+    division), and sit in (-1, 1] with po/pe consistent."""
+    from etl_generator_demo_spark.operators.surfaces_r11 import (
+        x4_labeler_agreement_kappa,
+    )
+    from etl_generator_demo_spark.operators.textops import (
+        x4_trigram_langid_confusion,
+    )
+
+    conf = x4_trigram_langid_confusion(spark, SF).collect()
+    n = sum(r["n_docs"] for r in conf)
+    agree = sum(r["n_docs"] for r in conf if r["actual"] == r["predicted"])
+    rows: dict[str, int] = {}
+    cols: dict[str, int] = {}
+    for r in conf:
+        rows[r["actual"]] = rows.get(r["actual"], 0) + r["n_docs"]
+        cols[r["predicted"]] = cols.get(r["predicted"], 0) + r["n_docs"]
+    s = sum(rows[k] * cols.get(k, 0) for k in rows)
+
+    def tdiv(a: int, b: int) -> int:  # truncate toward zero, like div
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    got = x4_labeler_agreement_kappa(spark, SF).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert g["n_docs"] == n and g["n_agree"] == agree
+    assert g["po_e6"] == tdiv(agree * 1_000_000, n)
+    assert g["pe_e6"] == tdiv(s * 1_000_000, n * n)
+    assert g["kappa_e6"] == tdiv((n * agree - s) * 1_000_000, n * n - s)
+    assert -1_000_000 < g["kappa_e6"] <= 1_000_000
+    # chance correction: kappa <= raw accuracy whenever pe > 0
+    assert g["kappa_e6"] <= g["po_e6"]
+
+
+def test_packing_sweep_monotone_tradeoff(spark):
+    """The tuning curve's contract: doubling the context length can
+    only reduce (or keep) chunk count; straddle counts stay bounded by
+    doc count; and the L -> infinity limit (one chunk per source, zero
+    interior boundaries) is approached monotonically in chunks."""
+    from etl_generator_demo_spark.operators.surfaces_r11 import (
+        PACK_SWEEP_LENGTHS,
+        x4_packing_context_sweep,
+    )
+
+    rows = {r["context_len"]: r for r in
+            x4_packing_context_sweep(spark, SF).collect()}
+    assert set(rows) == set(PACK_SWEEP_LENGTHS)
+    prev_chunks = None
+    for L in sorted(rows):
+        r = rows[L]
+        assert 0 <= r["n_straddling_docs"] <= r["n_docs"]
+        assert r["straddle_rate_e6"] == (
+            r["n_straddling_docs"] * 1_000_000 // r["n_docs"]
+        )
+        if prev_chunks is not None:
+            assert r["n_chunks"] <= prev_chunks
+        prev_chunks = r["n_chunks"]

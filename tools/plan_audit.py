@@ -744,6 +744,12 @@ EXPECTATIONS: dict[str, dict] = {
     "a_sketch_resolution_sweep": {"max_exchanges": 7, "min_broadcast": 1},
     # streaming CDC batch twin: one keyed arg-max aggregate + sort
     "st_cdc_running_snapshot": {"max_exchanges": 2},
+    # kappa: confusion matrix checkpointed (|langs|^2), three bounded
+    # rollups + 1-row cross joins
+    "x4_labeler_agreement_kappa": {"max_exchanges": 4, "min_broadcast": 1},
+    # packing sweep: sized relation + per-source prefix window,
+    # exploded x|lengths|, two bounded rollups
+    "x4_packing_context_sweep": {"max_exchanges": 5, "min_broadcast": 1},
     # k-means behind kmeans_model's checkpoints; per-config candidate
     # restriction + top-10 + hit join are all broadcast-side
     "x3_ivf_nprobe_recall_sweep": {"max_exchanges": 4, "min_broadcast": 8},

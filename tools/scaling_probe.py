@@ -169,6 +169,10 @@ QUERIES = [
     # streaming CDC batch twin: one keyed arg-max over the event scan
     # (expect ~linear).
     "st_cdc_running_snapshot",
+    # kappa inherits the confusion build (trigram explode x |langs|,
+    # expect ~linear); packing sweep is one sized scan exploded x4.
+    "x4_labeler_agreement_kappa",
+    "x4_packing_context_sweep",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -198,6 +202,8 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x4_unigram_encode_corpus",
         "a_sketch_resolution_sweep",
         "st_cdc_running_snapshot",
+        "x4_labeler_agreement_kappa",
+        "x4_packing_context_sweep",
     ],
 }
 
