@@ -92,3 +92,76 @@ def st_cdc_running_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
     )
     return stream_cdc_running_state(log).orderBy("user_id")
+
+
+@register(
+    "st_state_capacity_by_day",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events
+    ),
+    first_seen AS (
+        SELECT user_id, MIN(day) AS first_day FROM ev GROUP BY user_id
+    ),
+    per_day AS (
+        SELECT day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_keys
+        FROM ev GROUP BY day
+    ),
+    new_keys AS (
+        SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new_keys
+        FROM first_seen GROUP BY first_day
+    )
+    SELECT p.day, p.n_events, p.n_active_keys,
+           CAST(COALESCE(k.n_new_keys, 0) AS BIGINT) AS n_new_keys,
+           CAST(SUM(COALESCE(k.n_new_keys, 0))
+                OVER (ORDER BY p.day) AS BIGINT) AS cum_keys
+    FROM per_day p LEFT JOIN new_keys k ON k.day = p.day
+    ORDER BY p.day
+    """,
+    survey_ids=("A1", "A3", "W3", "F4"),
+)
+def st_state_capacity_by_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming state-store capacity planning: per event-time day,
+    arrivals, distinct active keys (≈ state size of a keyed operator
+    with a one-day watermark lag — dedup, sessionization, the CDC fold
+    above), first-seen keys, and the cumulative key count (state size
+    with NO eviction — the running-snapshot bound). The sizing
+    numbers that turn 'watermark lag × key-arrival rate' from an
+    argument in a docstring into a measured table per feed. The
+    running total is a window over the DAY relation — calendar-
+    bounded (the Holt-lattice argument), never a per-event global
+    window."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").cast("date").alias("day")
+    )
+    per_day = ev.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("user_id").cast("long").alias("n_active_keys"),
+    )
+    new_keys = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new_keys"))
+    )
+    from pyspark.sql.window import Window
+
+    joined = per_day.join(new_keys, "day", "left").select(
+        "day",
+        "n_events",
+        "n_active_keys",
+        F.coalesce(F.col("n_new_keys"), F.lit(0))
+        .cast("long")
+        .alias("n_new_keys"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        "day",
+        "n_events",
+        "n_active_keys",
+        "n_new_keys",
+        F.sum("n_new_keys").over(w).cast("long").alias("cum_keys"),
+    ).orderBy("day")

@@ -750,6 +750,9 @@ EXPECTATIONS: dict[str, dict] = {
     # packing sweep: sized relation + per-source prefix window,
     # exploded x|lengths|, two bounded rollups
     "x4_packing_context_sweep": {"max_exchanges": 5, "min_broadcast": 1},
+    # state-capacity audit: two user_id rollups + day-relation join +
+    # calendar-bounded running window (SinglePartition on ~30 rows)
+    "st_state_capacity_by_day": {"max_exchanges": 6},
     # k-means behind kmeans_model's checkpoints; per-config candidate
     # restriction + top-10 + hit join are all broadcast-side
     "x3_ivf_nprobe_recall_sweep": {"max_exchanges": 4, "min_broadcast": 8},

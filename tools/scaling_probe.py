@@ -173,6 +173,9 @@ QUERIES = [
     # expect ~linear); packing sweep is one sized scan exploded x4.
     "x4_labeler_agreement_kappa",
     "x4_packing_context_sweep",
+    # state-capacity audit: two keyed rollups over the event scan
+    # (expect ~linear; the running window is calendar-bounded).
+    "st_state_capacity_by_day",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -204,6 +207,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "st_cdc_running_snapshot",
         "x4_labeler_agreement_kappa",
         "x4_packing_context_sweep",
+        "st_state_capacity_by_day",
     ],
 }
 
