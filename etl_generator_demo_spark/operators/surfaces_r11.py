@@ -662,3 +662,192 @@ def x4_packing_context_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("context_len")
     )
 
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style mixture weight update
+# ---------------------------------------------------------------------------
+
+#: Multiplicative-weights step size (DoReMi's eta; fixed config).
+DOREMI_ETA = 1.0
+#: Weight grid: new weights are e6 integers summing to exactly 10^6.
+DOREMI_SCALE = 1_000_000
+
+
+def _doremi_oracle() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               UNNEST(STRING_SPLIT(text, ' ')) AS tk,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, source, tk,
+               LEAD(tk) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        FROM tok
+    ),
+    bigrams AS (
+        SELECT doc_id, source, tk, nxt FROM big WHERE nxt IS NOT NULL
+    ),
+    c_bigram AS (
+        SELECT tk, nxt, COUNT(*) AS cb FROM bigrams GROUP BY tk, nxt
+    ),
+    c_prefix AS (SELECT tk, COUNT(*) AS cp FROM bigrams GROUP BY tk),
+    inst AS (
+        SELECT b.source,
+               CAST(FLOOR(LN(cb.cb * 1.0 / cp.cp) * 10000) AS BIGINT)
+                   AS lp_e4
+        FROM bigrams b
+        JOIN c_bigram cb ON cb.tk = b.tk AND cb.nxt = b.nxt
+        JOIN c_prefix cp ON cp.tk = b.tk
+    ),
+    per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(-(SUM(lp_e4) // COUNT(*)) AS BIGINT) AS loss_e4
+        FROM inst GROUP BY source
+    ),
+    corpus AS (
+        SELECT CAST(-(SUM(lp_e4) // COUNT(*)) AS BIGINT) AS corpus_loss_e4
+        FROM inst
+    ),
+    scored AS (
+        SELECT p.source, p.n_bigrams, p.loss_e4,
+               p.loss_e4 - c.corpus_loss_e4 AS excess_e4,
+               CAST(FLOOR({DOREMI_SCALE} * EXP(
+                   {DOREMI_ETA} * (p.loss_e4 - c.corpus_loss_e4) / 10000.0
+               )) AS BIGINT) AS score_e6
+        FROM per_src p CROSS JOIN corpus c
+    ),
+    tot AS (SELECT CAST(SUM(score_e6) AS BIGINT) AS s FROM scored),
+    alloc AS (
+        SELECT sc.source, sc.n_bigrams, sc.loss_e4, sc.excess_e4,
+               sc.score_e6,
+               CAST(({DOREMI_SCALE} * sc.score_e6) // t.s AS BIGINT)
+                   AS base_w,
+               CAST(({DOREMI_SCALE} * sc.score_e6) % t.s AS BIGINT)
+                   AS rem
+        FROM scored sc CROSS JOIN tot t
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk,
+               CAST({DOREMI_SCALE} - SUM(base_w) OVER () AS BIGINT)
+                   AS extras
+        FROM alloc
+    )
+    SELECT source, n_bigrams, loss_e4, excess_e4,
+           CAST(base_w + CASE WHEN rk <= extras THEN 1 ELSE 0 END
+                AS BIGINT) AS new_w_e6
+    FROM ranked
+    ORDER BY source
+    """
+
+
+@register(
+    "x4_doremi_weight_step",
+    oracle=_doremi_oracle(),
+    survey_ids=("X4", "A1", "F6", "W1"),
+)
+def x4_doremi_weight_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style multiplicative-weights update of the training
+    mixture: per source, a bigram-LM loss proxy (negative mean bigram
+    log-probability — the x4_bigram_lm_quality model, aggregated per
+    source), excess loss over the corpus mean, and the reweighted
+    domain weight w' ∝ exp(η·excess) — hard domains gain mass, the
+    Group-DRO step DoReMi iterates (Xie et al. 2023; one step here,
+    the schedule is a driver loop). Exactness: per-instance log-probs
+    floor to e4 integers BEFORE the mean (order-free sums), the exp
+    floors to e6 (the ln/AA discipline), and normalization is Hamilton
+    largest-remainder over the integer scores so the emitted weights
+    sum to EXACTLY 10^6 (the stratified-sample apportionment, applied
+    to weights — never a float share). Scale: two vocab-bounded count
+    joins + |sources|-bounded weight math."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "tk"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        tok.withColumn("nxt", F.lead("tk").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("source", "tk", "nxt")
+    )
+    c_bigram = bigrams.groupBy("tk", "nxt").agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    c_prefix = bigrams.groupBy("tk").agg(F.count(F.lit(1)).alias("cp"))
+    inst = (
+        bigrams.join(c_bigram, ["tk", "nxt"])
+        .join(c_prefix, "tk")
+        .select(
+            "source",
+            F.floor(
+                F.log(F.col("cb").cast("double") / F.col("cp")) * 10000
+            )
+            .cast("long")
+            .alias("lp_e4"),
+        )
+        .localCheckpoint(eager=True)  # read twice: per-source + corpus
+    )
+    per_src = inst.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (-F.expr("sum(lp_e4) div count(1)")).cast("long").alias("loss_e4"),
+    )
+    corpus = inst.agg(
+        (-F.expr("sum(lp_e4) div count(1)"))
+        .cast("long")
+        .alias("corpus_loss_e4")
+    )
+    scored = per_src.crossJoin(F.broadcast(corpus)).select(
+        "source",
+        "n_bigrams",
+        "loss_e4",
+        (F.col("loss_e4") - F.col("corpus_loss_e4")).alias("excess_e4"),
+        F.floor(
+            DOREMI_SCALE
+            * F.exp(
+                F.lit(DOREMI_ETA)
+                * (F.col("loss_e4") - F.col("corpus_loss_e4"))
+                / 10000.0
+            )
+        )
+        .cast("long")
+        .alias("score_e6"),
+    )
+    tot = scored.agg(F.sum("score_e6").cast("long").alias("s"))
+    alloc = scored.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_bigrams",
+        "loss_e4",
+        "excess_e4",
+        F.expr(f"({DOREMI_SCALE} * score_e6) div s").alias("base_w"),
+        F.expr(f"({DOREMI_SCALE} * score_e6) % s").alias("rem"),
+    )
+    ranked = alloc.select(
+        "*",
+        F.row_number()
+        .over(W.orderBy(F.desc("rem"), "source"))
+        .alias("rk"),
+        (F.lit(DOREMI_SCALE) - F.sum("base_w").over(W.partitionBy())).alias(
+            "extras"
+        ),
+    )
+    return (
+        ranked.select(
+            "source",
+            "n_bigrams",
+            "loss_e4",
+            "excess_e4",
+            (
+                F.col("base_w")
+                + F.when(F.col("rk") <= F.col("extras"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("new_w_e6"),
+        )
+        .orderBy("source")
+    )

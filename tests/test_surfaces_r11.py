@@ -246,3 +246,30 @@ def test_packing_sweep_monotone_tradeoff(spark):
         if prev_chunks is not None:
             assert r["n_chunks"] <= prev_chunks
         prev_chunks = r["n_chunks"]
+
+
+def test_doremi_weights_sum_exact_and_monotone(spark):
+    """The update's contracts: emitted weights sum to EXACTLY 10^6
+    (Hamilton apportionment — no float share survives), excess losses
+    are centered (min <= 0 <= max over sources), and weight order
+    follows excess-loss order (multiplicative weights are monotone in
+    the exponent; Hamilton's ±1 cannot flip an order separated by
+    >=2 units — assert monotone up to that slack)."""
+    from etl_generator_demo_spark.operators.surfaces_r11 import (
+        DOREMI_SCALE,
+        x4_doremi_weight_step,
+    )
+
+    rows = x4_doremi_weight_step(spark, SF).collect()
+    assert sum(r["new_w_e6"] for r in rows) == DOREMI_SCALE
+    ex = [r["excess_e4"] for r in rows]
+    assert min(ex) <= 0 <= max(ex)
+    by_excess = sorted(rows, key=lambda r: (r["excess_e4"], r["source"]))
+    ws = [r["new_w_e6"] for r in by_excess]
+    for a, b in zip(ws, ws[1:]):
+        assert b >= a - 1  # Hamilton slack
+    # harder-than-average sources must out-weigh the uniform share
+    n = len(rows)
+    for r in rows:
+        if r["excess_e4"] > 0:
+            assert r["new_w_e6"] > DOREMI_SCALE // n - 1

@@ -753,6 +753,9 @@ EXPECTATIONS: dict[str, dict] = {
     # state-capacity audit: two user_id rollups + day-relation join +
     # calendar-bounded running window (SinglePartition on ~30 rows)
     "st_state_capacity_by_day": {"max_exchanges": 6},
+    # DoReMi step: two vocab-bounded count joins, checkpointed lp
+    # instances read twice, |sources|-bounded weight math
+    "x4_doremi_weight_step": {"max_exchanges": 6},
     # k-means behind kmeans_model's checkpoints; per-config candidate
     # restriction + top-10 + hit join are all broadcast-side
     "x3_ivf_nprobe_recall_sweep": {"max_exchanges": 4, "min_broadcast": 8},

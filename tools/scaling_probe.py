@@ -176,6 +176,9 @@ QUERIES = [
     # state-capacity audit: two keyed rollups over the event scan
     # (expect ~linear; the running window is calendar-bounded).
     "st_state_capacity_by_day",
+    # DoReMi step: bigram count joins (vocab-bounded intermediates,
+    # expect ~linear in the token scan).
+    "x4_doremi_weight_step",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -208,6 +211,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x4_labeler_agreement_kappa",
         "x4_packing_context_sweep",
         "st_state_capacity_by_day",
+        "x4_doremi_weight_step",
     ],
 }
 
