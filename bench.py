@@ -84,6 +84,13 @@ HEADLINE = [
     "x4_bpe_encode_corpus",
     "g_hits_bipartite",
     "x2_jaccard_threshold_sweep",
+    # round-11 headliners: the mergeable quantile sketch (the A3
+    # serving tier's latency), CDC apply (one keyed shuffle folding a
+    # change log to a snapshot), and the packing context sweep (one
+    # prefix-sum scan exploded x4 — the tuning-curve cost shape)
+    "a_hdr_quantile_sketch",
+    "d_cdc_apply_snapshot",
+    "x4_packing_context_sweep",
 ]
 
 

@@ -18,26 +18,35 @@ import pytest
 
 SF = "/root/testdata/sf0.001"
 
-SAMPLE = [
-    # round-11 registrations
-    "d_cdc_apply_snapshot",
-    "a_hdr_quantile_sketch",
-    "a_sketch_resolution_sweep",
-    "x4_unigram_lm_vocab",
-    "x4_unigram_encode_corpus",
-    "st_cdc_running_snapshot",
-    "st_state_capacity_by_day",
-    "x4_labeler_agreement_kappa",
-    "x4_packing_context_sweep",
-    "x4_item_item_recs",
-    "g_sssp_weighted",
-    "x3_vector_norm_audit",
-    # one standing representative per execution shape
-    "q1_pricing_summary",  # scan + grouped agg
-    "w4_top3_orders_per_customer",  # window rank
-    "x2_minhash_lsh_pairs",  # banded index join
-    "x4_ngram_coverage_topk",  # global_row_number + prefix scan
-]
+def _sample() -> list[str]:
+    """Every current-round registration (pulled from the probe
+    contract so the list cannot go stale) + this round's rewrites +
+    one standing representative per execution shape."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.scaling_probe import ROUND_REGISTRATIONS
+
+    current = ROUND_REGISTRATIONS[max(ROUND_REGISTRATIONS)]
+    return list(
+        dict.fromkeys(
+            [
+                *current,
+                # round-11 rewrites of earlier registrations
+                "x4_item_item_recs",
+                "g_sssp_weighted",
+                "x3_vector_norm_audit",
+                # standing representatives per execution shape
+                "q1_pricing_summary",  # scan + grouped agg
+                "w4_top3_orders_per_customer",  # window rank
+                "x2_minhash_lsh_pairs",  # banded index join
+                "x4_ngram_coverage_topk",  # rank + prefix scan
+            ]
+        )
+    )
+
+
+SAMPLE = _sample()
 
 
 def _rows(spark, name, parts):
