@@ -123,6 +123,7 @@ def kmeans_model(
     sf_dir: str,
     k: int = KMEANS_K,
     rounds: int = KMEANS_ROUNDS,
+    where: str | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     """Train the fixed-iteration Lloyd model and return
     (checkpointed quantized relation, final centroids) — the reusable
@@ -131,7 +132,10 @@ def kmeans_model(
     # the quantized relation feeds seed + one pass per round + the final
     # assignment — materialize it once (|corpus| rows) instead of
     # re-scanning and re-quantizing parquet per action
-    emb = _quantized(spark, sf_dir).localCheckpoint(eager=True)
+    emb = _quantized(spark, sf_dir)
+    if where is not None:
+        emb = emb.filter(F.expr(where))
+    emb = emb.localCheckpoint(eager=True)
     seed = (
         emb.withColumn("h", F.md5(F.col("vec_id").cast("string")))
         .orderBy("h", "vec_id")
@@ -210,24 +214,31 @@ def kmeans_assignments(
     ).select("vec_id", "label", "cluster_id", "dist_q")
 
 
-def _kmeans_cte(k: int, rounds: int, dim: int) -> str:
+def _kmeans_cte(
+    k: int, rounds: int, dim: int, prefix: str = "", where: str = ""
+) -> str:
     """The shared CTE chain: e (quantized) … aN (final assignment).
     Unrolled per round — the oracle is the same fixed-iteration
-    computation, not an approximation."""
+    computation, not an approximation. `prefix` namespaces every CTE
+    so two chains (e.g. the staleness audit's stale-vs-fresh models)
+    can coexist in one statement; `where` restricts the TRAINING
+    population (seeding and updates) — r11's staleness audit trains
+    the stale model on the pre-append slice."""
+    p = prefix
     parts = [
-        f"""e AS (
+        f"""{p}e AS (
         SELECT vec_id, label,
                list_transform(embedding::DOUBLE[],
                               x -> CAST(FLOOR(x * {QSCALE}) AS BIGINT)) AS q
-        FROM embeddings
+        FROM embeddings {where}
     ),
-    init AS (
+    {p}init AS (
         SELECT vec_id, q, md5(CAST(vec_id AS VARCHAR)) AS h
-        FROM e ORDER BY h, vec_id LIMIT {k}
+        FROM {p}e ORDER BY h, vec_id LIMIT {k}
     ),
-    c0 AS (
+    {p}c0 AS (
         SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS INT) AS cluster_id, q AS c
-        FROM init
+        FROM {p}init
     )"""
     ]
     dist = (
@@ -235,25 +246,25 @@ def _kmeans_cte(k: int, rounds: int, dim: int) -> str:
         " i -> (e.q[i] - c.c[i]) * (e.q[i] - c.c[i]))) AS BIGINT)"
     )
     for r in range(rounds + 1):
-        parts.append(f"""d{r} AS (
-        SELECT e.vec_id, c.cluster_id, {dist} AS d FROM e, c{r} c
+        parts.append(f"""{p}d{r} AS (
+        SELECT e.vec_id, c.cluster_id, {dist} AS d FROM {p}e e, {p}c{r} c
     ),
-    a{r} AS (
+    {p}a{r} AS (
         SELECT vec_id, cluster_id, d FROM (
             SELECT vec_id, cluster_id, d,
                    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster_id) AS rn
-            FROM d{r}
+            FROM {p}d{r}
         ) WHERE rn = 1
     )""")
         if r < rounds:
-            parts.append(f"""u{r + 1} AS (
-        SELECT a{r}.cluster_id, i.i AS pos,
+            parts.append(f"""{p}u{r + 1} AS (
+        SELECT a.cluster_id, i.i AS pos,
                CAST(FLOOR(CAST(SUM(e.q[i.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
-        FROM a{r} JOIN e USING (vec_id) CROSS JOIN range(1, {dim + 1}) AS i(i)
-        GROUP BY a{r}.cluster_id, i.i
+        FROM {p}a{r} a JOIN {p}e e USING (vec_id) CROSS JOIN range(1, {dim + 1}) AS i(i)
+        GROUP BY a.cluster_id, i.i
     ),
-    c{r + 1} AS (
-        SELECT cluster_id, list(cv ORDER BY pos) AS c FROM u{r + 1} GROUP BY cluster_id
+    {p}c{r + 1} AS (
+        SELECT cluster_id, list(cv ORDER BY pos) AS c FROM {p}u{r + 1} GROUP BY cluster_id
     )""")
     return ",\n    ".join(parts)
 

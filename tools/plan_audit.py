@@ -756,6 +756,9 @@ EXPECTATIONS: dict[str, dict] = {
     # DoReMi step: two vocab-bounded count joins, checkpointed lp
     # instances read twice, |sources|-bounded weight math
     "x4_doremi_weight_step": {"max_exchanges": 6},
+    # IVF staleness: two Arrow assignment scans over the checkpointed
+    # quantized relation + one per-list rollup + 1-row cost joins
+    "x3_ivf_staleness_audit": {"max_exchanges": 5},
     # k-means behind kmeans_model's checkpoints; per-config candidate
     # restriction + top-10 + hit join are all broadcast-side
     "x3_ivf_nprobe_recall_sweep": {"max_exchanges": 4, "min_broadcast": 8},

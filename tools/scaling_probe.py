@@ -179,6 +179,9 @@ QUERIES = [
     # DoReMi step: bigram count joins (vocab-bounded intermediates,
     # expect ~linear in the token scan).
     "x4_doremi_weight_step",
+    # IVF staleness: two Lloyd trainings + two assignment scans
+    # (expect ~linear; model collects are k*dim).
+    "x3_ivf_staleness_audit",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -212,6 +215,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x4_packing_context_sweep",
         "st_state_capacity_by_day",
         "x4_doremi_weight_step",
+        "x3_ivf_staleness_audit",
     ],
 }
 
@@ -269,6 +273,17 @@ def synthesize_10x(spark, src_dir: str, dst_dir: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scratch", default="/tmp/sf1x10")
+    ap.add_argument(
+        "--names",
+        nargs="*",
+        default=None,
+        help="probe only these queries (late-round registrations)",
+    )
+    ap.add_argument(
+        "--merge",
+        default=None,
+        help="merge results into this existing PROBE_r*.json in place",
+    )
     args = ap.parse_args()
 
     from etl_generator_demo_spark.registry import load_all
@@ -287,7 +302,7 @@ def main() -> None:
         ("sf1-synth", args.scratch, 100),
     ]
     results: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
+    for name in (args.names if args.names else QUERIES):
         fn = registry[name].fn
         results[name] = {}
         for tier, path, _ in tiers:
@@ -299,7 +314,16 @@ def main() -> None:
             results[name][tier] = round(best, 2)
             print(f"  {name} @{tier}: {best:.2f}s", file=sys.stderr)
 
-    print(json.dumps({"tiers": {t: s for t, _, s in tiers}, "timings": results}))
+    record = {"tiers": {t: s for t, _, s in tiers}, "timings": results}
+    if args.merge:
+        with open(args.merge) as fh:
+            prior = json.load(fh)
+        prior["timings"].update(results)
+        with open(args.merge, "w") as fh:
+            json.dump(prior, fh)
+        print(f"merged {len(results)} into {args.merge}", file=sys.stderr)
+    else:
+        print(json.dumps(record))
 
 
 if __name__ == "__main__":
