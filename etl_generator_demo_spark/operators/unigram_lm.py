@@ -636,3 +636,184 @@ def x4_unigram_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
     return unigram_encode_stats(wcap, edges, costs, swords, dsrc)
+
+
+#: Serving-vocab sweep sizes (multi-char tokens kept, by final
+#: Viterbi count; all single chars always survive for coverage).
+UNI_SWEEP_VOCABS = (16, 32, 64)
+
+
+def _unigram_vocab_sweep_oracle() -> str:
+    """Training CTEs + ONE exploded encode DP keyed by (word, v):
+    the vocab-size knob's fertility curve — embedding-table size vs
+    tokens-per-word — measured from the trained model, never three
+    separate DP chains (the Jaccard-sweep discipline)."""
+    served = f"vocab{UNI_EM_ITERS + 1}"
+    vals = ", ".join(f"({v})" for v in UNI_SWEEP_VOCABS)
+    parts = [_uni_training_ctes(), f""",
+    ranked_multi AS (
+        SELECT c.tok, ROW_NUMBER() OVER (ORDER BY c.cnt DESC, c.tok)
+               AS rk
+        FROM cnt{UNI_EM_ITERS} c WHERE LENGTH(c.tok) >= 2
+    ),
+    serve AS (
+        SELECT vv.v, vc.tok, vc.cost
+        FROM {served} vc
+        CROSS JOIN (VALUES {vals}) AS vv(v)
+        LEFT JOIN ranked_multi r ON r.tok = vc.tok
+        WHERE LENGTH(vc.tok) = 1
+           OR (r.rk IS NOT NULL AND r.rk <= vv.v)
+    ),
+    edgv AS MATERIALIZED (
+        SELECT e.word, e.i, e.j, s.v, s.cost
+        FROM edges e JOIN serve s ON s.tok = e.tok
+    ),
+    vc0 AS (
+        SELECT w.word, vv.v, CAST(0 AS BIGINT) AS pos,
+               CAST(0 AS BIGINT) AS m
+        FROM words w CROSS JOIN (VALUES {vals}) AS vv(v)
+    )"""]
+    for j in range(1, UNI_MAXWORD + 1):
+        parts.append(f""",
+    vc{j} AS MATERIALIZED (
+        SELECT * FROM vc{j - 1}
+        UNION ALL
+        SELECT e.word, e.v, CAST({j} AS BIGINT) AS pos,
+               CAST(MIN(g.m + e.cost * 16 + 1) AS BIGINT) AS m
+        FROM edgv e
+        JOIN vc{j - 1} g ON g.word = e.word AND g.v = e.v
+                         AND g.pos = e.i
+        WHERE e.j = {j}
+        GROUP BY e.word, e.v
+    )""")
+    parts.append(f""",
+    enc AS (
+        SELECT g.word, g.v, g.m % 16 AS ntok
+        FROM vc{UNI_MAXWORD} g
+        JOIN words w ON w.word = g.word AND g.pos = w.wlen
+    )
+    SELECT CAST(e.v AS BIGINT) AS vocab_multi,
+           CAST(SUM(w.wcount) AS BIGINT) AS n_words,
+           CAST(SUM(w.wcount * w.wlen) AS BIGINT) AS n_chars,
+           CAST(SUM(w.wcount * e.ntok) AS BIGINT) AS n_tokens,
+           CAST(SUM(w.wcount * e.ntok) * 1000000 // SUM(w.wcount)
+                AS BIGINT) AS fertility_e6,
+           CAST(SUM(w.wcount * w.wlen) * 1000000
+                // SUM(w.wcount * e.ntok) AS BIGINT)
+               AS chars_per_token_e6
+    FROM enc e JOIN words w ON w.word = e.word
+    GROUP BY e.v
+    ORDER BY vocab_multi
+    """)
+    return "".join(parts)
+
+
+@register(
+    "x4_unigram_vocab_sweep",
+    oracle=_unigram_vocab_sweep_oracle(),
+    survey_ids=("X4", "A1", "F5", "U1"),
+)
+def x4_unigram_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram tokenizer's tuning curve: fertility (tokens per
+    word) vs serving-vocabulary size — truncate the trained vocabulary
+    to the top 16/32/64 multi-char tokens (by final Viterbi count;
+    single chars always kept, so coverage never breaks) and re-encode
+    the corpus under each. Embedding-table size vs sequence-length is
+    THE vocab-size tradeoff every tokenizer config pins; smaller
+    serving vocab → monotonically higher fertility (pinned by pytest).
+    One (word, v)-keyed DP over an exploded lattice — never one DP
+    chain per size (the sweep discipline). Word-type-bounded like the
+    trainer."""
+    docs = t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcount"))
+    )
+    wcap, edges, counts, costs = train_unigram(words)
+    from pyspark.sql.window import Window as W
+
+    ranked_multi = (
+        counts.filter(F.length("tok") >= 2)
+        .select(
+            "tok",
+            F.row_number()
+            .over(W.orderBy(F.desc("cnt"), "tok"))
+            .alias("rk"),
+        )
+    )
+    vsizes = spark.createDataFrame(
+        [(v,) for v in UNI_SWEEP_VOCABS], "v long"
+    )
+    serve = (
+        costs.crossJoin(F.broadcast(vsizes))
+        .join(ranked_multi, "tok", "left")
+        .filter(
+            (F.length("tok") == 1)
+            | (F.col("rk").isNotNull() & (F.col("rk") <= F.col("v")))
+        )
+        .select("v", "tok", "cost")
+    )
+    edgv = (
+        edges.join(serve, "tok")
+        .select("word", "i", "j", "v", (F.col("cost") * 16 + 1).alias("em"))
+        .localCheckpoint(eager=True)
+    )
+    g = wcap.crossJoin(F.broadcast(vsizes)).select(
+        "word",
+        "v",
+        F.lit(0).cast("long").alias("pos"),
+        F.lit(0).cast("long").alias("m"),
+    )
+    for j in range(1, UNI_MAXWORD + 1):
+        step = (
+            edgv.filter(F.col("j") == j)
+            .join(
+                g.select(
+                    "word",
+                    "v",
+                    F.col("pos").alias("i"),
+                    F.col("m").alias("gm"),
+                ),
+                ["word", "v", "i"],
+            )
+            .groupBy("word", "v")
+            .agg(F.min(F.col("gm") + F.col("em")).alias("m"))
+            .select(
+                "word",
+                "v",
+                F.lit(j).cast("long").alias("pos"),
+                F.col("m").cast("long").alias("m"),
+            )
+        )
+        g = g.unionByName(step).localCheckpoint(eager=True)
+    enc = g.join(
+        wcap.select("word", F.col("wlen").alias("pos")), ["word", "pos"]
+    ).select("word", "v", (F.col("m") % 16).alias("ntok"))
+    return (
+        enc.join(wcap.select("word", "wcount", "wlen"), "word")
+        .groupBy(F.col("v").alias("vocab_multi"))
+        .agg(
+            F.sum("wcount").cast("long").alias("n_words"),
+            F.sum(F.col("wcount") * F.col("wlen"))
+            .cast("long")
+            .alias("n_chars"),
+            F.sum(F.col("wcount") * F.col("ntok"))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+        .select(
+            "vocab_multi",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 div n_words")
+            .cast("long")
+            .alias("fertility_e6"),
+            F.expr("n_chars * 1000000 div n_tokens")
+            .cast("long")
+            .alias("chars_per_token_e6"),
+        )
+        .orderBy("vocab_multi")
+    )

@@ -236,3 +236,25 @@ def test_unigram_encode_fixture_sane(spark):
         assert r["n_words"] <= r["n_tokens"] <= r["n_chars"]
         assert 1_000_000 <= r["fertility_e6"] <= UNI_MAXWORD * 1_000_000
         assert r["chars_per_token_e6"] >= 1_000_000
+
+
+def test_vocab_sweep_fertility_monotone(spark):
+    """Smaller serving vocab can only RAISE fertility (fewer multi
+    tokens available → more pieces per word); the largest sweep point
+    must match the full encode's corpus-wide fertility when the
+    trained multi vocab fits inside it."""
+    from etl_generator_demo_spark.operators.unigram_lm import (
+        UNI_SWEEP_VOCABS,
+        x4_unigram_vocab_sweep,
+    )
+
+    rows = {r["vocab_multi"]: r for r in
+            x4_unigram_vocab_sweep(spark, SF).collect()}
+    assert set(rows) == set(UNI_SWEEP_VOCABS)
+    ferts = [rows[v]["fertility_e6"] for v in sorted(rows)]
+    assert ferts == sorted(ferts, reverse=True)  # monotone decay
+    for v, r in rows.items():
+        assert r["n_words"] <= r["n_tokens"] <= r["n_chars"]
+        assert r["fertility_e6"] == (
+            r["n_tokens"] * 1_000_000 // r["n_words"]
+        )

@@ -759,6 +759,9 @@ EXPECTATIONS: dict[str, dict] = {
     # IVF staleness: two Arrow assignment scans over the checkpointed
     # quantized relation + one per-list rollup + 1-row cost joins
     "x3_ivf_staleness_audit": {"max_exchanges": 5},
+    # unigram vocab sweep: 50 DP steps behind localCheckpoint; visible
+    # tail is the enc join + rollup
+    "x4_unigram_vocab_sweep": {"max_exchanges": 3, "min_broadcast": 1},
     # k-means behind kmeans_model's checkpoints; per-config candidate
     # restriction + top-10 + hit join are all broadcast-side
     "x3_ivf_nprobe_recall_sweep": {"max_exchanges": 4, "min_broadcast": 8},

@@ -182,6 +182,9 @@ QUERIES = [
     # IVF staleness: two Lloyd trainings + two assignment scans
     # (expect ~linear; model collects are k*dim).
     "x3_ivf_staleness_audit",
+    # unigram vocab sweep: word-type-bounded like the trainer
+    # (expect ~flat past the word count).
+    "x4_unigram_vocab_sweep",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -216,6 +219,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "st_state_capacity_by_day",
         "x4_doremi_weight_step",
         "x3_ivf_staleness_audit",
+        "x4_unigram_vocab_sweep",
     ],
 }
 
