@@ -979,3 +979,213 @@ def x3_ivf_staleness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("list_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter FPR sweep (the join-pruning knob)
+# ---------------------------------------------------------------------------
+
+#: Position widths swept: h hex chars -> m = 16^h buckets per hash.
+BLOOM_SWEEP_HEX = (2, 3, 4)
+
+
+def _bloom_sweep_oracle() -> str:
+    from .skew import BLOOM_HASHES
+
+    hs = ", ".join(f"({h})" for h in BLOOM_SWEEP_HEX)
+    dim_pos = " UNION ALL ".join(
+        f"SELECT {i} AS hash_id,"
+        f" SUBSTR(MD5('b{i}|' || CAST(c_custkey AS VARCHAR)), 1, 4)"
+        " AS pos4 FROM dim"
+        for i in range(BLOOM_HASHES)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT o_custkey, {i} AS hash_id,"
+        f" SUBSTR(MD5('b{i}|' || CAST(o_custkey AS VARCHAR)), 1, 4)"
+        " AS pos4 FROM fact_keys"
+        for i in range(BLOOM_HASHES)
+    )
+    return f"""
+    WITH dim AS (
+        SELECT DISTINCT c_custkey FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0
+    ),
+    fact_keys AS (SELECT DISTINCT o_custkey FROM orders),
+    dim4 AS ({dim_pos}),
+    probe4 AS ({probe_pos}),
+    hh AS (SELECT h FROM (VALUES {hs}) AS t(h)),
+    bits AS (
+        SELECT DISTINCT hh.h, d.hash_id, SUBSTR(d.pos4, 1, hh.h) AS pos
+        FROM dim4 d CROSS JOIN hh
+    ),
+    hits AS (
+        SELECT p.o_custkey, hh.h
+        FROM probe4 p
+        CROSS JOIN hh
+        JOIN bits b ON b.h = hh.h AND b.hash_id = p.hash_id
+                   AND b.pos = SUBSTR(p.pos4, 1, hh.h)
+        GROUP BY p.o_custkey, hh.h
+        HAVING COUNT(*) = {BLOOM_HASHES}
+    ),
+    match_keys AS (
+        SELECT o_custkey FROM fact_keys
+        WHERE o_custkey IN (SELECT c_custkey FROM dim)
+    ),
+    per_h AS (
+        SELECT h.h,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bits b
+                 WHERE b.h = h.h) AS n_filter_entries,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM hits t
+                 WHERE t.h = h.h) AS n_pass_keys,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM hits t
+                 WHERE t.h = h.h
+                   AND t.o_custkey NOT IN
+                       (SELECT o_custkey FROM match_keys)) AS n_false_pos,
+               (SELECT COUNT(*) FROM match_keys m
+                 WHERE m.o_custkey NOT IN
+                       (SELECT o_custkey FROM hits t WHERE t.h = h.h)) = 0
+                   AS zero_false_neg
+        FROM hh h
+    )
+    SELECT CAST(h AS BIGINT) AS hex_chars,
+           CAST(POWER(16, h) AS BIGINT) AS m_buckets,
+           n_filter_entries, n_pass_keys, n_false_pos,
+           CAST(n_false_pos * 1000000 // GREATEST(
+               (SELECT COUNT(*) FROM fact_keys)
+               - (SELECT COUNT(*) FROM match_keys), 1) AS BIGINT)
+               AS fp_ppm,
+           zero_false_neg
+    FROM per_h
+    ORDER BY hex_chars
+    """
+
+
+@register(
+    "j_bloom_fpr_sweep",
+    oracle=_bloom_sweep_oracle(),
+    survey_ids=("J5", "J6", "P6", "A1"),
+)
+def j_bloom_fpr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom prejoin's tuning curve: measured false-positive rate
+    vs filter size (m = 16^h buckets per hash for h hex chars of the
+    md5 position — 256 / 4096 / 65536), on the SAME dim/fact key sets
+    `j_bloom_prejoin_prune` serves at its fixed 4096. Sizing a scan-
+    side filter is bits-per-key vs wasted-shuffle-rows — the knob a
+    100 TB fact join pins with a measured curve, not the asymptotic
+    (1-e^(-kn/m))^k formula. One md5 pass: h-char positions are
+    PREFIXES of the 4-char position (SUBSTR prefix property), so the
+    sweep derives every width from one hashed relation — never one
+    hash pass per width. Zero-false-negatives holds at every width by
+    construction (a Bloom filter can only over-admit); pinned per row
+    and by pytest, with monotone FPR decay as m grows."""
+    from .skew import BLOOM_HASHES
+
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    dim = (
+        cust.filter(
+            (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 0)
+        )
+        .select("c_custkey")
+        .distinct()
+    )
+    fact_keys = orders.select("o_custkey").distinct()
+
+    def pos4(col: str, src: DataFrame, out: str) -> DataFrame:
+        structs = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("hash_id"),
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"b{i}|"), F.col(col).cast("string")
+                            )
+                        ),
+                        1,
+                        4,
+                    ).alias("pos4"),
+                )
+                for i in range(BLOOM_HASHES)
+            ]
+        )
+        return src.select(
+            F.col(col).alias(out), F.explode(structs).alias("p")
+        ).select(out, "p.hash_id", "p.pos4")
+
+    hh = spark.createDataFrame([(h,) for h in BLOOM_SWEEP_HEX], "h long")
+    bits = (
+        pos4("c_custkey", dim, "k")
+        .crossJoin(F.broadcast(hh))
+        .select("h", "hash_id", F.expr("substr(pos4, 1, h)").alias("pos"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    probes = (
+        pos4("o_custkey", fact_keys, "o_custkey")
+        .crossJoin(F.broadcast(hh))
+        .select(
+            "o_custkey",
+            "h",
+            "hash_id",
+            F.expr("substr(pos4, 1, h)").alias("pos"),
+        )
+    )
+    hits = (
+        probes.join(bits, ["h", "hash_id", "pos"])
+        .groupBy("o_custkey", "h")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+        .filter(F.col("k_hit") == BLOOM_HASHES)
+        .select("o_custkey", "h")
+        .localCheckpoint(eager=True)
+    )
+    match_keys = fact_keys.join(
+        dim.withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey",
+        "left_semi",
+    ).localCheckpoint(eager=True)
+    fp = hits.join(match_keys, "o_custkey", "left_anti")
+    missed = (
+        match_keys.crossJoin(F.broadcast(hh))
+        .join(hits, ["o_custkey", "h"], "left_anti")
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_missed"))
+    )
+    n_fact = fact_keys.count()
+    n_match = match_keys.count()
+    per_h = (
+        hh.join(
+            bits.groupBy("h").agg(
+                F.count(F.lit(1)).cast("long").alias("n_filter_entries")
+            ),
+            "h",
+        )
+        .join(
+            hits.groupBy("h").agg(
+                F.count(F.lit(1)).cast("long").alias("n_pass_keys")
+            ),
+            "h",
+        )
+        .join(
+            fp.groupBy("h").agg(
+                F.count(F.lit(1)).cast("long").alias("n_false_pos")
+            ),
+            "h",
+            "left",
+        )
+        .join(missed, "h", "left")
+    )
+    denom = max(n_fact - n_match, 1)
+    return per_h.select(
+        F.col("h").alias("hex_chars"),
+        F.expr("CAST(POWER(16, h) AS BIGINT)").alias("m_buckets"),
+        "n_filter_entries",
+        "n_pass_keys",
+        F.coalesce(F.col("n_false_pos"), F.lit(0))
+        .cast("long")
+        .alias("n_false_pos"),
+        F.expr(f"coalesce(n_false_pos, 0) * 1000000 div {denom}")
+        .cast("long")
+        .alias("fp_ppm"),
+        F.col("n_missed").isNull().alias("zero_false_neg"),
+    ).orderBy("hex_chars")

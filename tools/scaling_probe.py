@@ -185,6 +185,9 @@ QUERIES = [
     # unigram vocab sweep: word-type-bounded like the trainer
     # (expect ~flat past the word count).
     "x4_unigram_vocab_sweep",
+    # bloom FPR sweep: key-type relations hashed once, width prefixes
+    # derived (expect ~linear in distinct keys).
+    "j_bloom_fpr_sweep",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -220,6 +223,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x4_doremi_weight_step",
         "x3_ivf_staleness_audit",
         "x4_unigram_vocab_sweep",
+        "j_bloom_fpr_sweep",
     ],
 }
 
