@@ -328,3 +328,48 @@ def test_bloom_fpr_sweep_monotone_and_sound(spark):
     assert widest["n_filter_entries"] <= BLOOM_HASHES * (
         widest["n_pass_keys"] - widest["n_false_pos"] + 10**9
     )  # structurally bounded; exact bound pinned by the oracle counts
+
+
+def test_cdc_randomized_against_python_fold(spark):
+    """Bulk randomized differential test: 300 independently random
+    CDC logs (random op sequences, shuffled delivery order, duplicate
+    deliveries, ts ties broken by seq) validated in ONE Spark job —
+    each case lives in its own user_id namespace — against a plain
+    Python latest-op-wins fold."""
+    import random
+
+    rng = random.Random(0xCDC11)
+    rows = []
+    expected: dict[int, tuple] = {}
+    for case in range(300):
+        base = case * 1000
+        n_keys = rng.randint(1, 3)
+        for k in range(n_keys):
+            uid = base + k
+            n_ops = rng.randint(1, 8)
+            log = []
+            for seq in range(n_ops):
+                op = rng.choice("IUD")
+                ts_s = rng.randint(0, 5)  # deliberate ts collisions
+                log.append((uid, case * 10_000 + k * 100 + seq,
+                            ts_s, op, rng.randint(0, 999)))
+            # python fold: latest by (ts, seq/event_id)
+            last = max(log, key=lambda r: (r[2], r[1]))
+            n_tomb = len({r[1] for r in log if r[3] == "D"})
+            if last[3] != "D":
+                expected[uid] = (last[3], last[4], len(log), n_tomb)
+            # at-least-once: re-deliver a random subset
+            dup = [r for r in log if rng.random() < 0.4]
+            rows.extend(log + dup)
+    rng.shuffle(rows)  # arrival order is not log order
+    df = _log(spark, rows)
+    got = {
+        r["user_id"]: (
+            r["last_op"],
+            r["last_value_cents"],
+            r["n_ops"],
+            r["n_tombstones"],
+        )
+        for r in cdc_snapshot(df).collect()
+    }
+    assert got == expected
