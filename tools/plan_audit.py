@@ -765,6 +765,9 @@ EXPECTATIONS: dict[str, dict] = {
     # bloom FPR sweep: one hashed relation, width-prefix explode,
     # keyed hit rollups + small left joins on h
     "j_bloom_fpr_sweep": {"max_exchanges": 6, "min_broadcast": 2},
+    # minhash k sweep: the estimate-error pair build (candidate-
+    # restricted exact tier) + one stacked rollup
+    "x2_minhash_k_sweep": {"max_exchanges": 9, "min_broadcast": 4},
     # k-means behind kmeans_model's checkpoints; per-config candidate
     # restriction + top-10 + hit join are all broadcast-side
     "x3_ivf_nprobe_recall_sweep": {"max_exchanges": 4, "min_broadcast": 8},

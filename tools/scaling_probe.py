@@ -198,6 +198,12 @@ QUERIES = [
 #: the OUTPUT relation itself inflate quadratically, the timing
 #: measures output size the data demands, not a plan regression).
 PROBE_EXCLUDED = {
+    "x2_minhash_k_sweep": (
+        "synth replica texts collide in minhash signatures, so the LSH"
+        " candidate-pair relation the error sweep aggregates over"
+        " inflates ~quadratically — the probe would measure output"
+        " size the data shape demands, not the estimator"
+    ),
     "x2_lsh_band_tuning_curve": (
         "synth replica texts differ only in a prefix token, so minhash"
         " signatures collide across replicas and the candidate-pair"
@@ -224,6 +230,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x3_ivf_staleness_audit",
         "x4_unigram_vocab_sweep",
         "j_bloom_fpr_sweep",
+        "x2_minhash_k_sweep",
     ],
 }
 
