@@ -91,6 +91,7 @@ _REWRITTEN_SINCE_GREEN = (
     "x4_item_item_recs",  # r11: anchor pushdown below the self-join
     "g_sssp_weighted",  # r11: basket hub-cap in the edge build
     "x3_vector_norm_audit",  # r11: empty-array NULL contract
+    "x4_trigram_langid_confusion",  # r11: (doc,tri,cnt) pre-collapse
 )
 
 
