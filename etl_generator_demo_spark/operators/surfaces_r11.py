@@ -1383,3 +1383,140 @@ def x2_minhash_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# query-likelihood retrieval (Dirichlet smoothing)
+# ---------------------------------------------------------------------------
+
+#: Dirichlet pseudo-count. The textbook 2000 assumes ~500-token web
+#: docs; fixture docs average ~45 tokens, so mu is set near avgdl
+#: (the standard mu ~ avgdl rule) to keep the smoothing meaningful.
+QL_MU = 50
+
+
+def _ql_oracle() -> str:
+    from .retrieval import BM25_QUERY_TERMS, BM25_TOP_K
+
+    terms = " UNION ALL ".join(
+        f"SELECT '{x}' AS term" for x in BM25_QUERY_TERMS
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok
+        GROUP BY doc_id
+    ),
+    coll AS (SELECT CAST(COUNT(*) AS BIGINT) AS c_len FROM tok),
+    q AS ({terms}),
+    ctf AS (
+        SELECT q.term, CAST(COUNT(tok.term) AS BIGINT) AS ctf
+        FROM q LEFT JOIN tok ON tok.term = q.term GROUP BY q.term
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok JOIN q USING (term) GROUP BY doc_id, term
+    ),
+    scored AS (
+        SELECT d.doc_id, c.term,
+               COALESCE(t.tf, 0) AS tf,
+               CAST(FLOOR(LN(
+                   (COALESCE(t.tf, 0)
+                    + {QL_MU} * (c.ctf * 1.0 / cl.c_len))
+                   / (d.dl + {QL_MU})
+               ) * 1000000) AS BIGINT) AS term_lp_e6
+        FROM dl d
+        CROSS JOIN ctf c
+        CROSS JOIN coll cl
+        LEFT JOIN tf t ON t.doc_id = d.doc_id AND t.term = c.term
+    )
+    SELECT doc_id,
+           CAST(SUM(term_lp_e6) AS BIGINT) AS ql_e6,
+           CAST(COUNT(*) FILTER (WHERE tf > 0) AS BIGINT) AS n_terms_hit
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY ql_e6 DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """
+
+
+@register(
+    "x4_query_likelihood_topk",
+    oracle=_ql_oracle(),
+    survey_ids=("X4", "A1", "F6", "O4"),
+)
+def x4_query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Ponte &
+    Croft / Zhai & Lafferty): score(d) = Σ_t ln((tf + μ·p(t|C)) /
+    (dl + μ)) over the same fixed query `x4_bm25_topk` serves —
+    completing the classic lexical trio (BM25, QL-Dirichlet, TF-IDF)
+    that feeds rank fusion. The structural difference from BM25: EVERY
+    query term scores every document (a zero-tf term still contributes
+    its smoothed collection probability), so the score relation is the
+    doc-length relation × a 3-row broadcast query — never a corpus
+    fan-out; tf joins in where it exists. Per-term log-probs floor to
+    e6 integers BEFORE the per-doc sum (order-free; the ln-floor
+    discipline). Top-k compiles to TakeOrderedAndProject."""
+    from .retrieval import BM25_QUERY_TERMS, BM25_TOP_K
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    dl = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    coll = tok.agg(F.count(F.lit(1)).cast("long").alias("c_len"))
+    qterms = spark.createDataFrame(
+        [(x,) for x in BM25_QUERY_TERMS], "term string"
+    )
+    ctf = (
+        qterms.join(tok, "term", "left")
+        .groupBy("term")
+        .agg(F.count("doc_id").cast("long").alias("ctf"))
+    )
+    tf = (
+        tok.join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    scored = (
+        dl.crossJoin(F.broadcast(ctf))
+        .crossJoin(F.broadcast(coll))
+        .join(tf, ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("tf"), F.lit(0)).alias("tf"),
+            F.floor(
+                F.log(
+                    (
+                        F.coalesce(F.col("tf"), F.lit(0))
+                        + QL_MU
+                        * (
+                            F.col("ctf")
+                            * F.lit(1.0)
+                            / F.col("c_len")
+                        )
+                    )
+                    / (F.col("dl") + QL_MU)
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("term_lp_e6"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("term_lp_e6").cast("long").alias("ql_e6"),
+            F.count(F.when(F.col("tf") > 0, 1))
+            .cast("long")
+            .alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("ql_e6"), "doc_id")
+        .limit(BM25_TOP_K)
+    )

@@ -768,6 +768,10 @@ EXPECTATIONS: dict[str, dict] = {
     # minhash k sweep: the estimate-error pair build (candidate-
     # restricted exact tier) + one stacked rollup
     "x2_minhash_k_sweep": {"max_exchanges": 9, "min_broadcast": 4},
+    # QL-Dirichlet: dl rollup + broadcast query stats + tf left join,
+    # TakeOrderedAndProject top-k
+    "x4_query_likelihood_topk": {"max_exchanges": 4, "min_broadcast": 3,
+                                 "take_ordered": True},
     # k-means behind kmeans_model's checkpoints; per-config candidate
     # restriction + top-10 + hit join are all broadcast-side
     "x3_ivf_nprobe_recall_sweep": {"max_exchanges": 4, "min_broadcast": 8},

@@ -188,6 +188,9 @@ QUERIES = [
     # bloom FPR sweep: key-type relations hashed once, width prefixes
     # derived (expect ~linear in distinct keys).
     "j_bloom_fpr_sweep",
+    # QL-Dirichlet: doc-length relation x 3-term broadcast (expect
+    # ~linear in the token scan).
+    "x4_query_likelihood_topk",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -231,6 +234,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x4_unigram_vocab_sweep",
         "j_bloom_fpr_sweep",
         "x2_minhash_k_sweep",
+        "x4_query_likelihood_topk",
     ],
 }
 
