@@ -1520,3 +1520,99 @@ def x4_query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ql_e6"), "doc_id")
         .limit(BM25_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# l-diversity audit (the k-anonymity ladder's sensitive-attribute side)
+# ---------------------------------------------------------------------------
+
+#: Minimum distinct sensitive values a released class must carry.
+L_DIV = 3
+#: Disclosure-risk ceiling: the most common sensitive value may not
+#: exceed this share of the class (e6).
+L_DIV_PMAX_E6 = 800_000
+
+
+def _l_diversity_oracle() -> str:
+    return f"""
+    WITH ev AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(FLOOR(value / 10) AS BIGINT) AS value_bucket,
+               event_type
+        FROM events
+    ),
+    per_sens AS (
+        SELECT day, value_bucket, event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ev GROUP BY day, value_bucket, event_type
+    ),
+    per_class AS (
+        SELECT day, value_bucket,
+               CAST(SUM(cnt) AS BIGINT) AS class_size,
+               CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        FROM per_sens GROUP BY day, value_bucket
+    )
+    SELECT day, value_bucket, class_size, n_sensitive,
+           CAST(max_cnt * 1000000 // class_size AS BIGINT) AS p_max_e6,
+           CASE WHEN n_sensitive = 1 THEN 'homogeneous'
+                WHEN n_sensitive < {L_DIV} THEN 'low_l'
+                ELSE 'skewed' END AS risk
+    FROM per_class
+    WHERE n_sensitive < {L_DIV}
+       OR max_cnt * 1000000 // class_size > {L_DIV_PMAX_E6}
+    ORDER BY day, value_bucket
+    """
+
+
+@register(
+    "x4_l_diversity_audit",
+    oracle=_l_diversity_oracle(),
+    survey_ids=("A1", "A4", "F7", "X4"),
+)
+def x4_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release gate — the sensitive-attribute side of the
+    privacy pair (`x4_k_anonymity_ladder` bounds CLASS SIZE; a class
+    can be k-anonymous yet still leak when everyone in it shares the
+    sensitive value — Machanavajjhala et al. 2007). Quasi-identifier
+    classes are (event day, value decile); the sensitive attribute is
+    event_type. Flag classes that are homogeneous (l = 1), below
+    l = {L_DIV} distinct values, or dominated by one value above an
+    80% disclosure-risk ceiling (p_max, the attack success rate).
+    Exactness: p_max is an integer rational of class counts. Shape:
+    one map-combined rollup to (class, sensitive) then a class-keyed
+    reduce — both shuffles move class counts, never events (the
+    k-anonymity ladder's boundedness argument)."""
+    ev = t(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").cast("date").alias("day"),
+        F.floor(F.col("value") / 10).cast("long").alias("value_bucket"),
+        "event_type",
+    )
+    per_sens = ev.groupBy("day", "value_bucket", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    per_class = per_sens.groupBy("day", "value_bucket").agg(
+        F.sum("cnt").cast("long").alias("class_size"),
+        F.count(F.lit(1)).cast("long").alias("n_sensitive"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    return (
+        per_class.select(
+            "day",
+            "value_bucket",
+            "class_size",
+            "n_sensitive",
+            F.expr("max_cnt * 1000000 div class_size")
+            .cast("long")
+            .alias("p_max_e6"),
+            F.when(F.col("n_sensitive") == 1, "homogeneous")
+            .when(F.col("n_sensitive") < L_DIV, "low_l")
+            .otherwise("skewed")
+            .alias("risk"),
+        )
+        .filter(
+            (F.col("n_sensitive") < L_DIV)
+            | (F.col("p_max_e6") > L_DIV_PMAX_E6)
+        )
+        .orderBy("day", "value_bucket")
+    )

@@ -450,3 +450,36 @@ def test_query_likelihood_closed_form(spark):
     ]
     assert got == want[:BM25_TOP_K]
     assert all(s < 0 for _, s, _ in got)
+
+
+def test_l_diversity_flags_planted_homogeneous_class(spark, tmp_path):
+    """Planted leak: a QI class where every member shares the
+    sensitive value must be flagged 'homogeneous' even though it is
+    k-anonymous by size; a balanced class must not be flagged."""
+    from datetime import datetime
+
+    from etl_generator_demo_spark.operators.surfaces_r11 import (
+        x4_l_diversity_audit,
+    )
+
+    rows = (
+        # class (2024-01-01, bucket 0): 10 members, ALL 'error' -> leak
+        [(i, datetime(2024, 1, 1), 100 + i, "error", 5.0, "{}")
+         for i in range(10)]
+        # class (2024-01-02, bucket 0): 9 members, 3 types -> clean
+        + [(100 + i, datetime(2024, 1, 2), 200 + i,
+            ["click", "view", "purchase"][i % 3], 5.0, "{}")
+           for i in range(9)]
+    )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = x4_l_diversity_audit(spark, str(tmp_path)).collect()
+    flagged = {(str(r["day"]), r["risk"]) for r in out}
+    assert ("2024-01-01", "homogeneous") in flagged
+    assert all(str(r["day"]) != "2024-01-02" for r in out)
+    leak = next(r for r in out if str(r["day"]) == "2024-01-01")
+    assert leak["p_max_e6"] == 1_000_000 and leak["n_sensitive"] == 1

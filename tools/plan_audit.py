@@ -772,6 +772,8 @@ EXPECTATIONS: dict[str, dict] = {
     # TakeOrderedAndProject top-k
     "x4_query_likelihood_topk": {"max_exchanges": 4, "min_broadcast": 3,
                                  "take_ordered": True},
+    # l-diversity: two class-keyed rollups, never event-keyed
+    "x4_l_diversity_audit": {"max_exchanges": 3},
     # k-means behind kmeans_model's checkpoints; per-config candidate
     # restriction + top-10 + hit join are all broadcast-side
     "x3_ivf_nprobe_recall_sweep": {"max_exchanges": 4, "min_broadcast": 8},

@@ -191,6 +191,9 @@ QUERIES = [
     # QL-Dirichlet: doc-length relation x 3-term broadcast (expect
     # ~linear in the token scan).
     "x4_query_likelihood_topk",
+    # l-diversity: class-bounded rollups over the event scan (expect
+    # ~linear).
+    "x4_l_diversity_audit",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -235,6 +238,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "j_bloom_fpr_sweep",
         "x2_minhash_k_sweep",
         "x4_query_likelihood_topk",
+        "x4_l_diversity_audit",
     ],
 }
 
