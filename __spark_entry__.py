@@ -85,13 +85,9 @@ _R4_MARQUEE = (
 #: driver's 50-slot sample just below never-green queries — a green
 #: row for code that has since changed is not a regression guard.
 _REWRITTEN_SINCE_GREEN = (
-    "x4_theil_sen_trend",  # robust_r8 empty-case contract fix (r10)
-    "x4_markov_attribution",  # stats_r8 non-positive-total NULL (r10)
-    "x4_poisson_bootstrap_ci",  # surfaces_r9 version-stable cast (r10)
-    "x4_item_item_recs",  # r11: anchor pushdown below the self-join
-    "g_sssp_weighted",  # r11: basket hub-cap in the edge build
-    "x3_vector_norm_audit",  # r11: empty-array NULL contract
-    "x4_trigram_langid_confusion",  # r11: (doc,tri,cnt) pre-collapse
+    # all 7 r10/r11 rewrites re-greened in CORRECTNESS_r11 — cleared.
+    "x4_labeler_agreement_kappa",  # r12: NULLIF degenerate-matrix pin
+    "x4_query_likelihood_topk",  # r12: OOV ctf=0 filter both engines
 )
 
 
@@ -103,9 +99,10 @@ def _driver_priority_order(reg) -> list[str]:
     were rank-0 entries in prefix order — so this ordering fully
     determines which queries earn driver rows each round:
 
-    0. previously SAMPLED-BUT-RED queries (a red row and no green row
-       in any ``CORRECTNESS_r*.json``) — clearing the record's only
-       failures outranks everything;
+    0. previously SAMPLED-BUT-RED queries (the LATEST driver row in
+       ``CORRECTNESS_r*.json`` round order is red — including a
+       post-rewrite red for a rewritten-since-green entry) — clearing
+       the record's failures outranks everything;
     1. the r03 never-sampled backlog (fixed list above);
     2. the round-4 marquee list (one per new operator family);
     3. other never-green oracle-backed queries, registration order
@@ -125,20 +122,23 @@ def _driver_priority_order(reg) -> list[str]:
     import json
     import os
 
-    seen_green: set[str] = set()
-    seen_red: set[str] = set()
+    # Latest driver verdict per query (files sort in round order for
+    # r01..r99; later rows overwrite). Using the LATEST row — not
+    # ever-green/ever-red sets — means a _REWRITTEN_SINCE_GREEN query
+    # whose post-rewrite sample came back RED ranks 0 (red-first), as
+    # the tier docstring promises; the r11 advice caught the old
+    # set-difference masking exactly that case.
+    latest: dict[str, bool] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
                 for name, row in json.load(fh).items():
-                    if row.get("rows_match") and row.get("hash_match"):
-                        seen_green.add(name)
-                    else:
-                        seen_red.add(name)
+                    latest[name] = bool(
+                        row.get("rows_match") and row.get("hash_match")
+                    )
         except (OSError, ValueError):
             continue
-    seen_red -= seen_green
     backlog = {n: i for i, n in enumerate(_R3_BACKLOG)}
     marquee = {n: i for i, n in enumerate(_R4_MARQUEE)}
     rewritten = {n: i for i, n in enumerate(_REWRITTEN_SINCE_GREEN)}
@@ -147,14 +147,16 @@ def _driver_priority_order(reg) -> list[str]:
     def rank(name):
         if reg[name].oracle is None:
             return (6, 0)
-        if name in rewritten:
-            # checked before seen_green: these ARE green, but for a
-            # spelling that has since been rewritten
-            return (4, rewritten[name])
-        if name in seen_green:
-            return (5, 0)
-        if name in seen_red:
+        if latest.get(name) is False:
+            # newest driver row is RED — including a post-rewrite red
+            # for a _REWRITTEN_SINCE_GREEN entry; failures first
             return (0, 0)
+        if name in rewritten:
+            # latest row is green, but for a spelling that has since
+            # been rewritten — re-enter the sample below fresh reds
+            return (4, rewritten[name])
+        if name in latest:
+            return (5, 0)  # newest row green, code unchanged
         if name in backlog:
             return (1, backlog[name])
         if name in marquee:

@@ -467,7 +467,7 @@ def _kappa_oracle() -> str:
            CAST(t.agree * 1000000 // t.n AS BIGINT) AS po_e6,
            CAST(ch.s * 1000000 // (t.n * t.n) AS BIGINT) AS pe_e6,
            CAST((t.n * t.agree - ch.s) * 1000000
-                // (t.n * t.n - ch.s) AS BIGINT) AS kappa_e6
+                // NULLIF(t.n * t.n - ch.s, 0) AS BIGINT) AS kappa_e6
     FROM totals t CROSS JOIN chance ch
     """
 
@@ -489,7 +489,9 @@ def x4_labeler_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; n ≤ ~10^6 keeps n²·10^6 inside int64 — per-shard kappa
     merge is the >10^6-doc path since confusion matrices sum). Builds
     on the registered confusion relation (one extra |labels|-bounded
-    rollup)."""
+    rollup). NULLIF(n² − Σ rᵢcᵢ, 0) on BOTH engines pins the
+    degenerate single-class matrix (s = n², kappa undefined) to NULL
+    instead of a DuckDB divide-by-zero vs Spark-NULL divergence."""
     from .textops import x4_trigram_langid_confusion
 
     # |langs|^2-bounded: pin it so the three rollups (totals, row
@@ -527,7 +529,7 @@ def x4_labeler_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("agree * 1000000 div n").cast("long").alias("po_e6"),
             F.expr("s * 1000000 div (n * n)").cast("long").alias("pe_e6"),
             F.expr(
-                "(n * agree - s) * 1000000 div (n * n - s)"
+                "(n * agree - s) * 1000000 div nullif(n * n - s, 0)"
             )
             .cast("long")
             .alias("kappa_e6"),
@@ -1432,6 +1434,7 @@ def _ql_oracle() -> str:
         CROSS JOIN ctf c
         CROSS JOIN coll cl
         LEFT JOIN tf t ON t.doc_id = d.doc_id AND t.term = c.term
+        WHERE c.ctf > 0
     )
     SELECT doc_id,
            CAST(SUM(term_lp_e6) AS BIGINT) AS ql_e6,
@@ -1483,8 +1486,14 @@ def x4_query_likelihood_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    # OOV guard: a query term absent from the whole collection has
+    # p(t|C) = 0, so its smoothed log-prob is ln(0) — DuckDB raises,
+    # Spark's F.log yields NULL and silently drops the term from the
+    # sum. Both engines filter ctf=0 terms identically (the standard
+    # drop-OOV-terms convention), so the score relation stays a
+    # deterministic doc x in-vocabulary-term lattice.
     scored = (
-        dl.crossJoin(F.broadcast(ctf))
+        dl.crossJoin(F.broadcast(ctf.filter(F.col("ctf") > 0)))
         .crossJoin(F.broadcast(coll))
         .join(tf, ["doc_id", "term"], "left")
         .select(
