@@ -218,6 +218,25 @@ PROBE_EXCLUDED = {
     ),
 }
 
+#: Queries whose result cardinality is Θ(input rows): timing them via
+#: ``collect()`` measures single-threaded driver materialization (rows
+#: → Python objects, ~5 µs/row) — the one step a 1000-executor cluster
+#: never does (the sink is a distributed write). These are timed with
+#: the distributed noop sink instead, so the probe row measures the
+#: PLAN (scan → shuffle → agg → sort), which is what the probe's
+#: linearity claim is about. Measured for st_session_windows at r12
+#: (SCALE.md "session-window slope"): collect-full 0.86/1.30/6.05 s vs
+#: noop-full 0.56/0.67/0.96 s over 1x/10x/100x — the r11 6.3x "slope"
+#: was 5.09 s of driver row materialization for 954,650 session rows
+#: on top of a ~flat 0.96 s distributed plan.
+NOOP_SINK = {
+    "st_session_windows": (
+        "one output row per session (sessions/events ~ 0.95 on the"
+        " fixture): collect() is linear driver materialization, not"
+        " the plan"
+    ),
+}
+
 #: Names registered per round, for the completeness pin (git history
 #: is not importable from tests; maintained by hand like the doc
 #: counts). Grow the newest round's list with every registration.
@@ -332,7 +351,11 @@ def main() -> None:
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                fn(spark, path).collect()
+                df = fn(spark, path)
+                if name in NOOP_SINK:
+                    df.write.format("noop").mode("overwrite").save()
+                else:
+                    df.collect()
                 best = min(best, time.time() - t0)
             results[name][tier] = round(best, 2)
             print(f"  {name} @{tier}: {best:.2f}s", file=sys.stderr)
