@@ -1,0 +1,954 @@
+"""Round-12 surfaces: the ExactSubstr removal→rematerialize pipeline,
+DSIR importance resampling, corpus-law fits (Zipf / Heaps), the
+t-closeness privacy audit, and the Matryoshka prefix-dim recall sweep.
+
+Reference parity: the reference (HYUNJOON94/etl-generator-demo)
+delegates all execution to PostgreSQL/MySQL behind an LLM
+(db_connector.py:207-257) and has no corpus operators; this module is
+part of the LLM-training-pipeline surface the brief requires as
+first-class (SURVEY.md §2.12).
+
+Fixed-point discipline (SCALE.md): ln appears only as
+floor(SCALE·ln(x)) with the argument spelled identically in both
+engines; everything else is int64 arithmetic, with `div`/`//`
+truncating identically in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .dedup_substr import _DUCK_KGRAMS, _kgrams, SPAN_K
+from .relational import t
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr dedup, the REMATERIALIZE step (r11 verdict item 2)
+# ---------------------------------------------------------------------------
+
+def removed_positions(kg: DataFrame) -> DataFrame:
+    """(doc_id, pos) for every token position the keep-first ExactSubstr
+    policy deletes: each cross-doc duplicated K-gram hash is owned by
+    its minimum doc_id; all K positions of every non-owner occurrence
+    are removed (`x2_dup_span_removal` counts these; here the explicit
+    position SET feeds the rebuild). Linear: ≤ K rows per removal
+    start, keyed h then doc_id."""
+    own = (
+        kg.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "owner")
+    )
+    starts = (
+        kg.join(own, "h")
+        .filter(F.col("doc_id") != F.col("owner"))
+        .select("doc_id", "pos")
+    )
+    return starts.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_K - 1))
+        ).alias("pos"),
+    ).distinct()
+
+
+def rematerialized_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, tk) of the corpus AFTER removal — original token
+    positions, removed ones anti-joined away. The shared head of both
+    rematerialize queries."""
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tk")
+    )
+    rp = removed_positions(_kgrams(docs))
+    return tok.join(rp, ["doc_id", "pos"], "left_anti")
+
+
+#: Shared oracle CTE chain: kept = post-removal (doc_id, pos, tk).
+_DUCK_KEPT = f"""
+    {_DUCK_KGRAMS},
+    own AS (
+        SELECT h, MIN(doc_id) AS owner
+        FROM kg GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    rs AS (
+        SELECT kg.doc_id, kg.pos
+        FROM kg JOIN own USING (h)
+        WHERE kg.doc_id <> own.owner
+    ),
+    rp AS (
+        SELECT DISTINCT rs.doc_id, rs.pos + g.g AS pos
+        FROM rs CROSS JOIN generate_series(0, {SPAN_K - 1}) AS g(g)
+    ),
+    kept AS (
+        SELECT tok.doc_id, tok.pos, tok.tk
+        FROM tok ANTI JOIN rp ON rp.doc_id = tok.doc_id AND rp.pos = tok.pos
+    )
+"""
+
+
+@register(
+    "x2_removal_rematerialize",
+    oracle=f"""
+    WITH {_DUCK_KEPT},
+    ka AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_kept_tokens,
+               STRING_AGG(tk, ' ' ORDER BY pos) AS kept_text
+        FROM kept GROUP BY doc_id
+    ),
+    nt AS (
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT nt.doc_id, nt.n_tokens,
+           COALESCE(ka.n_kept_tokens, 0) AS n_kept_tokens,
+           ka.kept_text
+    FROM nt LEFT JOIN ka USING (doc_id)
+    ORDER BY nt.doc_id
+    """,
+    survey_ids=("X2", "J5", "A1", "F6"),
+)
+def x2_removal_rematerialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup APPLY → REBUILD: the re-materialized corpus a
+    training pipeline actually writes out (Lee et al. 2022 cut the
+    duplicated spans, then re-join what survives). Per document: the
+    original token count, the post-removal count, and the rebuilt text
+    (kept tokens re-joined in original order; NULL when removal
+    consumed the whole document — the caller's drop signal).
+
+    Composes `x2_dup_span_removal`'s keep-first policy with the
+    rebuild: removed POSITIONS are the K-expansion of every non-owner
+    occurrence start, materialized once (≤ K rows per start, distinct)
+    and anti-joined against the token relation — all stages keyed
+    (h, then doc_id) and linear in corpus tokens. The rebuild itself
+    is one per-doc sort inside groupBy (array_sort over collected
+    (pos, tk) structs — partition-order free), so the output is a
+    deterministic function of the corpus under any partitioning.
+    The boundary audit (`x2_rematerialize_boundary_audit`) proves the
+    removal is complete on this exact rebuilt relation."""
+    docs = t(spark, sf_dir, "documents")
+    kept = rematerialized_tokens(docs)
+    ka = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tk"))),
+                lambda s: s["tk"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    nt = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return (
+        nt.join(ka, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_kept_tokens", F.lit(0)).cast("long").alias(
+                "n_kept_tokens"
+            ),
+            "kept_text",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _rema_gram_tail(k: int) -> str:
+    """Oracle tail: K-grams over the REBUILT corpus with the original
+    positional span of each gram window carried along."""
+    leads = "".join(f"|| '_' || LEAD(tk, {i}) OVER w " for i in range(1, k))
+    return f"""
+    kept2 AS (
+        SELECT doc_id, pos AS opos, tk,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS np
+        FROM kept
+    ),
+    rg0 AS (
+        SELECT doc_id,
+               MD5(tk {leads}) AS h2,
+               LEAD(opos, {k - 1}) OVER w - opos AS ospan
+        FROM kept2 WINDOW w AS (PARTITION BY doc_id ORDER BY np)
+    ),
+    rg AS (SELECT doc_id, h2, ospan FROM rg0 WHERE h2 IS NOT NULL),
+    dup AS (
+        SELECT h2,
+               MAX(CASE WHEN ospan > {k - 1} THEN 1 ELSE 0 END) AS any_boundary
+        FROM rg GROUP BY h2 HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    """
+
+
+@register(
+    "x2_rematerialize_boundary_audit",
+    oracle=f"""
+    WITH {_DUCK_KEPT},
+    {_rema_gram_tail(SPAN_K).strip().rstrip()}
+    ,
+    cut AS (SELECT COUNT(DISTINCT doc_id) AS n_docs_cut FROM rp),
+    tot AS (
+        SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens_total
+        FROM tok
+    ),
+    kt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept_total FROM kept),
+    dd AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS residual_dup_hashes,
+               CAST(COALESCE(SUM(any_boundary), 0) AS BIGINT)
+                   AS boundary_dup_hashes
+        FROM dup
+    )
+    SELECT tot.n_docs, CAST(cut.n_docs_cut AS BIGINT) AS n_docs_cut,
+           tot.n_tokens_total, kt.n_kept_total,
+           dd.residual_dup_hashes, dd.boundary_dup_hashes,
+           dd.residual_dup_hashes - dd.boundary_dup_hashes
+               AS intact_dup_hashes
+    FROM tot CROSS JOIN cut CROSS JOIN kt CROSS JOIN dd
+    """,
+    survey_ids=("X2", "A2", "W3"),
+)
+def x2_rematerialize_boundary_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cut-boundary invariant of the rematerialized corpus — the PROOF
+    that the removal pass did its job. Re-runs K-gram extraction over
+    the REBUILT corpus and classifies every residual cross-doc
+    duplicated gram by its ORIGINAL positional span: a gram whose K
+    kept tokens were originally adjacent (span K-1) is an "intact"
+    survivor; a wider span means the gram straddles a cut (tokens made
+    adjacent by deletion — a boundary artifact, expected and benign).
+
+    Invariant: ``intact_dup_hashes = 0``. Proof sketch: an intact
+    residual gram is an ORIGINAL gram with all K positions kept; every
+    non-owner occurrence of a cross-doc duplicated hash has all K
+    positions removed by construction, so a hash can survive intact in
+    at most its one owner doc — never in two. Residual cross-doc dups
+    can therefore only involve a boundary gram. Pinned both by this
+    oracle row and by tests/test_surfaces_r12.py on planted data.
+
+    Plan: the kept relation flows into one per-doc renumber window +
+    the same gram window as `_kgrams` (carrying the original-position
+    span), then a groupBy(h2) rollup — linear in kept tokens, output
+    one row."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tk")
+    )
+    rp = removed_positions(_kgrams(docs))
+    kept = tok.join(rp, ["doc_id", "pos"], "left_anti")
+
+    wnp = Window.partitionBy("doc_id").orderBy("pos")
+    kept2 = kept.select(
+        "doc_id",
+        F.col("pos").alias("opos"),
+        "tk",
+        F.row_number().over(wnp).alias("np"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("np")
+    gram = F.concat_ws(
+        "_", F.col("tk"), *[F.lead("tk", i).over(w) for i in range(1, SPAN_K)]
+    )
+    rg = kept2.select(
+        "doc_id",
+        F.when(
+            F.lead("tk", SPAN_K - 1).over(w).isNotNull(), F.md5(gram)
+        ).alias("h2"),
+        (F.lead("opos", SPAN_K - 1).over(w) - F.col("opos")).alias("ospan"),
+    ).filter(F.col("h2").isNotNull())
+    dup = (
+        rg.groupBy("h2")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.max(
+                F.when(F.col("ospan") > SPAN_K - 1, 1).otherwise(0)
+            ).alias("any_boundary"),
+        )
+        .filter(F.col("nd") >= 2)
+    )
+
+    tot = tok.agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens_total"),
+    )
+    cut = rp.agg(
+        F.count_distinct("doc_id").cast("long").alias("n_docs_cut")
+    )
+    kt = kept.agg(F.count(F.lit(1)).cast("long").alias("n_kept_total"))
+    dd = dup.agg(
+        F.count(F.lit(1)).cast("long").alias("residual_dup_hashes"),
+        F.coalesce(F.sum("any_boundary"), F.lit(0))
+        .cast("long")
+        .alias("boundary_dup_hashes"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(cut))
+        .crossJoin(F.broadcast(kt))
+        .crossJoin(F.broadcast(dd))
+        .select(
+            "n_docs",
+            "n_docs_cut",
+            "n_tokens_total",
+            "n_kept_total",
+            "residual_dup_hashes",
+            "boundary_dup_hashes",
+            (
+                F.col("residual_dup_hashes") - F.col("boundary_dup_hashes")
+            ).alias("intact_dup_hashes"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (r11 verdict item 3)
+# ---------------------------------------------------------------------------
+
+#: Target-domain predicate: the data-selection target is the English
+#: slice of the corpus; the pool being scored is everything else.
+DSIR_TARGET_LANG = "en"
+#: Documents selected (the token budget in docs).
+DSIR_BUDGET = 50
+
+
+def _dsir_oracle() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               UNNEST(STRING_SPLIT(text, ' ')) AS tk,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, lang, tk || '_' || LEAD(tk) OVER w AS b
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    bgn AS (SELECT doc_id, lang, b FROM bg WHERE b IS NOT NULL),
+    tgt AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS ct
+        FROM bgn WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+    ),
+    pool AS (
+        SELECT b, CAST(COUNT(*) AS BIGINT) AS cr
+        FROM bgn WHERE lang <> '{DSIR_TARGET_LANG}' GROUP BY b
+    ),
+    scal AS (
+        SELECT
+            (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) FROM tgt) AS nt,
+            (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) FROM pool) AS nr,
+            (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) FROM bgn) AS v
+    ),
+    lr AS (
+        SELECT p.b,
+               CAST(FLOOR(LN(
+                   ((COALESCE(t.ct, 0) + 1.0) * (s.nr + s.v))
+                   / ((p.cr + 1.0) * (s.nt + s.v))
+               ) * 1000000) AS BIGINT) AS lr_e6
+        FROM pool p CROSS JOIN scal s
+        LEFT JOIN tgt t ON t.b = p.b
+    ),
+    docbg AS (
+        SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM bgn WHERE lang <> '{DSIR_TARGET_LANG}'
+        GROUP BY doc_id, lang, b
+    ),
+    scored AS (
+        SELECT d.doc_id, d.lang,
+               CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
+               CAST(SUM(d.cnt * l.lr_e6) AS BIGINT) AS dsir_lr_e6
+        FROM docbg d JOIN lr l ON l.b = d.b
+        GROUP BY d.doc_id, d.lang
+    )
+    SELECT doc_id, lang, n_bigrams, dsir_lr_e6
+    FROM scored
+    ORDER BY dsir_lr_e6 DESC, doc_id
+    LIMIT {DSIR_BUDGET}
+    """
+
+
+@register(
+    "x4_dsir_importance_topk",
+    oracle=_dsir_oracle(),
+    survey_ids=("X4", "A1", "J4", "O4", "F6"),
+)
+def x4_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, Data Selection via
+    Importance Resampling): score every pool document (lang ≠ target)
+    by the log likelihood ratio of its hashed-bigram bag under a
+    target-domain bigram LM vs the pool LM — both add-one smoothed
+    over the joint bigram vocabulary — and keep the top token budget.
+    Completes the data-mixture trio: mixture sampling → DoReMi group
+    weights (`x4_doremi_weight_step`) → per-document importance.
+
+    log w(x) = Σ_b n_b(x) · [ln p_tgt(b) − ln p_pool(b)], computed as
+    ONE ln of the compound ratio per distinct bigram (the ln-floor
+    discipline: floor(1e6·ln(·)) with the argument spelled identically
+    in both engines), then an exact integer dot with per-doc counts —
+    order-free, so the score is partitioning-invariant.
+
+    Plan shape at 100 TB: two vocabulary-bounded count rollups (target
+    and pool LMs), one scalar broadcast (Nt, Nr, V), the per-bigram
+    ratio relation joined to per-doc bigram counts on b (both keyed on
+    b — co-partitioned), one doc rollup, TakeOrderedAndProject for the
+    budget cut. Nothing quadratic; the LM tables are |vocab|-sized."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tk")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bgn = tok.select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.lead("tk").over(w).isNotNull(),
+            F.concat_ws("_", F.col("tk"), F.lead("tk").over(w)),
+        ).alias("b"),
+    ).filter(F.col("b").isNotNull())
+
+    is_tgt = F.col("lang") == DSIR_TARGET_LANG
+    tgt = (
+        bgn.filter(is_tgt)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    pool = (
+        bgn.filter(~is_tgt)
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    )
+    scal = (
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("nt"))
+        .crossJoin(
+            pool.agg(
+                F.coalesce(F.sum("cr"), F.lit(0)).cast("long").alias("nr")
+            )
+        )
+        .crossJoin(
+            bgn.agg(F.count_distinct("b").cast("long").alias("v"))
+        )
+    )
+    lr = (
+        pool.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        * (F.col("nr") + F.col("v"))
+                    )
+                    / ((F.col("cr") + F.lit(1.0)) * (F.col("nt") + F.col("v")))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lr_e6"),
+        )
+    )
+    docbg = (
+        bgn.filter(~is_tgt)
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        docbg.join(lr, "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("lr_e6"))
+            .cast("long")
+            .alias("dsir_lr_e6"),
+        )
+        .orderBy(F.desc("dsir_lr_e6"), "doc_id")
+        .limit(DSIR_BUDGET)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit
+# ---------------------------------------------------------------------------
+
+#: Terms fitted (the head of the rank-frequency curve; Zipf holds on
+#: the head, the tail bends — standard practice fits top-N).
+ZIPF_TOP_N = 100
+
+
+@register(
+    "x4_zipf_alpha_fit",
+    oracle=f"""
+    WITH tok AS (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS tk FROM documents
+    ),
+    freq AS (
+        SELECT tk, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM tok GROUP BY tk
+        ORDER BY cnt DESC, tk
+        LIMIT {ZIPF_TOP_N}
+    ),
+    ranked AS (
+        SELECT cnt,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tk) AS BIGINT) AS rk
+        FROM freq
+    ),
+    xy AS (
+        SELECT CAST(FLOOR(LN(rk) * 1000000) AS BIGINT) AS x,
+               CAST(FLOOR(LN(cnt) * 1000000) AS BIGINT) AS y
+        FROM ranked
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM xy
+    )
+    SELECT n AS n_terms,
+           CAST(-((n * sxy - sx * sy)
+                  // ((n * sxx - sx * sx) // 1000000)) AS BIGINT) AS alpha_e6,
+           CAST((sy // n)
+                - (((n * sxy - sx * sy)
+                    // ((n * sxx - sx * sx) // 1000000)) * (sx // n))
+                  // 1000000 AS BIGINT) AS intercept_e6
+    FROM s
+    """,
+    survey_ids=("X4", "A1", "O4", "F6"),
+)
+def x4_zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent of the corpus: OLS fit of ln(freq) on
+    ln(rank) over the top-{N} terms — the first sanity statistic of
+    any scraped corpus (natural text gives alpha ≈ 1; alpha far off
+    flags boilerplate or synthetic data). Per the ln-floor discipline
+    both coordinates floor to e6 integers FIRST, so the regression
+    moments are exact int64 sums and the slope/intercept are integer
+    divisions truncating identically in both engines (negative slope:
+    both truncate toward zero). Overflow audit: x ≤ ln(100)·1e6,
+    y ≤ ln(corpus)·1e6 ≈ 1.5e7 ⇒ n·Σxy ≤ ~7e17 < 2^63.
+
+    Plan: one token scan → map-combined term count → top-N
+    (TakeOrderedAndProject) → a 100-row moment aggregate. The fit
+    relation is N-bounded regardless of corpus size."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("tk"))
+    freq = (
+        tok.groupBy("tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tk")
+        .limit(ZIPF_TOP_N)
+    )
+    ranked = freq.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), "tk"))
+        .cast("long")
+        .alias("rk"),
+    )
+    xy = ranked.select(
+        F.floor(F.log("rk") * 1_000_000).cast("long").alias("x"),
+        F.floor(F.log("cnt") * 1_000_000).cast("long").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = "((n * sxy - sx * sy) div ((n * sxx - sx * sx) div 1000000))"
+    return s.select(
+        F.col("n").alias("n_terms"),
+        F.expr(f"-{slope}").cast("long").alias("alpha_e6"),
+        F.expr(f"(sy div n) - ({slope} * (sx div n)) div 1000000")
+        .cast("long")
+        .alias("intercept_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary-growth fit
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_heaps_law_fit",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT(text, ' ')) AS tk
+        FROM documents
+    ),
+    nt AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ntok
+        FROM tok GROUP BY doc_id
+    ),
+    firsts AS (SELECT tk, MIN(doc_id) AS fd FROM tok GROUP BY tk),
+    newv AS (SELECT fd AS doc_id, CAST(COUNT(*) AS BIGINT) AS nv
+             FROM firsts GROUP BY fd),
+    lattice AS (
+        SELECT nt.doc_id, nt.ntok, COALESCE(newv.nv, 0) AS nv
+        FROM nt LEFT JOIN newv USING (doc_id)
+    ),
+    cum AS (
+        SELECT doc_id,
+               SUM(ntok) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cumn,
+               SUM(nv) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cumv
+        FROM lattice
+    ),
+    xy AS (
+        SELECT CAST(FLOOR(LN(cumn) * 1000) AS BIGINT) AS x,
+               CAST(FLOOR(LN(cumv) * 1000) AS BIGINT) AS y
+        FROM cum
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM xy
+    )
+    SELECT n AS n_checkpoints,
+           CAST((n * sxy - sx * sy)
+                // ((n * sxx - sx * sx) // 1000000) AS BIGINT) AS beta_e6,
+           CAST(((sy // n) * 1000)
+                - (((n * sxy - sx * sy)
+                    // ((n * sxx - sx * sx) // 1000000)) * ((sx // n) * 1000))
+                  // 1000000 AS BIGINT) AS lnk_e6
+    FROM s
+    """,
+    survey_ids=("X4", "A1", "W3", "F6"),
+)
+def x4_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(n) ≈ K·n^β: cumulative vocabulary size vs
+    cumulative token count at every document boundary (doc_id order),
+    OLS on the ln-ln curve — the second corpus-law sanity statistic
+    next to `x4_zipf_alpha_fit` (natural text: β ≈ 0.5–0.8; β near 1
+    means the vocabulary never saturates — an OCR/noise flag; β near 0
+    flags template text).
+
+    The cumulative curves are distributed prefix scans
+    (`global_running` — range-partitioned two-phase, no
+    single-partition window) over the per-doc lattice: cumn = running
+    Σ tokens, cumv = running Σ first-occurrence counts (a term's first
+    occurrence attributed to its MIN doc_id — order-free). Coordinates
+    floor to e3 (5000 checkpoints at sf0.1: e3 keeps n·Σx² ≈ 5.5e15
+    inside int64 where e6 would overflow); the fit is then exact
+    integer math truncating identically in both engines."""
+    from etl_generator_demo_spark.operators.analytics_ext import global_running
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tk")
+    )
+    nt = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("ntok")
+    )
+    newv = (
+        tok.groupBy("tk")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    )
+    lattice = nt.join(newv, "doc_id", "left").select(
+        "doc_id", "ntok", F.coalesce("nv", F.lit(0)).cast("long").alias("nv")
+    )
+    cum = global_running(
+        lattice, [F.col("doc_id").asc()], "ntok", kind="sum", out_col="cumn"
+    )
+    cum = global_running(
+        cum, [F.col("doc_id").asc()], "nv", kind="sum", out_col="cumv"
+    )
+    xy = cum.select(
+        F.floor(F.log("cumn") * 1_000).cast("long").alias("x"),
+        F.floor(F.log("cumv") * 1_000).cast("long").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    slope = "((n * sxy - sx * sy) div ((n * sxx - sx * sx) div 1000000))"
+    return s.select(
+        F.col("n").alias("n_checkpoints"),
+        F.expr(slope).cast("long").alias("beta_e6"),
+        F.expr(f"((sy div n) * 1000) - ({slope} * ((sx div n) * 1000)) div 1000000")
+        .cast("long")
+        .alias("lnk_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness audit (the privacy ladder's distribution-distance rung)
+# ---------------------------------------------------------------------------
+
+#: Release gate: classes whose sensitive distribution sits further
+#: than this total-variation distance from the global one are flagged.
+T_CLOSE_E6 = 200_000
+
+
+@register(
+    "x4_t_closeness_audit",
+    oracle=f"""
+    WITH ev AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+               CAST(FLOOR(value / 10) AS BIGINT) AS value_bucket,
+               event_type
+        FROM events
+    ),
+    per_sens AS (
+        SELECT day, value_bucket, event_type,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ev GROUP BY day, value_bucket, event_type
+    ),
+    cls AS (
+        SELECT day, value_bucket, CAST(SUM(cnt) AS BIGINT) AS c
+        FROM per_sens GROUP BY day, value_bucket
+    ),
+    gdist AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS g FROM ev
+        GROUP BY event_type
+    ),
+    gt AS (SELECT CAST(COUNT(*) AS BIGINT) AS gtot FROM ev),
+    present AS (
+        SELECT p.day, p.value_bucket,
+               CAST(SUM(ABS(p.cnt * gt.gtot - gl.g * cls.c)) AS BIGINT)
+                   AS present_term,
+               CAST(SUM(gl.g) AS BIGINT) AS present_g
+        FROM per_sens p
+        JOIN cls ON cls.day = p.day AND cls.value_bucket = p.value_bucket
+        JOIN gdist gl ON gl.event_type = p.event_type
+        CROSS JOIN gt
+        GROUP BY p.day, p.value_bucket
+    )
+    SELECT cls.day, cls.value_bucket, cls.c AS class_size,
+           CAST((pr.present_term + cls.c * (gt.gtot - pr.present_g))
+                * 1000000 // (2 * cls.c * gt.gtot) AS BIGINT) AS tv_e6,
+           CASE WHEN (pr.present_term + cls.c * (gt.gtot - pr.present_g))
+                     * 1000000 // (2 * cls.c * gt.gtot) > {T_CLOSE_E6}
+                THEN 'breach' ELSE 'ok' END AS risk
+    FROM cls
+    JOIN present pr ON pr.day = cls.day AND pr.value_bucket = cls.value_bucket
+    CROSS JOIN gt
+    ORDER BY cls.day, cls.value_bucket
+    """,
+    survey_ids=("X4", "A1", "J1", "F6"),
+)
+def x4_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the privacy ladder after
+    k-anonymity (class size) and l-diversity (distinct sensitive
+    values): a released equivalence class (day × value decile) whose
+    SENSITIVE-attribute distribution (event_type) deviates from the
+    global distribution by more than t in total-variation distance
+    leaks attribute inference even when k and l pass. Categorical
+    sensitive values ⇒ the EMD of Li et al. 2007 reduces to TV:
+    t = ½ Σ_i |p_i − q_i|.
+
+    Exact rational fixed point — no floats anywhere:
+    |cnt_i/C − g_i/G| = |cnt_i·G − g_i·C| / (C·G); values absent from
+    the class contribute g_i·C, folded in as C·(G − Σ_present g_i)
+    without enumerating the absent lattice. Overflow: cnt·G ≤ 1e10 at
+    sf0.1, summed ≤ ~5e10, ×1e6 ≪ 2^63.
+
+    Plan: two keyed rollups over one event scan (class × sensitive,
+    class), a |types|-bounded global broadcast, one class-keyed join —
+    linear, class-bounded output."""
+    ev = t(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        F.floor(F.col("value") / 10).cast("long").alias("value_bucket"),
+        "event_type",
+    )
+    per_sens = ev.groupBy("day", "value_bucket", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cls = per_sens.groupBy("day", "value_bucket").agg(
+        F.sum("cnt").cast("long").alias("c")
+    )
+    glob = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("g")
+    )
+    gt = ev.agg(F.count(F.lit(1)).cast("long").alias("gtot"))
+    present = (
+        per_sens.join(cls, ["day", "value_bucket"])
+        .join(F.broadcast(glob), "event_type")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("day", "value_bucket")
+        .agg(
+            F.sum(F.abs(F.col("cnt") * F.col("gtot") - F.col("g") * F.col("c")))
+            .cast("long")
+            .alias("present_term"),
+            F.sum("g").cast("long").alias("present_g"),
+        )
+    )
+    tv = F.expr(
+        "(present_term + c * (gtot - present_g)) * 1000000"
+        " div (2 * c * gtot)"
+    ).cast("long")
+    return (
+        cls.join(present, ["day", "value_bucket"])
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "day",
+            "value_bucket",
+            F.col("c").alias("class_size"),
+            tv.alias("tv_e6"),
+            F.when(tv > T_CLOSE_E6, "breach").otherwise("ok").alias("risk"),
+        )
+        .orderBy("day", "value_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension recall sweep
+# ---------------------------------------------------------------------------
+
+#: Prefix lengths swept (full dim last = the ground-truth anchor).
+MRL_PREFIX_DIMS = (8, 16, 32, 64)
+#: Query vectors (vec_id < NQ) and neighbours retrieved per query.
+MRL_NQ = 4
+MRL_K = 10
+
+
+def _mrl_oracle() -> str:
+    dims = ", ".join(f"({p})" for p in MRL_PREFIX_DIMS)
+    return f"""
+    WITH ps(p) AS (VALUES {dims}),
+    q AS (
+        SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {MRL_NQ}
+    ),
+    scored AS (
+        SELECT q.qid, ps.p, e.vec_id,
+               FLOOR(LIST_DOT_PRODUCT((e.embedding::DOUBLE[])[1:ps.p],
+                                      (q.qv)[1:ps.p])
+                     / (SQRT(LIST_DOT_PRODUCT((e.embedding::DOUBLE[])[1:ps.p],
+                                              (e.embedding::DOUBLE[])[1:ps.p]))
+                        * SQRT(LIST_DOT_PRODUCT((q.qv)[1:ps.p],
+                                                (q.qv)[1:ps.p])))
+                     * 1000000) AS cos6
+        FROM embeddings e CROSS JOIN q CROSS JOIN ps
+        WHERE e.vec_id <> q.qid
+    ),
+    ranked AS (
+        SELECT qid, p, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid, p
+                                  ORDER BY cos6 DESC, vec_id) AS rk
+        FROM scored
+    ),
+    topk AS (SELECT qid, p, vec_id FROM ranked WHERE rk <= {MRL_K}),
+    truth AS (SELECT qid, vec_id FROM topk WHERE p = {MRL_PREFIX_DIMS[-1]}),
+    lattice AS (SELECT q.qid, ps.p FROM q CROSS JOIN ps),
+    hits AS (
+        SELECT t.qid, t.p, CAST(COUNT(tr.vec_id) AS BIGINT) AS n_hits
+        FROM topk t
+        JOIN truth tr ON tr.qid = t.qid AND tr.vec_id = t.vec_id
+        GROUP BY t.qid, t.p
+    ),
+    rec AS (
+        SELECT l.qid, l.p, COALESCE(h.n_hits, 0) AS n_hits
+        FROM lattice l LEFT JOIN hits h ON h.qid = l.qid AND h.p = l.p
+    )
+    SELECT CAST(p AS BIGINT) AS p_dim,
+           CAST(SUM(n_hits) * 1000000 // ({MRL_K} * {MRL_NQ}) AS BIGINT)
+               AS mean_recall_e6,
+           CAST(MIN(n_hits) * 1000000 // {MRL_K} AS BIGINT)
+               AS min_recall_e6
+    FROM rec
+    GROUP BY p
+    ORDER BY p_dim
+    """
+
+
+@register(
+    "x3_matryoshka_prefix_recall",
+    oracle=_mrl_oracle(),
+    survey_ids=("X3", "A1", "W4", "J1"),
+)
+def x3_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation recall sweep (Kusupati et al. 2022):
+    retrieve cosine top-k using only the first p dims of the embedding
+    (p ∈ 8/16/32/64) and measure recall@k against the full-dim ground
+    truth — the measured curve behind the 'truncate embeddings to cut
+    ANN cost 8×' decision, the same measured-knob discipline as the
+    IVF n_probe and LSH band sweeps. The full-dim row anchors the
+    sweep at recall 1.0 by construction.
+
+    Plan: NQ broadcast query vectors × |dims| prefix lengths against
+    one corpus scan (brute-force tier — the eval needs exact ground
+    truth); per-(query, p) ranks via a keyed window over the NQ·|dims|
+    lattice; recall joins the p-ranked lists to the full-dim list on
+    (qid, vec_id). Work is NQ·|dims|·corpus — linear in the corpus
+    with a 16× constant, never corpus×corpus. Cosines floor to e6
+    before ranking (ties broken by vec_id) for cross-engine parity."""
+    from .similarity import _as_double, cosine
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < MRL_NQ)
+        .select(
+            F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv")
+        )
+    )
+    ps = spark.createDataFrame([(p,) for p in MRL_PREFIX_DIMS], "p int")
+    scored = (
+        emb.select("vec_id", _as_double("embedding").alias("ev"))
+        .crossJoin(F.broadcast(q))
+        .crossJoin(F.broadcast(ps))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "p",
+            "vec_id",
+            F.floor(
+                cosine(
+                    F.slice(F.col("ev"), 1, F.col("p")),
+                    F.slice(F.col("qv"), 1, F.col("p")),
+                )
+                * 1_000_000
+            ).alias("cos6"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("qid", "p").orderBy(F.desc("cos6"), "vec_id")
+    )
+    topk = scored.withColumn("rk", rk).filter(F.col("rk") <= MRL_K).select(
+        "qid", "p", "vec_id"
+    )
+    truth = topk.filter(F.col("p") == MRL_PREFIX_DIMS[-1]).select(
+        F.col("qid").alias("tqid"), F.col("vec_id").alias("tvid")
+    )
+    hits = (
+        topk.join(
+            F.broadcast(truth),
+            (F.col("qid") == F.col("tqid")) & (F.col("vec_id") == F.col("tvid")),
+        )
+        .groupBy("qid", "p")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    lattice = q.select("qid").crossJoin(F.broadcast(ps))
+    rec = lattice.join(hits, ["qid", "p"], "left").select(
+        "qid", "p", F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits")
+    )
+    return (
+        rec.groupBy("p")
+        .agg(
+            F.expr(
+                f"CAST(SUM(n_hits) * 1000000 div ({MRL_K} * {MRL_NQ}) AS LONG)"
+            ).alias("mean_recall_e6"),
+            F.expr(f"CAST(MIN(n_hits) * 1000000 div {MRL_K} AS LONG)").alias(
+                "min_recall_e6"
+            ),
+        )
+        .select(
+            F.col("p").cast("long").alias("p_dim"),
+            "mean_recall_e6",
+            "min_recall_e6",
+        )
+        .orderBy("p_dim")
+    )
