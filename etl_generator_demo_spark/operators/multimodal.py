@@ -639,3 +639,277 @@ def x5_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# round 12: AV segment alignment + cross-modal CLIP-style gate
+# ---------------------------------------------------------------------------
+
+#: Audio segment length for alignment (1-second segments).
+AV_SEG_MS = 1000
+
+
+@register(
+    "x5_av_segment_alignment",
+    oracle=f"""
+    WITH vid AS (
+        SELECT doc_id AS media_id,
+               CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+        FROM documents
+        WHERE doc_id % 3 = 2
+    ),
+    sized AS (
+        SELECT media_id,
+               1 + (n_bytes % 240) AS n_frames,
+               CAST(CEIL((1 + (n_bytes % 240)) / 8.0) AS BIGINT) AS stride
+        FROM vid
+    ),
+    frames AS (
+        SELECT media_id,
+               UNNEST(RANGE(0, n_frames, stride)) AS frame_idx,
+               UNNEST(RANGE(0, n_frames, stride)) * 33 AS frame_ts_ms
+        FROM sized
+    ),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_emb FROM embeddings),
+    aligned AS (
+        SELECT f.media_id, f.frame_idx, f.frame_ts_ms,
+               f.frame_ts_ms // {AV_SEG_MS} AS seg_no,
+               (f.frame_ts_ms // {AV_SEG_MS}) * {AV_SEG_MS} AS seg_start_ms,
+               (f.frame_ts_ms // {AV_SEG_MS} + 1) * {AV_SEG_MS} AS seg_end_ms,
+               (f.media_id * 7 + f.frame_ts_ms // {AV_SEG_MS}) % ne.n_emb
+                   AS vec_id
+        FROM frames f CROSS JOIN ne
+    )
+    SELECT a.media_id, CAST(a.frame_idx AS BIGINT) AS frame_idx,
+           CAST(a.frame_ts_ms AS BIGINT) AS frame_ts_ms,
+           CAST(a.seg_no AS BIGINT) AS seg_no,
+           CAST(a.seg_start_ms AS BIGINT) AS seg_start_ms,
+           CAST(a.seg_end_ms AS BIGINT) AS seg_end_ms,
+           a.vec_id, e.label,
+           CAST(FLOOR(SQRT(LIST_DOT_PRODUCT(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))
+                      * 1000000) AS BIGINT) AS seg_norm_e6
+    FROM aligned a JOIN embeddings e ON e.vec_id = a.vec_id
+    ORDER BY a.media_id, a.frame_idx
+    """,
+    survey_ids=("X5", "J7", "J1", "F6"),
+)
+def x5_av_segment_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/frame alignment plan: every sampled video frame (the
+    `x5_frame_samples` stride policy) aligned to its covering 1-second
+    audio segment, then joined to the segment's embedding row — the
+    temporal-alignment step of any AV training pipeline (CLAP/AV-HuBERT
+    style pairing).
+
+    The frame-in-segment RANGE join never materializes as a range
+    join: segments are fixed-width, so the covering segment is pure
+    arithmetic (seg_no = ts div width) computed scan-side, turning the
+    alignment into an EQUALITY join on the derived key — the same
+    bucketed-band-join discipline as `j_theta_banded_bucketed`, except
+    the band is degenerate (width divides the domain) so there is no
+    candidate over-generation at all. The segment→embedding lookup is
+    a keyed equi-join (deterministic fixture surrogate for the audio
+    tower's output: vec_id = (media_id·7 + seg_no) mod |emb|); at
+    100 TB both sides shuffle on vec_id once, or the embedding side
+    broadcasts when it is a model-sized codebook. Payload bytes are
+    never read — the plan runs on metadata alone, like every x5 plan
+    (frame/segment DECODE is the stubbed codec step)."""
+    media = as_media_table(t(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "video"
+    )
+    emb = t(spark, sf_dir, "embeddings")
+    sized = media.select(
+        "media_id",
+        (F.lit(1) + F.col("meta.n_bytes") % 240).alias("n_frames"),
+    ).withColumn("stride", F.ceil(F.col("n_frames") / 8.0).cast("long"))
+    frames = sized.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), F.col("n_frames") - 1, F.col("stride")
+            )
+        ).alias("frame_idx"),
+    ).withColumn("frame_ts_ms", F.col("frame_idx") * 33)
+    ne = emb.agg(F.count(F.lit(1)).cast("long").alias("n_emb"))
+    seg = F.col("frame_ts_ms") - F.col("frame_ts_ms") % AV_SEG_MS
+    aligned = frames.crossJoin(F.broadcast(ne)).select(
+        "media_id",
+        "frame_idx",
+        "frame_ts_ms",
+        F.expr(f"frame_ts_ms div {AV_SEG_MS}").alias("seg_no"),
+        F.expr(f"(frame_ts_ms div {AV_SEG_MS}) * {AV_SEG_MS}").alias(
+            "seg_start_ms"
+        ),
+        F.expr(f"(frame_ts_ms div {AV_SEG_MS} + 1) * {AV_SEG_MS}").alias(
+            "seg_end_ms"
+        ),
+        F.expr(f"(media_id * 7 + frame_ts_ms div {AV_SEG_MS}) % n_emb").alias(
+            "vec_id"
+        ),
+    )
+    from etl_generator_demo_spark.operators.similarity import _as_double, _norm
+
+    score = emb.select(
+        "vec_id",
+        "label",
+        F.floor(_norm(_as_double("embedding")) * 1_000_000)
+        .cast("long")
+        .alias("seg_norm_e6"),
+    )
+    return (
+        aligned.join(score, "vec_id")
+        .select(
+            "media_id",
+            "frame_idx",
+            "frame_ts_ms",
+            "seg_no",
+            "seg_start_ms",
+            "seg_end_ms",
+            "vec_id",
+            "label",
+            "seg_norm_e6",
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
+#: Cross-modal gate threshold (e6 cosine). 0 keeps the gate honest on
+#: the fixture's uncorrelated towers: ~half the pairs pass.
+X5_CLIP_TAU_E6 = 0
+#: Hashing-trick text-tower dimensionality = the embedding dim.
+X5_TXT_DIM = 64
+
+
+@register(
+    "x5_crossmodal_clip_gate",
+    oracle=f"""
+    WITH img AS (
+        SELECT doc_id AS media_id, text
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    tok AS (
+        SELECT media_id, UNNEST(STRING_SPLIT(text, ' ')) AS tk FROM img
+    ),
+    txt AS (
+        SELECT media_id,
+               CAST(('0x' || SUBSTR(MD5(tk), 1, 4)) AS BIGINT)
+                   % {X5_TXT_DIM} AS dim,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM tok GROUP BY media_id, dim
+    ),
+    tn AS (
+        SELECT media_id, CAST(SUM(w * w) AS BIGINT) AS nt2,
+               CAST(COUNT(*) AS BIGINT) AS n_dims_hit
+        FROM txt GROUP BY media_id
+    ),
+    iv AS (
+        SELECT vec_id,
+               GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS dim,
+               CAST(FLOOR(UNNEST(embedding::DOUBLE[]) * 1000000) AS BIGINT)
+                   AS v6
+        FROM embeddings
+    ),
+    inorm AS (
+        SELECT vec_id, CAST(SUM(v6 * v6) AS BIGINT) AS ni2
+        FROM iv GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT t.media_id, CAST(SUM(t.w * iv.v6) AS BIGINT) AS dot6
+        FROM txt t JOIN iv ON iv.vec_id = t.media_id AND iv.dim = t.dim
+        GROUP BY t.media_id
+    ),
+    scored AS (
+        SELECT d.media_id, tn.n_dims_hit,
+               CAST(FLOOR(d.dot6 * 1.0
+                          / (SQRT(CAST(tn.nt2 AS DOUBLE))
+                             * SQRT(CAST(inorm.ni2 AS DOUBLE)))
+                          * 1000000) AS BIGINT) AS clip_cos6
+        FROM dots d
+        JOIN tn ON tn.media_id = d.media_id
+        JOIN inorm ON inorm.vec_id = d.media_id
+    )
+    SELECT media_id, n_dims_hit, clip_cos6,
+           CASE WHEN clip_cos6 >= {X5_CLIP_TAU_E6} THEN 'keep'
+                ELSE 'drop' END AS gate
+    FROM scored
+    ORDER BY media_id
+    """,
+    survey_ids=("X5", "X3", "J1", "A1"),
+)
+def x5_crossmodal_clip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score-style cross-modal gate: cosine between each image's
+    embedding (the image tower — here the embeddings fixture row keyed
+    by media_id) and a hashing-trick bag-of-words text vector of its
+    caption (the text tower — dim = md5(token) mod 64, weight = count;
+    deterministic and SQL-expressible where a real tower is a model
+    UDF). Pairs below τ are dropped — the standard web-scale
+    image-caption filtering step (LAION-style).
+
+    Exactness: image components floor to e6 integers FIRST, so the
+    dot product and both squared norms are exact int64 sums —
+    order-free under any partitioning — and the single double division
+    + floor at the end is spelled identically in both engines. The
+    sparse text side joins the exploded image side on (vec_id, dim):
+    |doc|·|hit dims| rows, never a dense 64-wide shuffle. At 100 TB
+    both towers key on media_id — one co-partitioned join chain, no
+    broadcast needed when both sides are corpus-sized."""
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    emb = t(spark, sf_dir, "embeddings")
+    tok = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.explode(F.split("text", " ")).alias("tk"),
+    )
+    txt = tok.groupBy(
+        "media_id",
+        (
+            F.conv(F.substring(F.md5("tk"), 1, 4), 16, 10).cast("long")
+            % X5_TXT_DIM
+        ).alias("dim"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("w"))
+    tn = txt.groupBy("media_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("nt2"),
+        F.count(F.lit(1)).cast("long").alias("n_dims_hit"),
+    )
+    iv = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1_000_000).cast("long"),
+            )
+        ).alias("dim", "v6"),
+    )
+    inorm = iv.groupBy("vec_id").agg(
+        F.sum(F.col("v6") * F.col("v6")).cast("long").alias("ni2")
+    )
+    dots = (
+        txt.join(
+            iv,
+            (F.col("media_id") == F.col("vec_id"))
+            & (txt["dim"] == iv["dim"]),
+        )
+        .groupBy("media_id")
+        .agg(F.sum(F.col("w") * F.col("v6")).cast("long").alias("dot6"))
+    )
+    cos6 = F.expr(
+        "CAST(FLOOR(dot6 * 1.0 / (SQRT(CAST(nt2 AS DOUBLE))"
+        " * SQRT(CAST(ni2 AS DOUBLE))) * 1000000) AS LONG)"
+    )
+    return (
+        dots.join(tn, "media_id")
+        .join(inorm, F.col("media_id") == F.col("vec_id"))
+        .select(
+            "media_id",
+            "n_dims_hit",
+            cos6.alias("clip_cos6"),
+        )
+        .select(
+            "media_id",
+            "n_dims_hit",
+            "clip_cos6",
+            F.when(F.col("clip_cos6") >= X5_CLIP_TAU_E6, "keep")
+            .otherwise("drop")
+            .alias("gate"),
+        )
+        .orderBy("media_id")
+    )
