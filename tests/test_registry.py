@@ -181,7 +181,9 @@ def test_probe_covers_round_registrations():
         "x4_quality_threshold_sweep",
     ):
         assert name in probed
-    # any committed PROBE_r{N>=11}.json must cover the full queue
+    # any committed PROBE_r{N>=11}.json must cover the queue AS OF its
+    # round — registrations from later rounds are owed to the LATEST
+    # probe record, not retroactively to frozen artifacts
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     for path in glob.glob(os.path.join(here, "PROBE_r*.json")):
         n = int(re.search(r"PROBE_r(\d+)\.json$", path).group(1))
@@ -189,8 +191,30 @@ def test_probe_covers_round_registrations():
             continue
         with open(path) as fh:
             timings = json.load(fh)["timings"]
-        missing = probed - set(timings)
+        later = {
+            name
+            for rnd, names in ROUND_REGISTRATIONS.items()
+            if rnd > n
+            for name in names
+        }
+        missing = probed - set(timings) - later
         assert not missing, f"PROBE_r{n} missing rows for {sorted(missing)}"
+    # and the CURRENT round's registrations must be owed to a probe
+    # run before round close: either a PROBE file for this round
+    # exists and covers them, or no file exists yet (run pending)
+    latest = max(
+        (
+            int(re.search(r"PROBE_r(\d+)\.json$", p).group(1))
+            for p in glob.glob(os.path.join(here, "PROBE_r*.json"))
+        ),
+        default=0,
+    )
+    cur = max(ROUND_REGISTRATIONS)
+    if latest >= cur:
+        with open(os.path.join(here, f"PROBE_r{latest}.json")) as fh:
+            timings = json.load(fh)["timings"]
+        owed = set(ROUND_REGISTRATIONS[cur]) & probed
+        assert owed <= set(timings), sorted(owed - set(timings))
 
 
 def test_rewritten_queries_reenter_driver_sample():

@@ -789,6 +789,37 @@ EXPECTATIONS: dict[str, dict] = {
     "x2_jaccard_threshold_sweep": {"max_exchanges": 12, "min_broadcast": 4},
     # score relation behind localCheckpoint; per-tau one aggregate
     "x4_quality_threshold_sweep": {"max_exchanges": 3},
+    # --- round 12 ---
+    # kgram groupBy(h) + join-back + position explode distinct + anti
+    # join + per-doc rebuild agg; dims of the rebuild all broadcast
+    "x2_removal_rematerialize": {"max_exchanges": 5, "min_broadcast": 2},
+    # the kept relation feeds a second gram window + dup rollup plus
+    # four single-row audits cross-joined (each its own tiny exchange)
+    "x2_rematerialize_boundary_audit": {"max_exchanges": 11, "min_broadcast": 3},
+    # two vocab-bounded LM rollups + scalar broadcast + b-keyed ratio
+    # join + per-doc rollup + TakeOrdered budget cut
+    "x4_dsir_importance_topk": {"max_exchanges": 13, "min_broadcast": 2,
+                                "take_ordered": True},
+    # token scan -> map-combined count -> top-100 -> 100-row moments
+    # (the rank window runs on the N-bounded head only)
+    "x4_zipf_alpha_fit": {"max_exchanges": 3},
+    # two global_running prefix scans over the per-doc lattice + one
+    # moment aggregate; localCheckpoint cuts the visible plan
+    "x4_heaps_law_fit": {"max_exchanges": 4},
+    # two keyed rollups + |types| broadcast + class-keyed join chain
+    "x4_t_closeness_audit": {"max_exchanges": 7, "min_broadcast": 2},
+    # corpus scan x NQ x |dims| broadcasts; ranks via keyed window on
+    # the (qid, p) lattice; recall joins are lattice-sized
+    "x3_matryoshka_prefix_recall": {"max_exchanges": 5, "min_broadcast": 1},
+    # global_row_number (range exchange) + batch rollup + lagged
+    # self-joins (batch-lattice-sized, broadcast) + event-batch join
+    "st_watermark_drop_ledger": {"max_exchanges": 6, "min_broadcast": 3},
+    # frame plan is scan-side arithmetic; one keyed embedding join +
+    # output sort
+    "x5_av_segment_alignment": {"max_exchanges": 3, "min_broadcast": 1},
+    # sparse text tower groupBy + exploded image tower rollup + two
+    # media-keyed joins; towers co-keyed on media_id
+    "x5_crossmodal_clip_gate": {"max_exchanges": 7, "min_broadcast": 2},
 }
 
 

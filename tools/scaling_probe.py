@@ -194,6 +194,33 @@ QUERIES = [
     # l-diversity: class-bounded rollups over the event scan (expect
     # ~linear).
     "x4_l_diversity_audit",
+    # round-12 registrations. Rematerialize pair: on the synth tier
+    # every k-gram is shared across the ~10 near-identical replicas,
+    # so the removal relation approaches ALL non-owner positions —
+    # still linear in corpus tokens (groupBy h + join-back + anti
+    # join), which is exactly what the probe should verify. The
+    # rebuild query's OUTPUT is the corpus itself -> NOOP_SINK.
+    "x2_removal_rematerialize",
+    "x2_rematerialize_boundary_audit",
+    # DSIR: vocab-bounded LM rollups + one b-keyed join (expect
+    # ~linear in the token scan).
+    "x4_dsir_importance_topk",
+    # corpus-law fits: top-100 / per-doc-lattice bounded fit relations
+    # (expect ~flat past the scan / ~linear).
+    "x4_zipf_alpha_fit",
+    "x4_heaps_law_fit",
+    # t-closeness: class-bounded rollups (expect ~linear).
+    "x4_t_closeness_audit",
+    # Matryoshka: NQ x |dims| brute-force scans (expect ~linear with a
+    # 16x constant).
+    "x3_matryoshka_prefix_recall",
+    # drop ledger: global row_number + batch-lattice joins (expect
+    # ~linear; output is 1/500 of the stream).
+    "st_watermark_drop_ledger",
+    # AV alignment / CLIP gate: scan-side arithmetic + keyed joins
+    # (expect ~linear).
+    "x5_av_segment_alignment",
+    "x5_crossmodal_clip_gate",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -235,6 +262,11 @@ NOOP_SINK = {
         " fixture): collect() is linear driver materialization, not"
         " the plan"
     ),
+    "x2_removal_rematerialize": (
+        "the output IS the rebuilt corpus (one text row per document):"
+        " collect() measures driver string materialization, not the"
+        " removal plan"
+    ),
 }
 
 #: Names registered per round, for the completeness pin (git history
@@ -258,6 +290,18 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x2_minhash_k_sweep",
         "x4_query_likelihood_topk",
         "x4_l_diversity_audit",
+    ],
+    12: [
+        "x2_removal_rematerialize",
+        "x2_rematerialize_boundary_audit",
+        "x4_dsir_importance_topk",
+        "x4_zipf_alpha_fit",
+        "x4_heaps_law_fit",
+        "x4_t_closeness_audit",
+        "x3_matryoshka_prefix_recall",
+        "st_watermark_drop_ledger",
+        "x5_av_segment_alignment",
+        "x5_crossmodal_clip_gate",
     ],
 }
 
