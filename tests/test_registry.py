@@ -122,6 +122,18 @@ def test_doc_counts_match_reality():
     )
     bench_only = {"x3_ann_ivf_probe"}
     assert set(bench.HEADLINE) <= set(reg) | bench_only
+    # rotation policy (r12): retired queries stay real and probed, and
+    # a query is never both primary and retired
+    assert set(bench.RETIRED) <= set(reg) | bench_only
+    assert not set(bench.RETIRED) & set(bench.HEADLINE)
+    from tools.scaling_probe import PROBE_EXCLUDED
+    from tools.scaling_probe import QUERIES as PROBE_QUERIES
+
+    probe_tracked = set(PROBE_QUERIES) | set(PROBE_EXCLUDED) | bench_only
+    for name in bench.RETIRED:
+        assert name in probe_tracked, (
+            f"retired headliner {name} lost probe coverage"
+        )
 
     for doc in ("README.md", "COVERAGE.md", "SCALE.md"):
         text = open(f"/root/repo/{doc}").read()
@@ -158,6 +170,7 @@ def test_probe_covers_round_registrations():
     from tools.scaling_probe import (
         PROBE_EXCLUDED,
         QUERIES,
+        QUEUE_BACKFILLS,
         ROUND_REGISTRATIONS,
     )
 
@@ -194,6 +207,11 @@ def test_probe_covers_round_registrations():
         later = {
             name
             for rnd, names in ROUND_REGISTRATIONS.items()
+            if rnd > n
+            for name in names
+        } | {
+            name
+            for rnd, names in QUEUE_BACKFILLS.items()
             if rnd > n
             for name in names
         }

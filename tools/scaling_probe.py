@@ -221,6 +221,13 @@ QUERIES = [
     # (expect ~linear).
     "x5_av_segment_alignment",
     "x5_crossmodal_clip_gate",
+    # r12 bench-rotation backfill: a HEADLINE query may retire only if
+    # probe-tracked, and these two never were — queued now. Incremental
+    # dedup streams the corpus side against a broadcast batch (expect
+    # ~linear in the persisted index scan); q4 is one fact shuffle
+    # against broadcast dims (expect ~linear).
+    "x2_dedup_incremental",
+    "q4_local_supplier_volume",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -231,6 +238,13 @@ QUERIES = [
 #: the OUTPUT relation itself inflate quadratically, the timing
 #: measures output size the data demands, not a plan regression).
 PROBE_EXCLUDED = {
+    "x2_exact_substr_spans": (
+        "synth replica texts are near-identical, so the cross-doc span"
+        " PAIR relation itself inflates ~x100 (r9 comment in QUERIES,"
+        " formalized here when the query retired from the bench"
+        " primary): the probe would measure output size the data shape"
+        " demands, not the diagonal-run plan"
+    ),
     "x2_minhash_k_sweep": (
         "synth replica texts collide in minhash signatures, so the LSH"
         " candidate-pair relation the error sweep aggregates over"
@@ -267,6 +281,13 @@ NOOP_SINK = {
         " collect() measures driver string materialization, not the"
         " removal plan"
     ),
+}
+
+#: Names QUEUED (not newly registered) in a later round than their
+#: registration — e.g. bench-rotation backfills. PROBE files frozen
+#: before the queueing round are exempt from carrying their rows.
+QUEUE_BACKFILLS: dict[int, list[str]] = {
+    12: ["x2_dedup_incremental", "q4_local_supplier_volume"],
 }
 
 #: Names registered per round, for the completeness pin (git history
