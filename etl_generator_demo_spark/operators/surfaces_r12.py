@@ -316,9 +316,11 @@ DSIR_TARGET_LANG = "en"
 DSIR_BUDGET = 50
 
 
-def _dsir_oracle() -> str:
-    return f"""
-    WITH tok AS (
+def _dsir_core() -> str:
+    """Shared oracle CTE chain ending in `scored` (doc_id, lang,
+    n_bigrams, dsir_lr_e6) — the topk query cuts it to the budget, the
+    budget sweep reads the ranked head at several budgets."""
+    return f"""tok AS (
         SELECT doc_id, lang,
                UNNEST(STRING_SPLIT(text, ' ')) AS tk,
                GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
@@ -364,6 +366,12 @@ def _dsir_oracle() -> str:
         FROM docbg d JOIN lr l ON l.b = d.b
         GROUP BY d.doc_id, d.lang
     )
+"""
+
+
+def _dsir_oracle() -> str:
+    return f"""
+    WITH {_dsir_core()}
     SELECT doc_id, lang, n_bigrams, dsir_lr_e6
     FROM scored
     ORDER BY dsir_lr_e6 DESC, doc_id
@@ -371,31 +379,9 @@ def _dsir_oracle() -> str:
     """
 
 
-@register(
-    "x4_dsir_importance_topk",
-    oracle=_dsir_oracle(),
-    survey_ids=("X4", "A1", "J4", "O4", "F6"),
-)
-def x4_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR-style data selection (Xie et al. 2023, Data Selection via
-    Importance Resampling): score every pool document (lang ≠ target)
-    by the log likelihood ratio of its hashed-bigram bag under a
-    target-domain bigram LM vs the pool LM — both add-one smoothed
-    over the joint bigram vocabulary — and keep the top token budget.
-    Completes the data-mixture trio: mixture sampling → DoReMi group
-    weights (`x4_doremi_weight_step`) → per-document importance.
-
-    log w(x) = Σ_b n_b(x) · [ln p_tgt(b) − ln p_pool(b)], computed as
-    ONE ln of the compound ratio per distinct bigram (the ln-floor
-    discipline: floor(1e6·ln(·)) with the argument spelled identically
-    in both engines), then an exact integer dot with per-doc counts —
-    order-free, so the score is partitioning-invariant.
-
-    Plan shape at 100 TB: two vocabulary-bounded count rollups (target
-    and pool LMs), one scalar broadcast (Nt, Nr, V), the per-bigram
-    ratio relation joined to per-doc bigram counts on b (both keyed on
-    b — co-partitioned), one doc rollup, TakeOrderedAndProject for the
-    budget cut. Nothing quadratic; the LM tables are |vocab|-sized."""
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_bigrams, dsir_lr_e6) for every pool document —
+    the shared head of the topk cut and the budget sweep."""
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tk")
@@ -465,6 +451,36 @@ def x4_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("dsir_lr_e6"),
         )
+    )
+
+
+@register(
+    "x4_dsir_importance_topk",
+    oracle=_dsir_oracle(),
+    survey_ids=("X4", "A1", "J4", "O4", "F6"),
+)
+def x4_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, Data Selection via
+    Importance Resampling): score every pool document (lang ≠ target)
+    by the log likelihood ratio of its hashed-bigram bag under a
+    target-domain bigram LM vs the pool LM — both add-one smoothed
+    over the joint bigram vocabulary — and keep the top token budget.
+    Completes the data-mixture trio: mixture sampling → DoReMi group
+    weights (`x4_doremi_weight_step`) → per-document importance.
+
+    log w(x) = Σ_b n_b(x) · [ln p_tgt(b) − ln p_pool(b)], computed as
+    ONE ln of the compound ratio per distinct bigram (the ln-floor
+    discipline: floor(1e6·ln(·)) with the argument spelled identically
+    in both engines), then an exact integer dot with per-doc counts —
+    order-free, so the score is partitioning-invariant.
+
+    Plan shape at 100 TB: two vocabulary-bounded count rollups (target
+    and pool LMs), one scalar broadcast (Nt, Nr, V), the per-bigram
+    ratio relation joined to per-doc bigram counts on b (both keyed on
+    b — co-partitioned), one doc rollup, TakeOrderedAndProject for the
+    budget cut. Nothing quadratic; the LM tables are |vocab|-sized."""
+    return (
+        _dsir_scored(spark, sf_dir)
         .orderBy(F.desc("dsir_lr_e6"), "doc_id")
         .limit(DSIR_BUDGET)
     )
@@ -951,4 +967,456 @@ def x3_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_recall_e6",
         )
         .orderBy("p_dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) dedup — the shift-resistant tier
+# ---------------------------------------------------------------------------
+
+#: Boundary modulus: a position starts a new chunk when the local
+#: 2-gram hash ≡ 0 (mod CDC_MOD) ⇒ expected chunk length ≈ CDC_MOD
+#: tokens (fixture docs run 40–130 tokens ⇒ ~5–16 chunks/doc).
+CDC_MOD = 8
+
+
+@register(
+    "x2_cdc_chunk_dedup",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT(text, ' ')) AS tk,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    marked AS (
+        SELECT doc_id, pos, tk,
+               CASE WHEN LAG(tk) OVER w IS NULL THEN 1
+                    WHEN CAST(('0x' || SUBSTR(MD5(LAG(tk) OVER w
+                                              || '|' || tk), 1, 8))
+                              AS BIGINT) % {CDC_MOD} = 0 THEN 1
+                    ELSE 0 END AS is_boundary
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    numbered AS (
+        SELECT doc_id, pos, tk,
+               SUM(is_boundary) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS chunk_no
+        FROM marked
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_no,
+               MD5(STRING_AGG(tk, ' ' ORDER BY pos)) AS chunk_h,
+               CAST(COUNT(*) AS BIGINT) AS chunk_tokens
+        FROM numbered GROUP BY doc_id, chunk_no
+    )
+    SELECT chunk_h,
+           CAST(MAX(chunk_tokens) AS BIGINT) AS chunk_tokens,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(doc_id) AS owner_doc
+    FROM chunks
+    GROUP BY chunk_h
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, chunk_h
+    """,
+    survey_ids=("X2", "W3", "A1", "F6"),
+)
+def x2_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup — the SHIFT-RESISTANT tier the
+    fixed-block detector (`x4_chunk_level_dedup`, disjoint 16-token
+    blocks) cannot provide: a one-token insertion shifts every later
+    fixed block and kills all matches, while CDC boundaries depend
+    only on LOCAL content (new chunk when the 2-gram hash of
+    (prev, cur) ≡ 0 mod {M}), so chunking RESYNCHRONIZES right after
+    an edit and shared tails still dedup — the rsync/LBFS/backup-dedup
+    argument, applied to corpus boilerplate. Shift-resistance is
+    pinned by tests/test_surfaces_r12.py on a planted shifted pair
+    (fixed blocks: 0 matches; CDC: the shared suffix chunks match).
+
+    Emits cross-document duplicated chunks with a deterministic
+    canonical owner. Plan: one token scan → two per-doc windows
+    (boundary mark, prefix-sum chunk number) → per-chunk hash rollup →
+    one groupBy(chunk_h) with a HAVING prune — linear, keyed doc_id
+    then chunk_h; the chunk relation is ~tokens/{M} rows. The boundary
+    hash reuses the md5-hex→int idiom shared with the shard router."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tk")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("tk").over(w)
+    h2 = F.conv(
+        F.substring(F.md5(F.concat(prev, F.lit("|"), F.col("tk"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    marked = tok.select(
+        "doc_id",
+        "pos",
+        "tk",
+        F.when(prev.isNull(), 1)
+        .when(h2 % CDC_MOD == 0, 1)
+        .otherwise(0)
+        .alias("is_boundary"),
+    )
+    numbered = marked.select(
+        "doc_id",
+        "pos",
+        "tk",
+        F.sum("is_boundary")
+        .over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("chunk_no"),
+    )
+    chunks = numbered.groupBy("doc_id", "chunk_no").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tk"))),
+                    lambda s: s["tk"],
+                ),
+                " ",
+            )
+        ).alias("chunk_h"),
+        F.count(F.lit(1)).cast("long").alias("chunk_tokens"),
+    )
+    return (
+        chunks.groupBy("chunk_h")
+        .agg(
+            F.max("chunk_tokens").cast("long").alias("chunk_tokens"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("doc_id").alias("owner_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "chunk_h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-document perplexity filter (CCNet-style LM quality gate)
+# ---------------------------------------------------------------------------
+
+#: Cross-entropy keep ceiling (e6 nats/bigram). Documents whose
+#: bigram cross-entropy under the corpus LM exceeds this are flagged —
+#: the CCNet "head/middle/tail" cut, here a single measured gate.
+PPL_KEEP_XENT_E6 = 5_000_000
+
+
+@register(
+    "x4_doc_perplexity_filter",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               UNNEST(STRING_SPLIT(text, ' ')) AS tk,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, tk AS a, LEAD(tk) OVER w AS b
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    bgn AS (SELECT doc_id, a, b FROM bg WHERE b IS NOT NULL),
+    cnt_ab AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+        FROM bgn GROUP BY a, b
+    ),
+    cnt_a AS (
+        SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM cnt_ab GROUP BY a
+    ),
+    vv AS (SELECT CAST(COUNT(DISTINCT b) AS BIGINT) AS v FROM bgn),
+    lp AS (
+        SELECT ab.a, ab.b,
+               CAST(FLOOR(LN((ab.cab + 1.0) / (ca.ca + vv.v))
+                          * 1000000) AS BIGINT) AS lp_e6
+        FROM cnt_ab ab
+        JOIN cnt_a ca ON ca.a = ab.a
+        CROSS JOIN vv
+    ),
+    docbg AS (
+        SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM bgn GROUP BY doc_id, a, b
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
+               CAST(-SUM(d.cnt * l.lp_e6) AS BIGINT) AS neg_ll_e6
+        FROM docbg d JOIN lp l ON l.a = d.a AND l.b = d.b
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           CAST(neg_ll_e6 // n_bigrams AS BIGINT) AS xent_e6,
+           CASE WHEN neg_ll_e6 // n_bigrams <= {PPL_KEEP_XENT_E6}
+                THEN 'keep' ELSE 'flag' END AS gate
+    FROM scored
+    ORDER BY doc_id
+    """,
+    survey_ids=("X4", "A1", "J1", "F6"),
+)
+def x4_doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity filter (CCNet / Wenzek et al. 2020): a
+    document's cross-entropy per bigram under the corpus's own add-one
+    bigram LM, with a keep/flag gate — the LM-quality rung of the
+    filtering ladder next to the rule gates (`x4_gopher_quality_rules`)
+    and the n-gram quality score (`x4_bigram_lm_quality`, corpus-level;
+    this one is the PER-DOC serving relation a filter actually joins).
+
+    H(d) = −(1/|d|) Σ_bigrams ln p(b|a), p add-one smoothed over the
+    successor vocabulary. ln appears once per distinct bigram as
+    floor(1e6·ln(·)); per-doc sums are exact integer dots (order-free),
+    and the division is integer `div` truncating identically in both
+    engines. Plan: vocabulary-bounded LM rollups (cnt_ab → cnt_a), the
+    lp relation joined to per-doc counts co-keyed on the bigram, one
+    doc rollup — all linear in the token scan."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tk")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bgn = tok.select(
+        "doc_id",
+        F.col("tk").alias("a"),
+        F.lead("tk").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    cnt_ab = bgn.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cab")
+    )
+    cnt_a = cnt_ab.groupBy("a").agg(F.sum("cab").cast("long").alias("ca"))
+    vv = bgn.agg(F.count_distinct("b").cast("long").alias("v"))
+    lp = (
+        cnt_ab.join(cnt_a, "a")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "a",
+            "b",
+            F.floor(
+                F.log((F.col("cab") + F.lit(1.0)) / (F.col("ca") + F.col("v")))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lp_e6"),
+        )
+    )
+    docbg = bgn.groupBy("doc_id", "a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    scored = (
+        docbg.join(lp, ["a", "b"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            (-F.sum(F.col("cnt") * F.col("lp_e6")))
+            .cast("long")
+            .alias("neg_ll_e6"),
+        )
+    )
+    xent = F.expr("neg_ll_e6 div n_bigrams").cast("long")
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            xent.alias("xent_e6"),
+            F.when(xent <= PPL_KEEP_XENT_E6, "keep")
+            .otherwise("flag")
+            .alias("gate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR budget sweep (the selection knob's measured curve)
+# ---------------------------------------------------------------------------
+
+#: Budgets swept (docs kept). The largest bounds the ranked head.
+DSIR_BUDGET_SWEEP = (10, 25, 50, 100)
+
+
+def _dsir_sweep_oracle() -> str:
+    budgets = ", ".join(f"({b})" for b in DSIR_BUDGET_SWEEP)
+    return f"""
+    WITH {_dsir_core()},
+    head AS (
+        SELECT dsir_lr_e6,
+               ROW_NUMBER() OVER (ORDER BY dsir_lr_e6 DESC, doc_id) AS rk
+        FROM scored
+        ORDER BY dsir_lr_e6 DESC, doc_id
+        LIMIT {max(DSIR_BUDGET_SWEEP)}
+    ),
+    budgets(b) AS (VALUES {budgets})
+    SELECT CAST(b AS BIGINT) AS budget,
+           CAST(COUNT(*) AS BIGINT) AS n_selected,
+           CAST(SUM(dsir_lr_e6) // COUNT(*) AS BIGINT) AS mean_lr_e6,
+           CAST(MIN(dsir_lr_e6) AS BIGINT) AS cutoff_lr_e6
+    FROM budgets JOIN head ON head.rk <= budgets.b
+    GROUP BY b
+    ORDER BY budget
+    """
+
+
+@register(
+    "x4_dsir_budget_sweep",
+    oracle=_dsir_sweep_oracle(),
+    survey_ids=("X4", "W1", "A1", "O4"),
+)
+def x4_dsir_budget_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DSIR selection knob's measured curve: mean and cutoff
+    importance at several budgets — how much score quality each extra
+    slice of budget costs (the marginal-document ratio is the number
+    that decides where to stop), same measured-knob discipline as the
+    LSH band / IVF n_probe / packing context sweeps.
+
+    Plan: the shared scored relation is cut ONCE to the largest budget
+    (TakeOrderedAndProject — max(budgets) rows, never the corpus),
+    ranked by a window over that bounded head, and read once per
+    budget via a broadcast budgets join. Corpus work is identical to
+    one topk run regardless of sweep width."""
+    scored = _dsir_scored(spark, sf_dir)
+    head = (
+        scored.orderBy(F.desc("dsir_lr_e6"), "doc_id")
+        .limit(max(DSIR_BUDGET_SWEEP))
+        .select(
+            "dsir_lr_e6",
+            F.row_number()
+            .over(Window.orderBy(F.desc("dsir_lr_e6"), "doc_id"))
+            .alias("rk"),
+        )
+    )
+    budgets = spark.createDataFrame(
+        [(b,) for b in DSIR_BUDGET_SWEEP], "b int"
+    )
+    return (
+        head.join(F.broadcast(budgets), F.col("rk") <= F.col("b"))
+        .groupBy("b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.expr("sum(dsir_lr_e6) div count(1)")
+            .cast("long")
+            .alias("mean_lr_e6"),
+            F.min("dsir_lr_e6").cast("long").alias("cutoff_lr_e6"),
+        )
+        .select(
+            F.col("b").cast("long").alias("budget"),
+            "n_selected",
+            "mean_lr_e6",
+            "cutoff_lr_e6",
+        )
+        .orderBy("budget")
+    )
+
+
+# ---------------------------------------------------------------------------
+# session-gap sweep (the sessionization knob's measured curve)
+# ---------------------------------------------------------------------------
+
+#: Inactivity gaps swept (minutes).
+SESSION_GAP_SWEEP_MIN = (5, 15, 30, 60)
+
+
+def _gap_sweep_oracle() -> str:
+    gaps = ", ".join(f"({g})" for g in SESSION_GAP_SWEEP_MIN)
+    return f"""
+    WITH gaps(g) AS (VALUES {gaps}),
+    ev AS (
+        SELECT user_id, EPOCH_US(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events
+    ),
+    marked AS (
+        SELECT g, user_id, ts_us,
+               CASE WHEN LAG(ts_us) OVER w IS NULL
+                         OR ts_us - LAG(ts_us) OVER w > CAST(g AS BIGINT) * 60000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev CROSS JOIN gaps
+        WINDOW w AS (PARTITION BY g, user_id ORDER BY ts_us)
+    ),
+    islands AS (
+        SELECT g, user_id,
+               SUM(new_session) OVER (PARTITION BY g, user_id ORDER BY ts_us
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    ),
+    sessions AS (
+        SELECT g, user_id, session_no, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM islands GROUP BY g, user_id, session_no
+    )
+    SELECT CAST(g AS BIGINT) AS gap_min,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n_events) * 1000000 // COUNT(*) AS BIGINT)
+               AS mean_events_e6,
+           CAST(MAX(n_events) AS BIGINT) AS max_session_events
+    FROM sessions
+    GROUP BY g
+    ORDER BY gap_min
+    """
+
+
+@register(
+    "st_session_gap_sweep",
+    oracle=_gap_sweep_oracle(),
+    survey_ids=("§2.11", "W1", "W3", "A1"),
+)
+def st_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sessionization knob's measured curve: session count, mean
+    size, and largest session at 5/15/30/60-minute inactivity gaps —
+    the number that justifies `st_session_windows`' 30-minute gap
+    instead of folklore (where the curve flattens, the gap stops
+    mattering). Spelled gaps-and-islands over (gap × events) so ONE
+    scan serves all four gaps; per-(gap, user) windows shuffle the
+    events relation once on the compound key — hot users spread
+    4-ways for free. Microsecond integer arithmetic end-to-end; ties
+    in ts cannot flip any boundary flag (diff 0 is never > gap), so
+    the per-gap session multiset is total-order-free."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    gaps = spark.createDataFrame(
+        [(g,) for g in SESSION_GAP_SWEEP_MIN], "g int"
+    )
+    w = Window.partitionBy("g", "user_id").orderBy("ts_us")
+    marked = ev.crossJoin(F.broadcast(gaps)).select(
+        "g",
+        "user_id",
+        "ts_us",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (
+                F.col("ts_us") - F.lag("ts_us").over(w)
+                > F.col("g").cast("long") * 60_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    islands = marked.select(
+        "g",
+        "user_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    sessions = islands.groupBy("g", "user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    return (
+        sessions.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.expr("sum(n_events) * 1000000 div count(1)")
+            .cast("long")
+            .alias("mean_events_e6"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+        )
+        .select(
+            F.col("g").cast("long").alias("gap_min"),
+            "n_sessions",
+            "mean_events_e6",
+            "max_session_events",
+        )
+        .orderBy("gap_min")
     )

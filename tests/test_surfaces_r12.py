@@ -139,3 +139,48 @@ def test_t_closeness_exact_rational(spark, tmp_path):
         assert r["class_size"] == 4
         assert r["tv_e6"] == 250_000
         assert r["risk"] == "breach"
+
+
+def test_cdc_chunking_is_shift_resistant(spark, tmp_path):
+    """The CDC argument, demonstrated: a single token prepended to a
+    40-token document kills every fixed-16-block match
+    (x4_chunk_level_dedup finds nothing) while CDC boundaries
+    resynchronize right after the edit and the shared suffix chunks
+    still dedup."""
+    from etl_generator_demo_spark.operators.packing import (
+        x4_chunk_level_dedup,
+    )
+    from etl_generator_demo_spark.operators.surfaces_r12 import (
+        x2_cdc_chunk_dedup,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    _write_documents(
+        spark, str(tmp_path), [(base, "en"), ("xnew " + base, "en")]
+    )
+    cdc = x2_cdc_chunk_dedup(spark, str(tmp_path)).collect()
+    assert len(cdc) >= 5  # resynchronized shared chunks found
+    assert all(r["n_docs"] == 2 and r["owner_doc"] == 0 for r in cdc)
+    # >=70% of tokens recovered as duplicated content despite the shift
+    assert sum(r["chunk_tokens"] for r in cdc) >= 28
+    assert x4_chunk_level_dedup(spark, str(tmp_path)).count() == 0
+
+
+def test_perplexity_filter_orders_repetitive_text_lower(spark, tmp_path):
+    """A maximally predictable doc (one repeated bigram) must score a
+    LOWER cross-entropy than a doc of unique bigrams under the same
+    corpus LM."""
+    from etl_generator_demo_spark.operators.surfaces_r12 import (
+        x4_doc_perplexity_filter,
+    )
+
+    _write_documents(
+        spark,
+        str(tmp_path),
+        [("a a a a a a a a", "en"), ("b c d e f g h i", "en")],
+    )
+    got = {
+        r["doc_id"]: r["xent_e6"]
+        for r in x4_doc_perplexity_filter(spark, str(tmp_path)).collect()
+    }
+    assert got[0] < got[1]

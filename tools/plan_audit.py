@@ -820,6 +820,17 @@ EXPECTATIONS: dict[str, dict] = {
     # sparse text tower groupBy + exploded image tower rollup + two
     # media-keyed joins; towers co-keyed on media_id
     "x5_crossmodal_clip_gate": {"max_exchanges": 7, "min_broadcast": 2},
+    # one token scan -> two per-doc windows -> chunk rollup -> h rollup
+    "x2_cdc_chunk_dedup": {"max_exchanges": 3},
+    # vocab-bounded LM rollups + bigram-keyed lp join + doc rollup
+    "x4_doc_perplexity_filter": {"max_exchanges": 10, "min_broadcast": 2},
+    # one scored pass cut to max(budgets) (TakeOrdered), rank over the
+    # bounded head, broadcast budgets join
+    "x4_dsir_budget_sweep": {"max_exchanges": 13, "min_broadcast": 2,
+                             "take_ordered": True},
+    # (gap x events) keyed windows + two rollups — one compound-key
+    # shuffle serves all four gaps
+    "st_session_gap_sweep": {"max_exchanges": 3},
 }
 
 

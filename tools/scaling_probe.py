@@ -221,6 +221,16 @@ QUERIES = [
     # (expect ~linear).
     "x5_av_segment_alignment",
     "x5_crossmodal_clip_gate",
+    # r12 batch 2: CDC chunk dedup is windows + rollups (expect
+    # ~linear; synth replicas share chunks — the h rollup carries 10x
+    # occurrence lists, still keyed). Perplexity filter: vocab-bounded
+    # LM + bigram-keyed join (expect ~linear). DSIR budget sweep does
+    # the same corpus work as one topk (expect ~topk-equal). Session
+    # gap sweep: one compound-key shuffle x4 gaps (expect ~linear).
+    "x2_cdc_chunk_dedup",
+    "x4_doc_perplexity_filter",
+    "x4_dsir_budget_sweep",
+    "st_session_gap_sweep",
     # r12 bench-rotation backfill: a HEADLINE query may retire only if
     # probe-tracked, and these two never were — queued now. Incremental
     # dedup streams the corpus side against a broadcast batch (expect
@@ -313,6 +323,10 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x4_l_diversity_audit",
     ],
     12: [
+        "x2_cdc_chunk_dedup",
+        "x4_doc_perplexity_filter",
+        "x4_dsir_budget_sweep",
+        "st_session_gap_sweep",
         "x2_removal_rematerialize",
         "x2_rematerialize_boundary_audit",
         "x4_dsir_importance_topk",
