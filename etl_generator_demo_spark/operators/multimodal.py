@@ -913,3 +913,82 @@ def x5_crossmodal_clip_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+#: Target modality mixture for the balance audit (e6 shares — the
+#: training recipe's declared image/audio/video budget split).
+X5_TARGET_MIX_E6 = {"image": 400_000, "audio": 300_000, "video": 300_000}
+
+
+@register(
+    "x5_modality_balance_audit",
+    oracle=f"""
+    WITH m AS (
+        SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(OCTET_LENGTH(ENCODE(text)) AS BIGINT) AS n_bytes
+        FROM documents
+    ),
+    per AS (
+        SELECT media_type,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+        FROM m GROUP BY media_type
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_items) AS BIGINT) AS n,
+               CAST(SUM(total_bytes) AS BIGINT) AS tb
+        FROM per
+    ),
+    tgt(media_type, target_e6) AS (VALUES
+        {", ".join(f"('{k}', {v})" for k, v in X5_TARGET_MIX_E6.items())})
+    SELECT p.media_type, p.n_items, p.total_bytes,
+           CAST(p.total_bytes * 1000000 // t.tb AS BIGINT) AS byte_share_e6,
+           CAST(g.target_e6 AS BIGINT) AS target_e6,
+           CAST(CAST(g.target_e6 AS BIGINT) * 1000000
+                // (p.total_bytes * 1000000 // t.tb) AS BIGINT)
+               AS reweight_e6
+    FROM per p CROSS JOIN tot t JOIN tgt g USING (media_type)
+    ORDER BY p.media_type
+    """,
+    survey_ids=("X5", "A1", "F6"),
+)
+def x5_modality_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality mixture audit — the multimodal counterpart of the
+    token-budget mixture: actual byte share per media type vs the
+    training recipe's declared target, with the per-modality sampling
+    reweight factor (target/actual, e6) a sampler applies to close the
+    gap. Exact integer shares (bytes·1e6 div total); the reweight is
+    an integer ratio of e6 shares, truncating identically in both
+    engines. Plan: one metadata scan → |modalities|-bounded rollup —
+    payload bytes never read (n_bytes is sidecar metadata), so at
+    100 TB this audits the manifest, not the blobs."""
+    media = as_media_table(t(spark, sf_dir, "documents"))
+    per = media.groupBy("media_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("meta.n_bytes").cast("long").alias("total_bytes"),
+    )
+    tot = per.agg(F.sum("total_bytes").cast("long").alias("tb"))
+    tgt = spark.createDataFrame(
+        [(k, v) for k, v in X5_TARGET_MIX_E6.items()],
+        "media_type string, target_e6 long",
+    )
+    share = F.expr("total_bytes * 1000000 div tb").cast("long")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(tgt), "media_type")
+        .select(
+            "media_type",
+            "n_items",
+            "total_bytes",
+            share.alias("byte_share_e6"),
+            "target_e6",
+            F.expr(
+                "target_e6 * 1000000 div (total_bytes * 1000000 div tb)"
+            )
+            .cast("long")
+            .alias("reweight_e6"),
+        )
+        .orderBy("media_type")
+    )

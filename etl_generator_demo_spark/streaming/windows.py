@@ -707,3 +707,131 @@ def st_watermark_drop_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return watermark_drop_ledger(
         ev, [F.col("_day").asc(), F.col("_shuf").asc(), F.col("event_id").asc()]
     )
+
+
+#: Delays swept by the ledger knob curve (minutes).
+WM_DELAY_SWEEP_MIN = (5, 10, 30, 60)
+
+
+@register(
+    "st_watermark_delay_sweep",
+    oracle=f"""
+    WITH delays(d) AS (VALUES {", ".join(f"({d})" for d in WM_DELAY_SWEEP_MIN)}),
+    ev AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    ord AS (
+        SELECT ts,
+               ROW_NUMBER() OVER (ORDER BY CAST(ts AS DATE),
+                                           MD5(CAST(event_id AS VARCHAR)),
+                                           event_id) - 1 AS rn
+        FROM ev
+    ),
+    b AS (
+        SELECT EPOCH_US(ts) AS ts_us, rn // {WM_LEDGER_BATCH} AS batch_id
+        FROM ord
+    ),
+    bs AS (
+        SELECT batch_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(ts_us) AS bmax_us
+        FROM b GROUP BY batch_id
+    ),
+    hw AS (
+        SELECT batch_id, n_events,
+               MAX(bmax_us) OVER (ORDER BY batch_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 2 PRECEDING) AS hw2_us
+        FROM bs
+    ),
+    dr AS (
+        SELECT delays.d,
+               CAST(COUNT(*) FILTER (
+                   WHERE h.hw2_us IS NOT NULL
+                     AND b.ts_us < h.hw2_us - CAST(delays.d AS BIGINT) * 60000000
+               ) AS BIGINT) AS n_dropped
+        FROM b
+        JOIN hw h USING (batch_id)
+        CROSS JOIN delays
+        GROUP BY delays.d
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM b)
+    SELECT CAST(d AS BIGINT) AS delay_min, dr.n_dropped,
+           CAST(dr.n_dropped * 1000000 // tot.n AS BIGINT) AS drop_rate_e6
+    FROM dr CROSS JOIN tot
+    ORDER BY delay_min
+    """,
+    survey_ids=("§2.11", "W3", "A1"),
+)
+def st_watermark_delay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark-delay knob's measured curve: total late-dropped
+    rows (Spark-4 two-watermark semantics, same replay and batching as
+    `st_watermark_drop_ledger`) at 5/10/30/60-minute delays — the
+    completeness-vs-state-size trade quantified, closing the loop the
+    lateness histogram opened: histogram → candidate delays → this
+    curve prices each → the ledger audits the chosen one in
+    production. One replay + one batch rollup serve all four delays
+    (the per-event drop test against the 2-lagged high water is
+    arithmetic per delay, no extra shuffle)."""
+    from etl_generator_demo_spark.operators.analytics_ext import (
+        global_row_number,
+        global_running,
+    )
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withColumn("_day", F.to_date("ts"))
+        .withColumn("_shuf", F.md5(F.col("event_id").cast("string")))
+    )
+    d, _n = global_row_number(
+        ev,
+        [F.col("_day").asc(), F.col("_shuf").asc(), F.col("event_id").asc()],
+        rn_col="_rn",
+    )
+    b = d.select(
+        ((F.col("_rn") - 1) / WM_LEDGER_BATCH).cast("long").alias("batch_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    bs = b.groupBy("batch_id").agg(F.max("ts_us").alias("bmax_us"))
+    incl = global_running(
+        bs, [F.col("batch_id").asc()], "bmax_us", kind="max", out_col="hw_us"
+    )
+    lag2 = incl.select(
+        (F.col("batch_id") + 2).alias("batch_id"),
+        F.col("hw_us").alias("hw2_us"),
+    )
+    delays = spark.createDataFrame(
+        [(x,) for x in WM_DELAY_SWEEP_MIN], "d int"
+    )
+    dr = (
+        b.join(lag2, "batch_id", "left")
+        .crossJoin(F.broadcast(delays))
+        .groupBy("d")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("hw2_us").isNotNull()
+                    & (
+                        F.col("ts_us")
+                        < F.col("hw2_us")
+                        - F.col("d").cast("long") * 60_000_000
+                    ),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("n_dropped")
+        )
+    )
+    tot = b.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        dr.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").cast("long").alias("delay_min"),
+            "n_dropped",
+            F.expr("n_dropped * 1000000 div n").cast("long").alias(
+                "drop_rate_e6"
+            ),
+        )
+        .orderBy("delay_min")
+    )

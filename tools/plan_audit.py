@@ -831,6 +831,10 @@ EXPECTATIONS: dict[str, dict] = {
     # (gap x events) keyed windows + two rollups — one compound-key
     # shuffle serves all four gaps
     "st_session_gap_sweep": {"max_exchanges": 3},
+    # one replay (range exchange) + batch rollup + broadcast delays
+    "st_watermark_delay_sweep": {"max_exchanges": 4, "min_broadcast": 1},
+    # one metadata scan -> |modalities| rollup + broadcast targets
+    "x5_modality_balance_audit": {"max_exchanges": 4, "min_broadcast": 1},
 }
 
 

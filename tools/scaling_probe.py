@@ -231,6 +231,11 @@ QUERIES = [
     "x4_doc_perplexity_filter",
     "x4_dsir_budget_sweep",
     "st_session_gap_sweep",
+    # r12 batch 3: delay sweep shares the ledger's replay (expect
+    # ~linear); modality audit is a |modalities|-bounded rollup
+    # (expect ~flat past the scan).
+    "st_watermark_delay_sweep",
+    "x5_modality_balance_audit",
     # r12 bench-rotation backfill: a HEADLINE query may retire only if
     # probe-tracked, and these two never were — queued now. Incremental
     # dedup streams the corpus side against a broadcast batch (expect
@@ -323,6 +328,8 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x4_l_diversity_audit",
     ],
     12: [
+        "st_watermark_delay_sweep",
+        "x5_modality_balance_audit",
         "x2_cdc_chunk_dedup",
         "x4_doc_perplexity_filter",
         "x4_dsir_budget_sweep",
