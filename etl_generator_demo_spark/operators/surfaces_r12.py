@@ -381,7 +381,15 @@ def _dsir_oracle() -> str:
 
 def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, lang, n_bigrams, dsir_lr_e6) for every pool document —
-    the shared head of the topk cut and the budget sweep."""
+    the shared head of the topk cut and the budget sweep.
+
+    One corpus window pass: the (doc, lang, bigram) -> count relation
+    is materialized ONCE (localCheckpoint) and every downstream LM
+    statistic — target counts, pool counts, Nt/Nr/V scalars, per-doc
+    dots — is a rollup of it. The naive spelling re-derived the
+    token-explode + lead window for each consumer (4 corpus passes);
+    at 100 TB the window pass dominates, so this is the difference
+    between one shuffle-heavy pass and four."""
     docs = t(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", "lang", F.posexplode(F.split("text", " ")).alias("pos", "tk")
@@ -395,17 +403,22 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("_", F.col("tk"), F.lead("tk").over(w)),
         ).alias("b"),
     ).filter(F.col("b").isNotNull())
+    docbg_all = (
+        bgn.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
 
     is_tgt = F.col("lang") == DSIR_TARGET_LANG
     tgt = (
-        bgn.filter(is_tgt)
+        docbg_all.filter(is_tgt)
         .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+        .agg(F.sum("cnt").cast("long").alias("ct"))
     )
     pool = (
-        bgn.filter(~is_tgt)
+        docbg_all.filter(~is_tgt)
         .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cr"))
+        .agg(F.sum("cnt").cast("long").alias("cr"))
     )
     scal = (
         tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).cast("long").alias("nt"))
@@ -415,7 +428,7 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .crossJoin(
-            bgn.agg(F.count_distinct("b").cast("long").alias("v"))
+            docbg_all.agg(F.count_distinct("b").cast("long").alias("v"))
         )
     )
     lr = (
@@ -437,11 +450,7 @@ def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lr_e6"),
         )
     )
-    docbg = (
-        bgn.filter(~is_tgt)
-        .groupBy("doc_id", "lang", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    docbg = docbg_all.filter(~is_tgt)
     return (
         docbg.join(lr, "b")
         .groupBy("doc_id", "lang")
@@ -1182,11 +1191,19 @@ def x4_doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tk").alias("a"),
         F.lead("tk").over(w).alias("b"),
     ).filter(F.col("b").isNotNull())
-    cnt_ab = bgn.groupBy("a", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("cab")
+    # one corpus window pass: per-doc bigram counts materialized once,
+    # LM statistics are rollups of it (same single-pass discipline as
+    # _dsir_scored)
+    docbg = (
+        bgn.groupBy("doc_id", "a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    cnt_ab = docbg.groupBy("a", "b").agg(
+        F.sum("cnt").cast("long").alias("cab")
     )
     cnt_a = cnt_ab.groupBy("a").agg(F.sum("cab").cast("long").alias("ca"))
-    vv = bgn.agg(F.count_distinct("b").cast("long").alias("v"))
+    vv = docbg.agg(F.count_distinct("b").cast("long").alias("v"))
     lp = (
         cnt_ab.join(cnt_a, "a")
         .crossJoin(F.broadcast(vv))
@@ -1200,9 +1217,6 @@ def x4_doc_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("lp_e6"),
         )
-    )
-    docbg = bgn.groupBy("doc_id", "a", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
     )
     scored = (
         docbg.join(lp, ["a", "b"])

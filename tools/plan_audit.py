@@ -796,9 +796,9 @@ EXPECTATIONS: dict[str, dict] = {
     # the kept relation feeds a second gram window + dup rollup plus
     # four single-row audits cross-joined (each its own tiny exchange)
     "x2_rematerialize_boundary_audit": {"max_exchanges": 11, "min_broadcast": 3},
-    # two vocab-bounded LM rollups + scalar broadcast + b-keyed ratio
-    # join + per-doc rollup + TakeOrdered budget cut
-    "x4_dsir_importance_topk": {"max_exchanges": 13, "min_broadcast": 2,
+    # ONE corpus window pass into a checkpointed (doc,b) count
+    # relation; LM rollups + b-keyed ratio join + TakeOrdered cut
+    "x4_dsir_importance_topk": {"max_exchanges": 9, "min_broadcast": 2,
                                 "take_ordered": True},
     # token scan -> map-combined count -> top-100 -> 100-row moments
     # (the rank window runs on the N-bounded head only)
@@ -822,11 +822,12 @@ EXPECTATIONS: dict[str, dict] = {
     "x5_crossmodal_clip_gate": {"max_exchanges": 7, "min_broadcast": 2},
     # one token scan -> two per-doc windows -> chunk rollup -> h rollup
     "x2_cdc_chunk_dedup": {"max_exchanges": 3},
+    # ONE corpus window pass (checkpointed per-doc bigram counts),
     # vocab-bounded LM rollups + bigram-keyed lp join + doc rollup
-    "x4_doc_perplexity_filter": {"max_exchanges": 10, "min_broadcast": 2},
+    "x4_doc_perplexity_filter": {"max_exchanges": 7, "min_broadcast": 2},
     # one scored pass cut to max(budgets) (TakeOrdered), rank over the
     # bounded head, broadcast budgets join
-    "x4_dsir_budget_sweep": {"max_exchanges": 13, "min_broadcast": 2,
+    "x4_dsir_budget_sweep": {"max_exchanges": 9, "min_broadcast": 2,
                              "take_ordered": True},
     # (gap x events) keyed windows + two rollups — one compound-key
     # shuffle serves all four gaps
