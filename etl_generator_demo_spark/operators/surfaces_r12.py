@@ -1434,3 +1434,442 @@ def st_session_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_min")
     )
+
+
+# ---------------------------------------------------------------------------
+# ranker agreement: BM25 vs QL-Dirichlet (Spearman over the hit set)
+# ---------------------------------------------------------------------------
+
+def _ranker_agreement_oracle() -> str:
+    from .retrieval import BM25_B, BM25_K1, BM25_QUERY_TERMS
+    from .surfaces_r11 import QL_MU
+
+    terms = ", ".join(f"'{x}'" for x in BM25_QUERY_TERMS)
+    uterms = " UNION ALL ".join(
+        f"SELECT '{x}' AS term" for x in BM25_QUERY_TERMS
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(dl) AS BIGINT) AS total_len
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE term IN ({terms}) GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    bm25 AS (
+        SELECT tf.doc_id,
+               CAST(SUM(CAST(FLOOR(
+                   (LN(1 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                    * (tf.tf * {BM25_K1 + 1}))
+                   / (tf.tf + {BM25_K1} * (1 - {BM25_B}
+                      + {BM25_B} * dl.dl
+                        / (CAST(stats.total_len AS DOUBLE) / stats.n_docs)))
+                   * 1000000) AS BIGINT)) AS BIGINT) AS bm25_e6
+        FROM tf
+        JOIN dfreq USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    ),
+    q AS ({uterms}),
+    ctf AS (
+        SELECT q.term, CAST(COUNT(tok.term) AS BIGINT) AS ctf
+        FROM q LEFT JOIN tok ON tok.term = q.term GROUP BY q.term
+    ),
+    ql AS (
+        SELECT d.doc_id,
+               CAST(SUM(CAST(FLOOR(LN(
+                   (COALESCE(t.tf, 0)
+                    + {QL_MU} * (c.ctf * 1.0 / s.total_len))
+                   / (d.dl + {QL_MU})
+               ) * 1000000) AS BIGINT)) AS BIGINT) AS ql_e6
+        FROM dl d
+        CROSS JOIN ctf c
+        CROSS JOIN stats s
+        LEFT JOIN tf t ON t.doc_id = d.doc_id AND t.term = c.term
+        WHERE c.ctf > 0
+        GROUP BY d.doc_id
+    ),
+    common AS (
+        SELECT b.doc_id, b.bm25_e6, ql.ql_e6
+        FROM bm25 b JOIN ql USING (doc_id)
+    ),
+    ranked AS (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY bm25_e6, doc_id) AS BIGINT) AS ra,
+               CAST(ROW_NUMBER() OVER (ORDER BY ql_e6, doc_id) AS BIGINT) AS rb
+        FROM common
+    ),
+    s2 AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+        FROM ranked
+    )
+    SELECT n AS n_common, sum_d2,
+           CAST(FLOOR((1 - 6.0 * sum_d2 / (n * (n * n - 1.0)))
+                      * 1000000) AS BIGINT) AS spearman_e6
+    FROM s2
+    """
+
+
+@register(
+    "x4_ranker_agreement",
+    oracle=_ranker_agreement_oracle(),
+    survey_ids=("X4", "W1", "A2", "J1"),
+)
+def x4_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-ranker agreement: Spearman rank correlation between BM25
+    and query-likelihood-Dirichlet over the documents that match the
+    shared fixed query — the eval a retrieval stack runs before
+    fusing rankers (RRF is only worth its cost when the rankers
+    DISAGREE; ρ near 1 says one ranker suffices). Both scores reuse
+    the registered scorers' exact spellings (per-term ln-floored e6,
+    order-free integer per-doc sums); ranks are ROW_NUMBER
+    permutations under (score, doc_id) total orders, and the Spearman
+    closed form runs on exact BIGINT sums with the identical
+    float-then-floor sequence both engines (the
+    `x4_spearman_rank_corr` precedent).
+
+    Scale: tf filters to query terms at the explode; the hit-doc
+    relation is what both rankings permute — both run through the
+    distributed `global_row_number`, never a single-partition window;
+    the rank join keys on doc_id."""
+    from etl_generator_demo_spark.operators.analytics_ext import (
+        global_row_number,
+    )
+
+    from .retrieval import BM25_B, BM25_K1, BM25_QUERY_TERMS
+    from .surfaces_r11 import QL_MU
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+    tf = (
+        tok.filter(F.col("term").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    term_score = (idf * (F.col("tf") * (BM25_K1 + 1))) / (
+        F.col("tf")
+        + BM25_K1 * (F.lit(1) - BM25_B + BM25_B * F.col("dl") / avgdl)
+    )
+    bm25 = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(term_score * 1_000_000).cast("long").alias("ts_e6"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("ts_e6").cast("long").alias("bm25_e6"))
+    )
+    qterms = spark.createDataFrame(
+        [(x,) for x in BM25_QUERY_TERMS], "term string"
+    )
+    ctf = (
+        qterms.join(tok, "term", "left")
+        .groupBy("term")
+        .agg(F.count("doc_id").cast("long").alias("ctf"))
+        .filter(F.col("ctf") > 0)
+    )
+    ql = (
+        dl.crossJoin(F.broadcast(ctf))
+        .crossJoin(F.broadcast(stats))
+        .join(tf, ["doc_id", "term"], "left")
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (
+                        F.coalesce(F.col("tf"), F.lit(0))
+                        + QL_MU * (F.col("ctf") * F.lit(1.0) / F.col("total_len"))
+                    )
+                    / (F.col("dl") + QL_MU)
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lp_e6"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("lp_e6").cast("long").alias("ql_e6"))
+    )
+    common = bm25.join(ql, "doc_id")
+    ra, _ = global_row_number(
+        common.select("doc_id", "bm25_e6"),
+        [F.col("bm25_e6").asc(), F.col("doc_id").asc()],
+        rn_col="ra",
+    )
+    rb, _ = global_row_number(
+        common.select("doc_id", "ql_e6"),
+        [F.col("ql_e6").asc(), F.col("doc_id").asc()],
+        rn_col="rb",
+    )
+    d = ra.select("doc_id", "ra").join(rb.select("doc_id", "rb"), "doc_id")
+    dd = (F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum(dd).cast("long").alias("sum_d2"),
+    ).select(
+        "n_common",
+        "sum_d2",
+        F.floor(
+            (
+                1
+                - 6.0
+                * F.col("sum_d2")
+                / (F.col("n_common") * (F.col("n_common") * F.col("n_common") - 1.0))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("spearman_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source token entropy
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_entropy_per_source",
+    oracle="""
+    WITH tok AS (
+        SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tk FROM documents
+    ),
+    cnt AS (
+        SELECT source, tk, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY source, tk
+    ),
+    nn AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY source),
+    lp AS (
+        SELECT cnt.source, cnt.c,
+               CAST(FLOOR(LN(cnt.c * 1.0 / nn.n) * 1000000) AS BIGINT) AS lp_e6
+        FROM cnt JOIN nn USING (source)
+    )
+    SELECT lp.source,
+           nn.n AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(-SUM(lp.c * lp.lp_e6) // nn.n AS BIGINT) AS entropy_e6
+    FROM lp JOIN nn USING (source)
+    GROUP BY lp.source, nn.n
+    ORDER BY lp.source
+    """,
+    survey_ids=("X4", "A1", "F6"),
+)
+def x4_entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's unigram distribution (nats,
+    e6) — the lexical-diversity number a mixture designer reads next
+    to the Gini/Zipf stats: low-entropy sources are templated or
+    boilerplate-heavy and earn a down-weight regardless of volume.
+    H = −Σ p ln p computed as −(Σ c·floor(1e6·ln(c/N))) div N — one
+    ln-floor per (source, type), exact integer sums, truncating
+    division identical both engines. Plan: one token scan → two
+    map-combined rollups keyed on source — linear, |sources|-bounded
+    output."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(F.split("text", " ")).alias("tk"))
+    cnt = tok.groupBy("source", "tk").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    nn = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    lp = cnt.join(nn, "source").select(
+        "source",
+        "c",
+        "n",
+        F.floor(F.log(F.col("c") * F.lit(1.0) / F.col("n")) * 1_000_000)
+        .cast("long")
+        .alias("lp_e6"),
+    )
+    return (
+        lp.groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.expr("CAST(-SUM(c * lp_e6) div n AS LONG)").alias("entropy_e6"),
+        )
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            "n_types",
+            "entropy_e6",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# interpolated-LM held-out cross-entropy (the lambda knob)
+# ---------------------------------------------------------------------------
+
+#: Jelinek-Mercer interpolation weights swept (bigram share).
+LM_LAMBDA_SWEEP = (0.25, 0.5, 0.75, 0.9)
+
+
+def _lm_interp_oracle() -> str:
+    arms = []
+    for lam in LM_LAMBDA_SWEEP:
+        arms.append(f"""
+        SELECT CAST({int(lam * 1_000_000)} AS BIGINT) AS lambda_e6,
+               CAST(SUM(h.cnt) AS BIGINT) AS n_bigrams,
+               CAST(-SUM(h.cnt * CAST(FLOOR(LN(
+                   {lam} * (COALESCE(tb.cab, 0) * 1.0 / COALESCE(ta.ca, 1))
+                   + {1 - lam} * ((COALESCE(tu.cu, 0) + 1.0) / (s.ntr + s.v))
+               ) * 1000000) AS BIGINT)) // SUM(h.cnt) AS BIGINT) AS xent_e6
+        FROM ho h
+        LEFT JOIN tr_ab tb ON tb.a = h.a AND tb.b = h.b
+        LEFT JOIN tr_a ta ON ta.a = h.a
+        LEFT JOIN tr_u tu ON tu.tk = h.b
+        CROSS JOIN s""")
+    union = "\n        UNION ALL\n".join(arms)
+    return f"""
+    WITH tok AS (
+        SELECT doc_id,
+               SUBSTR(MD5('ho|' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                   AS is_train,
+               UNNEST(STRING_SPLIT(text, ' ')) AS tk,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, is_train, tk AS a, LEAD(tk) OVER w AS b
+        FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    bgn AS (SELECT doc_id, is_train, a, b FROM bg WHERE b IS NOT NULL),
+    tr_ab AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cab
+        FROM bgn WHERE is_train GROUP BY a, b
+    ),
+    tr_a AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca FROM tr_ab GROUP BY a),
+    tr_u AS (
+        SELECT tk, CAST(COUNT(*) AS BIGINT) AS cu
+        FROM tok WHERE is_train GROUP BY tk
+    ),
+    s AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tok WHERE is_train) AS ntr,
+               (SELECT CAST(COUNT(DISTINCT tk) AS BIGINT) FROM tok) AS v
+    ),
+    ho AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM bgn WHERE NOT is_train GROUP BY a, b
+    )
+    SELECT * FROM ({union})
+    ORDER BY lambda_e6
+    """
+
+
+@register(
+    "x4_lm_interpolation_sweep",
+    oracle=_lm_interp_oracle(),
+    survey_ids=("X4", "A1", "J4", "F6"),
+)
+def x4_lm_interpolation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolation knob, measured: held-out bigram
+    cross-entropy at λ ∈ {0.25, 0.5, 0.75, 0.9} for
+    p = λ·p_bigram + (1−λ)·p_unigram(add-one) — the classic LM-smoothing
+    sweep, run as a real train/held-out split (deterministic md5 gate,
+    ~75% train — the same layout-independent split discipline as
+    `x4_sample_docs`). Unseen held-out bigrams fall back to the unigram
+    arm (p_bi = 0 via COALESCE(ca,1) — exact 0, not a smoothed fake);
+    the unigram arm is add-one over the full-vocabulary support so
+    p > 0 always. One ln-floor per distinct held-out bigram per λ,
+    then exact integer occurrence-weighted sums.
+
+    Plan: the bigram relation is built once per side (train counts are
+    vocab-bounded; the held-out relation is corpus-linear); each λ is
+    one aggregate over the same joined relation — the multiplied-read
+    tuning-curve shape the probe tracks on the other sweeps."""
+    docs = t(spark, sf_dir, "documents")
+    is_train = (
+        F.substring(
+            F.md5(F.concat(F.lit("ho|"), F.col("doc_id").cast("string"))), 1, 1
+        )
+        < "c"
+    )
+    tok = docs.select(
+        "doc_id",
+        is_train.alias("is_train"),
+        F.posexplode(F.split("text", " ")).alias("pos", "tk"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bgn = tok.select(
+        "is_train",
+        F.col("tk").alias("a"),
+        F.lead("tk").over(w).alias("b"),
+    ).filter(F.col("b").isNotNull())
+    tr_ab = (
+        bgn.filter("is_train")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+    )
+    tr_a = tr_ab.groupBy("a").agg(F.sum("cab").cast("long").alias("ca"))
+    tr_u = (
+        tok.filter("is_train")
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("cu"))
+        .withColumnRenamed("tk", "b")
+    )
+    s = (
+        tok.filter("is_train")
+        .agg(F.count(F.lit(1)).cast("long").alias("ntr"))
+        .crossJoin(tok.agg(F.count_distinct("tk").cast("long").alias("v")))
+    )
+    ho = (
+        bgn.filter(~F.col("is_train"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    joined = (
+        ho.join(tr_ab, ["a", "b"], "left")
+        .join(tr_a, "a", "left")
+        .join(tr_u, "b", "left")
+        .crossJoin(F.broadcast(s))
+        .localCheckpoint(eager=True)
+    )
+    arms = []
+    for lam in LM_LAMBDA_SWEEP:
+        lp = F.floor(
+            F.log(
+                F.lit(lam)
+                * (
+                    F.coalesce(F.col("cab"), F.lit(0))
+                    * F.lit(1.0)
+                    / F.coalesce(F.col("ca"), F.lit(1))
+                )
+                + F.lit(1 - lam)
+                * (
+                    (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("ntr") + F.col("v"))
+                )
+            )
+            * 1_000_000
+        ).cast("long")
+        arms.append(
+            joined.agg(
+                F.sum("cnt").cast("long").alias("n_bigrams"),
+                F.expr("1").alias("_one"),
+                F.sum(F.col("cnt") * lp).cast("long").alias("_nll"),
+            ).select(
+                F.lit(int(lam * 1_000_000)).cast("long").alias("lambda_e6"),
+                "n_bigrams",
+                F.expr("CAST(-_nll div n_bigrams AS LONG)").alias("xent_e6"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("lambda_e6")

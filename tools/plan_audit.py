@@ -836,6 +836,14 @@ EXPECTATIONS: dict[str, dict] = {
     "st_watermark_delay_sweep": {"max_exchanges": 4, "min_broadcast": 1},
     # one metadata scan -> |modalities| rollup + broadcast targets
     "x5_modality_balance_audit": {"max_exchanges": 4, "min_broadcast": 1},
+    # both scorers share one token scan; rankings via global_row_number
+    # (range exchanges behind the checkpoint cut); rank join on doc_id
+    "x4_ranker_agreement": {"max_exchanges": 3, "min_broadcast": 1},
+    # one token scan -> two source-keyed map-combined rollups
+    "x4_entropy_per_source": {"max_exchanges": 5, "min_broadcast": 1},
+    # held-out bigram relation joined to vocab-bounded train counts,
+    # checkpointed once; each lambda is one aggregate of it
+    "x4_lm_interpolation_sweep": {"max_exchanges": 4},
 }
 
 

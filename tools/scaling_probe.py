@@ -236,6 +236,14 @@ QUERIES = [
     # (expect ~flat past the scan).
     "st_watermark_delay_sweep",
     "x5_modality_balance_audit",
+    # r12 batch 4: ranker agreement = two bounded-score rankings over
+    # the hit relation (expect ~linear); entropy = two source-keyed
+    # rollups (expect ~linear); LM interpolation = one checkpointed
+    # held-out join read 4x (expect ~linear, the multiplied-read
+    # sweep shape).
+    "x4_ranker_agreement",
+    "x4_entropy_per_source",
+    "x4_lm_interpolation_sweep",
     # r12 bench-rotation backfill: a HEADLINE query may retire only if
     # probe-tracked, and these two never were — queued now. Incremental
     # dedup streams the corpus side against a broadcast batch (expect
@@ -328,6 +336,9 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x4_l_diversity_audit",
     ],
     12: [
+        "x4_ranker_agreement",
+        "x4_entropy_per_source",
+        "x4_lm_interpolation_sweep",
         "st_watermark_delay_sweep",
         "x5_modality_balance_audit",
         "x2_cdc_chunk_dedup",
