@@ -1873,3 +1873,69 @@ def x4_lm_interpolation_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out.orderBy("lambda_e6")
+
+
+# ---------------------------------------------------------------------------
+# user-level DP sensitivity audit
+# ---------------------------------------------------------------------------
+
+@register(
+    "x4_dp_sensitivity_audit",
+    oracle="""
+    WITH per_user AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events
+        GROUP BY day, user_id
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(MAX(n_rows) AS BIGINT) AS count_sensitivity,
+           CAST(MAX(ABS(sum_cents)) AS BIGINT) AS sum_sensitivity_cents,
+           CAST(MAX(n_rows) * 1000000 // SUM(n_rows) AS BIGINT)
+               AS max_user_share_e6
+    FROM per_user
+    GROUP BY day
+    ORDER BY day
+    """,
+    survey_ids=("X4", "A1", "F2"),
+)
+def x4_dp_sensitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level differential-privacy sensitivity audit: for each
+    day's released count and spend-sum, the L1 sensitivity Δf under
+    user-level DP — the max one user contributes (rows for the count;
+    |cents| for the sum) — the number that CALIBRATES the noise scale
+    (Laplace b = Δf/ε) before any mechanism runs, and the reason raw
+    aggregates need contribution CAPPING first when one user dominates
+    (max_user_share flags those days). Completes the privacy ladder:
+    k-anonymity → l-diversity → t-closeness → sensitivity. Exact
+    integer throughout (cents fixed point; no randomness — the audit
+    is deterministic even though the mechanism is not). Plan: one
+    (day, user) map-combined rollup + one day rollup — linear, keyed."""
+    ev = t(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"),
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    per_user = ev.groupBy("day", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    return (
+        per_user.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.max("n_rows").cast("long").alias("count_sensitivity"),
+            F.max(F.abs("sum_cents")).cast("long").alias(
+                "sum_sensitivity_cents"
+            ),
+            F.expr("MAX(n_rows) * 1000000 div SUM(n_rows)")
+            .cast("long")
+            .alias("max_user_share_e6"),
+        )
+        .orderBy("day")
+    )

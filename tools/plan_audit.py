@@ -844,6 +844,8 @@ EXPECTATIONS: dict[str, dict] = {
     # held-out bigram relation joined to vocab-bounded train counts,
     # checkpointed once; each lambda is one aggregate of it
     "x4_lm_interpolation_sweep": {"max_exchanges": 4},
+    # one (day,user) map-combined rollup + one day rollup
+    "x4_dp_sensitivity_audit": {"max_exchanges": 3},
 }
 
 

@@ -244,6 +244,9 @@ QUERIES = [
     "x4_ranker_agreement",
     "x4_entropy_per_source",
     "x4_lm_interpolation_sweep",
+    # r12 batch 5: DP sensitivity audit = two keyed rollups (expect
+    # ~linear).
+    "x4_dp_sensitivity_audit",
     # r12 bench-rotation backfill: a HEADLINE query may retire only if
     # probe-tracked, and these two never were — queued now. Incremental
     # dedup streams the corpus side against a broadcast batch (expect
@@ -336,6 +339,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x4_l_diversity_audit",
     ],
     12: [
+        "x4_dp_sensitivity_audit",
         "x4_ranker_agreement",
         "x4_entropy_per_source",
         "x4_lm_interpolation_sweep",
