@@ -1,0 +1,82 @@
+"""Planted-data pins for the round-12 batch-6 X5 surfaces: the pHash
+Hamming near-dup finds EXACTLY the one-bit re-encodes, and scene-cut
+detection segments a hand-built clip at the hand-placed cut."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_generator_demo_spark.operators.surfaces_r12b import (
+    CUT_TAU_E6,
+    PHASH_HAM_TAU,
+    phash_relation,
+    x5_phash_hamming_neardup,
+    x5_scene_cut_detection,
+)
+
+
+def _write_documents(spark, path, n):
+    spark.createDataFrame(
+        [(i, f"doc {i} body tok{i % 7} tok{i % 3}", "en", "srcT", 20) for i in range(n)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_phash_finds_exactly_the_planted_reencodes(spark, tmp_path):
+    """10 docs -> every 5th (ids 0 and 5) gets a re-encoded twin whose
+    64-bit fingerprint differs by exactly ONE bit. The banded join +
+    exact verify must return exactly those two pairs at hamming=1 —
+    random md5 pairs sit at ~32 bits and nearly never share a 16-bit
+    band, so anything else in the output is a bug."""
+    _write_documents(spark, str(tmp_path), 10)
+    got = {
+        (r["media_a"], r["media_b"]): r["hamming"]
+        for r in x5_phash_hamming_neardup(spark, str(tmp_path)).collect()
+    }
+    assert got == {(0, 1_000_000): 1, (5, 1_000_005): 1}
+
+
+def test_phash_perturbation_is_one_bit(spark, tmp_path):
+    """The re-encode twin's fingerprint XORs exactly one bit (the low
+    bit of nibble media_id % 16) — the precedence regression pin:
+    Spark parses `v ^ 1 + 1` as `v ^ 2`, which silently turns the
+    planted perturbation into a 2-bit flip."""
+    _write_documents(spark, str(tmp_path), 10)
+    docs = spark.read.parquet(f"{tmp_path}/documents.parquet")
+    ph = {r["media_id"]: r["phash"] for r in phash_relation(docs).collect()}
+    for base in (0, 5):
+        a, b = ph[base], ph[base + 1_000_000]
+        diffs = [
+            (i, ca, cb) for i, (ca, cb) in enumerate(zip(a, b)) if ca != cb
+        ]
+        assert len(diffs) == 1
+        i, ca, cb = diffs[0]
+        assert i == base % 16
+        assert int(ca, 16) ^ int(cb, 16) == 1
+
+
+def test_scene_cut_segments_planted_clip(spark, tmp_path):
+    """Clip 0: frames [1,0],[1,0],[0,1],[0,1] -> adjacent cosines
+    1.0, 0.0, 1.0 -> exactly one cut (0 < tau) -> two segments."""
+    assert 0 < CUT_TAU_E6 < 1_000_000 and PHASH_HAM_TAU < 32
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [1.0, 0.0], 0),
+        (2, [0.0, 1.0], 1),
+        (3, [0.0, 1.0], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = x5_scene_cut_detection(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (
+        r["clip_id"],
+        r["n_transitions"],
+        r["n_cuts"],
+        r["n_segments"],
+        r["min_cos_e6"],
+        r["sum_cos_e6"],
+    ) == (0, 3, 1, 2, 0, 2_000_000)

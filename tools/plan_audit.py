@@ -846,6 +846,11 @@ EXPECTATIONS: dict[str, dict] = {
     "x4_lm_interpolation_sweep": {"max_exchanges": 4},
     # one (day,user) map-combined rollup + one day rollup
     "x4_dp_sensitivity_audit": {"max_exchanges": 3},
+    # fingerprint scan -> band-key self-join -> pair distinct -> two
+    # phash fetch joins -> nibble rollup (joins broadcast at test SF)
+    "x5_phash_hamming_neardup": {"max_exchanges": 4, "min_broadcast": 1},
+    # one embedding scan -> (clip, frame+1) self-join -> clip rollup
+    "x5_scene_cut_detection": {"max_exchanges": 2, "min_broadcast": 1},
 }
 
 

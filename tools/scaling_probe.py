@@ -254,6 +254,11 @@ QUERIES = [
     # against broadcast dims (expect ~linear).
     "x2_dedup_incremental",
     "q4_local_supplier_volume",
+    # r12 batch 6: phash near-dup = banded self-join + candidate-only
+    # verify (expect ~linear in corpus + planted pairs); scene cuts =
+    # one keyed self-join + clip rollup (expect ~linear).
+    "x5_phash_hamming_neardup",
+    "x5_scene_cut_detection",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -339,6 +344,8 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x4_l_diversity_audit",
     ],
     12: [
+        "x5_phash_hamming_neardup",
+        "x5_scene_cut_detection",
         "x4_dp_sensitivity_audit",
         "x4_ranker_agreement",
         "x4_entropy_per_source",
