@@ -15,13 +15,13 @@ shuffled; every join is banded/keyed, never all-pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
 from .multimodal import as_media_table
 from .relational import t
-from .similarity import _as_double, cosine
+from .similarity import _as_double, _dot, cosine
 
 #: 64-bit pHash split into 4 bands of 16 bits (4 hex chars) — a
 #: re-encode that moves <= PHASH_HAM_TAU bits leaves >= 1 band intact
@@ -277,4 +277,336 @@ def x5_scene_cut_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cos_e6").cast("long").alias("sum_cos_e6"),
         )
         .orderBy("clip_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar-quantization bits sweep (the storage-vs-recall knob)
+# ---------------------------------------------------------------------------
+
+#: Swept code widths: (bits, L) with symmetric levels q in [-L, L],
+#: q = floor(x / max_abs * L). 8 bits is `x3_quantize_int8`'s single
+#: point; the sweep prices the 2-/4-bit storage cuts against it.
+SQ_BITS_SWEEP = ((2, 1), (4, 7), (8, 127))
+#: Ground-truth queries (same head as x3_knn_label_vote).
+SQ_NQ = 5
+SQ_TOPK = 10
+
+
+def _sq_oracle() -> str:
+    arms = []
+    for bits, lv in SQ_BITS_SWEEP:
+        arms.append(f"SELECT {bits} AS bits, {lv} AS lv")
+    bits_rel = " UNION ALL ".join(arms)
+    return f"""
+    WITH b AS ({bits_rel}),
+    e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               (SELECT MAX(ABS(x)) FROM UNNEST(embedding::DOUBLE[]) AS t(x))
+                   AS max_abs
+        FROM embeddings
+    ),
+    dq AS (
+        SELECT b.bits, b.lv, e.vec_id, e.v, e.max_abs,
+               LIST_TRANSFORM(e.v,
+                   x -> FLOOR(x / e.max_abs * b.lv) * e.max_abs / b.lv) AS xq
+        FROM e CROSS JOIN b
+    ),
+    err AS (
+        SELECT bits, vec_id, v, xq,
+               LIST_TRANSFORM(GENERATE_SERIES(1, LEN(v)),
+                              i -> v[i] - xq[i]) AS ev
+        FROM dq
+    ),
+    sse AS (
+        SELECT bits, vec_id,
+               CAST(FLOOR(LIST_DOT_PRODUCT(ev, ev) * 1000000) AS BIGINT)
+                   AS sse_e6
+        FROM err
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < {SQ_NQ}
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY FLOOR(LIST_DOT_PRODUCT(e.v, q.qv) * 1000000)
+                                DESC, e.vec_id) AS rn
+            FROM e CROSS JOIN q
+        ) WHERE rn <= {SQ_TOPK}
+    ),
+    approx AS (
+        SELECT bits, query_id, vec_id FROM (
+            SELECT dq.bits, q.query_id, dq.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY dq.bits, q.query_id
+                       ORDER BY FLOOR(LIST_DOT_PRODUCT(dq.xq, q.qv) * 1000000)
+                                DESC, dq.vec_id) AS rn
+            FROM dq CROSS JOIN q
+        ) WHERE rn <= {SQ_TOPK}
+    ),
+    rec AS (
+        SELECT a.bits, CAST(COUNT(*) AS BIGINT) AS recall10_sum
+        FROM approx a JOIN exact x
+          ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+        GROUP BY a.bits
+    )
+    SELECT s.bits,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(s.sse_e6) AS BIGINT) AS sum_sse_e6,
+           MAX(rec.recall10_sum) AS recall10_sum
+    FROM sse s JOIN rec ON rec.bits = s.bits
+    GROUP BY s.bits
+    ORDER BY s.bits
+    """
+
+
+@register(
+    "x3_sq_bits_sweep",
+    oracle=_sq_oracle(),
+    survey_ids=("X3", "A1", "W1"),
+)
+def x3_sq_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization width sweep — the vector-store storage knob
+    measured: per code width (2/4/8 bits, symmetric max-abs scaling)
+    report total reconstruction error (per-vector SSE, e6-floored then
+    exact integer sums) AND asymmetric recall@10 (quantized corpus
+    scored against EXACT query vectors — the ADC protocol
+    `x3_ivfpq_adc_topk` uses) versus the full-precision ground truth.
+    8 bits is the `x3_quantize_int8` point; the curve prices dropping
+    to 4/2 bits (16x/32x storage cut) in recalled neighbors.
+
+    Plan: ONE embedding scan serves the whole sweep — the 3-row width
+    relation broadcast-joins onto it, dequantization and the error dot
+    product are scan-side array expressions (the proven
+    LIST_DOT_PRODUCT/fold kernel), and the two rank tiers are
+    {SQ_NQ}-query row_number windows, the `x3_knn_label_vote` shape.
+    At 100 TB the sweep reads the corpus once, not once per width."""
+    emb = t(spark, sf_dir, "embeddings")
+    widths = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("bits"),
+                F.lit(lv).cast("double").alias("lv"),
+            )
+            for b, lv in SQ_BITS_SWEEP
+        ]
+    )
+    e = emb.select(
+        "vec_id",
+        _as_double("embedding").alias("v"),
+        F.array_max(F.transform(_as_double("embedding"), F.abs)).alias("max_abs"),
+    )
+    dq = e.select(
+        "vec_id",
+        "v",
+        F.explode(widths).alias("w"),
+    ).select(
+        "vec_id",
+        "v",
+        F.col("w.bits").alias("bits"),
+        F.expr(
+            "transform(v, x -> floor(x / array_max(transform(v, y -> abs(y)))"
+            " * w.lv) * array_max(transform(v, y -> abs(y))) / w.lv)"
+        ).alias("xq"),
+    )
+    err = F.zip_with(F.col("v"), F.col("xq"), lambda a, b: a - b)
+    sse = dq.select(
+        "bits",
+        "vec_id",
+        "xq",
+        F.floor(_dot(err, err) * 1_000_000).cast("long").alias("sse_e6"),
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < SQ_NQ).select(
+            F.col("vec_id").alias("query_id"),
+            _as_double("embedding").alias("qv"),
+        )
+    )
+    exact_rn = Window.partitionBy("query_id").orderBy(
+        F.desc("score_e6"), F.asc("vec_id")
+    )
+    exact = (
+        e.crossJoin(q)
+        .select(
+            "query_id",
+            "vec_id",
+            F.floor(_dot(F.col("v"), F.col("qv")) * 1_000_000)
+            .cast("long")
+            .alias("score_e6"),
+        )
+        .withColumn("rn", F.row_number().over(exact_rn))
+        .filter(F.col("rn") <= SQ_TOPK)
+        .select("query_id", "vec_id")
+    )
+    approx_rn = Window.partitionBy("bits", "query_id").orderBy(
+        F.desc("score_e6"), F.asc("vec_id")
+    )
+    approx = (
+        sse.crossJoin(q)
+        .select(
+            "bits",
+            "query_id",
+            "vec_id",
+            F.floor(_dot(F.col("xq"), F.col("qv")) * 1_000_000)
+            .cast("long")
+            .alias("score_e6"),
+        )
+        .withColumn("rn", F.row_number().over(approx_rn))
+        .filter(F.col("rn") <= SQ_TOPK)
+        .select("bits", "query_id", "vec_id")
+    )
+    rec = (
+        approx.join(exact, ["query_id", "vec_id"])
+        .groupBy("bits")
+        .agg(F.count(F.lit(1)).cast("long").alias("recall10_sum"))
+    )
+    return (
+        sse.groupBy("bits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum("sse_e6").cast("long").alias("sum_sse_e6"),
+        )
+        .join(F.broadcast(rec), "bits")
+        .select("bits", "n_vectors", "sum_sse_e6", "recall10_sum")
+        .orderBy("bits")
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval-join bin-width sweep (the temporal-join bucketing knob)
+# ---------------------------------------------------------------------------
+
+#: Pair window: ordered same-user event pairs with 0 < gap <= 1 hour.
+PAIR_DELTA_US = 3_600 * 1_000_000
+#: Swept bucket widths, minutes. 60 = the window itself; 15 trades 4x
+#: left-side replication for tight candidates; 1440 buckets by day.
+BIN_W_SWEEP_MIN = (15, 60, 240, 1440)
+
+
+def _bin_sweep_oracle() -> str:
+    widths = ", ".join(str(m) for m in BIN_W_SWEEP_MIN)
+    return f"""
+    WITH w AS (SELECT UNNEST([{widths}]::BIGINT[]) AS bin_w_min),
+    e AS (
+        SELECT event_id, user_id,
+               EPOCH_US(CAST(ts AS TIMESTAMP)) AS ts_us
+        FROM events
+    ),
+    a AS (
+        SELECT w.bin_w_min, e.event_id AS ea, e.user_id, e.ts_us AS ts_a,
+               UNNEST(GENERATE_SERIES(
+                   e.ts_us // (w.bin_w_min * 60000000),
+                   (e.ts_us + {PAIR_DELTA_US}) // (w.bin_w_min * 60000000)
+               )) AS b
+        FROM e CROSS JOIN w
+    ),
+    fan AS (
+        SELECT bin_w_min, CAST(COUNT(*) AS BIGINT) AS n_fanout_rows
+        FROM a GROUP BY bin_w_min
+    ),
+    cand AS (
+        SELECT a.bin_w_min, a.ea, e2.event_id AS eb, a.ts_a,
+               e2.ts_us AS ts_b
+        FROM a JOIN e e2
+          ON e2.user_id = a.user_id
+         AND e2.ts_us // (a.bin_w_min * 60000000) = a.b
+         AND e2.event_id <> a.ea
+    ),
+    agg AS (
+        SELECT bin_w_min,
+               CAST(COUNT(DISTINCT (ea, eb)) AS BIGINT) AS n_candidates,
+               CAST(COUNT(DISTINCT CASE
+                   WHEN ts_b > ts_a AND ts_b - ts_a <= {PAIR_DELTA_US}
+                   THEN (ea, eb) END) AS BIGINT) AS n_true_pairs
+        FROM cand GROUP BY bin_w_min
+    )
+    SELECT f.bin_w_min, f.n_fanout_rows, agg.n_candidates, agg.n_true_pairs
+    FROM fan f JOIN agg USING (bin_w_min)
+    ORDER BY f.bin_w_min
+    """
+
+
+@register(
+    "j_range_bin_width_sweep",
+    oracle=_bin_sweep_oracle(),
+    survey_ids=("J7", "A1", "X4"),
+)
+def j_range_bin_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-width knob curve for the interval-join decomposition
+    `j_theta_banded_bucketed` pins: same-user event pairs within one
+    hour, rewritten as an EQUI join on (user, time bucket) with the
+    left side exploded across the buckets its window covers. Per
+    width: `n_fanout_rows` (left-side replication the shuffle pays),
+    `n_candidates` (equi-join output the residual filter pays), and
+    `n_true_pairs` — CONSTANT across widths because a true pair's
+    right bucket always lies inside the left row's covered range
+    (floor is monotone), the no-lost-pairs invariant that makes the
+    rewrite safe. Small buckets replicate more but filter less; day
+    buckets replicate nothing and pay ~9x candidate blowup — the
+    curve is the number a temporal-join tuner reads before picking W.
+
+    Plan: ONE event scan serves all four widths (widths explode onto
+    it); both join sides key on (width, user, bucket), so density is
+    per-user bounded and no stage is all-pairs. At 100 TB this is the
+    standard windowed-self-join shape, shuffle-partitioned by user."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    widths = F.array(*[F.lit(m).cast("long") for m in BIN_W_SWEEP_MIN])
+    a = ev.select(
+        F.explode(widths).alias("bin_w_min"),
+        F.col("event_id").alias("ea"),
+        "user_id",
+        F.col("ts_us").alias("ts_a"),
+    ).select(
+        "bin_w_min",
+        "ea",
+        "user_id",
+        "ts_a",
+        F.explode(
+            F.sequence(
+                F.expr(f"ts_a div (bin_w_min * 60000000)"),
+                F.expr(f"(ts_a + {PAIR_DELTA_US}) div (bin_w_min * 60000000)"),
+            )
+        ).alias("b"),
+    )
+    fan = a.groupBy("bin_w_min").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fanout_rows")
+    )
+    e2 = ev.select(
+        F.col("event_id").alias("eb"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts_us").alias("ts_b"),
+    )
+    cand = a.join(
+        e2,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.expr("ts_b div (bin_w_min * 60000000)") == F.col("b"))
+        & (F.col("eb") != F.col("ea")),
+    ).select("bin_w_min", "ea", "eb", "ts_a", "ts_b")
+    true_flag = (F.col("ts_b") > F.col("ts_a")) & (
+        F.col("ts_b") - F.col("ts_a") <= PAIR_DELTA_US
+    )
+    agg = (
+        cand.select("bin_w_min", "ea", "eb", true_flag.alias("is_true"))
+        .groupBy("bin_w_min", "ea", "eb")
+        .agg(F.max("is_true").alias("is_true"))
+        .groupBy("bin_w_min")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.when(F.col("is_true"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_pairs"),
+        )
+    )
+    return (
+        fan.join(agg, "bin_w_min")
+        .select("bin_w_min", "n_fanout_rows", "n_candidates", "n_true_pairs")
+        .orderBy("bin_w_min")
     )

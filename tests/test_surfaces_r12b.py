@@ -80,3 +80,68 @@ def test_scene_cut_segments_planted_clip(spark, tmp_path):
         r["min_cos_e6"],
         r["sum_cos_e6"],
     ) == (0, 3, 1, 2, 0, 2_000_000)
+
+
+def test_sq_bits_sweep_closed_form_and_monotone(spark, tmp_path):
+    """Hand-computable corpus: v=[1.0, 0.5], max_abs=1. bits=2 (L=1):
+    q=[1,0] -> dq=[1.0,0.0] -> SSE=0.25 exactly (sum_sse_e6=250000).
+    More bits must never increase distortion or decrease recall."""
+    from etl_generator_demo_spark.operators.surfaces_r12b import (
+        x3_sq_bits_sweep,
+    )
+
+    rows = [
+        (0, [1.0, 0.5], 0),
+        (1, [0.5, 1.0], 0),
+        (2, [-1.0, 0.25], 1),
+        (3, [0.25, -1.0], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["bits"]: r for r in x3_sq_bits_sweep(spark, str(tmp_path)).collect()}
+    assert set(out) == {2, 4, 8}
+    assert out[2]["n_vectors"] == 4
+    # vec 0: err [0, .5] -> .25; vec 1 symmetric -> .25;
+    # vec 2: q=floor([-1, .25])=[-1, 0] -> err [0, .25] -> .0625; vec 3 same
+    assert out[2]["sum_sse_e6"] == 250_000 * 2 + 62_500 * 2
+    assert out[2]["sum_sse_e6"] >= out[4]["sum_sse_e6"] >= out[8]["sum_sse_e6"]
+    assert out[2]["recall10_sum"] <= out[4]["recall10_sum"] <= out[8]["recall10_sum"]
+
+
+def test_bin_width_sweep_true_pairs_invariant(spark, tmp_path):
+    """3 events for one user at t=0s, 30min, 90min: within-1h ordered
+    pairs = (a,b) and (b,c) -> n_true_pairs = 2 at EVERY width (the
+    no-lost-pairs invariant); day-wide buckets also catch the 90min
+    (a,c) gap plus the reversed orders as candidates."""
+    import datetime as dt
+
+    from etl_generator_demo_spark.operators.surfaces_r12b import (
+        j_range_bin_width_sweep,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, t0, 7, "view", 1.0, "{}"),
+        (1, t0 + dt.timedelta(minutes=30), 7, "view", 1.0, "{}"),
+        (2, t0 + dt.timedelta(minutes=90), 7, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["bin_w_min"]: r for r in j_range_bin_width_sweep(spark, str(tmp_path)).collect()}
+    assert set(out) == {15, 60, 240, 1440}
+    for w in out:
+        assert out[w]["n_true_pairs"] == 2
+    # all three events share the day bucket: candidates = all 6
+    # ordered distinct pairs
+    assert out[1440]["n_candidates"] == 6
+    # replication shrinks as buckets widen: 1h window over 15-min
+    # buckets explodes each left row to 5 buckets
+    assert out[15]["n_fanout_rows"] == 15
+    assert (
+        out[15]["n_fanout_rows"] > out[60]["n_fanout_rows"]
+        > out[240]["n_fanout_rows"] >= out[1440]["n_fanout_rows"]
+    )

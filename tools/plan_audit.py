@@ -851,6 +851,12 @@ EXPECTATIONS: dict[str, dict] = {
     "x5_phash_hamming_neardup": {"max_exchanges": 4, "min_broadcast": 1},
     # one embedding scan -> (clip, frame+1) self-join -> clip rollup
     "x5_scene_cut_detection": {"max_exchanges": 2, "min_broadcast": 1},
+    # one corpus scan serves all widths (3-row sweep explode); two
+    # 5-query rank windows + the recall join + the distortion rollup
+    "x3_sq_bits_sweep": {"max_exchanges": 6, "min_broadcast": 2},
+    # one event scan + width explode -> (w, user, bucket) self-join
+    # -> pair-dedup rollup + fan-out rollup
+    "j_range_bin_width_sweep": {"max_exchanges": 6},
 }
 
 

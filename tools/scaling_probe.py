@@ -259,6 +259,11 @@ QUERIES = [
     # one keyed self-join + clip rollup (expect ~linear).
     "x5_phash_hamming_neardup",
     "x5_scene_cut_detection",
+    # r12 batch 7: SQ sweep = one corpus scan x 3 widths + bounded
+    # rank windows (expect ~linear); bin-width sweep = keyed
+    # self-join, per-user density bounded (expect ~linear in pairs).
+    "x3_sq_bits_sweep",
+    "j_range_bin_width_sweep",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -346,6 +351,8 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
     12: [
         "x5_phash_hamming_neardup",
         "x5_scene_cut_detection",
+        "x3_sq_bits_sweep",
+        "j_range_bin_width_sweep",
         "x4_dp_sensitivity_audit",
         "x4_ranker_agreement",
         "x4_entropy_per_source",
