@@ -610,3 +610,150 @@ def j_range_bin_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin_w_min", "n_fanout_rows", "n_candidates", "n_true_pairs")
         .orderBy("bin_w_min")
     )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (near-dup) eval decontamination — the X2xX4 composition
+# ---------------------------------------------------------------------------
+
+#: Jaccard acceptance for a train-eval contamination hit (the
+#: `x2_neardup_verified` precision threshold).
+FUZZY_DECONTAM_TAU = 0.5
+
+
+def _fuzzy_decontam_oracle() -> str:
+    from .dedup import _DUCK_SHINGLES, _duck_minhash_cols
+    from .textops import DECONTAM_MOD, DECONTAM_REMAINDER
+
+    is_eval = f"doc_id % {DECONTAM_MOD} = {DECONTAM_REMAINDER}"
+    return f"""
+    {_DUCK_SHINGLES},
+    sigs AS (
+        SELECT doc_id, {_duck_minhash_cols()}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, mh0 || mh1 || mh2 || mh3 AS band_key FROM sigs
+        UNION ALL
+        SELECT doc_id, 1, mh4 || mh5 || mh6 || mh7 FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT tr.doc_id AS train_doc, ev.doc_id AS eval_doc
+        FROM bands tr
+        JOIN bands ev
+          ON ev.band_id = tr.band_id AND ev.band_key = tr.band_key
+        WHERE NOT (tr.{is_eval}) AND ev.{is_eval}
+    ),
+    card AS (SELECT doc_id, COUNT(*) AS card FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+               COUNT(*) AS inter
+        FROM shingles tr JOIN shingles ev ON ev.shingle = tr.shingle
+        WHERE (tr.doc_id, ev.doc_id) IN (SELECT (train_doc, eval_doc) FROM cand)
+        GROUP BY tr.doc_id, ev.doc_id
+    ),
+    hits AS (
+        SELECT i.train_doc, i.eval_doc,
+               CAST(FLOOR(CAST(i.inter AS DOUBLE)
+                    / (ct.card + ce.card - i.inter) * 1000000) AS BIGINT)
+                   AS j_e6
+        FROM inter i
+        JOIN card ct ON ct.doc_id = i.train_doc
+        JOIN card ce ON ce.doc_id = i.eval_doc
+        WHERE CAST(i.inter AS DOUBLE) / (ct.card + ce.card - i.inter)
+              >= {FUZZY_DECONTAM_TAU}
+    )
+    SELECT train_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_neardups,
+           CAST(MAX(j_e6) AS BIGINT) AS max_j_e6
+    FROM hits GROUP BY train_doc ORDER BY train_doc
+    """
+
+
+@register(
+    "x4_fuzzy_decontam",
+    oracle=_fuzzy_decontam_oracle(),
+    survey_ids=("X4", "X2", "J1", "A1"),
+)
+def x4_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup eval decontamination — the fuzzy tier next to the
+    exact-shingle gate `x4_decontaminate` (same eval split): a training
+    doc is contaminated if it is MinHash-LSH-near some eval doc at
+    Jaccard >= 0.5, which catches the paraphrased/reformatted benchmark
+    copies the exact 5-gram check misses (the Llama/GPT-3 style fuzzy
+    decontamination pass). Output: contaminated train doc -> eval
+    near-dup count + worst Jaccard (e6).
+
+    Plan shape is the 100 TB one: the EVAL side is tiny next to the
+    corpus, so its band relation BROADCASTS against the train bands
+    (no corpus self-join at all — cheaper than `x2_neardup_verified`,
+    which this otherwise mirrors), and the exact-Jaccard verify runs
+    only over candidate (train, eval) pairs, with both shingle sides
+    semi-pruned to candidate docs first."""
+    from .dedup import banded_keys, doc_shingles, minhash_signatures
+    from .textops import DECONTAM_MOD, DECONTAM_REMAINDER
+
+    docs = t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % DECONTAM_MOD == DECONTAM_REMAINDER
+    bands = banded_keys(
+        minhash_signatures(doc_shingles(docs, distinct=False))
+    )
+    bt = bands.filter(~(F.col("doc_id") % DECONTAM_MOD == DECONTAM_REMAINDER)).select(
+        F.col("doc_id").alias("train_doc"), "band_id", "band_key"
+    )
+    be = bands.filter(F.col("doc_id") % DECONTAM_MOD == DECONTAM_REMAINDER).select(
+        F.col("doc_id").alias("eval_doc"), "band_id", "band_key"
+    )
+    cand = (
+        bt.join(F.broadcast(be), ["band_id", "band_key"])
+        .select("train_doc", "eval_doc")
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed three times (two doc
+        # prunes + the pair filter): materialize once
+    )
+    sh = doc_shingles(docs)
+    sh_t = sh.join(
+        F.broadcast(cand.select(F.col("train_doc").alias("doc_id")).distinct()),
+        "doc_id",
+        "left_semi",
+    ).select(F.col("doc_id").alias("train_doc"), "shingle")
+    sh_e = sh.join(
+        F.broadcast(cand.select(F.col("eval_doc").alias("doc_id")).distinct()),
+        "doc_id",
+        "left_semi",
+    ).select(F.col("doc_id").alias("eval_doc_id"), "shingle")
+    inter = (
+        sh_t.join(sh_e, sh_t["shingle"] == sh_e["shingle"])
+        .select("train_doc", F.col("eval_doc_id").alias("eval_doc"))
+        .join(F.broadcast(cand), ["train_doc", "eval_doc"], "left_semi")
+        .groupBy("train_doc", "eval_doc")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    card = docs.select("doc_id").join(
+        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("card")), "doc_id"
+    )
+    ct = card.select(F.col("doc_id").alias("train_doc"), F.col("card").alias("card_t"))
+    ce = card.select(F.col("doc_id").alias("eval_doc"), F.col("card").alias("card_e"))
+    j = (
+        inter.join(F.broadcast(ct), "train_doc")
+        .join(F.broadcast(ce), "eval_doc")
+        .withColumn(
+            "jac",
+            F.col("inter").cast("double")
+            / (F.col("card_t") + F.col("card_e") - F.col("inter")),
+        )
+        .filter(F.col("jac") >= FUZZY_DECONTAM_TAU)
+        .select(
+            "train_doc",
+            "eval_doc",
+            F.floor(F.col("jac") * 1_000_000).cast("long").alias("j_e6"),
+        )
+    )
+    return (
+        j.groupBy("train_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_neardups"),
+            F.max("j_e6").cast("long").alias("max_j_e6"),
+        )
+        .orderBy("train_doc")
+    )

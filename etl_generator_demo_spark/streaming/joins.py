@@ -319,3 +319,240 @@ def st_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purchase_id").asc_nulls_first(),
         F.col("click_id").asc_nulls_first(),
     )
+
+
+# ---------------------------------------------------------------------------
+# stream-stream join STATE ledger (the join's memory bill, per batch)
+# ---------------------------------------------------------------------------
+
+#: Watermark delay for the state ledger (same 10 minutes the drop
+#: ledger uses, justified by `st_lateness_histogram`).
+JSL_DELAY_US = 10 * 60 * 1_000_000
+#: Interval bound of the attribution join, in microseconds.
+JSL_GAP_US = ATTRIBUTION_GAP_MINUTES * 60 * 1_000_000
+
+
+def join_state_ledger(
+    left: DataFrame,
+    right: DataFrame,
+    gap_us: int = JSL_GAP_US,
+    delay_us: int = JSL_DELAY_US,
+) -> DataFrame:
+    """Per-microbatch state-store size of the stream-stream interval
+    join ``left.ts <= right.ts <= left.ts + gap`` (both sides
+    watermarked ``delay``) — the ``numRowsTotal`` trajectory a real
+    StreamingSymmetricHashJoin reports, i.e. the join's memory bill.
+
+    Inputs carry ``(batch_id long, ts_us long)`` with batch_id the
+    arrival microbatch (not necessarily dense; the ledger ranks them).
+
+    Model, pinned empirically against real execution by
+    tests/test_join_state_ledger.py (exact-equality boundaries probed
+    with planted rows AT the thresholds):
+
+    - the query watermark is the 1-batch-lagged MIN of the two sides'
+      event-time high waters, minus the delay:
+      ``wm_evict(b) = min(hwL, hwR)(b-1) - delay`` — NULL until both
+      sides have produced data;
+    - a LEFT row is in state after batch b iff it arrived in a batch
+      <= b and ``ts >= wm_evict(b) - gap`` (a click still matchable by
+      future purchases; rows AT the boundary are KEPT). Spark
+      implements this as an arrival-time store filter plus end-of-batch
+      eviction — both collapse to the same predicate because the
+      watermark is monotone;
+    - a RIGHT row is in state iff arrived <= b and
+      ``ts >= wm_evict(b)`` (purchases only wait for clicks at or
+      before their own time). Mechanically Spark stores right rows
+      first and evicts them at batch end (they count in
+      ``numRowsRemoved``), which is why the ledger pins
+      ``numRowsTotal`` and the watermark trajectory, NOT the
+      mechanism-dependent removal counter.
+
+    Construction is lattice-sized (one row per batch): per-batch
+    rollups on each side, prefix max/sum via ``global_running`` (no
+    single-partition window), and ONE bounded theta join of events
+    against the |batches|-row watermark relation for the
+    below-threshold counts (each event fans out to at most |batches|
+    ledger rows — fixed, tiny). At 100 TB every stage is keyed or
+    lattice-bounded."""
+    from etl_generator_demo_spark.operators.analytics_ext import (
+        global_row_number,
+        global_running,
+    )
+
+    la = left.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_left"),
+        F.max("ts_us").alias("hwl_us"),
+    )
+    ra = right.groupBy("batch_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_right"),
+        F.max("ts_us").alias("hwr_us"),
+    )
+    lat = (
+        la.join(ra, "batch_id", "full_outer")
+        .select(
+            "batch_id",
+            F.coalesce("n_left", F.lit(0)).cast("long").alias("n_left"),
+            F.coalesce("n_right", F.lit(0)).cast("long").alias("n_right"),
+            "hwl_us",
+            "hwr_us",
+        )
+    )
+    lat, _n = global_row_number(lat, [F.col("batch_id").asc()], rn_col="_rn")
+    lat = lat.withColumn("b", (F.col("_rn") - 1).cast("long")).drop("_rn")
+    # inclusive prefix aggregates over the lattice, then a b+1 shift
+    # for the 1-batch watermark lag (exclusive prefix without a window)
+    runl = global_running(
+        lat.filter(F.col("hwl_us").isNotNull()),
+        [F.col("b").asc()], "hwl_us", kind="max", out_col="runl_us",
+    ).select("b", "runl_us")
+    runr = global_running(
+        lat.filter(F.col("hwr_us").isNotNull()),
+        [F.col("b").asc()], "hwr_us", kind="max", out_col="runr_us",
+    ).select("b", "runr_us")
+    cums = global_running(
+        global_running(lat, [F.col("b").asc()], "n_left", kind="sum", out_col="cuml"),
+        [F.col("b").asc()], "n_right", kind="sum", out_col="cumr",
+    ).select("b", "batch_id", "n_left", "n_right", "cuml", "cumr")
+    # NULL-safe lagged min: a side with no data yet pins the global
+    # watermark at none (Spark holds the query watermark until every
+    # watermark node has seen data)
+    lag = (
+        runl.select((F.col("b") + 1).alias("b"), "runl_us")
+        .join(runr.select((F.col("b") + 1).alias("b"), "runr_us"), "b")
+        .select(
+            "b",
+            (F.least("runl_us", "runr_us") - F.lit(delay_us)).alias("wm_evict_us"),
+        )
+    )
+    wm = cums.join(lag, "b", "left")
+    # below-threshold counts: one bounded fan-out against the lattice
+    wmx = F.broadcast(
+        wm.filter(F.col("wm_evict_us").isNotNull()).select(
+            F.col("b").alias("wb"), F.col("wm_evict_us").alias("w_us")
+        )
+    )
+    lb = left.join(
+        F.broadcast(lat.select("batch_id", F.col("b").alias("ab"))), "batch_id"
+    )
+    rb = right.join(
+        F.broadcast(lat.select("batch_id", F.col("b").alias("ab"))), "batch_id"
+    )
+    bel_l = (
+        lb.join(wmx, (F.col("ab") <= F.col("wb")) & (F.col("ts_us") < F.col("w_us") - gap_us))
+        .groupBy(F.col("wb").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("below_l"))
+    )
+    bel_r = (
+        rb.join(wmx, (F.col("ab") <= F.col("wb")) & (F.col("ts_us") < F.col("w_us")))
+        .groupBy(F.col("wb").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("below_r"))
+    )
+    out = (
+        wm.join(bel_l, "b", "left")
+        .join(bel_r, "b", "left")
+        .select(
+            F.col("b").alias("ledger_batch"),
+            "batch_id",
+            "n_left",
+            "n_right",
+            "wm_evict_us",
+            (F.col("cuml") - F.coalesce("below_l", F.lit(0))).cast("long").alias("state_left"),
+            (F.col("cumr") - F.coalesce("below_r", F.lit(0))).cast("long").alias("state_right"),
+        )
+        .withColumn("state_total", (F.col("state_left") + F.col("state_right")).cast("long"))
+        .orderBy("ledger_batch")
+    )
+    return out
+
+
+@register(
+    "st_join_state_ledger",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type,
+               EPOCH_US(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    lat AS (
+        SELECT day,
+               ROW_NUMBER() OVER (ORDER BY day) - 1 AS b,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'click')
+                    AS BIGINT) AS n_left,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS n_right,
+               MAX(ts_us) FILTER (WHERE event_type = 'click') AS hwl_us,
+               MAX(ts_us) FILTER (WHERE event_type = 'purchase') AS hwr_us
+        FROM ev GROUP BY day
+    ),
+    run AS (
+        SELECT b, day, n_left, n_right,
+               MAX(hwl_us) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING) AS runl1,
+               MAX(hwr_us) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING) AS runr1,
+               SUM(n_left) OVER (ORDER BY b) AS cuml,
+               SUM(n_right) OVER (ORDER BY b) AS cumr
+        FROM lat
+    ),
+    wm AS (
+        SELECT b, day, n_left, n_right, cuml, cumr,
+               CASE WHEN runl1 IS NOT NULL AND runr1 IS NOT NULL
+                    THEN LEAST(runl1, runr1) - {JSL_DELAY_US}
+               END AS wm_evict_us
+        FROM wm_src
+    ),
+    bel AS (
+        SELECT w.b,
+               CAST(COUNT(*) FILTER (WHERE e.event_type = 'click'
+                    AND e.ts_us < w.wm_evict_us - {JSL_GAP_US})
+                    AS BIGINT) AS below_l,
+               CAST(COUNT(*) FILTER (WHERE e.event_type = 'purchase'
+                    AND e.ts_us < w.wm_evict_us) AS BIGINT) AS below_r
+        FROM wm w JOIN ev e ON e.day <= w.day
+        WHERE w.wm_evict_us IS NOT NULL
+        GROUP BY w.b
+    )
+    SELECT CAST(w.b AS BIGINT) AS ledger_batch,
+           w.n_left AS n_clicks, w.n_right AS n_purchases,
+           CAST(w.wm_evict_us AS BIGINT) AS wm_evict_us,
+           CAST(w.cuml - COALESCE(bel.below_l, 0) AS BIGINT) AS state_left,
+           CAST(w.cumr - COALESCE(bel.below_r, 0) AS BIGINT) AS state_right,
+           CAST(w.cuml - COALESCE(bel.below_l, 0)
+                + w.cumr - COALESCE(bel.below_r, 0) AS BIGINT) AS state_total
+    FROM wm w LEFT JOIN bel ON bel.b = w.b
+    ORDER BY w.b
+    """.replace("FROM wm_src", "FROM run"),
+    survey_ids=("§2.11", "J7", "A1", "W3"),
+)
+def st_join_state_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stream-stream join's memory bill, per microbatch: replay the
+    attribution join (clicks x purchases, 30m interval,
+    10m watermarks) in day-sized microbatches and report the exact
+    state-store row counts a real StreamingSymmetricHashJoin holds —
+    per side and total — plus the eviction-watermark trajectory. The
+    drop ledger prices what the watermark THROWS AWAY; this one prices
+    what the join must KEEP: clicks live (gap + delay) past the
+    watermark, purchases live (delay) — the sizing rule that decides
+    whether a 100 TB/day join fits executor state stores.
+    Semantics pinned against real execution (boundary rows planted AT
+    the thresholds) by tests/test_join_state_ledger.py."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("ts").cast("timestamp").cast("date").alias("day"),
+    )
+    mk = lambda typ: ev.filter(F.col("event_type") == typ).select(
+        F.col("day").alias("batch_id"), "ts_us"
+    )
+    led = join_state_ledger(mk("click"), mk("purchase"))
+    return led.select(
+        "ledger_batch",
+        F.col("n_left").alias("n_clicks"),
+        F.col("n_right").alias("n_purchases"),
+        "wm_evict_us",
+        "state_left",
+        "state_right",
+        "state_total",
+    ).orderBy("ledger_batch")

@@ -857,6 +857,13 @@ EXPECTATIONS: dict[str, dict] = {
     # one event scan + width explode -> (w, user, bucket) self-join
     # -> pair-dedup rollup + fan-out rollup
     "j_range_bin_width_sweep": {"max_exchanges": 6},
+    # per-side day rollups + lattice prefix scans (global_running
+    # range exchanges) + two bounded theta joins against the
+    # broadcast |batches|-row watermark relation
+    "st_join_state_ledger": {"max_exchanges": 9, "min_broadcast": 4},
+    # minhash/band pipeline + broadcast eval bands + candidate-pruned
+    # shingle join + per-train rollup
+    "x4_fuzzy_decontam": {"max_exchanges": 10, "min_broadcast": 5},
 }
 
 

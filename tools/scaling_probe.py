@@ -264,6 +264,12 @@ QUERIES = [
     # self-join, per-user density bounded (expect ~linear in pairs).
     "x3_sq_bits_sweep",
     "j_range_bin_width_sweep",
+    # r12 batch 8: state ledger = day rollups + lattice scans + two
+    # |batches|-bounded theta joins (expect ~linear in events);
+    # fuzzy decontam = band broadcast join + candidate-only verify
+    # (expect ~linear in corpus + candidates).
+    "st_join_state_ledger",
+    "x4_fuzzy_decontam",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -353,6 +359,8 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x5_scene_cut_detection",
         "x3_sq_bits_sweep",
         "j_range_bin_width_sweep",
+        "st_join_state_ledger",
+        "x4_fuzzy_decontam",
         "x4_dp_sensitivity_audit",
         "x4_ranker_agreement",
         "x4_entropy_per_source",
