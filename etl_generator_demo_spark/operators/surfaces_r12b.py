@@ -757,3 +757,218 @@ def x4_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("train_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# keyframe selection per scene segment (the downstream of scene cuts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x5_keyframe_selection",
+    oracle=f"""
+    WITH f AS (
+        SELECT vec_id // {CLIP_FRAMES} AS clip_id,
+               vec_id % {CLIP_FRAMES} AS frame_idx,
+               embedding::DOUBLE[] AS v
+        FROM embeddings
+    ),
+    lagd AS (
+        SELECT clip_id, frame_idx, v,
+               LAG(v) OVER (PARTITION BY clip_id ORDER BY frame_idx) AS pv
+        FROM f
+    ),
+    seg AS (
+        SELECT clip_id, frame_idx,
+               CAST(FLOOR(LIST_DOT_PRODUCT(v, v) * 1000000) AS BIGINT)
+                   AS norm_e6,
+               SUM(CASE WHEN pv IS NOT NULL
+                         AND CAST(FLOOR(LIST_DOT_PRODUCT(pv, v)
+                              / (SQRT(LIST_DOT_PRODUCT(pv, pv))
+                                 * SQRT(LIST_DOT_PRODUCT(v, v))) * 1000000)
+                              AS BIGINT) < {CUT_TAU_E6}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY clip_id ORDER BY frame_idx)
+                   AS segment_id
+        FROM lagd
+    ),
+    smax AS (
+        SELECT clip_id, segment_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               MAX(norm_e6) AS key_norm_e6
+        FROM seg GROUP BY clip_id, segment_id
+    )
+    SELECT s.clip_id, CAST(s.segment_id AS BIGINT) AS segment_id,
+           s.n_frames,
+           CAST(MIN(g.frame_idx) AS BIGINT) AS keyframe_idx,
+           CAST(s.key_norm_e6 AS BIGINT) AS key_norm_e6
+    FROM smax s
+    JOIN seg g ON g.clip_id = s.clip_id AND g.segment_id = s.segment_id
+              AND g.norm_e6 = s.key_norm_e6
+    GROUP BY s.clip_id, s.segment_id, s.n_frames, s.key_norm_e6
+    ORDER BY s.clip_id, s.segment_id
+    """,
+    survey_ids=("X5", "W2", "A1"),
+)
+def x5_keyframe_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection per scene segment — the step after
+    `x5_scene_cut_detection` that turns shots into the frame table a
+    vision pipeline actually embeds: segment frames at the cuts
+    (running cut count per clip), then keep ONE representative frame
+    per segment — the max-feature-norm frame (the sharpness proxy;
+    swap in a real sharpness score via the decode UDF path), ties to
+    the earliest frame.
+
+    Plan: one scan -> per-clip lag + running-sum windows (bounded:
+    CLIP_FRAMES rows per partition, the `x4_bpe_merge_steps` per-word
+    window argument) -> segment rollup -> argmax via a max-norm
+    equi-join back (deterministic, no engine-specific arg_max). At
+    100 TB clips hash across executors; every stage is linear."""
+    w = Window.partitionBy("clip_id").orderBy("frame_idx")
+    f = t(spark, sf_dir, "embeddings").select(
+        F.expr(f"vec_id div {CLIP_FRAMES}").alias("clip_id"),
+        (F.col("vec_id") % CLIP_FRAMES).alias("frame_idx"),
+        _as_double("embedding").alias("v"),
+    )
+    lagd = f.withColumn("pv", F.lag("v").over(w))
+    cos_e6 = F.floor(cosine(F.col("pv"), F.col("v")) * 1_000_000).cast("long")
+    seg = lagd.select(
+        "clip_id",
+        "frame_idx",
+        F.floor(_dot(F.col("v"), F.col("v")) * 1_000_000)
+        .cast("long")
+        .alias("norm_e6"),
+        F.sum(
+            F.when(F.col("pv").isNotNull() & (cos_e6 < CUT_TAU_E6), 1).otherwise(0)
+        )
+        .over(w)
+        .cast("long")
+        .alias("segment_id"),
+    )
+    smax = seg.groupBy("clip_id", "segment_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_frames"),
+        F.max("norm_e6").alias("key_norm_e6"),
+    )
+    return (
+        smax.join(
+            seg.select(
+                "clip_id",
+                "segment_id",
+                F.col("norm_e6").alias("key_norm_e6"),
+                "frame_idx",
+            ),
+            ["clip_id", "segment_id", "key_norm_e6"],
+        )
+        .groupBy("clip_id", "segment_id", "n_frames", "key_norm_e6")
+        .agg(F.min("frame_idx").cast("long").alias("keyframe_idx"))
+        .select("clip_id", "segment_id", "n_frames", "keyframe_idx", "key_norm_e6")
+        .orderBy("clip_id", "segment_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# salt-factor sweep (pricing the hot-key remedy the skew audit proposes)
+# ---------------------------------------------------------------------------
+
+#: Swept salt factors (1 = unsalted baseline).
+SALT_FACTOR_SWEEP = (1, 4, 16, 64)
+#: Deterministic hot key: 3 of 4 event rows collapse onto user 0 —
+#: the planted-skew convention (the raw fixture's keys are uniform,
+#: max share 0.9%, which motivates nothing).
+_HOT_KEY_CASE = "CASE WHEN user_id % 4 = 0 THEN user_id ELSE 0 END"
+
+
+def _salt_sweep_oracle() -> str:
+    factors = ", ".join(str(s) for s in SALT_FACTOR_SWEEP)
+    return f"""
+    WITH ev AS (
+        SELECT event_id, {_HOT_KEY_CASE} AS k FROM events
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM ev),
+    nk AS (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) AS n_keys FROM ev),
+    s AS (SELECT UNNEST([{factors}]::BIGINT[]) AS salt_factor),
+    salted AS (
+        SELECT s.salt_factor, ev.k,
+               (instr('{_HEX}', SUBSTR(MD5('salt|' || CAST(ev.event_id AS VARCHAR)), 1, 1)) - 1) * 16
+               + instr('{_HEX}', SUBSTR(MD5('salt|' || CAST(ev.event_id AS VARCHAR)), 2, 1)) - 1
+                   AS h
+        FROM ev CROSS JOIN s
+    ),
+    per_key AS (
+        SELECT salt_factor, k, h % salt_factor AS salt,
+               CAST(COUNT(*) AS BIGINT) AS rows_in_key
+        FROM salted GROUP BY salt_factor, k, h % salt_factor
+    )
+    SELECT p.salt_factor,
+           CAST(COUNT(*) AS BIGINT) AS n_shuffle_keys,
+           CAST(MAX(p.rows_in_key) AS BIGINT) AS max_key_rows,
+           CAST(MAX(p.rows_in_key) * 1000000 // MAX(n.total) AS BIGINT)
+               AS max_share_ppm,
+           CAST(MAX(nk.n_keys) * p.salt_factor AS BIGINT)
+               AS replication_rows
+    FROM per_key p CROSS JOIN n CROSS JOIN nk
+    GROUP BY p.salt_factor
+    ORDER BY p.salt_factor
+    """
+
+
+@register(
+    "j_salt_factor_sweep",
+    oracle=_salt_sweep_oracle(),
+    survey_ids=("J6", "A1", "X4"),
+)
+def j_salt_factor_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-factor knob curve for the hot-key join remedy: per factor
+    s (1/4/16/64), the shuffle-key relation's straggler bound
+    (max rows landing on one (key, salt) shuffle key — the biggest
+    task a skewed join must finish) against the price (small side
+    replicated s times: `replication_rows` = |dim keys| x s). The
+    skew audit `x4_key_skew_audit` DIAGNOSES the hot key; this curve
+    prices `operators/skew.salted_join`'s factor argument. Skew is
+    planted deterministically (3/4 of rows collapse onto key 0; the
+    raw fixture is uniform); the salt is md5-derived from the row id
+    — the reproducible-everywhere hash family every LSH operator here
+    uses, NOT `rand()`, so both engines bucket identically.
+
+    Plan: ONE event scan x 4 broadcast factors -> one (factor, key,
+    salt) map-combined rollup -> one factor rollup. Linear; the sweep
+    relation is |factors| x |keys|-bounded."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", F.expr(_HOT_KEY_CASE).alias("k")
+    )
+    total = ev.groupBy().agg(F.count(F.lit(1)).cast("long").alias("total"))
+    nkeys = ev.groupBy().agg(
+        F.count_distinct("k").cast("long").alias("n_keys")
+    )
+    factors = F.array(*[F.lit(s).cast("long") for s in SALT_FACTOR_SWEEP])
+    h = F.expr(
+        f"(instr('{_HEX}', substring(md5(concat('salt|', cast(event_id as string))), 1, 1)) - 1) * 16"
+        f" + instr('{_HEX}', substring(md5(concat('salt|', cast(event_id as string))), 2, 1)) - 1"
+    )
+    salted = ev.select(
+        "k", h.alias("h"), F.explode(factors).alias("salt_factor")
+    )
+    per_key = salted.groupBy(
+        "salt_factor", "k", (F.col("h") % F.col("salt_factor")).alias("salt")
+    ).agg(F.count(F.lit(1)).cast("long").alias("rows_in_key"))
+    return (
+        per_key.groupBy("salt_factor")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shuffle_keys"),
+            F.max("rows_in_key").cast("long").alias("max_key_rows"),
+        )
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(nkeys))
+        .select(
+            "salt_factor",
+            "n_shuffle_keys",
+            "max_key_rows",
+            F.expr("CAST(max_key_rows * 1000000 div total AS LONG)").alias(
+                "max_share_ppm"
+            ),
+            (F.col("n_keys") * F.col("salt_factor"))
+            .cast("long")
+            .alias("replication_rows"),
+        )
+        .orderBy("salt_factor")
+    )

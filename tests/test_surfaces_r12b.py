@@ -177,3 +177,63 @@ def test_fuzzy_decontam_flags_planted_neardup(spark, tmp_path):
     assert set(got) == {1}
     assert got[1]["n_eval_neardups"] == 1
     assert got[1]["max_j_e6"] == 36 * 1_000_000 // 37
+
+
+def test_keyframe_selection_planted_clip(spark, tmp_path):
+    """Frames [1,0],[2,0],[0,1],[0,3]: cut only at frame 2 (cosine 0),
+    so segments {0,1} and {2,3}; keyframes are the max-norm frames
+    (1 with norm 4e6, 3 with norm 9e6)."""
+    from etl_generator_demo_spark.operators.surfaces_r12b import (
+        x5_keyframe_selection,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [2.0, 0.0], 0),
+        (2, [0.0, 1.0], 1),
+        (3, [0.0, 3.0], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = [
+        (r["segment_id"], r["n_frames"], r["keyframe_idx"], r["key_norm_e6"])
+        for r in x5_keyframe_selection(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(0, 2, 1, 4_000_000), (1, 2, 3, 9_000_000)]
+
+
+def test_salt_factor_sweep_closed_form(spark, tmp_path):
+    """8 events, users 0..7: the planted hot-key case sends all but
+    user 4 to key 0 (7 rows) and keeps key 4 (1 row). Unsalted row is
+    exact; salting must never increase the straggler bound and pays
+    |keys| x s replication."""
+    import datetime as dt
+
+    from etl_generator_demo_spark.operators.surfaces_r12b import (
+        j_salt_factor_sweep,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), i, "view", 1.0, "{}")
+        for i in range(8)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["salt_factor"]: r for r in j_salt_factor_sweep(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 4, 16, 64}
+    assert (
+        out[1]["n_shuffle_keys"],
+        out[1]["max_key_rows"],
+        out[1]["max_share_ppm"],
+        out[1]["replication_rows"],
+    ) == (2, 7, 875_000, 2)
+    last = out[1]["max_key_rows"]
+    for s in (4, 16, 64):
+        assert out[s]["max_key_rows"] <= last
+        last = out[s]["max_key_rows"]
+        assert out[s]["replication_rows"] == 2 * s

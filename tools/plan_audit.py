@@ -864,6 +864,12 @@ EXPECTATIONS: dict[str, dict] = {
     # minhash/band pipeline + broadcast eval bands + candidate-pruned
     # shingle join + per-train rollup
     "x4_fuzzy_decontam": {"max_exchanges": 10, "min_broadcast": 5},
+    # one scan -> bounded per-clip windows -> segment rollup + argmax
+    # equi-join back
+    "x5_keyframe_selection": {"max_exchanges": 3, "min_broadcast": 1},
+    # one scan x 4 factors -> (factor, key, salt) map-combined rollup
+    # -> factor rollup + two 1-row global aggregates
+    "j_salt_factor_sweep": {"max_exchanges": 6},
 }
 
 

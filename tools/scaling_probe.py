@@ -270,6 +270,11 @@ QUERIES = [
     # (expect ~linear in corpus + candidates).
     "st_join_state_ledger",
     "x4_fuzzy_decontam",
+    # r12 batch 9: keyframes = bounded per-clip windows + rollup
+    # (expect ~linear); salt sweep = one scan x 4 factors + keyed
+    # rollups (expect ~linear).
+    "x5_keyframe_selection",
+    "j_salt_factor_sweep",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -361,6 +366,8 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "j_range_bin_width_sweep",
         "st_join_state_ledger",
         "x4_fuzzy_decontam",
+        "x5_keyframe_selection",
+        "j_salt_factor_sweep",
         "x4_dp_sensitivity_audit",
         "x4_ranker_agreement",
         "x4_entropy_per_source",
