@@ -972,3 +972,81 @@ def j_salt_factor_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("salt_factor")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means k sweep (the elbow curve behind KMEANS_K / IVF list count)
+# ---------------------------------------------------------------------------
+
+#: Swept cluster counts (8 = the registered single point KMEANS_K).
+KMEANS_K_SWEEP = (2, 4, 8, 16)
+
+
+def _k_sweep_oracle() -> str:
+    from .clustering import _kmeans_cte, KMEANS_ROUNDS
+    from .similarity import DIM
+
+    r = KMEANS_ROUNDS
+    chains, arms = [], []
+    for k in KMEANS_K_SWEEP:
+        p = f"k{k}_"
+        chains.append(_kmeans_cte(k, r, DIM, prefix=p))
+        arms.append(f"""
+        SELECT CAST({k} AS BIGINT) AS k,
+               CAST(SUM(d) AS BIGINT) AS sse_q_total,
+               CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_nonempty,
+               CAST(MAX(cn) * 1000000 // COUNT(*) AS BIGINT) AS max_share_ppm
+        FROM (
+            SELECT vec_id, cluster_id, d,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS cn
+            FROM {p}a{r}
+        )""")
+    union = "\n        UNION ALL\n".join(arms)
+    return f"WITH {','.join(chains)}\n    SELECT * FROM ({union}) ORDER BY k"
+
+
+@register(
+    "x3_kmeans_k_sweep",
+    oracle=_k_sweep_oracle(),
+    survey_ids=("X3", "A1"),
+)
+def x3_kmeans_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The elbow curve behind every quantizer knob in the repo
+    (KMEANS_K, the IVF coarse-list count, the PQ codebook size): run
+    the SAME fixed-iteration md5-seeded integer k-means at k=2/4/8/16
+    and report total within-cluster squared distance (exact integer —
+    the elbow), non-empty cluster count, and the biggest cluster's
+    row share (the IVF list-balance number: a dominant list means
+    probes scan it every query). Distortion falls monotonically in k
+    while balance typically worsens — where the SSE curve flattens is
+    where KMEANS_K earns its value.
+
+    Each k trains independently (seeding the same first-k of the
+    md5-ordered init, Lloyd rounds unrolled identically in both
+    engines — the `x3_kmeans_clusters` discipline); per k the model is
+    k x dim integers on the driver, the data-side work is linear
+    scans. The oracle runs four namespaced unrolled CTE chains."""
+    from .clustering import kmeans_assignments
+
+    parts = []
+    for k in KMEANS_K_SWEEP:
+        a = kmeans_assignments(spark, sf_dir, k=k)
+        cn = a.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).cast("long").alias("cn")
+        )
+        parts.append(
+            a.join(F.broadcast(cn), "cluster_id")
+            .groupBy()
+            .agg(
+                F.lit(k).cast("long").alias("k"),
+                F.sum("dist_q").cast("long").alias("sse_q_total"),
+                F.count_distinct("cluster_id").cast("long").alias("n_nonempty"),
+                F.expr("CAST(MAX(cn) * 1000000 div COUNT(1) AS LONG)").alias(
+                    "max_share_ppm"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("k")

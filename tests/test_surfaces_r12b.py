@@ -237,3 +237,33 @@ def test_salt_factor_sweep_closed_form(spark, tmp_path):
         assert out[s]["max_key_rows"] <= last
         last = out[s]["max_key_rows"]
         assert out[s]["replication_rows"] == 2 * s
+
+
+def test_kmeans_k_sweep_planted_elbow(spark, tmp_path):
+    """8 distinct points: SSE is non-increasing in k, hits EXACTLY 0
+    once k >= n (every point seeds its own cluster), and the non-empty
+    count saturates at n."""
+    from etl_generator_demo_spark.operators.surfaces_r12b import (
+        x3_kmeans_k_sweep,
+    )
+
+    rows = [
+        (0, [100.0, 0.0], 0),
+        (1, [101.0, 1.0], 0),
+        (2, [99.0, 2.0], 0),
+        (3, [102.0, 0.5], 0),
+        (4, [0.0, 100.0], 1),
+        (5, [1.0, 101.0], 1),
+        (6, [2.0, 99.0], 1),
+        (7, [0.5, 102.0], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["k"]: r for r in x3_kmeans_k_sweep(spark, str(tmp_path)).collect()}
+    assert set(out) == {2, 4, 8, 16}
+    sses = [out[k]["sse_q_total"] for k in (2, 4, 8, 16)]
+    assert sses == sorted(sses, reverse=True)
+    assert out[8]["sse_q_total"] == 0 and out[16]["sse_q_total"] == 0
+    assert out[8]["n_nonempty"] == 8 and out[16]["n_nonempty"] == 8
+    assert out[2]["n_nonempty"] == 2

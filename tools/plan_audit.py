@@ -870,6 +870,9 @@ EXPECTATIONS: dict[str, dict] = {
     # one scan x 4 factors -> (factor, key, salt) map-combined rollup
     # -> factor rollup + two 1-row global aggregates
     "j_salt_factor_sweep": {"max_exchanges": 6},
+    # four independent trainings (k=2/4/8/16): per k one cluster-count
+    # rollup + one global aggregate over the assignment scan
+    "x3_kmeans_k_sweep": {"max_exchanges": 12, "min_broadcast": 4},
 }
 
 

@@ -275,6 +275,9 @@ QUERIES = [
     # rollups (expect ~linear).
     "x5_keyframe_selection",
     "j_salt_factor_sweep",
+    # r12 batch 10: 4 independent linear trainings, models driver-side
+    # (expect ~linear).
+    "x3_kmeans_k_sweep",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -368,6 +371,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x4_fuzzy_decontam",
         "x5_keyframe_selection",
         "j_salt_factor_sweep",
+        "x3_kmeans_k_sweep",
         "x4_dp_sensitivity_audit",
         "x4_ranker_agreement",
         "x4_entropy_per_source",
