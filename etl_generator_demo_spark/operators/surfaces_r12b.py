@@ -1050,3 +1050,114 @@ def x3_kmeans_k_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# data-constrained repeats audit (epochs + repeated-data value decay)
+# ---------------------------------------------------------------------------
+
+#: Token budget for the repeats audit — 10x the mixture sampler's
+#: budget, deliberately larger than several languages' supply so the
+#: epoch arithmetic is exercised (at bigger SFs supply grows and the
+#: flags clear — the audit is data-derived, not baked in).
+EPOCHS_BUDGET_TOKENS = 80_000
+#: Repeated-epoch value-decay constant (Muennighoff et al. 2023,
+#: "Scaling Data-Constrained Language Models": past ~4 epochs repeated
+#: tokens lose most value; R* parametrizes the exponential decay).
+EPOCHS_R_STAR = 15
+#: Flag threshold: repeats beyond 4 epochs are the paper's
+#: diminishing-returns cliff.
+EPOCHS_FLAG = 4
+
+
+def _epochs_oracle() -> str:
+    from .packing import MIXTURE_WEIGHTS
+
+    alloc = " ".join(
+        f"WHEN '{lang}' THEN {int(EPOCHS_BUDGET_TOKENS * w)}"
+        for lang, w in MIXTURE_WEIGHTS.items()
+    )
+    eff = (
+        f"CASE WHEN ep <= 1.0 THEN ep"
+        f" ELSE 1.0 + {EPOCHS_R_STAR} * (1.0 - EXP(-(ep - 1.0) / {EPOCHS_R_STAR})) END"
+    )
+    return f"""
+    WITH supply AS (
+        SELECT lang,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT)
+                   AS avail_tokens,
+               CAST(CASE lang {alloc} ELSE 0 END AS BIGINT) AS alloc_tokens
+        FROM documents GROUP BY lang
+    ),
+    ep AS (
+        SELECT lang, avail_tokens, alloc_tokens,
+               CAST(alloc_tokens AS DOUBLE) / avail_tokens AS ep
+        FROM supply
+    )
+    SELECT lang, avail_tokens, alloc_tokens,
+           CAST(alloc_tokens * 1000000 // avail_tokens AS BIGINT)
+               AS epochs_e6,
+           CAST(FLOOR(({eff}) * 1000000) AS BIGINT) AS eff_epochs_e6,
+           CAST(avail_tokens * CAST(FLOOR(({eff}) * 1000000) AS BIGINT)
+                // 1000000 AS BIGINT) AS effective_tokens,
+           alloc_tokens > {EPOCHS_FLAG} * avail_tokens AS over_4_epochs
+    FROM ep
+    ORDER BY lang
+    """
+
+
+@register(
+    "x4_epochs_repeat_audit",
+    oracle=_epochs_oracle(),
+    survey_ids=("X4", "A1"),
+)
+def x4_epochs_repeat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained repeats audit — the mixture-family member the
+    budget/temperature/DoReMi/DSIR quartet still lacked: when the
+    token budget times a language's weight EXCEEDS its supply, the
+    sampler must repeat data, and repeated epochs decay in value
+    (Muennighoff et al. 2023: roughly exponential with constant R*,
+    negligible return past ~4 epochs). Per language: supply,
+    allocation, raw epochs (e6), EFFECTIVE epochs under the decay
+    (1 + R*(1 - e^{-(ep-1)/R*}) past one epoch), the effective token
+    count that actually buys loss, and the >4-epoch flag that tells a
+    mixture designer to re-weight before training, not after.
+
+    One per-lang rollup (map-combined) + scan-side arithmetic —
+    |langs|-bounded output, linear at any corpus size."""
+    from .packing import MIXTURE_WEIGHTS
+
+    docs = t(spark, sf_dir, "documents")
+    alloc = " ".join(
+        f"WHEN '{lang}' THEN {int(EPOCHS_BUDGET_TOKENS * w)}"
+        for lang, w in MIXTURE_WEIGHTS.items()
+    )
+    eff = (
+        f"CASE WHEN ep <= 1.0D THEN ep"
+        f" ELSE 1.0D + {EPOCHS_R_STAR} * (1.0D - EXP(-(ep - 1.0D) / {EPOCHS_R_STAR})) END"
+    )
+    supply = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("avail_tokens")
+    ).withColumn(
+        "alloc_tokens",
+        F.expr(f"CAST(CASE lang {alloc} ELSE 0 END AS LONG)"),
+    )
+    ep = supply.withColumn(
+        "ep", F.col("alloc_tokens").cast("double") / F.col("avail_tokens")
+    )
+    return ep.select(
+        "lang",
+        "avail_tokens",
+        "alloc_tokens",
+        F.expr("CAST(alloc_tokens * 1000000 div avail_tokens AS LONG)").alias(
+            "epochs_e6"
+        ),
+        F.expr(f"CAST(FLOOR(({eff}) * 1000000) AS LONG)").alias("eff_epochs_e6"),
+        F.expr(
+            f"CAST(avail_tokens * CAST(FLOOR(({eff}) * 1000000) AS LONG)"
+            f" div 1000000 AS LONG)"
+        ).alias("effective_tokens"),
+        (F.col("alloc_tokens") > EPOCHS_FLAG * F.col("avail_tokens")).alias(
+            "over_4_epochs"
+        ),
+    ).orderBy("lang")

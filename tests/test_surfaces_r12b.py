@@ -267,3 +267,27 @@ def test_kmeans_k_sweep_planted_elbow(spark, tmp_path):
     assert out[8]["sse_q_total"] == 0 and out[16]["sse_q_total"] == 0
     assert out[8]["n_nonempty"] == 8 and out[16]["n_nonempty"] == 8
     assert out[2]["n_nonempty"] == 2
+
+
+def test_epochs_repeat_audit_closed_form(spark, tmp_path):
+    """One lang with supply 10 tokens: en weight 0.5 x budget 80000
+    -> alloc 40000 -> epochs 4000x, flagged; effective epochs saturate
+    at 1 + R* = 16 exactly (exp(-huge) -> 0)."""
+    from etl_generator_demo_spark.operators.surfaces_r12b import (
+        EPOCHS_R_STAR,
+        x4_epochs_repeat_audit,
+    )
+
+    spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(10)), "en", "srcT", 40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = x4_epochs_repeat_audit(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["avail_tokens"], r["alloc_tokens"]) == (10, 40_000)
+    assert r["epochs_e6"] == 4_000 * 1_000_000
+    assert r["over_4_epochs"] is True
+    # decay saturation: eff -> 1 + R*
+    assert r["eff_epochs_e6"] == (1 + EPOCHS_R_STAR) * 1_000_000
+    assert r["effective_tokens"] == 10 * (1 + EPOCHS_R_STAR)

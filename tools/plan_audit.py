@@ -873,6 +873,8 @@ EXPECTATIONS: dict[str, dict] = {
     # four independent trainings (k=2/4/8/16): per k one cluster-count
     # rollup + one global aggregate over the assignment scan
     "x3_kmeans_k_sweep": {"max_exchanges": 12, "min_broadcast": 4},
+    # one |langs|-bounded map-combined rollup + scan-side arithmetic
+    "x4_epochs_repeat_audit": {"max_exchanges": 2},
 }
 
 

@@ -278,6 +278,9 @@ QUERIES = [
     # r12 batch 10: 4 independent linear trainings, models driver-side
     # (expect ~linear).
     "x3_kmeans_k_sweep",
+    # r12 batch 11: one |langs|-bounded rollup (expect ~flat past the
+    # scan).
+    "x4_epochs_repeat_audit",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -372,6 +375,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x5_keyframe_selection",
         "j_salt_factor_sweep",
         "x3_kmeans_k_sweep",
+        "x4_epochs_repeat_audit",
         "x4_dp_sensitivity_audit",
         "x4_ranker_agreement",
         "x4_entropy_per_source",
