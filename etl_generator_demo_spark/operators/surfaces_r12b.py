@@ -1161,3 +1161,215 @@ def x4_epochs_repeat_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "over_4_epochs"
         ),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining (the contrastive-training data op)
+# ---------------------------------------------------------------------------
+
+#: Queries and negatives per query.
+HARDNEG_NQ = 5
+HARDNEG_K = 5
+
+
+@register(
+    "x3_hard_negative_mining",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, label AS query_label, v AS qv
+        FROM e WHERE vec_id < {HARDNEG_NQ}
+    ),
+    ranked AS (
+        SELECT q.query_id, q.query_label, e.vec_id AS neg_id,
+               e.label AS neg_label,
+               CAST(FLOOR(LIST_DOT_PRODUCT(e.v, q.qv) * 1000000) AS BIGINT)
+                   AS score_e6,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.query_id
+                   ORDER BY FLOOR(LIST_DOT_PRODUCT(e.v, q.qv) * 1000000)
+                            DESC, e.vec_id) AS rnk
+        FROM e CROSS JOIN q
+        WHERE e.label <> q.query_label
+    )
+    SELECT query_id, query_label, CAST(rnk AS BIGINT) AS rnk, neg_id,
+           neg_label, score_e6
+    FROM ranked WHERE rnk <= {HARDNEG_K}
+    ORDER BY query_id, rnk
+    """,
+    survey_ids=("X3", "W1", "X4"),
+)
+def x3_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training — the third use
+    of the neighbor kernel after search (`x3_cosine_topk`) and label
+    vote (`x3_knn_label_vote`): for each anchor, the top-k most
+    SIMILAR vectors with a DIFFERENT label. Those near-miss negatives
+    are what make an embedding model's triplet loss informative
+    (random negatives are trivially separable); next to
+    `x4_contrastive_triplets` (which pairs within/without groups by
+    metadata) this mines the negatives from geometry.
+
+    Plan: {HARDNEG_NQ} anchor vectors broadcast against ONE corpus
+    scan, label-filtered BEFORE ranking (the wrong-label filter prunes
+    the rank input), per-anchor row_number windows. At scale the
+    corpus-side scan is the IVF-pruned probe (`x3_ann_ivf_topk`), same
+    ranking tail."""
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _as_double("embedding").alias("v"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < HARDNEG_NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("v").alias("qv"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_e6"), F.asc("neg_id"))
+    return (
+        e.crossJoin(q)
+        .filter(F.col("label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.floor(_dot(F.col("v"), F.col("qv")) * 1_000_000)
+            .cast("long")
+            .alias("score_e6"),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= HARDNEG_K)
+        .select("query_id", "query_label", "rnk", "neg_id", "neg_label", "score_e6")
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# span-corruption plan (T5-style masking, deterministic)
+# ---------------------------------------------------------------------------
+
+#: Span start rate: a span starts at token p when the first 2 md5 hex
+#: chars of 'span|doc|p' read below this bound (13/256 ~ 5% of
+#: positions; with 3-token spans that targets ~15% corruption, the T5
+#: noise density).
+SPAN_START_BOUND = 13
+#: Tokens masked per span start.
+SPAN_LEN = 3
+
+
+@register(
+    "x4_span_corruption_plan",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) - 1 AS pos,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, pos, n_tokens
+        FROM tok
+        WHERE (instr('{_HEX}', SUBSTR(MD5('span|' || CAST(doc_id AS VARCHAR)
+                    || '|' || CAST(pos AS VARCHAR)), 1, 1)) - 1) * 16
+              + instr('{_HEX}', SUBSTR(MD5('span|' || CAST(doc_id AS VARCHAR)
+                    || '|' || CAST(pos AS VARCHAR)), 2, 1)) - 1
+              < {SPAN_START_BOUND}
+    ),
+    masked AS (
+        SELECT DISTINCT s.doc_id, s.pos + g.g AS mpos
+        FROM starts s CROSS JOIN generate_series(0, {SPAN_LEN - 1}) AS g(g)
+        JOIN tok t ON t.doc_id = s.doc_id AND t.pos = s.pos + g.g
+    ),
+    runs AS (
+        SELECT m.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_masked,
+               CAST(SUM(CASE WHEN p.mpos IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_spans
+        FROM masked m
+        LEFT JOIN masked p
+          ON p.doc_id = m.doc_id AND p.mpos = m.mpos - 1
+        GROUP BY m.doc_id
+    ),
+    nt AS (
+        SELECT doc_id, CAST(MAX(n_tokens) AS BIGINT) AS n_tokens
+        FROM tok GROUP BY doc_id
+    )
+    SELECT nt.doc_id, nt.n_tokens,
+           COALESCE(r.n_spans, 0) AS n_spans,
+           COALESCE(r.n_masked, 0) AS n_masked,
+           CAST(COALESCE(r.n_masked, 0) * 1000000 // nt.n_tokens AS BIGINT)
+               AS corruption_e6
+    FROM nt LEFT JOIN runs r ON r.doc_id = nt.doc_id
+    ORDER BY nt.doc_id
+    """,
+    survey_ids=("X4", "A1", "F6"),
+)
+def x4_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption PLAN: which token spans each document
+    masks for a denoising objective — deterministic (md5-gated span
+    starts at ~5% of positions x 3-token spans ~ the 15% noise
+    density), so every retraining and both engines pick identical
+    spans, the same reproducibility argument as the md5 train/test
+    split. Overlapping spans merge (distinct masked positions);
+    reported spans are the MERGED maximal runs (a masked position
+    opens a span iff position-1 is unmasked — counted with one keyed
+    self-join, no window). Output per doc: tokens, spans, masked
+    count, achieved corruption rate e6 — the objective-prep relation
+    a pretraining pipeline materializes next to packing.
+
+    Plan: one token explode -> md5 gate (scan-side) -> bounded
+    {SPAN_LEN}x span explode -> distinct + keyed self-join + per-doc
+    rollup. Linear; no all-pairs, no global window."""
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tk"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    gate = (
+        f"(instr('{_HEX}', substring(md5(concat('span|', cast(doc_id as string),"
+        f" '|', cast(pos as string))), 1, 1)) - 1) * 16"
+        f" + instr('{_HEX}', substring(md5(concat('span|', cast(doc_id as string),"
+        f" '|', cast(pos as string))), 2, 1)) - 1 < {SPAN_START_BOUND}"
+    )
+    starts = tok.filter(F.expr(gate)).select("doc_id", "pos")
+    masked = (
+        starts.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_LEN - 1))
+            ).alias("mpos"),
+        )
+        .join(
+            tok.select("doc_id", F.col("pos").alias("mpos")), ["doc_id", "mpos"]
+        )
+        .distinct()
+    )
+    prev = masked.select("doc_id", (F.col("mpos") + 1).alias("mpos"), F.lit(1).alias("has_prev"))
+    runs = (
+        masked.join(prev, ["doc_id", "mpos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_masked"),
+            F.sum(F.when(F.col("has_prev").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_spans"),
+        )
+    )
+    nt = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    return (
+        nt.join(runs, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_masked", F.lit(0)).cast("long").alias("n_masked"),
+            F.expr(
+                "CAST(COALESCE(n_masked, 0) * 1000000 div n_tokens AS LONG)"
+            ).alias("corruption_e6"),
+        )
+        .orderBy("doc_id")
+    )

@@ -291,3 +291,64 @@ def test_epochs_repeat_audit_closed_form(spark, tmp_path):
     # decay saturation: eff -> 1 + R*
     assert r["eff_epochs_e6"] == (1 + EPOCHS_R_STAR) * 1_000_000
     assert r["effective_tokens"] == 10 * (1 + EPOCHS_R_STAR)
+
+
+def test_hard_negative_mining_planted_geometry(spark, tmp_path):
+    """Query 0 (label 0): wrong-label vectors ranked by dot — [0.75,
+    0.25] before [0.5, 0.5]; the same-label [0, 1] never appears.
+    (Values chosen exactly float32-representable.)"""
+    from etl_generator_demo_spark.operators.surfaces_r12b import (
+        x3_hard_negative_mining,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.75, 0.25], 1),
+        (2, [0.5, 0.5], 1),
+        (3, [0.0, 1.0], 0),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = [
+        (r["rnk"], r["neg_id"], r["neg_label"], r["score_e6"])
+        for r in x3_hard_negative_mining(spark, str(tmp_path)).collect()
+        if r["query_id"] == 0
+    ]
+    assert got == [(1, 1, 1, 750_000), (2, 2, 1, 500_000)]
+
+
+def test_span_corruption_matches_python_recompute(spark, tmp_path):
+    """The md5 span gate recomputed in pure Python must reproduce the
+    plan exactly: same starts, same merged-masked set, same run
+    count."""
+    import hashlib
+
+    from etl_generator_demo_spark.operators.surfaces_r12b import (
+        SPAN_LEN,
+        SPAN_START_BOUND,
+        x4_span_corruption_plan,
+    )
+
+    texts = [
+        " ".join(f"t{j}" for j in range(60)),
+        " ".join(f"u{j}" for j in range(25)),
+    ]
+    _write_documents(spark, str(tmp_path), len(texts))
+    spark.createDataFrame(
+        [(i, t, "en", "srcT", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {r["doc_id"]: r for r in x4_span_corruption_plan(spark, str(tmp_path)).collect()}
+    for did, text in enumerate(texts):
+        n = len(text.split(" "))
+        masked = set()
+        for p in range(n):
+            h = hashlib.md5(f"span|{did}|{p}".encode()).hexdigest()
+            if int(h[:2], 16) < SPAN_START_BOUND:
+                masked.update(q for q in range(p, p + SPAN_LEN) if q < n)
+        spans = sum(1 for q in masked if q - 1 not in masked)
+        r = got[did]
+        assert (r["n_tokens"], r["n_spans"], r["n_masked"]) == (n, spans, len(masked))
+        assert r["corruption_e6"] == len(masked) * 1_000_000 // n

@@ -875,6 +875,12 @@ EXPECTATIONS: dict[str, dict] = {
     "x3_kmeans_k_sweep": {"max_exchanges": 12, "min_broadcast": 4},
     # one |langs|-bounded map-combined rollup + scan-side arithmetic
     "x4_epochs_repeat_audit": {"max_exchanges": 2},
+    # anchors against one corpus scan, label filter before the
+    # 5-anchor rank windows
+    "x3_hard_negative_mining": {"max_exchanges": 2},
+    # token explode + md5 gate -> bounded span explode -> distinct +
+    # keyed run self-join -> per-doc rollup
+    "x4_span_corruption_plan": {"max_exchanges": 5, "min_broadcast": 1},
 }
 
 

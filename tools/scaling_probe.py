@@ -281,6 +281,11 @@ QUERIES = [
     # r12 batch 11: one |langs|-bounded rollup (expect ~flat past the
     # scan).
     "x4_epochs_repeat_audit",
+    # r12 batch 12: anchors x one corpus scan (expect ~linear);
+    # span plan = token explode + bounded span fan-out (expect
+    # ~linear).
+    "x3_hard_negative_mining",
+    "x4_span_corruption_plan",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -376,6 +381,8 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "j_salt_factor_sweep",
         "x3_kmeans_k_sweep",
         "x4_epochs_repeat_audit",
+        "x3_hard_negative_mining",
+        "x4_span_corruption_plan",
         "x4_dp_sensitivity_audit",
         "x4_ranker_agreement",
         "x4_entropy_per_source",
