@@ -1373,3 +1373,107 @@ def x4_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# DP epsilon-utility sweep (privacy ladder rung 5: pricing the budget)
+# ---------------------------------------------------------------------------
+
+#: Privacy budgets swept, e3 fixed point (0.1, 1, 10).
+DP_EPSILON_SWEEP_E3 = (100, 1_000, 10_000)
+#: Utility bar: a day's released count is "usable" when the expected
+#: absolute Laplace noise is under 5% of the true count.
+DP_UTILITY_BAR_E6 = 50_000
+
+
+def _dp_sweep_oracle() -> str:
+    eps = ", ".join(str(e) for e in DP_EPSILON_SWEEP_E3)
+    return f"""
+    WITH per_user AS (
+        SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY day, user_id
+    ),
+    days AS (
+        SELECT day,
+               CAST(SUM(n_rows) AS BIGINT) AS true_count,
+               CAST(MAX(n_rows) AS BIGINT) AS sens
+        FROM per_user GROUP BY day
+    ),
+    e AS (SELECT UNNEST([{eps}]::BIGINT[]) AS epsilon_e3)
+    SELECT e.epsilon_e3,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(d.sens * 1000000000 // e.epsilon_e3) // COUNT(*)
+                AS BIGINT) AS mean_noise_scale_e6,
+           CAST(MAX(d.sens * 1000000000 // e.epsilon_e3 * 1000000
+                    // (d.true_count * 1000000)) AS BIGINT)
+               AS worst_rel_err_e6,
+           CAST(SUM(CASE WHEN d.sens * 1000000000 // e.epsilon_e3
+                              * 1000000 // (d.true_count * 1000000)
+                         < {DP_UTILITY_BAR_E6} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_usable_days
+    FROM days d CROSS JOIN e
+    GROUP BY e.epsilon_e3
+    ORDER BY e.epsilon_e3
+    """
+
+
+@register(
+    "x4_dp_epsilon_utility_sweep",
+    oracle=_dp_sweep_oracle(),
+    survey_ids=("X4", "A1"),
+)
+def x4_dp_epsilon_utility_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-budget knob curve — rung 5 of the DP ladder: the
+    sensitivity audit measured Δf per day; this prices ε. For each
+    budget (0.1 / 1 / 10), the Laplace scale b = Δf/ε IS the expected
+    absolute noise on the released daily count, so per ε the sweep
+    reports the mean noise scale, the worst day's expected RELATIVE
+    error, and how many days clear the 5% utility bar — the table a
+    data owner reads to pick the budget BEFORE any noisy release
+    (deterministic: the audit prices the mechanism's parameter, it
+    never draws noise).
+
+    Exact integer fixed point throughout: ε in e3, b in e6
+    (Δf·1e9 div ε_e3), relative error in e6 via one identical
+    truncating division chain in both engines. Plan: the sensitivity
+    lattice (|days| rows) × 3 broadcast budgets — ~free at any
+    corpus size."""
+    ev = t(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts").cast("timestamp")).alias("day"), "user_id"
+    )
+    days = (
+        ev.groupBy("day", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .groupBy("day")
+        .agg(
+            F.sum("n_rows").cast("long").alias("true_count"),
+            F.max("n_rows").cast("long").alias("sens"),
+        )
+    )
+    eps = F.array(*[F.lit(e).cast("long") for e in DP_EPSILON_SWEEP_E3])
+    x = days.select(
+        "day", "true_count", "sens", F.explode(eps).alias("epsilon_e3")
+    ).withColumn(
+        "rel_err_e6",
+        F.expr(
+            "sens * 1000000000 div epsilon_e3 * 1000000"
+            " div (true_count * 1000000)"
+        ).cast("long"),
+    )
+    return (
+        x.groupBy("epsilon_e3")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.expr(
+                "CAST(SUM(sens * 1000000000 div epsilon_e3) div COUNT(1) AS LONG)"
+            ).alias("mean_noise_scale_e6"),
+            F.max("rel_err_e6").cast("long").alias("worst_rel_err_e6"),
+            F.sum(
+                F.when(F.col("rel_err_e6") < DP_UTILITY_BAR_E6, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_usable_days"),
+        )
+        .orderBy("epsilon_e3")
+    )

@@ -352,3 +352,36 @@ def test_span_corruption_matches_python_recompute(spark, tmp_path):
         r = got[did]
         assert (r["n_tokens"], r["n_spans"], r["n_masked"]) == (n, spans, len(masked))
         assert r["corruption_e6"] == len(masked) * 1_000_000 // n
+
+
+def test_dp_epsilon_sweep_closed_form(spark, tmp_path):
+    """One day, one user with 2 rows among 100 total rows from many
+    users -> Δf=2, true_count=100. ε=10: b=0.2, rel err 0.2% (usable);
+    ε=0.1: b=20, rel err 20% (not). Exact e6 arithmetic recomputed."""
+    import datetime as dt
+
+    from etl_generator_demo_spark.operators.surfaces_r12b import (
+        x4_dp_epsilon_utility_sweep,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i, t0 + dt.timedelta(minutes=i), i, "view", 1.0, "{}") for i in range(98)]
+    rows += [(98, t0 + dt.timedelta(minutes=98), 0, "view", 1.0, "{}"),
+             (99, t0 + dt.timedelta(minutes=99), 0, "view", 1.0, "{}")]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r["epsilon_e3"]: r for r in x4_dp_epsilon_utility_sweep(spark, str(tmp_path)).collect()}
+    # user 0 has 3 rows (events 0, 98, 99) -> sens=3, count=100
+    sens, cnt = 3, 100
+    for eps in (100, 1_000, 10_000):
+        b_e6 = sens * 1_000_000_000 // eps
+        rel = b_e6 * 1_000_000 // (cnt * 1_000_000)
+        r = out[eps]
+        assert r["n_days"] == 1
+        assert r["mean_noise_scale_e6"] == b_e6
+        assert r["worst_rel_err_e6"] == rel
+        assert r["n_usable_days"] == (1 if rel < 50_000 else 0)
+    assert out[100]["n_usable_days"] == 0 and out[10_000]["n_usable_days"] == 1

@@ -881,6 +881,8 @@ EXPECTATIONS: dict[str, dict] = {
     # token explode + md5 gate -> bounded span explode -> distinct +
     # keyed run self-join -> per-doc rollup
     "x4_span_corruption_plan": {"max_exchanges": 5, "min_broadcast": 1},
+    # two keyed rollups to the |days| lattice x 3 exploded budgets
+    "x4_dp_epsilon_utility_sweep": {"max_exchanges": 4},
 }
 
 

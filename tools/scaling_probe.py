@@ -286,6 +286,9 @@ QUERIES = [
     # ~linear).
     "x3_hard_negative_mining",
     "x4_span_corruption_plan",
+    # r12 batch 13: |days|-lattice x 3 budgets (expect ~flat past the
+    # scan).
+    "x4_dp_epsilon_utility_sweep",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -383,6 +386,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x4_epochs_repeat_audit",
         "x3_hard_negative_mining",
         "x4_span_corruption_plan",
+        "x4_dp_epsilon_utility_sweep",
         "x4_dp_sensitivity_audit",
         "x4_ranker_agreement",
         "x4_entropy_per_source",
