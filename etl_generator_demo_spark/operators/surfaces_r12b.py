@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
-from .multimodal import as_media_table
+from .multimodal import as_media_table, x5_crossmodal_clip_gate
 from .relational import t
 from .similarity import _as_double, _dot, cosine
 
@@ -1476,4 +1476,225 @@ def x4_dp_epsilon_utility_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_usable_days"),
         )
         .orderBy("epsilon_e3")
+    )
+
+
+# ---------------------------------------------------------------------------
+# media curation attrition (the composed X5 funnel)
+# ---------------------------------------------------------------------------
+
+
+def _media_attrition_oracle() -> str:
+    from .multimodal import X5_CLIP_TAU_E6, X5_TXT_DIM
+
+    return f"""
+    WITH pop AS (
+        SELECT doc_id AS media_id, text AS body FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' re' FROM documents
+        WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    sized AS (
+        SELECT media_id, body,
+               CAST(OCTET_LENGTH(ENCODE(body)) AS BIGINT) AS n_bytes
+        FROM pop
+    ),
+    exact_keep AS (
+        SELECT MIN(media_id) AS media_id FROM sized GROUP BY MD5(body)
+    ),
+    s2 AS (
+        SELECT s.media_id, s.n_bytes FROM sized s
+        JOIN exact_keep k ON k.media_id = s.media_id
+    ),
+    orig AS (
+        SELECT doc_id AS media_id, SUBSTR(MD5(text), 1, 16) AS phash
+        FROM documents
+    ),
+    re AS (
+        SELECT media_id + 1000000 AS media_id,
+               SUBSTR(phash, 1, pos - 1)
+               || SUBSTR('{_HEX}',
+                         xor(instr('{_HEX}', SUBSTR(phash, pos, 1)) - 1, 1) + 1,
+                         1)
+               || SUBSTR(phash, pos + 1, 16 - pos) AS phash
+        FROM (
+            SELECT media_id, phash, CAST(media_id % 16 + 1 AS INT) AS pos
+            FROM orig WHERE media_id % 5 = 0
+        )
+    ),
+    m AS (SELECT * FROM orig UNION ALL SELECT * FROM re),
+    bands AS (
+        SELECT media_id, g.b AS band_id,
+               SUBSTR(phash, g.b * 4 + 1, 4) AS band_key
+        FROM m CROSS JOIN (SELECT UNNEST(RANGE(0, {PHASH_BANDS})) AS b) g
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_id AS media_a, c.media_id AS media_b
+        FROM bands a JOIN bands c
+          ON a.band_id = c.band_id AND a.band_key = c.band_key
+         AND a.media_id < c.media_id
+    ),
+    ham AS (
+        SELECT cand.media_b,
+               CAST(SUM(bit_count(xor(
+                   instr('{_HEX}', SUBSTR(ma.phash, p.p, 1)) - 1,
+                   instr('{_HEX}', SUBSTR(mb.phash, p.p, 1)) - 1
+               ))) AS BIGINT) AS hamming
+        FROM cand
+        JOIN m ma ON ma.media_id = cand.media_a
+        JOIN m mb ON mb.media_id = cand.media_b
+        CROSS JOIN (SELECT UNNEST(RANGE(1, 17)) AS p) p
+        GROUP BY cand.media_a, cand.media_b
+    ),
+    phash_drop AS (
+        SELECT DISTINCT media_b AS media_id FROM ham
+        WHERE hamming <= {PHASH_HAM_TAU}
+    ),
+    s3 AS (
+        SELECT s2.media_id, s2.n_bytes FROM s2
+        ANTI JOIN phash_drop d ON d.media_id = s2.media_id
+    ),
+    img AS (
+        SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0
+    ),
+    tok AS (
+        SELECT media_id, UNNEST(STRING_SPLIT(text, ' ')) AS tk FROM img
+    ),
+    txt AS (
+        SELECT media_id,
+               CAST(('0x' || SUBSTR(MD5(tk), 1, 4)) AS BIGINT)
+                   % {X5_TXT_DIM} AS dim,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM tok GROUP BY media_id, dim
+    ),
+    tn AS (
+        SELECT media_id, CAST(SUM(w * w) AS BIGINT) AS nt2
+        FROM txt GROUP BY media_id
+    ),
+    iv AS (
+        SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) - 1 AS dim,
+               CAST(FLOOR(UNNEST(embedding::DOUBLE[]) * 1000000) AS BIGINT)
+                   AS v6
+        FROM embeddings
+    ),
+    inorm AS (
+        SELECT vec_id, CAST(SUM(v6 * v6) AS BIGINT) AS ni2
+        FROM iv GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT t.media_id, CAST(SUM(t.w * iv.v6) AS BIGINT) AS dot6
+        FROM txt t JOIN iv ON iv.vec_id = t.media_id AND iv.dim = t.dim
+        GROUP BY t.media_id
+    ),
+    clip_drop AS (
+        SELECT d.media_id
+        FROM dots d
+        JOIN tn ON tn.media_id = d.media_id
+        JOIN inorm ON inorm.vec_id = d.media_id
+        WHERE CAST(FLOOR(d.dot6 * 1.0
+                   / (SQRT(CAST(tn.nt2 AS DOUBLE))
+                      * SQRT(CAST(inorm.ni2 AS DOUBLE))) * 1000000) AS BIGINT)
+              < {X5_CLIP_TAU_E6}
+    ),
+    s4 AS (
+        SELECT s3.media_id, s3.n_bytes FROM s3
+        ANTI JOIN clip_drop d ON d.media_id = s3.media_id
+    )
+    SELECT * FROM (
+        SELECT 1 AS stage_no, 'total' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(n_bytes) AS BIGINT) AS n_bytes FROM sized
+        UNION ALL
+        SELECT 2, 'after_exact_payload_dedup',
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(n_bytes) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'after_phash_neardup',
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(n_bytes) AS BIGINT) FROM s3
+        UNION ALL
+        SELECT 4, 'after_clip_gate',
+               CAST(COUNT(*) AS BIGINT), CAST(SUM(n_bytes) AS BIGINT) FROM s4
+    ) ORDER BY stage_no
+    """
+
+
+@register(
+    "x5_media_curation_attrition",
+    oracle=_media_attrition_oracle(),
+    survey_ids=("X5", "X1", "X2", "X3"),
+)
+def x5_media_curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed X5 curation funnel — the media sibling of
+    `x4_pipeline_attrition`: item and byte counts surviving each stage
+    of a crawled-media ingest. Population = corpus + a re-encode batch
+    (every 5th item, different bytes, near-identical fingerprint) + a
+    mirror batch (every 7th, byte-identical). Stages: total → exact
+    payload dedup (kills the mirrors — md5 digest groupBy, the
+    `x5_payload_dedup` tier) → pHash near-dup (kills the re-encodes —
+    the `x5_phash_hamming_neardup` banded pipeline, higher id of each
+    accepted pair drops) → CLIP caption gate (drops scored images
+    below τ — the `x5_crossmodal_clip_gate` towers). The bytes column
+    prices each tier before anything is rewritten — the number a
+    100 TB media ingest reads to decide which tier pays for itself.
+
+    Every stage reuses the registered component's exact spelling, so
+    the funnel always describes the pipeline as shipped (the
+    `x4_pipeline_attrition` shared-builder argument)."""
+    from .multimodal import X5_CLIP_TAU_E6, X5_TXT_DIM
+
+    docs = t(spark, sf_dir, "documents")
+    pop = (
+        docs.select(F.col("doc_id").alias("media_id"), F.col("text").alias("body"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("media_id"),
+                F.concat(F.col("text"), F.lit(" re")).alias("body"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("media_id"),
+                F.col("text").alias("body"),
+            )
+        )
+    )
+    sized = pop.select(
+        "media_id",
+        "body",
+        F.length(F.col("body").cast("binary")).cast("long").alias("n_bytes"),
+    ).localCheckpoint(eager=True)  # population consumed by every stage
+    exact_keep = sized.groupBy(F.md5("body")).agg(
+        F.min("media_id").alias("media_id")
+    ).select("media_id")
+    s2 = sized.join(exact_keep, "media_id", "left_semi").select(
+        "media_id", "n_bytes"
+    )
+    phash_drop = (
+        x5_phash_hamming_neardup(spark, sf_dir)
+        .select(F.col("media_b").alias("media_id"))
+        .distinct()
+    )
+    s3 = s2.join(phash_drop, "media_id", "left_anti")
+    clip_drop = (
+        x5_crossmodal_clip_gate(spark, sf_dir)
+        .filter(F.col("clip_cos6") < X5_CLIP_TAU_E6)
+        .select("media_id")
+    )
+    s4 = s3.join(clip_drop, "media_id", "left_anti")
+
+    def stage(no, name, df):
+        return df.agg(
+            F.lit(no).cast("long").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("n_bytes").cast("long").alias("n_bytes"),
+        )
+
+    return (
+        stage(1, "total", sized.select("media_id", "n_bytes"))
+        .unionByName(stage(2, "after_exact_payload_dedup", s2))
+        .unionByName(stage(3, "after_phash_neardup", s3))
+        .unionByName(stage(4, "after_clip_gate", s4))
+        .orderBy("stage_no")
     )

@@ -385,3 +385,25 @@ def test_dp_epsilon_sweep_closed_form(spark, tmp_path):
         assert r["worst_rel_err_e6"] == rel
         assert r["n_usable_days"] == (1 if rel < 50_000 else 0)
     assert out[100]["n_usable_days"] == 0 and out[10_000]["n_usable_days"] == 1
+
+
+def test_media_attrition_planted_funnel(spark, tmp_path):
+    """10 docs -> +2 re-encodes (ids 0,5) +2 mirrors (ids 0,7): total
+    14; mirrors die at exact dedup (12); re-encodes die at the pHash
+    tier (10); with all-positive embeddings every scored image keeps
+    (text-tower weights and image components both positive), so the
+    CLIP gate drops nothing (10)."""
+    from etl_generator_demo_spark.operators.surfaces_r12b import (
+        x5_media_curation_attrition,
+    )
+
+    _write_documents(spark, str(tmp_path), 10)
+    spark.createDataFrame(
+        [(i, [0.5, 0.25], 0) for i in range(10)],
+        "vec_id long, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = [
+        (r["stage_no"], r["n_items"])
+        for r in x5_media_curation_attrition(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 14), (2, 12), (3, 10), (4, 10)]

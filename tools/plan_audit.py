@@ -883,6 +883,10 @@ EXPECTATIONS: dict[str, dict] = {
     "x4_span_corruption_plan": {"max_exchanges": 5, "min_broadcast": 1},
     # two keyed rollups to the |days| lattice x 3 exploded budgets
     "x4_dp_epsilon_utility_sweep": {"max_exchanges": 4},
+    # four-stage composed funnel: checkpointed population + the exact
+    # dedup groupBy + the phash band/verify chain + the clip towers,
+    # each stage one scalar aggregate
+    "x5_media_curation_attrition": {"max_exchanges": 15, "min_broadcast": 6},
 }
 
 

@@ -289,6 +289,9 @@ QUERIES = [
     # r12 batch 13: |days|-lattice x 3 budgets (expect ~flat past the
     # scan).
     "x4_dp_epsilon_utility_sweep",
+    # r12 batch 14: composed funnel of three linear tiers (expect
+    # ~linear).
+    "x5_media_curation_attrition",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -387,6 +390,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x3_hard_negative_mining",
         "x4_span_corruption_plan",
         "x4_dp_epsilon_utility_sweep",
+        "x5_media_curation_attrition",
         "x4_dp_sensitivity_audit",
         "x4_ranker_agreement",
         "x4_entropy_per_source",
