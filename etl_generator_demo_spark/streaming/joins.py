@@ -556,3 +556,131 @@ def st_join_state_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state_right",
         "state_total",
     ).orderBy("ledger_batch")
+
+
+#: Watermark delays swept for the join-state knob curve (minutes).
+JSL_DELAY_SWEEP_MIN = (5, 10, 30, 60)
+
+
+def _jsl_arm_sql(delay_min: int, p: str) -> str:
+    """One namespaced copy of the state-ledger CTE chain at a given
+    delay, reduced to its per-delay aggregate row."""
+    delay_us = delay_min * 60 * 1_000_000
+    return f"""
+    {p}lat AS (
+        SELECT day,
+               ROW_NUMBER() OVER (ORDER BY day) - 1 AS b,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'click')
+                    AS BIGINT) AS n_left,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                    AS BIGINT) AS n_right,
+               MAX(ts_us) FILTER (WHERE event_type = 'click') AS hwl_us,
+               MAX(ts_us) FILTER (WHERE event_type = 'purchase') AS hwr_us
+        FROM ev GROUP BY day
+    ),
+    {p}run AS (
+        SELECT b, day, n_left, n_right,
+               MAX(hwl_us) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING) AS runl1,
+               MAX(hwr_us) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED
+                                 PRECEDING AND 1 PRECEDING) AS runr1,
+               SUM(n_left) OVER (ORDER BY b) AS cuml,
+               SUM(n_right) OVER (ORDER BY b) AS cumr
+        FROM {p}lat
+    ),
+    {p}wm AS (
+        SELECT b, day, cuml, cumr,
+               CASE WHEN runl1 IS NOT NULL AND runr1 IS NOT NULL
+                    THEN LEAST(runl1, runr1) - {delay_us}
+               END AS wm_evict_us
+        FROM {p}run
+    ),
+    {p}bel AS (
+        SELECT w.b,
+               CAST(COUNT(*) FILTER (WHERE e.event_type = 'click'
+                    AND e.ts_us < w.wm_evict_us - {JSL_GAP_US})
+                    AS BIGINT) AS below_l,
+               CAST(COUNT(*) FILTER (WHERE e.event_type = 'purchase'
+                    AND e.ts_us < w.wm_evict_us) AS BIGINT) AS below_r
+        FROM {p}wm w JOIN ev e ON e.day <= w.day
+        WHERE w.wm_evict_us IS NOT NULL
+        GROUP BY w.b
+    ),
+    {p}st AS (
+        SELECT w.b,
+               w.cuml - COALESCE(l.below_l, 0)
+               + w.cumr - COALESCE(l.below_r, 0) AS st_total
+        FROM {p}wm w LEFT JOIN {p}bel l ON l.b = w.b
+    )"""
+
+
+def _jsl_sweep_oracle() -> str:
+    chains, arms = [], []
+    for i, d in enumerate(JSL_DELAY_SWEEP_MIN):
+        p = f"d{i}_"
+        chains.append(_jsl_arm_sql(d, p))
+        arms.append(f"""
+        SELECT CAST({d} AS BIGINT) AS delay_min,
+               CAST(COUNT(*) AS BIGINT) AS n_batches,
+               CAST(MAX(st_total) AS BIGINT) AS peak_state_total,
+               CAST(SUM(st_total) // COUNT(*) AS BIGINT)
+                   AS mean_state_total
+        FROM {p}st""")
+    union = "\n        UNION ALL\n".join(arms)
+    return f"""
+    WITH ev AS (
+        SELECT event_type,
+               EPOCH_US(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    {','.join(chains)}
+    SELECT * FROM ({union}) ORDER BY delay_min
+    """
+
+
+@register(
+    "st_join_state_delay_sweep",
+    oracle=_jsl_sweep_oracle(),
+    survey_ids=("§2.11", "J7", "A1", "W3"),
+)
+def st_join_state_delay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-state ledger's knob curve: peak and mean state-store
+    size of the stream-stream attribution join at watermark delays of
+    5/10/30/60 minutes — the memory side of the delay trade whose
+    completeness side `st_watermark_delay_sweep` already prices (more
+    delay = fewer late drops but more rows buffered: left rows live
+    gap+delay past the watermark, right rows live delay). Reading the
+    two curves together is how the delay is actually chosen.
+
+    Four lattice-sized ledger evaluations (the per-day replay is
+    shared; each delay shifts only the eviction threshold), aggregated
+    to one row per delay. The oracle runs four namespaced copies of
+    the ledger chain — the `x3_kmeans_k_sweep` pattern."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("ts").cast("timestamp").cast("date").alias("day"),
+    )
+    mk = lambda typ: ev.filter(F.col("event_type") == typ).select(
+        F.col("day").alias("batch_id"), "ts_us"
+    )
+    parts = []
+    for d in JSL_DELAY_SWEEP_MIN:
+        led = join_state_ledger(
+            mk("click"), mk("purchase"), delay_us=d * 60 * 1_000_000
+        )
+        parts.append(
+            led.agg(
+                F.lit(d).cast("long").alias("delay_min"),
+                F.count(F.lit(1)).cast("long").alias("n_batches"),
+                F.max("state_total").cast("long").alias("peak_state_total"),
+                F.expr("CAST(SUM(state_total) div COUNT(1) AS LONG)").alias(
+                    "mean_state_total"
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("delay_min")

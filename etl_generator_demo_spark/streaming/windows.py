@@ -835,3 +835,107 @@ def st_watermark_delay_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("delay_min")
     )
+
+
+#: Microbatch sizes swept for the trigger-sizing knob (events per
+#: trigger in the deterministic replay).
+WM_BATCH_SIZE_SWEEP = (250, 500, 1000, 2000)
+
+
+def _batch_sweep_oracle() -> str:
+    arms = []
+    for s in WM_BATCH_SIZE_SWEEP:
+        arms.append(f"""
+        SELECT CAST({s} AS BIGINT) AS batch_size,
+               CAST(MAX(batch_id) + 1 AS BIGINT) AS n_batches,
+               CAST(SUM(n_dropped) AS BIGINT) AS n_dropped
+        FROM (
+            SELECT b.batch_id,
+                   CAST(COUNT(*) FILTER (
+                       WHERE h.hw2_us IS NOT NULL
+                         AND b.ts_us < h.hw2_us - {WM_LEDGER_DELAY_US}
+                   ) AS BIGINT) AS n_dropped
+            FROM (
+                SELECT ts_us, rn // {s} AS batch_id FROM ord
+            ) b
+            JOIN (
+                SELECT batch_id,
+                       MAX(bmax_us) OVER (ORDER BY batch_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 2 PRECEDING) AS hw2_us
+                FROM (
+                    SELECT rn // {s} AS batch_id, MAX(ts_us) AS bmax_us
+                    FROM (SELECT ts_us, rn FROM ord) GROUP BY batch_id
+                )
+            ) h USING (batch_id)
+            GROUP BY b.batch_id
+        )""")
+    union = "\n        UNION ALL\n".join(arms)
+    return f"""
+    WITH ev AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    ord AS (
+        SELECT EPOCH_US(ts) AS ts_us,
+               ROW_NUMBER() OVER (ORDER BY CAST(ts AS DATE),
+                                           MD5(CAST(event_id AS VARCHAR)),
+                                           event_id) - 1 AS rn
+        FROM ev
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ord)
+    SELECT a.batch_size, a.n_batches, a.n_dropped,
+           CAST(a.n_dropped * 1000000 // tot.n AS BIGINT) AS drop_rate_e6
+    FROM ({union}) a CROSS JOIN tot
+    ORDER BY a.batch_size
+    """
+
+
+@register(
+    "st_batch_size_drop_sweep",
+    oracle=_batch_sweep_oracle(),
+    survey_ids=("§2.11", "W3", "A1"),
+)
+def st_batch_size_drop_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger-sizing knob curve: the drop ledger's late-loss at
+    microbatch sizes 250/500/1000/2000 events. Bigger triggers lag the
+    watermark less often (it advances once per batch), so the 2-lagged
+    late-filter threshold trails further behind event time and FEWER
+    rows drop — the throughput-vs-freshness trade a trigger interval
+    encodes, measured on the same deterministic bounded-disorder
+    replay as `st_watermark_drop_ledger` (whose delay knob
+    `st_watermark_delay_sweep` prices on the other axis).
+
+    Four ledger evaluations over ONE shared ranked replay (batching is
+    arithmetic on the rank; each size re-rolls the batch lattice —
+    1/size of the stream — and re-reads the event relation once)."""
+    from etl_generator_demo_spark.operators.analytics_ext import (
+        global_row_number,
+    )
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withColumn("_day", F.to_date("ts"))
+        .withColumn("_shuf", F.md5(F.col("event_id").cast("string")))
+    )
+    total = ev.count()  # one scalar for the rate denominator
+    parts = []
+    for s in WM_BATCH_SIZE_SWEEP:
+        led = watermark_drop_ledger(
+            ev,
+            [F.col("_day").asc(), F.col("_shuf").asc(), F.col("event_id").asc()],
+            batch_size=s,
+        )
+        parts.append(
+            led.agg(
+                F.lit(s).cast("long").alias("batch_size"),
+                F.count(F.lit(1)).cast("long").alias("n_batches"),
+                F.sum("n_dropped").cast("long").alias("n_dropped"),
+                F.expr(f"CAST(SUM(n_dropped) * 1000000 div {total} AS LONG)")
+                .alias("drop_rate_e6"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("batch_size")

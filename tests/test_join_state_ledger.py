@@ -176,3 +176,20 @@ def test_ledger_matches_real_stream(spark, tmp_path):
         b = r["ledger_batch"]
         assert got_total[b] == r["state_total"], b
         assert got_wm[b] == r["wm_evict_us"], b
+
+
+def test_delay_knob_grows_state_exactly(spark):
+    """Same planted batches at delay=60min: wm stays 60min behind, so
+    b1 keeps ALL six rows (wm=40: clicks >= 10, purchases >= 40) and
+    b2 peaks at 8; closed-form trajectory [2, 6, 8, 4]."""
+    from etl_generator_demo_spark.streaming.joins import join_state_ledger
+
+    ldf, rdf = _sides(spark)
+    prep = lambda df: df.select(
+        F.col("batch").alias("batch_id"),
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    led = join_state_ledger(
+        prep(ldf), prep(rdf), gap_us=GAP_US, delay_us=60 * 60 * 1_000_000
+    ).collect()
+    assert [r["state_total"] for r in led] == [2, 6, 8, 4]

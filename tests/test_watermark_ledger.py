@@ -153,3 +153,24 @@ def test_ledger_matches_real_stream(spark, tmp_path):
         if m not in LATE_MINUTES
     }
     assert {r["s"] for r in out} == want_windows
+
+
+def test_batch_size_knob_monotone_drops(spark):
+    """Bigger microbatches advance the watermark less often, so the
+    planted batches' total drops are non-increasing in batch size:
+    size 4 drops exactly the 4 planted late rows, size 16 (one batch,
+    no prior-batch watermark) drops none."""
+    from etl_generator_demo_spark.streaming.windows import (
+        watermark_drop_ledger,
+    )
+
+    ev = _planted_df(spark).select("event_id", "ts")
+    tot = {}
+    for s in (4, 8, 16):
+        led = watermark_drop_ledger(
+            ev, [F.col("event_id").asc()], batch_size=s
+        ).collect()
+        tot[s] = sum(r["n_dropped"] for r in led)
+    assert tot[4] == sum(EXPECT_DROPS)
+    assert tot[16] == 0
+    assert tot[4] >= tot[8] >= tot[16]

@@ -887,6 +887,12 @@ EXPECTATIONS: dict[str, dict] = {
     # dedup groupBy + the phash band/verify chain + the clip towers,
     # each stage one scalar aggregate
     "x5_media_curation_attrition": {"max_exchanges": 15, "min_broadcast": 6},
+    # four namespaced ledger evaluations; every exchange moves the
+    # ~30-row day lattice, not the event relation
+    "st_join_state_delay_sweep": {"max_exchanges": 32, "min_broadcast": 8},
+    # four ledger evaluations over one shared ranked replay; lattice
+    # exchanges only (1/size of the stream each)
+    "st_batch_size_drop_sweep": {"max_exchanges": 16},
 }
 
 

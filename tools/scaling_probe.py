@@ -292,6 +292,10 @@ QUERIES = [
     # r12 batch 14: composed funnel of three linear tiers (expect
     # ~linear).
     "x5_media_curation_attrition",
+    # r12 batch 15: four lattice-sized ledger evaluations each
+    # (expect ~linear in events).
+    "st_join_state_delay_sweep",
+    "st_batch_size_drop_sweep",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -391,6 +395,8 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x4_span_corruption_plan",
         "x4_dp_epsilon_utility_sweep",
         "x5_media_curation_attrition",
+        "st_join_state_delay_sweep",
+        "st_batch_size_drop_sweep",
         "x4_dp_sensitivity_audit",
         "x4_ranker_agreement",
         "x4_entropy_per_source",
