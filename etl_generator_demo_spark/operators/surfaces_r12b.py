@@ -1698,3 +1698,259 @@ def x5_media_curation_attrition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(4, "after_clip_gate", s4))
         .orderBy("stage_no")
     )
+
+
+# ---------------------------------------------------------------------------
+# filtered vector search: the post-filter multiplier sweep
+# ---------------------------------------------------------------------------
+
+#: Over-fetch multipliers swept for post-filtering.
+POSTFILTER_MULT_SWEEP = (1, 2, 4)
+PF_NQ = 5
+PF_TOPK = 10
+
+
+def _postfilter_oracle() -> str:
+    arms = []
+    for m in POSTFILTER_MULT_SWEEP:
+        arms.append(f"""
+        SELECT CAST({m} AS BIGINT) AS multiplier,
+               CAST(SUM(CASE WHEN tr.vec_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS recall10_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_candidates_kept
+        FROM (
+            SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id, query_label, label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY CASE WHEN label = query_label
+                                         THEN 1 ELSE 2 END,
+                                    grk) AS fr
+                FROM g0 WHERE grk <= {PF_TOPK} * {m}
+            ) WHERE fr <= {PF_TOPK} AND label = query_label
+        ) pf
+        LEFT JOIN truth tr
+          ON tr.query_id = pf.query_id AND tr.vec_id = pf.vec_id""")
+    union = "\n        UNION ALL\n".join(arms)
+    return f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS query_id, label AS query_label, v AS qv
+        FROM e WHERE vec_id < {PF_NQ}
+    ),
+    g0 AS (
+        SELECT query_id, query_label, vec_id, label, grk FROM (
+            SELECT q.query_id, q.query_label, e.vec_id, e.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY FLOOR(LIST_DOT_PRODUCT(e.v, q.qv) * 1000000)
+                                DESC, e.vec_id) AS grk
+            FROM e CROSS JOIN q
+        ) WHERE grk <= {PF_TOPK} * {max(POSTFILTER_MULT_SWEEP)}
+    ),
+    truth AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY FLOOR(LIST_DOT_PRODUCT(e.v, q.qv) * 1000000)
+                                DESC, e.vec_id) AS rk
+            FROM e JOIN q ON e.label = q.query_label
+        ) WHERE rk <= {PF_TOPK}
+    )
+    SELECT * FROM ({union}) ORDER BY multiplier
+    """
+
+
+@register(
+    "x3_filtered_topk_postfilter_sweep",
+    oracle=_postfilter_oracle(),
+    survey_ids=("X3", "W1", "A1"),
+)
+def x3_filtered_topk_postfilter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search, the post-filter pitfall measured: when
+    a top-k query carries a predicate (here: same label as the
+    anchor), the cheap strategy over-fetches k*m UNFILTERED neighbors
+    and filters after — and silently loses recall when the filter is
+    selective (the classic filtered-ANN failure every vector store
+    documents). Per multiplier m = 1/2/4: recall@10 against the exact
+    PRE-filtered ground truth, plus how many of the k*m survivors the
+    filter kept. With ~8 labels, m=1 keeps ~1/8 of the fetch — the
+    curve shows what m buys back and what only true pre-filtering
+    (`x3_hard_negative_mining`'s filter-before-rank shape) can
+    guarantee.
+
+    One global ranking serves every m (each arm is a prefix view —
+    the `x2_minhash_k_sweep` discipline); the truth tier ranks the
+    label-pruned corpus. All windows are {PF_NQ}-anchor row_number."""
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _as_double("embedding").alias("v"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < PF_NQ).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("v").alias("qv"),
+        )
+    )
+    score = F.floor(_dot(F.col("v"), F.col("qv")) * 1_000_000).cast("long")
+    gw = Window.partitionBy("query_id").orderBy(F.desc("score_e6"), F.asc("vec_id"))
+    glob = (
+        e.crossJoin(q)
+        .select("query_id", "query_label", "vec_id", "label", score.alias("score_e6"))
+        .withColumn("grk", F.row_number().over(gw))
+        .filter(F.col("grk") <= PF_TOPK * max(POSTFILTER_MULT_SWEEP))
+        .localCheckpoint(eager=True)  # one ranking serves all arms + truth join
+    )
+    truth = (
+        e.crossJoin(q)
+        .filter(F.col("label") == F.col("query_label"))
+        .select("query_id", "vec_id", score.alias("score_e6"))
+        .withColumn("rk", F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("score_e6"), F.asc("vec_id"))
+        ))
+        .filter(F.col("rk") <= PF_TOPK)
+        .select("query_id", F.col("vec_id").alias("t_vec"))
+    )
+    parts = []
+    for m in POSTFILTER_MULT_SWEEP:
+        fw = Window.partitionBy("query_id").orderBy(
+            F.when(F.col("label") == F.col("query_label"), 1).otherwise(2),
+            F.asc("grk"),
+        )
+        pf = (
+            glob.filter(F.col("grk") <= PF_TOPK * m)
+            .withColumn("fr", F.row_number().over(fw))
+            .filter(
+                (F.col("fr") <= PF_TOPK)
+                & (F.col("label") == F.col("query_label"))
+            )
+            .select("query_id", "vec_id")
+        )
+        # mirror the oracle's post-filter spelling: rank filtered-first
+        # then cut to k, keeping only rows that pass the filter
+        parts.append(
+            pf.join(
+                truth,
+                (pf["query_id"] == truth["query_id"])
+                & (pf["vec_id"] == truth["t_vec"]),
+                "left",
+            )
+            .agg(
+                F.lit(m).cast("long").alias("multiplier"),
+                F.sum(F.when(F.col("t_vec").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("recall10_sum"),
+                F.count(F.lit(1)).cast("long").alias("n_candidates_kept"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("multiplier")
+
+
+# ---------------------------------------------------------------------------
+# what dedup did to the corpus: unigram distribution shift
+# ---------------------------------------------------------------------------
+
+
+def _dedup_shift_oracle() -> str:
+    from .surfaces_r12 import _DUCK_KEPT
+
+    return f"""
+    WITH {_DUCK_KEPT},
+    pre AS (
+        SELECT tk, CAST(COUNT(*) AS BIGINT) AS c_pre FROM tok GROUP BY tk
+    ),
+    post AS (
+        SELECT tk, CAST(COUNT(*) AS BIGINT) AS c_post FROM kept GROUP BY tk
+    ),
+    np AS (SELECT CAST(SUM(c_pre) AS BIGINT) AS n_pre FROM pre),
+    nq AS (SELECT CAST(SUM(c_post) AS BIGINT) AS n_post FROM post),
+    kl AS (
+        SELECT CAST(SUM(post.c_post * CAST(FLOOR(LN(
+                   (post.c_post * 1.0 * np.n_pre)
+                   / (pre.c_pre * 1.0 * nq.n_post)
+               ) * 1000000) AS BIGINT)) AS BIGINT) AS kl_num
+        FROM post JOIN pre USING (tk) CROSS JOIN np CROSS JOIN nq
+    )
+    SELECT np.n_pre AS n_tokens_pre,
+           nq.n_post AS n_tokens_post,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM pre) AS n_types_pre,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM post) AS n_types_post,
+           CAST(kl.kl_num // nq.n_post AS BIGINT) AS kl_post_pre_e6
+    FROM np CROSS JOIN nq CROSS JOIN kl
+    """
+
+
+@register(
+    "x2_dedup_distribution_shift",
+    oracle=_dedup_shift_oracle(),
+    survey_ids=("X2", "X4", "A1", "F6"),
+)
+def x2_dedup_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What dedup DID to the corpus: the unigram-distribution shift
+    across the ExactSubstr removal (`x2_removal_rematerialize`'s kept
+    tokens vs the original), reported as KL(post || pre) in nats e6 —
+    the audit that catches a dedup pass silently skewing the token
+    distribution (duplicated boilerplate is exactly the high-frequency
+    mass removal deletes, so some shift is EXPECTED; a large one means
+    the dedup policy rewrote the corpus's statistics, which downstream
+    LM quality scores inherit). Kept tokens are a subset of the
+    original, so every post type exists in pre — KL is finite by
+    construction, no smoothing needed.
+
+    Per-type ln floored to e6 then exact integer sums (the
+    `x4_entropy_per_source` discipline); one token scan feeds both
+    distributions (the kept side reuses the rematerialize pipeline's
+    anti-join). Output: one row — token/type counts both sides + the
+    divergence."""
+    from .surfaces_r12 import rematerialized_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("tk"))
+    pre = tok.groupBy("tk").agg(F.count(F.lit(1)).cast("long").alias("c_pre"))
+    post = (
+        rematerialized_tokens(docs)
+        .groupBy("tk")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_post"))
+    )
+    np_ = pre.agg(
+        F.sum("c_pre").cast("long").alias("n_pre"),
+        F.count(F.lit(1)).cast("long").alias("n_types_pre"),
+    )
+    nq_ = post.agg(
+        F.sum("c_post").cast("long").alias("n_post"),
+        F.count(F.lit(1)).cast("long").alias("n_types_post"),
+    )
+    kl = (
+        post.join(pre, "tk")
+        .crossJoin(F.broadcast(np_.select("n_pre")))
+        .crossJoin(F.broadcast(nq_.select("n_post")))
+        .select(
+            (
+                F.col("c_post")
+                * F.floor(
+                    F.log(
+                        (F.col("c_post") * F.lit(1.0) * F.col("n_pre"))
+                        / (F.col("c_pre") * F.lit(1.0) * F.col("n_post"))
+                    )
+                    * 1_000_000
+                ).cast("long")
+            ).alias("term")
+        )
+        .agg(F.sum("term").cast("long").alias("kl_num"))
+    )
+    return (
+        np_.crossJoin(nq_)
+        .crossJoin(F.broadcast(kl))
+        .select(
+            F.col("n_pre").alias("n_tokens_pre"),
+            F.col("n_post").alias("n_tokens_post"),
+            "n_types_pre",
+            "n_types_post",
+            F.expr("CAST(kl_num div n_post AS LONG)").alias("kl_post_pre_e6"),
+        )
+    )

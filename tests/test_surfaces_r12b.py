@@ -407,3 +407,46 @@ def test_media_attrition_planted_funnel(spark, tmp_path):
         for r in x5_media_curation_attrition(spark, str(tmp_path)).collect()
     ]
     assert got == [(1, 14), (2, 12), (3, 10), (4, 10)]
+
+
+def test_postfilter_sweep_planted_selectivity(spark, tmp_path):
+    """8 vectors, 2 labels interleaved by similarity to the anchors:
+    recall must be non-decreasing in the multiplier, candidates kept
+    never exceed k*m, and every kept candidate passes the filter
+    (recall10_sum <= n_candidates_kept <= true filtered top-k)."""
+    from etl_generator_demo_spark.operators.surfaces_r12b import (
+        x3_filtered_topk_postfilter_sweep,
+    )
+
+    rows = [(i, [1.0 - i * 0.1, i * 0.1], i % 2) for i in range(8)]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = {r["multiplier"]: r for r in x3_filtered_topk_postfilter_sweep(spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 4}
+    last = -1
+    for m in (1, 2, 4):
+        r = out[m]
+        assert r["recall10_sum"] >= last
+        last = r["recall10_sum"]
+        assert r["recall10_sum"] <= r["n_candidates_kept"]
+
+
+def test_dedup_shift_zero_on_dupfree_corpus(spark, tmp_path):
+    """A corpus with no cross-doc duplicated K-grams removes nothing:
+    post == pre, KL exactly 0, token/type counts equal."""
+    from etl_generator_demo_spark.operators.surfaces_r12b import (
+        x2_dedup_distribution_shift,
+    )
+
+    texts = [
+        " ".join(f"a{i}w{j}" for j in range(20)) for i in range(4)
+    ]
+    spark.createDataFrame(
+        [(i, t, "en", "srcT", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = x2_dedup_distribution_shift(spark, str(tmp_path)).first()
+    assert r["n_tokens_pre"] == r["n_tokens_post"] == 80
+    assert r["n_types_pre"] == r["n_types_post"] == 80
+    assert r["kl_post_pre_e6"] == 0

@@ -893,6 +893,12 @@ EXPECTATIONS: dict[str, dict] = {
     # four ledger evaluations over one shared ranked replay; lattice
     # exchanges only (1/size of the stream each)
     "st_batch_size_drop_sweep": {"max_exchanges": 16},
+    # one checkpointed global ranking + per-arm bounded re-ranks +
+    # the label-pruned truth tier
+    "x3_filtered_topk_postfilter_sweep": {"max_exchanges": 10, "min_broadcast": 2},
+    # the rematerialize anti-join chain + two type rollups + the
+    # KL join (per-type floors, exact sums)
+    "x2_dedup_distribution_shift": {"max_exchanges": 14, "min_broadcast": 3},
 }
 
 

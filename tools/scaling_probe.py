@@ -296,6 +296,11 @@ QUERIES = [
     # (expect ~linear in events).
     "st_join_state_delay_sweep",
     "st_batch_size_drop_sweep",
+    # r12 batch 16: one bounded ranking + prefix arms (expect
+    # ~linear); KL = rematerialize chain + type rollups (expect
+    # ~linear, the rematerialize shape).
+    "x3_filtered_topk_postfilter_sweep",
+    "x2_dedup_distribution_shift",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -397,6 +402,8 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x5_media_curation_attrition",
         "st_join_state_delay_sweep",
         "st_batch_size_drop_sweep",
+        "x3_filtered_topk_postfilter_sweep",
+        "x2_dedup_distribution_shift",
         "x4_dp_sensitivity_audit",
         "x4_ranker_agreement",
         "x4_entropy_per_source",
