@@ -416,10 +416,26 @@ def join_state_ledger(
     ).select("b", "batch_id", "n_left", "n_right", "cuml", "cumr")
     # NULL-safe lagged min: a side with no data yet pins the global
     # watermark at none (Spark holds the query watermark until every
-    # watermark node has seen data)
+    # watermark node has seen data). The prefix maxes exist only at
+    # ranks where the side HAD data, but a high water persists across
+    # empty batches, so forward-fill each side over the lattice with a
+    # bounded theta join (|batches|^2 on the broadcast lattice — found
+    # by the randomized differential test; the fixture never exposes a
+    # one-side-empty day, a planted plan does)
+    def _ffill(run, col):
+        return (
+            lat.select("b")
+            .join(
+                F.broadcast(run.select(F.col("b").alias("bp"), col)),
+                F.col("bp") <= F.col("b") - 1,
+            )
+            .groupBy("b")
+            .agg(F.max(col).alias(col))
+        )
+
     lag = (
-        runl.select((F.col("b") + 1).alias("b"), "runl_us")
-        .join(runr.select((F.col("b") + 1).alias("b"), "runr_us"), "b")
+        _ffill(runl, "runl_us")
+        .join(_ffill(runr, "runr_us"), "b")
         .select(
             "b",
             (F.least("runl_us", "runr_us") - F.lit(delay_us)).alias("wm_evict_us"),

@@ -193,3 +193,94 @@ def test_delay_knob_grows_state_exactly(spark):
         prep(ldf), prep(rdf), gap_us=GAP_US, delay_us=60 * 60 * 1_000_000
     ).collect()
     assert [r["state_total"] for r in led] == [2, 6, 8, 4]
+
+
+def test_empty_side_batch_keeps_high_water_real_stream(spark, tmp_path):
+    """A batch where one side delivers NO rows must not reset that
+    side's high water (the bug the randomized differential caught in
+    the ledger's first spelling): plant L empty at b1 and assert the
+    REAL query's watermark still advances off the b0 high waters, and
+    per-batch numRowsTotal equals the forward-filled ledger."""
+    plan_l = [[(1, 100.0)], [], [(2, 130.0)]]
+    plan_r = [[(101, 100.0)], [(102, 120.0)], [(103, 130.0)]]
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    for b in range(3):
+        for plan, out in ((plan_l, ldir), (plan_r, rdir)):
+            spark.createDataFrame(
+                [(e, _mins(m), 7) for e, m in plan[b]],
+                "event_id long, ts timestamp, user_id long",
+            ).coalesce(1).write.mode("append").parquet(str(out))
+            time.sleep(0.15)
+
+    c = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ldir))
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.col("user_id").alias("c_user"),
+        )
+    )
+    p = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(rdir))
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            "user_id",
+        )
+    )
+    j = p.join(
+        c,
+        (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        )
+        & (F.col("user_id") == F.col("c_user")),
+    )
+    q = (
+        j.writeStream.format("memory")
+        .queryName("jsl_emptyside")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got_total, got_wm = {}, {}
+    for pr in q.recentProgress:
+        d = json.loads(pr.json)
+        if d.get("stateOperators") and d["numInputRows"] > 0:
+            bid = int(d["batchId"])
+            got_total[bid] = int(d["stateOperators"][0]["numRowsTotal"])
+            w = d["eventTime"]["watermark"]
+            us = int(
+                dt.datetime.fromisoformat(w.replace("Z", "+00:00")).timestamp()
+                * 1_000_000
+            )
+            got_wm[bid] = None if us <= 0 else us
+
+    from etl_generator_demo_spark.streaming.joins import join_state_ledger
+
+    mk = lambda plan: spark.createDataFrame(
+        [
+            (b, int(_mins(m).replace(tzinfo=dt.timezone.utc).timestamp() * 1e6))
+            for b, batch in enumerate(plan)
+            for e, m in batch
+        ],
+        "batch_id long, ts_us long",
+    )
+    led = join_state_ledger(
+        mk(plan_l), mk(plan_r), gap_us=GAP_US, delay_us=DELAY_US
+    ).collect()
+    assert [r["state_total"] for r in led] == [2, 3, 5]
+    assert [r["wm_evict_us"] for r in led] == [None, _us(90.0), _us(90.0)]
+    for r in led:
+        b = r["ledger_batch"]
+        assert got_total[b] == r["state_total"], b
+        assert got_wm[b] == r["wm_evict_us"], b

@@ -858,9 +858,10 @@ EXPECTATIONS: dict[str, dict] = {
     # -> pair-dedup rollup + fan-out rollup
     "j_range_bin_width_sweep": {"max_exchanges": 6},
     # per-side day rollups + lattice prefix scans (global_running
-    # range exchanges) + two bounded theta joins against the
+    # range exchanges) + the two lattice forward-fill rollups (the
+    # empty-side-batch fix) + two bounded theta joins against the
     # broadcast |batches|-row watermark relation
-    "st_join_state_ledger": {"max_exchanges": 9, "min_broadcast": 4},
+    "st_join_state_ledger": {"max_exchanges": 10, "min_broadcast": 4},
     # minhash/band pipeline + broadcast eval bands + candidate-pruned
     # shingle join + per-train rollup
     "x4_fuzzy_decontam": {"max_exchanges": 10, "min_broadcast": 5},
@@ -887,9 +888,10 @@ EXPECTATIONS: dict[str, dict] = {
     # dedup groupBy + the phash band/verify chain + the clip towers,
     # each stage one scalar aggregate
     "x5_media_curation_attrition": {"max_exchanges": 15, "min_broadcast": 6},
-    # four namespaced ledger evaluations; every exchange moves the
-    # ~30-row day lattice, not the event relation
-    "st_join_state_delay_sweep": {"max_exchanges": 32, "min_broadcast": 8},
+    # four namespaced ledger evaluations (incl. the per-side lattice
+    # forward-fills); every exchange moves the ~30-row day lattice,
+    # not the event relation
+    "st_join_state_delay_sweep": {"max_exchanges": 36, "min_broadcast": 8},
     # four ledger evaluations over one shared ranked replay; lattice
     # exchanges only (1/size of the stream each)
     "st_batch_size_drop_sweep": {"max_exchanges": 16},
