@@ -85,9 +85,12 @@ _R4_MARQUEE = (
 #: driver's 50-slot sample just below never-green queries — a green
 #: row for code that has since changed is not a regression guard.
 _REWRITTEN_SINCE_GREEN = (
-    # all 7 r10/r11 rewrites re-greened in CORRECTNESS_r11 — cleared.
-    "x4_labeler_agreement_kappa",  # r12: NULLIF degenerate-matrix pin
-    "x4_query_likelihood_topk",  # r12: OOV ctf=0 filter both engines
+    # r12's two rewrites re-greened in CORRECTNESS_r12 — cleared.
+    "x4_zipf_slope",  # r13: bounded-head window (unbounded-vocab fix)
+    "x2_dedup_distribution_shift",  # r13: KL clamp GREATEST(kl,0) both engines
+    "x3_sq_bits_sweep",  # r13: left-join rec + COALESCE; max_abs carried
+    "st_batch_size_drop_sweep",  # r13: lazy 1-row denominator crossJoin
+    "x4_fuzzy_decontam",  # r13: is_eval expression reuse
 )
 
 

@@ -357,8 +357,8 @@ def _sq_oracle() -> str:
     SELECT s.bits,
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
            CAST(SUM(s.sse_e6) AS BIGINT) AS sum_sse_e6,
-           MAX(rec.recall10_sum) AS recall10_sum
-    FROM sse s JOIN rec ON rec.bits = s.bits
+           CAST(COALESCE(MAX(rec.recall10_sum), 0) AS BIGINT) AS recall10_sum
+    FROM sse s LEFT JOIN rec ON rec.bits = s.bits
     GROUP BY s.bits
     ORDER BY s.bits
     """
@@ -403,14 +403,16 @@ def x3_sq_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     dq = e.select(
         "vec_id",
         "v",
+        "max_abs",
         F.explode(widths).alias("w"),
     ).select(
         "vec_id",
         "v",
         F.col("w.bits").alias("bits"),
+        # max_abs carried from the `e` projection — recomputing the
+        # array max inside the lambda is O(dim²) per vector (r12 advice)
         F.expr(
-            "transform(v, x -> floor(x / array_max(transform(v, y -> abs(y)))"
-            " * w.lv) * array_max(transform(v, y -> abs(y))) / w.lv)"
+            "transform(v, x -> floor(x / max_abs * w.lv) * max_abs / w.lv)"
         ).alias("xq"),
     )
     err = F.zip_with(F.col("v"), F.col("xq"), lambda a, b: a - b)
@@ -470,8 +472,19 @@ def x3_sq_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
             F.sum("sse_e6").cast("long").alias("sum_sse_e6"),
         )
-        .join(F.broadcast(rec), "bits")
-        .select("bits", "n_vectors", "sum_sse_e6", "recall10_sum")
+        # LEFT join + COALESCE: a width whose recall@10 overlap is zero
+        # must still emit its sweep row (r12 advice — the inner join
+        # silently dropped the arm in both engines, so the oracle gate
+        # could not catch the broken one-row-per-width contract).
+        .join(F.broadcast(rec), "bits", "left")
+        .select(
+            "bits",
+            "n_vectors",
+            "sum_sse_e6",
+            F.coalesce(F.col("recall10_sum"), F.lit(0).cast("long")).alias(
+                "recall10_sum"
+            ),
+        )
         .orderBy("bits")
     )
 
@@ -698,10 +711,10 @@ def x4_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = banded_keys(
         minhash_signatures(doc_shingles(docs, distinct=False))
     )
-    bt = bands.filter(~(F.col("doc_id") % DECONTAM_MOD == DECONTAM_REMAINDER)).select(
+    bt = bands.filter(~is_eval).select(
         F.col("doc_id").alias("train_doc"), "band_id", "band_key"
     )
-    be = bands.filter(F.col("doc_id") % DECONTAM_MOD == DECONTAM_REMAINDER).select(
+    be = bands.filter(is_eval).select(
         F.col("doc_id").alias("eval_doc"), "band_id", "band_key"
     )
     cand = (
@@ -1880,7 +1893,7 @@ def _dedup_shift_oracle() -> str:
            nq.n_post AS n_tokens_post,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM pre) AS n_types_pre,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM post) AS n_types_post,
-           CAST(kl.kl_num // nq.n_post AS BIGINT) AS kl_post_pre_e6
+           CAST(GREATEST(kl.kl_num, 0) // nq.n_post AS BIGINT) AS kl_post_pre_e6
     FROM np CROSS JOIN nq CROSS JOIN kl
     """
 
@@ -1951,6 +1964,13 @@ def x2_dedup_distribution_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_post").alias("n_tokens_post"),
             "n_types_pre",
             "n_types_post",
-            F.expr("CAST(kl_num div n_post AS LONG)").alias("kl_post_pre_e6"),
+            # GREATEST(kl_num, 0): the per-type ln floors can push the
+            # numerator slightly negative when the true KL ≈ 0, and
+            # Spark's `div` truncates toward zero while DuckDB's `//`
+            # floors — clamping at the mathematical lower bound (KL ≥ 0)
+            # makes the spellings identical in both engines (r12 advice).
+            F.expr("CAST(GREATEST(kl_num, 0) div n_post AS LONG)").alias(
+                "kl_post_pre_e6"
+            ),
         )
     )

@@ -946,9 +946,15 @@ def x4_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope is then ONE identically-shaped float division. Aggregation
     order cannot move the result.
 
-    Scale: term frequencies are one map-combined groupBy; the ranked
-    window runs over the vocabulary relation only (≪ corpus), capped
-    at the top {ZIPF_TOP_TERMS} terms."""
+    Scale: term frequencies are one map-combined groupBy; the head is
+    bounded FIRST via orderBy().limit() (TakeOrderedAndProject — a
+    per-partition top-N, no global sort), so the ranking window runs
+    over at most {ZIPF_TOP_TERMS} rows instead of the full vocabulary.
+    The r12 spelling windowed the unbounded vocabulary relation
+    (WindowExec with no partition spec — single-partition sort of
+    every distinct token); at web scale that is a 10⁹-row
+    single-task sort. Bounded-head spelling per surfaces_r12.py
+    x4_zipf_alpha_fit."""
     from pyspark.sql import Window
 
     docs = t(spark, sf_dir, "documents")
@@ -956,10 +962,12 @@ def x4_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(F.split("text", " ")).alias("tk"))
         .groupBy("tk")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .orderBy(F.desc("f"), "tk")
+        .limit(ZIPF_TOP_TERMS)
     )
     ranked = freq.select(
         "f", F.row_number().over(Window.orderBy(F.desc("f"), "tk")).alias("rnk")
-    ).filter(F.col("rnk") <= ZIPF_TOP_TERMS)
+    )
     pts = ranked.select(
         F.floor(F.log(F.col("rnk").cast("double")) * 1000).cast("long").alias("x"),
         F.floor(F.log(F.col("f").cast("double")) * 1000).cast("long").alias("y"),

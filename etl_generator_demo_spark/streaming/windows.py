@@ -918,7 +918,11 @@ def st_batch_size_drop_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_day", F.to_date("ts"))
         .withColumn("_shuf", F.md5(F.col("event_id").cast("string")))
     )
-    total = ev.count()  # one scalar for the rate denominator
+    # Lazy 1-row denominator crossJoined into the plan (r12 advice):
+    # an eager ev.count() here made plan-only consumers pay a real
+    # scan at DataFrame-construction time, and keeping the div inside
+    # the plan preserves the oracle's div-by-zero behavior verbatim.
+    tot = ev.agg(F.count(F.lit(1)).cast("long").alias("_total_n"))
     parts = []
     for s in WM_BATCH_SIZE_SWEEP:
         led = watermark_drop_ledger(
@@ -931,8 +935,15 @@ def st_batch_size_drop_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(s).cast("long").alias("batch_size"),
                 F.count(F.lit(1)).cast("long").alias("n_batches"),
                 F.sum("n_dropped").cast("long").alias("n_dropped"),
-                F.expr(f"CAST(SUM(n_dropped) * 1000000 div {total} AS LONG)")
-                .alias("drop_rate_e6"),
+            )
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "batch_size",
+                "n_batches",
+                "n_dropped",
+                F.expr("CAST(n_dropped * 1000000 div _total_n AS LONG)").alias(
+                    "drop_rate_e6"
+                ),
             )
         )
     out = parts[0]
