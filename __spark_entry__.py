@@ -91,6 +91,8 @@ _REWRITTEN_SINCE_GREEN = (
     "x3_sq_bits_sweep",  # r13: left-join rec + COALESCE; max_abs carried
     "st_batch_size_drop_sweep",  # r13: lazy 1-row denominator crossJoin
     "x4_fuzzy_decontam",  # r13: is_eval expression reuse
+    "w3_range_frame_price_band",  # r13: bin-decomposed RANGE frame (scale)
+    "x3_ann_recall_curve",  # r13: bounded-head rank tiers (scale)
 )
 
 
@@ -132,14 +134,18 @@ def _driver_priority_order(reg) -> list[str]:
     # the tier docstring promises; the r11 advice caught the old
     # set-difference masking exactly that case.
     latest: dict[str, bool] = {}
+    latest_round: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    for rnd, path in enumerate(
+        sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    ):
         try:
             with open(path) as fh:
                 for name, row in json.load(fh).items():
                     latest[name] = bool(
                         row.get("rows_match") and row.get("hash_match")
                     )
+                    latest_round[name] = rnd
         except (OSError, ValueError):
             continue
     backlog = {n: i for i, n in enumerate(_R3_BACKLOG)}
@@ -159,7 +165,12 @@ def _driver_priority_order(reg) -> list[str]:
             # been rewritten — re-enter the sample below fresh reds
             return (4, rewritten[name])
         if name in latest:
-            return (5, 0)  # newest row green, code unchanged
+            # newest row green, code unchanged — STALENESS tier (r13,
+            # verdict item 3): with no reds left, spend the driver's
+            # 50-slot sample re-earning the OLDEST greens first (259 of
+            # 388 queries' newest green predates r09 while code keeps
+            # moving), so every query re-greens within ~6 rounds.
+            return (5, latest_round.get(name, 0))
         if name in backlog:
             return (1, backlog[name])
         if name in marquee:

@@ -728,25 +728,35 @@ def x3_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _floor6(cosine(_as_double("embedding"), qcol)).alias("cos6"),
         is_cand.alias("is_cand"),
     )
-    ranked = scored.select(
-        "vec_id",
-        "is_cand",
-        F.row_number().over(W.orderBy(F.desc("cos6"), F.col("vec_id"))).alias(
-            "exact_rk"
-        ),
-        F.when(
-            F.col("is_cand"),
-            F.row_number().over(
-                W.partitionBy("is_cand").orderBy(F.desc("cos6"), F.col("vec_id"))
-            ),
-        ).alias("cand_rk"),
+    # A hit needs exact_rk <= k AND cand_rk <= k with k <= max(RECALL_KS),
+    # so only each tier's top-max(k) rows can contribute: bound BOTH
+    # rankings with orderBy().limit() (TakeOrderedAndProject — a
+    # per-partition top-N merge) and window the tiny heads. The r12-era
+    # spelling ranked the ENTIRE corpus through one unpartitioned
+    # row_number (the x4_zipf_slope weak-plan class); at web scale that
+    # is a single-task sort of every vector.
+    kmax = max(RECALL_KS)
+    wrk = W.orderBy(F.desc("cos6"), F.col("vec_id"))
+    exact_top = (
+        scored.orderBy(F.desc("cos6"), "vec_id")
+        .limit(kmax)
+        .select("vec_id", "cos6", F.row_number().over(wrk).alias("exact_rk"))
+    )
+    cand_top = (
+        scored.filter(F.col("is_cand"))
+        .orderBy(F.desc("cos6"), "vec_id")
+        .limit(kmax)
+        .select("vec_id", "cos6", F.row_number().over(wrk).alias("cand_rk"))
+    )
+    joined = exact_top.join(
+        F.broadcast(cand_top.select("vec_id", "cand_rk")), "vec_id", "left"
     )
     ks = F.explode(F.array(*[F.lit(k) for k in RECALL_KS])).alias("k")
     hit = (
         F.col("exact_rk") <= F.col("k")
     ) & F.col("cand_rk").isNotNull() & (F.col("cand_rk") <= F.col("k"))
     return (
-        ranked.select("exact_rk", "cand_rk", ks)
+        joined.select("exact_rk", "cand_rk", ks)
         .groupBy("k")
         .agg(F.sum(F.when(hit, 1).otherwise(0)).alias("n_hits"))
         .select(

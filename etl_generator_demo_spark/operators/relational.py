@@ -61,7 +61,7 @@ def _revenue():
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
-    survey_ids=("A1", "A2", "F6", "P6", "S4"),
+    survey_ids=("A1", "A2", "F6", "P6", "S4", "S9"),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
@@ -217,7 +217,7 @@ def q4_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND (o_orderdate >= TIMESTAMP '1997-01-01' OR o_totalprice > 100000)
     ORDER BY o_orderkey
     """,
-    survey_ids=("P1", "P2", "P4", "P6"),
+    survey_ids=("P1", "P2", "P3", "P4", "P6"),
 )
 def p_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")

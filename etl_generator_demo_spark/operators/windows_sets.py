@@ -144,10 +144,110 @@ def w3_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids=("W3",),
 )
 def w3_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.orderBy("o_totalprice").rangeBetween(-5000, 0)
+    """Global value-RANGE frame count, decomposed so it scales.
+
+    The naive spelling — ``COUNT(*) OVER (ORDER BY price RANGE 5000
+    PRECEDING)`` — is an UNPARTITIONED window: Spark moves the whole
+    orders relation into one task (the `x4_zipf_slope` r12 weak-plan
+    class, caught by tools/plan_audit.py's generic check). The oracle
+    keeps that spelling (DuckDB defines the semantics); the Spark plan
+    instead uses the prefix-sum identity
+
+        n_in_band(p) = cnt_le(p) - cnt_lt(p - 5000)
+
+    with both counts split into [bins-below prefix] + [within-bin
+    count] over width-5000 price bins:
+
+    - ``cnt_le``: a RANGE frame window partitioned BY BIN (parallel;
+      peers included exactly as the global frame's CURRENT ROW is);
+    - ``cnt_lt(x)``: probe rows (x = p - 5000, same IEEE subtraction
+      DuckDB performs for the frame bound) unioned into the per-bin
+      pre-aggregated price relation; a bin-partitioned running sum
+      with probes ordered BEFORE tied data rows counts strictly-less
+      data (frame lower bound is inclusive, so ties at x stay IN the
+      band);
+    - the bin lattice (≤ max_price/5000 rows — fixed by the price
+      domain, NOT by data volume) carries the bins-below prefix and
+      broadcasts.
+
+    Every corpus-sized window here is partitioned on the bin key; the
+    only single-partition window is the lattice prefix scan."""
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    data = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("p"),
+        F.floor(F.col("o_totalprice") / 5000).cast("long").alias("b"),
+    )
+    # bins-below prefix over the bounded bin lattice (single-partition
+    # window input is ≤ price_domain/5000 rows by construction)
+    lattice = data.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("n_bin"))
+    # densify (probe bins p-5000 may land in unoccupied bins whose
+    # prefix is still the sum of all occupied bins below them)
+    dense = (
+        lattice.agg(
+            (F.min("b") - 1).alias("lo"), F.max("b").alias("hi")
+        )
+        .select(F.explode(F.sequence("lo", "hi")).alias("b"))
+        .join(lattice, "b", "left")
+        .select("b", F.coalesce("n_bin", F.lit(0)).cast("long").alias("n_bin"))
+    )
+    wlat = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = dense.select(
+        "b", F.coalesce(F.sum("n_bin").over(wlat), F.lit(0)).alias("n_below")
+    )
+    # cnt_le(p): bin-partitioned RANGE frame (peer-inclusive) + prefix
+    wle = (
+        Window.partitionBy("b")
+        .orderBy("p")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    le = data.withColumn("le_within", F.count(F.lit(1)).over(wle)).join(
+        F.broadcast(prefix), "b"
+    )
+    # cnt_lt(p - 5000): probes merged into per-(bin, price) counts;
+    # probe sorts before tied data rows => strict '<'
+    dp = data.groupBy("b", "p").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    probes = data.select(
+        "o_orderkey",
+        (F.col("p") - F.lit(5000.0)).alias("x"),
+    ).select(
+        "o_orderkey",
+        F.col("x").alias("p"),
+        F.floor(F.col("x") / 5000).cast("long").alias("b"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).alias("tag"),
+    )
+    u = dp.select(
+        F.lit(None).cast("long").alias("o_orderkey"), "p", "b", "cnt", F.lit(1).alias("tag")
+    ).unionByName(probes)
+    wlt = (
+        Window.partitionBy("b")
+        .orderBy("p", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lt_within = (
+        u.withColumn("lt_within", F.sum("cnt").over(wlt))
+        .filter(F.col("tag") == 0)
+        .join(F.broadcast(prefix.withColumnRenamed("n_below", "n_below_x")), "b", "left")
+        .select(
+            "o_orderkey",
+            "lt_within",
+            F.coalesce(F.col("n_below_x"), F.lit(0)).alias("n_below_x"),
+        )
+    )
     return (
-        t(spark, sf_dir, "orders")
-        .select("o_orderkey", F.count(F.lit(1)).over(w).alias("n_in_band"))
+        le.join(lt_within, "o_orderkey")
+        .select(
+            "o_orderkey",
+            (
+                F.col("n_below")
+                + F.col("le_within")
+                - F.col("n_below_x")
+                - F.col("lt_within")
+            )
+            .cast("long")
+            .alias("n_in_band"),
+        )
         .orderBy("o_orderkey")
     )
 

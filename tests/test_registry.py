@@ -251,3 +251,58 @@ def test_rewritten_queries_reenter_driver_sample():
     for name in ep._REWRITTEN_SINCE_GREEN:
         assert name in reg, name
         assert name in head, f"{name} rewritten but outside sample head"
+
+
+def test_every_query_shaped_survey_id_is_tagged():
+    """SURVEY §2 coverage holes must be test failures, not grep
+    findings (r12 verdict item 8): each of the 47 query-shaped
+    operator ids maps to >=1 registered query via survey_ids. The 16
+    service-layer ids (S1-S3, S6, S8, P5, O3, D2-D3, G1-G7) are
+    pytest-verified, not query-shaped, and are excluded."""
+    from etl_generator_demo_spark.registry import load_all
+
+    query_shaped = (
+        ["S4", "S5", "S7", "S9"]
+        + ["P1", "P2", "P3", "P4", "P6"]
+        + [f"J{i}" for i in range(1, 9)]
+        + [f"A{i}" for i in range(1, 7)]
+        + [f"W{i}" for i in range(1, 5)]
+        + ["O1", "O2", "O4"]
+        + ["U1", "U2"]
+        + [f"F{i}" for i in range(1, 9)]
+        + ["D1", "§2.11"]
+        + [f"X{i}" for i in range(1, 6)]
+    )
+    assert len(query_shaped) == 47
+    tagged = set()
+    for rq in load_all().values():
+        tagged.update(getattr(rq, "survey_ids", ()) or ())
+    missing = [sid for sid in query_shaped if sid not in tagged]
+    assert not missing, f"SURVEY §2 ids with no registered query: {missing}"
+
+
+def test_green_tier_samples_stalest_rounds_first():
+    """Staleness tier (r12 verdict item 3): with no red rows left, the
+    50-slot driver sample must prefer the OLDEST green rows, so every
+    query re-earns a green within ~6 rounds of continuous code churn."""
+    import glob
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as ep
+    from etl_generator_demo_spark.registry import load_all
+
+    reg = load_all()
+    order = ep._driver_priority_order(reg)
+    latest_round: dict[str, int] = {}
+    for rnd, path in enumerate(sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))):
+        for name in json.load(open(path)):
+            latest_round[name] = rnd
+    rewritten = set(ep._REWRITTEN_SINCE_GREEN)
+    green_tier = [
+        n for n in order
+        if n in latest_round and n not in rewritten and reg[n].oracle is not None
+    ]
+    rounds = [latest_round[n] for n in green_tier]
+    assert rounds == sorted(rounds), "green tier is not oldest-round-first"

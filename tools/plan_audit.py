@@ -893,8 +893,9 @@ EXPECTATIONS: dict[str, dict] = {
     # not the event relation
     "st_join_state_delay_sweep": {"max_exchanges": 36, "min_broadcast": 8},
     # four ledger evaluations over one shared ranked replay; lattice
-    # exchanges only (1/size of the stream each)
-    "st_batch_size_drop_sweep": {"max_exchanges": 16},
+    # exchanges only (1/size of the stream each) + the 1-row lazy
+    # denominator aggregate (r12 advice: no eager count at plan time)
+    "st_batch_size_drop_sweep": {"max_exchanges": 17},
     # one checkpointed global ranking + per-arm bounded re-ranks +
     # the label-pruned truth tier
     "x3_filtered_topk_postfilter_sweep": {"max_exchanges": 10, "min_broadcast": 2},
@@ -902,6 +903,116 @@ EXPECTATIONS: dict[str, dict] = {
     # KL join (per-type floors, exact sums)
     "x2_dedup_distribution_shift": {"max_exchanges": 14, "min_broadcast": 3},
 }
+
+
+#: Queries allowed to carry an unpartitioned Window over a relation
+#: that is bounded by construction but NOT via a Limit node in the
+#: window's child subtree (the generic check below cannot see
+#: semantic bounds). Every entry must say WHY the input is bounded.
+UNPARTITIONED_WINDOW_OK: dict[str, str] = {
+    # Every entry: the single-partition window's INPUT relation is
+    # bounded by construction (a lattice/grid whose cardinality is
+    # fixed by the domain, not by data volume), so one task sorting it
+    # is O(constant) at any SF. Corpus-sized relations NEVER qualify.
+    "w3_range_frame_price_band": "width-5000 price-bin lattice prefix "
+    "(<= max_price/5000 rows, fixed by the price domain)",
+    "w_share_of_total": "market-segment rollup (5 rows)",
+    "x4_vocab_growth": "doc-count bucket lattice (corpus_size/bucket_width "
+    "buckets of the growth curve, ~100 points by design)",
+    "x4_ks_source_drift": "shared quantile grid (fixed q points)",
+    "x4_kaplan_meier_conversion": "event-time day lattice (|days| rows)",
+    "x4_cusum_changepoint": "day lattice (|days| rows)",
+    "x4_forecast_backtest": "day lattice (|days| rows)",
+    "x4_mutual_information_lang_source": "lang x source contingency cells",
+    "x4_stl_daily_revenue": "day lattice (|days| rows)",
+    "f_yoy_mom_growth": "month lattice (|months| rows)",
+    "x4_poisson_bootstrap_ci": "bootstrap replicate totals (B rows)",
+    "x4_stratified_proportional_sample": "per-language quota rows "
+    "(largest-remainder seat assignment over |langs|)",
+    "x4_doremi_weight_step": "per-source weight rows (|sources|)",
+    "st_state_capacity_by_day": "day lattice (|days| rows)",
+}
+
+
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """Top-level [...] group contents in a node's argument text."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(buf))
+            elif depth > 0:
+                buf.append(ch)
+            else:
+                depth = 0
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def _window_is_partitioned(node: str) -> bool:
+    """True if a ``Window ...`` physical node has a non-empty partition
+    spec. TreeNode.argString OMITS empty child lists, so the printed
+    shapes are: 3 groups = [exprs],[part],[order]; 2 groups = either
+    [exprs],[part] (partition-only) or [exprs],[order] (order-only —
+    the dangerous global sort); 1 group = neither. Order-spec entries
+    always carry a sort direction (``ASC NULLS``/``DESC NULLS``),
+    partition entries never do."""
+    groups = _top_level_bracket_groups(node)
+    if len(groups) >= 3:
+        return True
+    if len(groups) == 2:
+        last = groups[-1]
+        return "ASC NULLS" not in last and "DESC NULLS" not in last
+    return False
+
+
+def unbounded_global_windows(plan: str) -> list[str]:
+    """Generic scale check (round-13, VERDICT r12 item 2): a Window
+    node with an EMPTY partition spec moves every input row into one
+    task (Spark's own `WindowExec: No Partition Defined` warning). That
+    is only acceptable when the window's child subtree provably bounds
+    cardinality — a Limit / TakeOrderedAndProject head. Returns a
+    description per offending Window node.
+
+    Spelling detail: WindowExec prints as
+    ``Window [exprs], [partSpec], [orderSpec]`` when partitioned and
+    ``Window [exprs], [orderSpec]`` when not — 3 vs 2 top-level
+    bracket groups."""
+    lines = plan.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        node = line.lstrip(" :+-")
+        node = re.sub(r"^\*\(\d+\) ", "", node)
+        if not node.startswith("Window ") and not node.startswith("RunningWindowFunction "):
+            continue
+        if _window_is_partitioned(node):
+            continue  # partitioned window — parallel by key
+        depth = len(line) - len(line.lstrip(" :+-"))
+        subtree = []
+        for nxt in lines[i + 1 :]:
+            d = len(nxt) - len(nxt.lstrip(" :+-"))
+            if nxt.strip() and d <= depth:
+                break
+            subtree.append(nxt)
+        sub = "\n".join(subtree)
+        if (
+            "TakeOrderedAndProject" in sub
+            or "GlobalLimit" in sub
+            or "CollectLimit" in sub
+        ):
+            continue  # bounded head feeds the single-partition sort
+        bad.append(node[: 100].strip())
+    return bad
 
 
 def audit(name: str, plan: str, exp: dict) -> list[str]:
@@ -936,12 +1047,24 @@ def audit(name: str, plan: str, exp: dict) -> list[str]:
     # codegen spans appear as "*(n) Operator" in the simple plan string
     if "*(" not in plan and "WholeStageCodegen" not in plan:
         problems.append("no whole-stage-codegen span")
+    # generic scale gate (applies to EVERY query, expectations or not):
+    # no unpartitioned Window over an unbounded input — the
+    # x4_zipf_slope regression class (r12 verdict item 2)
+    if name not in UNPARTITIONED_WINDOW_OK:
+        for w in unbounded_global_windows(plan):
+            problems.append(f"unpartitioned Window without bounded head: {w}")
     return problems
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="audit every registered query (generic checks apply even "
+        "without an EXPECTATIONS entry); default audits EXPECTATIONS only",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -951,7 +1074,7 @@ def main() -> int:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
-    names = args.names or list(EXPECTATIONS)
+    names = args.names or (list(registry) if args.all else list(EXPECTATIONS))
     unknown = [n for n in names if n not in registry]
     if unknown:
         print(f"error: unknown queries {unknown}; known: {sorted(registry)}")
