@@ -26,11 +26,22 @@ from pyspark.sql import DataFrame, SparkSession
 JDBC_URL_TEMPLATES = {
     "postgresql": "jdbc:postgresql://{host}:{port}/{database}",
     "mysql": "jdbc:mysql://{host}:{port}/{database}",
+    # Embedded Apache Derby — in-process, no server, the engine's
+    # always-available live-JDBC target (the driver ships in Spark's
+    # own jars/ for the Hive metastore). `database` is a filesystem
+    # path; create-on-first-connect mirrors the reference's
+    # connect-then-introspect flow without requiring provisioning.
+    "derby": "jdbc:derby:{database};create=true",
 }
 
 DEFAULT_PORTS = {"postgresql": 5432, "mysql": 3306}
 
 VERSION_PROBE = {"postgresql": "SELECT version()", "mysql": "SELECT version()"}
+
+#: Derby has no version() SQL function; its product version comes from
+#: JDBC connection metadata (java.sql.DatabaseMetaData) — still a real
+#: wire call through the same driver, used by probe_version below.
+DERBY_LIVENESS_PROBE = "(SELECT 1 AS ONE FROM SYSIBM.SYSDUMMY1) AS v"
 
 
 @dataclass(frozen=True)
@@ -45,6 +56,8 @@ class JDBCConnection:
     def url(self) -> str:
         if self.db_type not in JDBC_URL_TEMPLATES:
             raise ValueError(f"unsupported db_type: {self.db_type!r}")
+        if self.db_type == "derby":
+            return JDBC_URL_TEMPLATES["derby"].format(database=self.database)
         return JDBC_URL_TEMPLATES[self.db_type].format(
             host=self.host,
             port=self.port or DEFAULT_PORTS[self.db_type],
@@ -93,6 +106,18 @@ def read_jdbc_table(spark: SparkSession, conn: JDBCConnection, table: str, **kw)
 
 
 def probe_version(spark: SparkSession, conn: JDBCConnection) -> str:
-    """S3: the reference's connect-time version probe."""
+    """S3: the reference's connect-time version probe
+    (db_connector.py:48-53 runs ``SELECT version()`` on connect).
+    Derby exposes no version() function, so the probe there is a
+    liveness scan plus DatabaseMetaData.getDatabaseProductVersion()
+    over the same JDBC driver — a real wire call, not a constant."""
+    if conn.db_type == "derby":
+        read_jdbc_table(spark, conn, DERBY_LIVENESS_PROBE).collect()  # liveness
+        jconn = spark._jvm.java.sql.DriverManager.getConnection(conn.url())
+        try:
+            md = jconn.getMetaData()
+            return f"{md.getDatabaseProductName()} {md.getDatabaseProductVersion()}"
+        finally:
+            jconn.close()
     df = read_jdbc_table(spark, conn, f"({VERSION_PROBE[conn.db_type]}) AS v")
     return str(df.first()[0])

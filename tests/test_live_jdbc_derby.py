@@ -1,0 +1,145 @@
+"""Live JDBC over embedded Apache Derby — real bits over a real JDBC
+connection, in-container (round-13, r12 verdict item 4).
+
+The PostgreSQL/MySQL live tests (`test_live_jdbc.py`) stay gated on
+`SPARK_GRAFT_LIVE_DSN` because the sandbox provides no server; until
+one exists the only reference behavior with zero end-to-end evidence
+was the wire path itself (`/root/reference/db_connector.py:25-80`:
+connect → version probe → introspect → execute). Derby closes that
+gap without provisioning: the driver ships inside Spark's own jars/
+(derby-10.16), runs embedded in the executor JVM, and is reached
+through the SAME `spark.read.format("jdbc")` DataSource the
+PostgreSQL path uses — same option construction (`jdbc_options`),
+same pushdown flags, same range partitioning. What these tests prove
+that the fakes could not: Spark's JDBC write path creates a real
+table, the scan moves real rows back, predicate pushdown reaches a
+real remote engine, and partitioned reads issue real per-range
+queries.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def derby_conn(tmp_path_factory):
+    from etl_generator_demo_spark.sources.jdbc import JDBCConnection
+
+    db = tmp_path_factory.mktemp("derby") / "livedb"
+    return JDBCConnection(
+        db_type="derby", host="", database=str(db), user="", password=""
+    )
+
+
+@pytest.fixture(scope="module")
+def seeded(spark, derby_conn):
+    """Write a 1000-row table over JDBC (S7-shape: the load sink, but
+    through the wire) and return its name. Uppercase identifiers:
+    Derby folds unquoted names, and Spark's partitionColumn reaches
+    the remote WHERE clause unquoted."""
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("K"), (F.col("id") % 7).cast("long").alias("V")
+    )
+    (
+        df.write.format("jdbc")
+        .option("url", derby_conn.url())
+        .option("dbtable", "T_LIVE")
+        .mode("overwrite")
+        .save()
+    )
+    return "T_LIVE"
+
+
+def test_live_version_probe(spark, derby_conn):
+    """S3 over a real connection: liveness scan + product version via
+    DatabaseMetaData through the same driver."""
+    from etl_generator_demo_spark.sources.jdbc import probe_version
+
+    v = probe_version(spark, derby_conn)
+    assert "Derby" in v and any(c.isdigit() for c in v), v
+
+
+def test_live_roundtrip_with_pushdown(spark, derby_conn, seeded):
+    """S1/S2-shape scan: rows written over JDBC come back exact, and
+    the equality predicate is pushed to the remote engine (the scan's
+    PushedFilters, the same assertion plan_audit makes on parquet)."""
+    from etl_generator_demo_spark.sources.jdbc import read_jdbc_table
+
+    out = read_jdbc_table(spark, derby_conn, seeded).filter(F.col("V") == 3)
+    rows = sorted(r["K"] for r in out.collect())
+    assert rows == [k for k in range(1000) if k % 7 == 3]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "V" in plan.split("PushedFilters")[1][:80], plan
+
+
+def test_live_partitioned_read(spark, derby_conn, seeded):
+    """The scale path: partition_on turns the single-socket read into
+    numPartitions range scans — verified against a real database, not
+    an option-map fake. Every row arrives exactly once across the
+    disjoint ranges."""
+    from etl_generator_demo_spark.sources.jdbc import read_jdbc_table
+
+    df = read_jdbc_table(
+        spark,
+        derby_conn,
+        seeded,
+        partition_on="K",
+        num_partitions=4,
+        lower_bound=0,
+        upper_bound=1000,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    total = df.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("K").alias("s")
+    ).first()
+    assert total["n"] == 1000 and total["s"] == 999 * 1000 // 2
+
+
+def test_live_introspection(spark, derby_conn, seeded):
+    """The reference's introspect step (`db_connector.py:90-187` walks
+    information_schema): Derby's catalog is SYS.SYSTABLES/SYSCOLUMNS,
+    read through the same JDBC scan path."""
+    from etl_generator_demo_spark.sources.jdbc import read_jdbc_table
+
+    tables = read_jdbc_table(
+        spark,
+        derby_conn,
+        "(SELECT TABLENAME FROM SYS.SYSTABLES WHERE TABLETYPE = 'T') AS t",
+    )
+    names = {r["TABLENAME"] for r in tables.collect()}
+    assert seeded in names
+    cols = read_jdbc_table(
+        spark,
+        derby_conn,
+        # COLUMNDATATYPE is a Derby Java-object catalog type; CAST to
+        # VARCHAR so the JDBC schema maps to a Spark string column
+        "(SELECT c.COLUMNNAME, CAST(c.COLUMNDATATYPE AS VARCHAR(128)) AS DT "
+        "FROM SYS.SYSCOLUMNS c "
+        "JOIN SYS.SYSTABLES t ON c.REFERENCEID = t.TABLEID "
+        f"WHERE t.TABLENAME = '{seeded}') AS c",
+    )
+    got = {r["COLUMNNAME"]: str(r["DT"]) for r in cols.collect()}
+    assert set(got) == {"K", "V"}
+    assert all("BIGINT" in v for v in got.values()), got
+
+
+def test_live_append_then_reread(spark, derby_conn, seeded):
+    """Execute leg of the round-trip: append over the wire, observe the
+    new rows in a fresh scan (the reference's execute-then-requery)."""
+    from etl_generator_demo_spark.sources.jdbc import read_jdbc_table
+
+    extra = spark.range(1000, 1010).select(
+        F.col("id").alias("K"), F.lit(99).cast("long").alias("V")
+    )
+    (
+        extra.write.format("jdbc")
+        .option("url", derby_conn.url())
+        .option("dbtable", seeded)
+        .mode("append")
+        .save()
+    )
+    n = read_jdbc_table(spark, derby_conn, seeded).filter(F.col("V") == 99).count()
+    assert n == 10

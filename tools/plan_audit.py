@@ -459,7 +459,10 @@ EXPECTATIONS: dict[str, dict] = {
     "u_union_schema_drift": {"max_exchanges": 1},
     "w1_rank_customers_in_nation": {"max_exchanges": 2},
     "w2_order_gaps": {"max_exchanges": 2},
-    "w3_range_frame_price_band": {"max_exchanges": 1},
+    # r13 bin-decomposed spelling: the single global-sort exchange
+    # became bin-keyed windows + the tiny lattice prefix + broadcast
+    # rejoins — more exchanges, but none corpus-sized through one task
+    "w3_range_frame_price_band": {"max_exchanges": 8, "min_broadcast": 2},
     "w3_running_totals": {"max_exchanges": 2},
     "w_first_last_order_span": {"max_exchanges": 2},
     # exact distributed ntile (global_row_number behind a checkpoint
