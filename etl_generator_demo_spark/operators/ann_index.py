@@ -284,9 +284,19 @@ def ivf_probe_topk(
     n_lists: int = IVF_LISTS,
     n_probe: int = 4,
     exclude_ids: tuple[int, ...] = (),
+    where: str | None = None,
 ) -> DataFrame:
     """IVF top-k via the persisted index: rank centroids driver-side,
-    partition-pruned scan of the n_probe nearest lists, exact re-rank."""
+    partition-pruned scan of the n_probe nearest lists, exact re-rank.
+
+    ``where`` is the PRE-FILTER arm of filtered vector search (r12
+    verdict item 5): the predicate is applied to the index relation
+    BEFORE ranking, so Catalyst pushes it into the pruned parquet scan
+    (PushedFilters next to the ivf_list PartitionFilters — asserted by
+    tools/plan_audit.py) and the top-k ranks only qualifying rows. The
+    post-filter alternative (over-fetch k*m then filter) loses recall
+    when the predicate is selective — measured by
+    `x3_filtered_topk_postfilter_sweep`."""
     import numpy as np
 
     path, centroids = ensure_ivf_index(spark, sf_dir, n_lists)
@@ -294,6 +304,8 @@ def ivf_probe_topk(
     dists = [float(np.linalg.norm(q - np.asarray(c))) for c in centroids]
     probe = sorted(range(len(centroids)), key=lambda i: dists[i])[:n_probe]
     idx = spark.read.parquet(path).filter(F.col("ivf_list").isin(probe))
+    if where:
+        idx = idx.filter(where)
     if exclude_ids:
         idx = idx.filter(~F.col("vec_id").isin(list(exclude_ids)))
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])

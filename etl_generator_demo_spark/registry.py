@@ -86,5 +86,6 @@ def load_all() -> dict[str, RegisteredQuery]:
     import etl_generator_demo_spark.streaming.cdc  # noqa: F401
     import etl_generator_demo_spark.operators.surfaces_r12  # noqa: F401
     import etl_generator_demo_spark.operators.surfaces_r12b  # noqa: F401
+    import etl_generator_demo_spark.operators.surfaces_r13  # noqa: F401
 
     return REGISTRY

@@ -905,6 +905,12 @@ EXPECTATIONS: dict[str, dict] = {
     # the rematerialize anti-join chain + two type rollups + the
     # KL join (per-type floors, exact sums)
     "x2_dedup_distribution_shift": {"max_exchanges": 14, "min_broadcast": 3},
+    # pre-filter filtered-ANN (r13): the label predicate must ride
+    # INSIDE the ivf_list-pruned index scan — one FileScan line with
+    # BOTH the partition filter and the pushed row filter
+    "x3_filtered_topk_prefilter": {
+        "pushed_in_pruned_scan": ("ivf_list", "label"),
+    },
 }
 
 
@@ -1038,6 +1044,18 @@ def audit(name: str, plan: str, exp: dict) -> list[str]:
         "PartitionFilters: [" not in plan or "PartitionFilters: []" in plan
     ):
         problems.append("index scan is not partition-pruned")
+    if exp.get("pushed_in_pruned_scan"):
+        part_col, row_col = exp["pushed_in_pruned_scan"]
+        hit = any(
+            re.search(r"PartitionFilters: \[[^\]]*" + re.escape(part_col), ln)
+            and re.search(r"PushedFilters: \[[^\]]*" + re.escape(row_col), ln)
+            for ln in plan.splitlines()
+        )
+        if not hit:
+            problems.append(
+                f"no scan carries BOTH PartitionFilters on {part_col} and "
+                f"PushedFilters on {row_col} (pre-filter must ride the pruned scan)"
+            )
     if exp.get("partition_pruned_on") and not re.search(
         r"PartitionFilters: \[[^\]]*" + re.escape(exp["partition_pruned_on"]), plan
     ):
