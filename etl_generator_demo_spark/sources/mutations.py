@@ -16,12 +16,45 @@ partitions; `predicate_partitions` shows that path.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def table_lock(path: str):
+    """Advisory per-table writer lock (round-13, r12 verdict item 6).
+
+    Two concurrent read-modify-overwrite mutations on the same table
+    are a lost-update race (both read the same snapshot; the second
+    swap silently discards the first's rows) and can even crash inside
+    the two-rename window (rename of a momentarily missing `path`).
+    Every mutation entry point here serializes on an exclusive flock
+    over ``<path>.lock`` for its WHOLE read-modify-write, giving
+    deterministic serialized semantics: both mutations apply, in some
+    order, and neither's effect is lost. Blocking (not fail-fast) —
+    mutations are rare and short next to analytics scans.
+
+    Documented deviation from the reference, which delegates DML to
+    PostgreSQL's real transactions (db_connector.py:244-251): flock is
+    single-host advisory locking. On an object store (the 100 TB
+    deployment) this slot is filled by a lakehouse commit protocol
+    (Delta/Iceberg optimistic manifest swap) — see COVERAGE.md.
+    """
+    import fcntl
+
+    lock_path = path + ".lock"
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _rm(target: str) -> None:
@@ -78,17 +111,18 @@ def update_parquet(
 ) -> int:
     """UPDATE <path> SET col=expr, ... WHERE predicate.
     Returns the number of rows that matched the predicate."""
-    recover_staged(path)
-    df = spark.read.parquet(path)
-    cond = F.expr(predicate)
-    n_matched = df.filter(cond).count()
-    out = df
-    for col, expr in assignments.items():
-        if col not in df.columns:
-            raise ValueError(f"unknown column in UPDATE: {col!r}")
-        out = out.withColumn(col, F.when(cond, F.expr(expr)).otherwise(F.col(col)))
-    _staged_overwrite(spark, path, out)
-    return n_matched
+    with table_lock(path):
+        recover_staged(path)
+        df = spark.read.parquet(path)
+        cond = F.expr(predicate)
+        n_matched = df.filter(cond).count()
+        out = df
+        for col, expr in assignments.items():
+            if col not in df.columns:
+                raise ValueError(f"unknown column in UPDATE: {col!r}")
+            out = out.withColumn(col, F.when(cond, F.expr(expr)).otherwise(F.col(col)))
+        _staged_overwrite(spark, path, out)
+        return n_matched
 
 
 def delete_parquet(spark: SparkSession, path: str, predicate: str) -> int:
@@ -98,12 +132,13 @@ def delete_parquet(spark: SparkSession, path: str, predicate: str) -> int:
     NULL is KEPT (``~NULL`` is NULL, so a plain ``filter(~cond)`` would
     silently drop it and under-report the count — the survivors filter
     keeps everything where the predicate is not TRUE)."""
-    recover_staged(path)
-    df = spark.read.parquet(path)
-    cond = F.coalesce(F.expr(predicate), F.lit(False))
-    n_deleted = df.filter(cond).count()
-    _staged_overwrite(spark, path, df.filter(~cond))
-    return n_deleted
+    with table_lock(path):
+        recover_staged(path)
+        df = spark.read.parquet(path)
+        cond = F.coalesce(F.expr(predicate), F.lit(False))
+        n_deleted = df.filter(cond).count()
+        _staged_overwrite(spark, path, df.filter(~cond))
+        return n_deleted
 
 
 def merge_parquet(
@@ -123,37 +158,42 @@ def merge_parquet(
     Returns (n_updated, n_inserted). The source must carry exactly the
     target's columns; a failed write leaves the target intact.
     """
-    recover_staged(path)
-    target = spark.read.parquet(path)
-    missing = [c for c in key_cols if c not in target.columns or c not in source.columns]
-    if missing:
-        raise ValueError(f"merge key columns missing from source or target: {missing}")
-    if set(source.columns) != set(target.columns):
-        raise ValueError(
-            f"merge source columns {sorted(source.columns)} != target {sorted(target.columns)}"
+    with table_lock(path):
+        recover_staged(path)
+        target = spark.read.parquet(path)
+        missing = [
+            c for c in key_cols if c not in target.columns or c not in source.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"merge key columns missing from source or target: {missing}"
+            )
+        if set(source.columns) != set(target.columns):
+            raise ValueError(
+                f"merge source columns {sorted(source.columns)} != target {sorted(target.columns)}"
+            )
+        # Duplicate source keys would make the upsert non-deterministic
+        # (which copy wins?) — reject, like ANSI MERGE's cardinality error.
+        n_src = source.count()
+        if source.select(*key_cols).distinct().count() != n_src:
+            raise ValueError("merge source has duplicate keys")
+        # count matched TARGET KEYS, not matched target rows: a target
+        # holding duplicate keys (prior appends) collapses to the single
+        # source row per key — n_updated must agree with the rows actually
+        # replaced-by-key or the caller's bookkeeping drifts from the
+        # table's row count (duplicate-target collapse is the documented
+        # upsert semantic; the cardinality error guards the SOURCE side)
+        n_updated = (
+            target.select(*key_cols)
+            .distinct()
+            .join(source, key_cols, "left_semi")
+            .count()
         )
-    # Duplicate source keys would make the upsert non-deterministic
-    # (which copy wins?) — reject, like ANSI MERGE's cardinality error.
-    n_src = source.count()
-    if source.select(*key_cols).distinct().count() != n_src:
-        raise ValueError("merge source has duplicate keys")
-    # count matched TARGET KEYS, not matched target rows: a target
-    # holding duplicate keys (prior appends) collapses to the single
-    # source row per key — n_updated must agree with the rows actually
-    # replaced-by-key or the caller's bookkeeping drifts from the
-    # table's row count (duplicate-target collapse is the documented
-    # upsert semantic; the cardinality error guards the SOURCE side)
-    n_updated = (
-        target.select(*key_cols)
-        .distinct()
-        .join(source, key_cols, "left_semi")
-        .count()
-    )
-    merged = target.join(source, key_cols, "left_anti").unionByName(
-        source.select(*target.columns)
-    )
-    _staged_overwrite(spark, path, merged)
-    return n_updated, n_src - n_updated
+        merged = target.join(source, key_cols, "left_anti").unionByName(
+            source.select(*target.columns)
+        )
+        _staged_overwrite(spark, path, merged)
+        return n_updated, n_src - n_updated
 
 
 def compact_parquet(
@@ -169,24 +209,25 @@ def compact_parquet(
     At lakehouse scale this is OPTIMIZE/rewrite_data_files; the plain-
     parquet idiom is the same read → repartition → atomic-ish swap.
     """
-    recover_staged(path)
     import glob
 
-    parts_before = glob.glob(os.path.join(path, "*.parquet")) + glob.glob(
-        os.path.join(path, "part-*")
-    )
-    n_before = len(set(parts_before))
-    total_bytes = sum(os.path.getsize(p) for p in set(parts_before))
-    n_target = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))  # ceil
-    df = spark.read.parquet(path).repartition(int(n_target))
-    _staged_overwrite(spark, path, df)
-    n_after = len(
-        set(
-            glob.glob(os.path.join(path, "*.parquet"))
-            + glob.glob(os.path.join(path, "part-*"))
+    with table_lock(path):
+        recover_staged(path)
+        parts_before = glob.glob(os.path.join(path, "*.parquet")) + glob.glob(
+            os.path.join(path, "part-*")
         )
-    )
-    return n_before, n_after
+        n_before = len(set(parts_before))
+        total_bytes = sum(os.path.getsize(p) for p in set(parts_before))
+        n_target = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))  # ceil
+        df = spark.read.parquet(path).repartition(int(n_target))
+        _staged_overwrite(spark, path, df)
+        n_after = len(
+            set(
+                glob.glob(os.path.join(path, "*.parquet"))
+                + glob.glob(os.path.join(path, "part-*"))
+            )
+        )
+        return n_before, n_after
 
 
 def snapshot_diff(
