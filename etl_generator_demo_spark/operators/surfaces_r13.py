@@ -108,3 +108,251 @@ def x3_filtered_topk_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", "cosine", "prefilter_recall_ge_030")
         .orderBy(F.desc("cosine"), "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic eval decontamination — the embedding tier next to the
+# exact-shingle (x4_decontaminate) and MinHash (x4_fuzzy_decontam) gates
+# ---------------------------------------------------------------------------
+
+#: Cosine acceptance for a semantic train-eval contamination hit, e6
+#: fixed-point. 0.35 sits at ~p90 of the fixture's max-eval-cosine
+#: distribution (uniform random embeddings concentrate near 0; real
+#: corpora cluster, so production τ is corpus-calibrated, e.g. 0.95
+#: for paraphrase-level SemDeDup-style thresholds).
+SEMANTIC_DECONTAM_TAU_E6 = 350_000
+
+
+def _semantic_decontam_oracle() -> str:
+    from etl_generator_demo_spark.operators.textops import (
+        DECONTAM_MOD,
+        DECONTAM_REMAINDER,
+    )
+
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    ev AS (SELECT vec_id, v FROM e WHERE vec_id % {DECONTAM_MOD} = {DECONTAM_REMAINDER}),
+    tr AS (SELECT vec_id, v FROM e WHERE vec_id % {DECONTAM_MOD} <> {DECONTAM_REMAINDER}),
+    sc AS (
+        SELECT tr.vec_id AS train_doc,
+               CAST(FLOOR(LIST_DOT_PRODUCT(tr.v, ev.v)
+                    / (SQRT(LIST_DOT_PRODUCT(tr.v, tr.v))
+                       * SQRT(LIST_DOT_PRODUCT(ev.v, ev.v)))
+                    * 1000000) AS BIGINT) AS cos_e6
+        FROM tr CROSS JOIN ev
+    )
+    SELECT train_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_neardups,
+           CAST(MAX(cos_e6) AS BIGINT) AS max_cos_e6
+    FROM sc
+    WHERE cos_e6 >= {SEMANTIC_DECONTAM_TAU_E6}
+    GROUP BY train_doc
+    ORDER BY train_doc
+    """
+
+
+@register(
+    "x3_semantic_decontam",
+    oracle=_semantic_decontam_oracle(),
+    survey_ids=("X3", "X4"),
+)
+def x3_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic eval decontamination — the third tier of the
+    contamination ladder: a training doc is flagged when its embedding
+    sits within cosine τ of ANY eval embedding, catching the
+    rewritten/translated benchmark copies that survive both the exact
+    5-gram gate (`x4_decontaminate`) and the MinHash near-dup gate
+    (`x4_fuzzy_decontam`) — the embedding-similarity pass frontier-lab
+    data cards describe. Same eval split as the sibling gates
+    (doc_id % {DECONTAM_MOD} == {DECONTAM_REMAINDER}; embeddings align
+    vec_id == doc_id in the fixtures). Output: flagged train doc →
+    eval-hit count + worst cosine (e6).
+
+    100 TB: eval suites are FIXED-SIZE benchmark sets, so the eval
+    side broadcasts and the corpus is scanned once — cost is
+    |corpus| x |eval| x dim fused multiply-adds, embarrassingly
+    parallel, no shuffle until the per-doc rollup (map-combined). The
+    hit filter runs BEFORE the rollup, so the shuffled relation is
+    flagged-docs-sized, not corpus-sized."""
+    from etl_generator_demo_spark.operators.similarity import _as_double, cosine
+    from etl_generator_demo_spark.operators.textops import (
+        DECONTAM_MOD,
+        DECONTAM_REMAINDER,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _as_double("embedding").alias("v"))
+    is_eval = F.col("vec_id") % DECONTAM_MOD == DECONTAM_REMAINDER
+    ev = F.broadcast(
+        e.filter(is_eval).select(F.col("v").alias("ev_v"))
+    )
+    return (
+        e.filter(~is_eval)
+        .crossJoin(ev)
+        .select(
+            F.col("vec_id").alias("train_doc"),
+            F.floor(cosine(F.col("v"), F.col("ev_v")) * 1_000_000)
+            .cast("long")
+            .alias("cos_e6"),
+        )
+        .filter(F.col("cos_e6") >= SEMANTIC_DECONTAM_TAU_E6)
+        .groupBy("train_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_neardups"),
+            F.max("cos_e6").cast("long").alias("max_cos_e6"),
+        )
+        .orderBy("train_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# the composed three-tier decontamination funnel
+# ---------------------------------------------------------------------------
+
+
+def _decontam_funnel_oracle() -> str:
+    from etl_generator_demo_spark.operators.dedup import (
+        _DUCK_SHINGLES,
+        _duck_minhash_cols,
+    )
+    from etl_generator_demo_spark.operators.surfaces_r12b import (
+        FUZZY_DECONTAM_TAU,
+    )
+    from etl_generator_demo_spark.operators.textops import (
+        DECONTAM_MOD,
+        DECONTAM_REMAINDER,
+    )
+
+    is_eval = f"doc_id % {DECONTAM_MOD} = {DECONTAM_REMAINDER}"
+    return f"""
+    {_DUCK_SHINGLES},
+    pop AS (
+        SELECT doc_id, CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents WHERE NOT ({is_eval})
+    ),
+    exact_flag AS (
+        SELECT DISTINCT c.doc_id FROM shingles c
+        WHERE NOT (c.{is_eval})
+          AND c.shingle IN (SELECT shingle FROM shingles b WHERE b.{is_eval})
+    ),
+    sigs AS (
+        SELECT doc_id, {_duck_minhash_cols()}
+        FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_id, mh0 || mh1 || mh2 || mh3 AS band_key FROM sigs
+        UNION ALL
+        SELECT doc_id, 1, mh4 || mh5 || mh6 || mh7 FROM sigs
+    ),
+    cand AS (
+        SELECT DISTINCT tr.doc_id AS train_doc, ev.doc_id AS eval_doc
+        FROM bands tr
+        JOIN bands ev
+          ON ev.band_id = tr.band_id AND ev.band_key = tr.band_key
+        WHERE NOT (tr.{is_eval}) AND ev.{is_eval}
+    ),
+    card AS (SELECT doc_id, COUNT(*) AS card FROM shingles GROUP BY doc_id),
+    fuzzy_flag AS (
+        SELECT DISTINCT i.train_doc AS doc_id FROM (
+            SELECT tr.doc_id AS train_doc, ev.doc_id AS eval_doc,
+                   COUNT(*) AS inter
+            FROM shingles tr JOIN shingles ev ON ev.shingle = tr.shingle
+            WHERE (tr.doc_id, ev.doc_id) IN (SELECT (train_doc, eval_doc) FROM cand)
+            GROUP BY tr.doc_id, ev.doc_id
+        ) i
+        JOIN card ct ON ct.doc_id = i.train_doc
+        JOIN card ce ON ce.doc_id = i.eval_doc
+        WHERE CAST(i.inter AS DOUBLE) / (ct.card + ce.card - i.inter)
+              >= {FUZZY_DECONTAM_TAU}
+    ),
+    emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sem_flag AS (
+        SELECT DISTINCT tr.vec_id AS doc_id
+        FROM (SELECT vec_id, v FROM emb WHERE NOT (vec_id % {DECONTAM_MOD} = {DECONTAM_REMAINDER})) tr
+        CROSS JOIN (SELECT v FROM emb WHERE vec_id % {DECONTAM_MOD} = {DECONTAM_REMAINDER}) ev
+        WHERE CAST(FLOOR(LIST_DOT_PRODUCT(tr.v, ev.v)
+                   / (SQRT(LIST_DOT_PRODUCT(tr.v, tr.v))
+                      * SQRT(LIST_DOT_PRODUCT(ev.v, ev.v)))
+                   * 1000000) AS BIGINT) >= {SEMANTIC_DECONTAM_TAU_E6}
+    ),
+    s2 AS (SELECT * FROM pop WHERE doc_id NOT IN (SELECT doc_id FROM exact_flag)),
+    s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM fuzzy_flag)),
+    s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM sem_flag))
+    SELECT stage_no, stage, n_docs, n_tokens FROM (
+        SELECT CAST(1 AS BIGINT) AS stage_no, 'train_total' AS stage,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens FROM pop
+        UNION ALL
+        SELECT 2, 'after_exact_ngram', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_tok) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'after_fuzzy_minhash', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_tok) AS BIGINT) FROM s3
+        UNION ALL
+        SELECT 4, 'after_semantic_cosine', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_tok) AS BIGINT) FROM s4
+    ) ORDER BY stage_no
+    """
+
+
+@register(
+    "x4_decontam_funnel",
+    oracle=_decontam_funnel_oracle(),
+    survey_ids=("X4", "X2", "X3", "A2", "J5"),
+)
+def x4_decontam_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed decontamination funnel — docs and tokens surviving
+    each tier of the contamination ladder, in escalation order: train
+    total → exact 5-gram overlap gone (`x4_decontaminate`) → MinHash
+    near-dups gone (`x4_fuzzy_decontam`) → semantic cosine hits gone
+    (`x3_semantic_decontam`). The number a pretraining cut publishes:
+    what each successively-fuzzier gate costs in tokens, with every
+    stage reusing the registered component's exact spelling (the
+    `x4_pipeline_attrition` shared-builder argument: the funnel always
+    describes the gates as shipped).
+
+    Plan: each tier's flag set is a train-doc-keyed relation (eval
+    sides broadcast inside the components); survivors thread through
+    left-anti joins; each stage emits one aggregate row. At 100 TB the
+    funnel's cost IS the three components' cost — the anti-joins and
+    rollups ride the same doc-keyed partitioning."""
+    from etl_generator_demo_spark.operators.surfaces_r12b import x4_fuzzy_decontam
+    from etl_generator_demo_spark.operators.textops import (
+        DECONTAM_MOD,
+        DECONTAM_REMAINDER,
+        x4_decontaminate,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % DECONTAM_MOD == DECONTAM_REMAINDER
+    pop = docs.filter(~is_eval).select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    exact_flag = x4_decontaminate(spark, sf_dir).select("doc_id")
+    fuzzy_flag = x4_fuzzy_decontam(spark, sf_dir).select(
+        F.col("train_doc").alias("doc_id")
+    )
+    sem_flag = x3_semantic_decontam(spark, sf_dir).select(
+        F.col("train_doc").alias("doc_id")
+    )
+    s2 = pop.join(exact_flag, "doc_id", "left_anti")
+    s3 = s2.join(fuzzy_flag, "doc_id", "left_anti")
+    s4 = s3.join(sem_flag, "doc_id", "left_anti")
+
+    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(no).cast("long").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+
+    return (
+        stage(1, "train_total", pop)
+        .unionByName(stage(2, "after_exact_ngram", s2))
+        .unionByName(stage(3, "after_fuzzy_minhash", s3))
+        .unionByName(stage(4, "after_semantic_cosine", s4))
+        .orderBy("stage_no")
+    )

@@ -531,11 +531,47 @@ def main() -> None:
         with open(args.merge) as fh:
             prior = json.load(fh)
         prior["timings"].update(results)
+        prior["slopes"] = fit_slopes(prior["tiers"], prior["timings"])
         with open(args.merge, "w") as fh:
             json.dump(prior, fh)
         print(f"merged {len(results)} into {args.merge}", file=sys.stderr)
     else:
+        record["slopes"] = fit_slopes(record["tiers"], record["timings"])
         print(json.dumps(record))
+
+
+def fit_slopes(
+    tiers: dict[str, float], timings: dict[str, dict[str, float]]
+) -> dict[str, float]:
+    """Per-query OLS slope of log(wall) on log(scale) across the probed
+    tiers (r12 verdict item 9: make bench wobble attributable). Reading
+    the number: ~0 = flat (model/index/lattice-bounded — scale-free),
+    ~0.5-1 = linear-with-fixed-overheads, >1.3 = superlinear (either a
+    plan regression or a data-shape densification documented next to
+    the query's entry in QUERIES). Fixed per-query overhead (session,
+    planning, ~0.2-0.5 s) compresses slopes toward 0 at these small
+    absolute times, so slopes are comparable round-over-round, not
+    absolute complexity exponents."""
+    import math
+
+    out: dict[str, float] = {}
+    for name, per_tier in timings.items():
+        pts = [
+            (math.log(scale), math.log(max(per_tier[t], 1e-3)))
+            for t, scale in tiers.items()
+            if t in per_tier
+        ]
+        if len(pts) < 2:
+            continue
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        denom = n * sxx - sx * sx
+        if denom:
+            out[name] = round((n * sxy - sx * sy) / denom, 3)
+    return out
 
 
 if __name__ == "__main__":
