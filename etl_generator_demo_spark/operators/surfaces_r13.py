@@ -356,3 +356,88 @@ def x4_decontam_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(4, "after_semantic_cosine", s4))
         .orderBy("stage_no")
     )
+
+
+def _decontam_overlap_oracle() -> str:
+    """Reuses the funnel's flag CTEs, regrouped into the membership
+    lattice instead of the sequential-removal stages."""
+    base = _decontam_funnel_oracle()
+    cut = base.index(",\n    s2 AS")
+    return (
+        base[:cut]
+        + """
+    SELECT has_exact, has_fuzzy, has_semantic,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+        SELECT p.doc_id,
+               p.doc_id IN (SELECT doc_id FROM exact_flag) AS has_exact,
+               p.doc_id IN (SELECT doc_id FROM fuzzy_flag) AS has_fuzzy,
+               p.doc_id IN (SELECT doc_id FROM sem_flag) AS has_semantic
+        FROM pop p
+    )
+    WHERE has_exact OR has_fuzzy OR has_semantic
+    GROUP BY has_exact, has_fuzzy, has_semantic
+    ORDER BY has_exact, has_fuzzy, has_semantic
+    """
+    )
+
+
+@register(
+    "x4_decontam_tier_overlap",
+    oracle=_decontam_overlap_oracle(),
+    survey_ids=("X4", "X2", "X3", "A1", "J5"),
+)
+def x4_decontam_tier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which decontamination gates actually fire — the membership
+    lattice over the three tiers (exact 5-gram, MinHash fuzzy,
+    semantic cosine): one row per non-empty (has_exact, has_fuzzy,
+    has_semantic) cell with its flagged-doc count. The question the
+    funnel's sequential attrition can't answer: a tier whose flags are
+    a strict subset of an earlier tier's is redundant spend at 100 TB
+    (the semantic pass is the expensive one — |corpus| x |eval| x dim
+    flops — and this report says what it alone catches).
+
+    Plan: the three flag relations are train-doc-keyed and flagged-
+    docs-sized; three left joins onto the train population, boolean
+    cell groupBy (<= 7 cells reach the final aggregate)."""
+    from etl_generator_demo_spark.operators.surfaces_r12b import x4_fuzzy_decontam
+    from etl_generator_demo_spark.operators.textops import (
+        DECONTAM_MOD,
+        DECONTAM_REMAINDER,
+        x4_decontaminate,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % DECONTAM_MOD == DECONTAM_REMAINDER
+    pop = docs.filter(~is_eval).select("doc_id")
+
+    def flag(df: DataFrame, name: str) -> DataFrame:
+        return df.select("doc_id").withColumn(name, F.lit(True))
+
+    exact_f = flag(x4_decontaminate(spark, sf_dir), "has_exact")
+    fuzzy_f = flag(
+        x4_fuzzy_decontam(spark, sf_dir).select(
+            F.col("train_doc").alias("doc_id")
+        ),
+        "has_fuzzy",
+    )
+    sem_f = flag(
+        x3_semantic_decontam(spark, sf_dir).select(
+            F.col("train_doc").alias("doc_id")
+        ),
+        "has_semantic",
+    )
+    return (
+        pop.join(exact_f, "doc_id", "left")
+        .join(fuzzy_f, "doc_id", "left")
+        .join(sem_f, "doc_id", "left")
+        .select(
+            F.coalesce("has_exact", F.lit(False)).alias("has_exact"),
+            F.coalesce("has_fuzzy", F.lit(False)).alias("has_fuzzy"),
+            F.coalesce("has_semantic", F.lit(False)).alias("has_semantic"),
+        )
+        .filter(F.col("has_exact") | F.col("has_fuzzy") | F.col("has_semantic"))
+        .groupBy("has_exact", "has_fuzzy", "has_semantic")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("has_exact", "has_fuzzy", "has_semantic")
+    )

@@ -911,6 +911,12 @@ EXPECTATIONS: dict[str, dict] = {
     "x3_filtered_topk_prefilter": {
         "pushed_in_pruned_scan": ("ivf_list", "label"),
     },
+    # eval embeddings broadcast (BroadcastNestedLoopJoin — crossJoin of
+    # a broadcast side); shuffles = flagged-doc rollup + output order
+    "x3_semantic_decontam": {"max_exchanges": 2, "min_broadcast": 1},
+    # three contamination tiers + anti-join chain + 4 stage aggregates;
+    # eval sides broadcast inside every component
+    "x4_decontam_funnel": {"max_exchanges": 18, "min_broadcast": 8},
 }
 
 
