@@ -95,6 +95,15 @@ HEADLINE = [
     "st_watermark_drop_ledger",
     "x3_matryoshka_prefix_recall",
     "x5_crossmodal_clip_gate",
+    # round-13 headliners: the bin-decomposed RANGE-frame band count
+    # (the de-globalized W3 spelling — watch the 8-exchange plan stay
+    # cheap), the pre-filter IVF probe (the filtered-ANN serving path:
+    # pruned scan + pushed predicate + bounded rank), and the composed
+    # three-tier decontamination funnel (exact/fuzzy/semantic gates +
+    # anti-join chain — the contamination ladder's steady-state cost)
+    "w3_range_frame_price_band",
+    "x3_filtered_topk_prefilter",
+    "x4_decontam_funnel",
 ]
 
 #: ROTATION POLICY (round-12, r11 verdict item 7). The primary

@@ -917,6 +917,13 @@ EXPECTATIONS: dict[str, dict] = {
     # three contamination tiers + anti-join chain + 4 stage aggregates;
     # eval sides broadcast inside every component
     "x4_decontam_funnel": {"max_exchanges": 18, "min_broadcast": 8},
+    # same three tiers left-joined onto the train population + the
+    # <=7-cell membership groupBy
+    "x4_decontam_tier_overlap": {"max_exchanges": 18, "min_broadcast": 8},
+    # content-hash rollup + co-keyed join back + output order
+    "x2_softdedup_weights": {"max_exchanges": 4},
+    # ONE hash-partitioned shuffle serves both windows + output order
+    "x1_dedup_keep_best": {"max_exchanges": 2},
 }
 
 

@@ -301,6 +301,13 @@ QUERIES = [
     # ~linear, the rematerialize shape).
     "x3_filtered_topk_postfilter_sweep",
     "x2_dedup_distribution_shift",
+    # r13: pre-filter IVF probe — index-pruned scan + bounded rank
+    # (expect ~flat past the pruned-list read).
+    "x3_filtered_topk_prefilter",
+    # r13 dedup keep-policies: one content-hash rollup (+ join back /
+    # + partitioned windows) — expect ~linear.
+    "x2_softdedup_weights",
+    "x1_dedup_keep_best",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -330,6 +337,23 @@ PROBE_EXCLUDED = {
         " relation inflates ~quadratically at every banding — the probe"
         " would measure output size, not the operator"
     ),
+    "x3_semantic_decontam": (
+        "the eval split (vec_id % 20 == 7) scales WITH the synth corpus"
+        " (key offsets are multiples of 20), while real eval suites are"
+        " FIXED-size — the |corpus| x |eval| cosine product would"
+        " inflate ~100x by construction, measuring the scaled eval set,"
+        " not the broadcast-scan plan"
+    ),
+    "x4_decontam_funnel": (
+        "contains the semantic tier: the synth tier scales the eval"
+        " split with the corpus (real eval suites are fixed-size), so"
+        " the funnel's |corpus| x |eval| stage inflates quadratically"
+        " by data-shape, not by plan"
+    ),
+    "x4_decontam_tier_overlap": (
+        "same composition as x4_decontam_funnel (all three tiers over"
+        " the corpus-scaled eval split) — same data-shape inflation"
+    ),
 }
 
 #: Queries whose result cardinality is Θ(input rows): timing them via
@@ -353,6 +377,15 @@ NOOP_SINK = {
         "the output IS the rebuilt corpus (one text row per document):"
         " collect() measures driver string materialization, not the"
         " removal plan"
+    ),
+    "x2_softdedup_weights": (
+        "one weight row per document (the output annotates the corpus):"
+        " collect() is linear driver materialization, not the plan"
+    ),
+    "x1_dedup_keep_best": (
+        "one keeper row per normalized-content group (~corpus-sized on"
+        " the near-dup-light fixture): collect() is driver"
+        " materialization, not the plan"
     ),
 }
 
@@ -424,6 +457,14 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "st_watermark_drop_ledger",
         "x5_av_segment_alignment",
         "x5_crossmodal_clip_gate",
+    ],
+    13: [
+        "x3_filtered_topk_prefilter",
+        "x3_semantic_decontam",
+        "x4_decontam_funnel",
+        "x4_decontam_tier_overlap",
+        "x2_softdedup_weights",
+        "x1_dedup_keep_best",
     ],
 }
 
