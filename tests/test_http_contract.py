@@ -131,3 +131,39 @@ def test_health_envelope_wire_parity():
     from etl_generator_demo_spark.api import health_endpoint
 
     assert health_endpoint() == {"status": "ok", "service": "ETL SQL Generator"}
+
+
+class TestIndexPage:
+    """GET / (r13): the browser landing page — r12 verdict missing #3.
+    Original HTML (the reference's template is deliberately not
+    reproduced: it embeds leaked live credentials), derived from
+    AppState, listing every API route."""
+
+    def test_index_lists_every_route_and_state(self, state):
+        from etl_generator_demo_spark.api import API_ROUTES, index_endpoint
+
+        html = index_endpoint(state)
+        assert html.lstrip().startswith("<!doctype html")
+        assert "ETL SQL Generator" in html
+        for _, path, _ in API_ROUTES:
+            assert path in html, path
+        # state fixture registers views -> connected
+        assert "<strong>connected</strong>" in html
+
+    def test_index_route_count_matches_mounted_api(self):
+        """API_ROUTES must name all 9 JSON routes (wire parity with the
+        reference's route census, main.py:31-66)."""
+        from etl_generator_demo_spark.api import API_ROUTES
+
+        assert len(API_ROUTES) == 9
+        assert len({p for _, p, _ in API_ROUTES}) == 9
+
+    def test_index_embeds_no_credentials(self, state):
+        """The one hard rule for this page: nothing secret-shaped —
+        the reference's index.html embedded live credentials; ours is
+        generated and must never interpolate connection secrets."""
+        from etl_generator_demo_spark.api import index_endpoint
+
+        html = index_endpoint(state).lower()
+        for needle in ("password", "passwd", "secret", "api_key", "apikey"):
+            assert needle not in html, needle
