@@ -93,6 +93,8 @@ _REWRITTEN_SINCE_GREEN = (
     "x4_fuzzy_decontam",  # r13: is_eval expression reuse
     "w3_range_frame_price_band",  # r13: bin-decomposed RANGE frame (scale)
     "x3_ann_recall_curve",  # r13: bounded-head rank tiers (scale)
+    "x4_trigram_langid_confusion",  # r13: lazy vocab-size broadcast
+    "x4_labeler_agreement_kappa",  # r13: inherits the confusion rewrite
 )
 
 

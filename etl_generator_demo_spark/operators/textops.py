@@ -1599,7 +1599,13 @@ def x4_trigram_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
     langs = docs.select(F.col("lang").alias("cand")).distinct()
-    v = tric.select("tri").distinct().count()
+    # vocabulary size as a LAZY 1-row broadcast (mirrors the oracle's
+    # `vocab` CTE): the r11 spelling ran an eager distinct().count()
+    # at DataFrame-CONSTRUCTION time, so plan-only consumers
+    # (tools/plan_audit.py) and every composition importing this
+    # relation (kappa) paid a real corpus scan before any action —
+    # the st_batch_size_drop_sweep advice class (r12), applied here
+    vocab = tric.agg(F.countDistinct("tri").cast("long").alias("v"))
     prof = tric.groupBy(F.col("lang").alias("cand"), "tri").agg(
         F.sum("cnt").alias("c")
     )
@@ -1610,6 +1616,7 @@ def x4_trigram_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         tric.crossJoin(F.broadcast(langs))
         .join(prof, ["cand", "tri"], "left")
         .join(F.broadcast(tot), "cand")
+        .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id", F.col("lang").alias("actual"), "cand")
         .agg(
             F.sum(
@@ -1617,7 +1624,7 @@ def x4_trigram_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.floor(
                     F.log(
                         (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1.0))
-                        / (F.col("n") + F.lit(v))
+                        / (F.col("n") + F.col("v"))
                     )
                     * 1_000_000
                 ).cast("long")
