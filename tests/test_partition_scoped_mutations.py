@@ -140,3 +140,15 @@ def test_scoped_read_is_partition_pruned(spark, tmp_path):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters")[1][:120]
     assert "day" in seg, seg
+
+
+def test_predicate_partitions_resolves_from_directory_names(spark, tmp_path):
+    """The planning helper a caller uses to see what a scoped mutation
+    WOULD touch: values come from the partition-column relation
+    (directory names), and the filter semantics match the mutation's."""
+    from etl_generator_demo_spark.sources.mutations import predicate_partitions
+
+    path = str(tmp_path / "t")
+    _seed(spark, path)
+    assert sorted(predicate_partitions(spark, path, "day", "day >= 2")) == [2, 3]
+    assert predicate_partitions(spark, path, "day", "day = 99") == []
