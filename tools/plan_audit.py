@@ -920,6 +920,10 @@ EXPECTATIONS: dict[str, dict] = {
     # same three tiers left-joined onto the train population + the
     # <=7-cell membership groupBy
     "x4_decontam_tier_overlap": {"max_exchanges": 18, "min_broadcast": 8},
+    # three pruned+pushed index probes + bounded ranks + 1-row verdicts
+    "x3_prefilter_selectivity_sweep": {
+        "pushed_in_pruned_scan": ("ivf_list", "label"),
+    },
     # content-hash rollup + co-keyed join back + output order
     "x2_softdedup_weights": {"max_exchanges": 4},
     # ONE hash-partitioned shuffle serves both windows + output order

@@ -308,6 +308,10 @@ QUERIES = [
     # + partitioned windows) — expect ~linear.
     "x2_softdedup_weights",
     "x1_dedup_keep_best",
+    # r13: three pruned index probes + bounded ranks per arm — expect
+    # ~flat past the pruned-list read (the exact tier is the bounded
+    # ground truth over the qualifying slice).
+    "x3_prefilter_selectivity_sweep",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -465,6 +469,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x4_decontam_tier_overlap",
         "x2_softdedup_weights",
         "x1_dedup_keep_best",
+        "x3_prefilter_selectivity_sweep",
     ],
 }
 
