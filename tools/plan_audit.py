@@ -225,7 +225,12 @@ EXPECTATIONS: dict[str, dict] = {
     # windowed counts + per-window rank + output order
     "st_hourly_top_events": {"max_exchanges": 3},
     # trigram explode × |langs| + vocab-keyed profile joins + argmax window
-    "x4_trigram_langid_confusion": {"max_exchanges": 10, "min_broadcast": 2},  # r11: +tric pre-collapse (3 rollups now read the typed relation)
+    # r11: +tric pre-collapse (3 rollups read the typed relation).
+    # r13: +2 — the vocab-size countDistinct moved INTO the plan (it
+    # was an eager distinct().count() at construction time before: a
+    # hidden separate job the audit never saw, paid on every plan-only
+    # inspection; the runtime total work went DOWN — see fd26119)
+    "x4_trigram_langid_confusion": {"max_exchanges": 12, "min_broadcast": 2},
     # island-key rank window + two grouped aggs, all keyed by user
     "w_activity_streaks": {"max_exchanges": 3, "pushed": True},
     # pure scan + TakeOrdered: priorities are column expressions
