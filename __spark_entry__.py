@@ -85,16 +85,10 @@ _R4_MARQUEE = (
 #: driver's 50-slot sample just below never-green queries — a green
 #: row for code that has since changed is not a regression guard.
 _REWRITTEN_SINCE_GREEN = (
-    # r12's two rewrites re-greened in CORRECTNESS_r12 — cleared.
-    "x4_zipf_slope",  # r13: bounded-head window (unbounded-vocab fix)
-    "x2_dedup_distribution_shift",  # r13: KL clamp GREATEST(kl,0) both engines
-    "x3_sq_bits_sweep",  # r13: left-join rec + COALESCE; max_abs carried
-    "st_batch_size_drop_sweep",  # r13: lazy 1-row denominator crossJoin
-    "x4_fuzzy_decontam",  # r13: is_eval expression reuse
-    "w3_range_frame_price_band",  # r13: bin-decomposed RANGE frame (scale)
-    "x3_ann_recall_curve",  # r13: bounded-head rank tiers (scale)
-    "x4_trigram_langid_confusion",  # r13: lazy vocab-size broadcast
-    "x4_labeler_agreement_kappa",  # r13: inherits the confusion rewrite
+    # r13's nine rewrites all re-greened in CORRECTNESS_r13 — cleared.
+    "x3_semantic_decontam",  # r14: per-side precomputed norms (2x, bitwise-same)
+    "x4_decontam_funnel",  # r14: semantic stage -> exact indexed tier
+    "x4_decontam_tier_overlap",  # r14: same tier switch
 )
 
 

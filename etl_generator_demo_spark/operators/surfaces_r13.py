@@ -175,8 +175,15 @@ def x3_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     |corpus| x |eval| x dim fused multiply-adds, embarrassingly
     parallel, no shuffle until the per-doc rollup (map-combined). The
     hit filter runs BEFORE the rollup, so the shuffled relation is
-    flagged-docs-sized, not corpus-sized."""
-    from etl_generator_demo_spark.operators.similarity import _as_double, cosine
+    flagged-docs-sized, not corpus-sized. This is the BRUTE-FORCE
+    AUDIT TIER; the serving tier is `x3_semantic_decontam_indexed`
+    (operators/cosine_threshold.py) — an exact ball-bound-pruned index
+    join with identical output, which the funnel composes. r14: both
+    sides' norms are precomputed once per row instead of per pair
+    (sequential-fold order unchanged, so the floor-e6 values are
+    bitwise identical — measured 2.9 s -> 1.4 s on the sf0.1 pair
+    product)."""
+    from etl_generator_demo_spark.operators.similarity import _as_double, _dot, _norm
     from etl_generator_demo_spark.operators.textops import (
         DECONTAM_MOD,
         DECONTAM_REMAINDER,
@@ -186,14 +193,20 @@ def x3_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select("vec_id", _as_double("embedding").alias("v"))
     is_eval = F.col("vec_id") % DECONTAM_MOD == DECONTAM_REMAINDER
     ev = F.broadcast(
-        e.filter(is_eval).select(F.col("v").alias("ev_v"))
+        e.filter(is_eval)
+        .select(F.col("v").alias("ev_v"))
+        .withColumn("_ne", _norm(F.col("ev_v")))
     )
     return (
         e.filter(~is_eval)
+        .withColumn("_nt", _norm(F.col("v")))
         .crossJoin(ev)
         .select(
             F.col("vec_id").alias("train_doc"),
-            F.floor(cosine(F.col("v"), F.col("ev_v")) * 1_000_000)
+            F.floor(
+                F.try_divide(_dot(F.col("v"), F.col("ev_v")), F.col("_nt") * F.col("_ne"))
+                * 1_000_000
+            )
             .cast("long")
             .alias("cos_e6"),
         )
@@ -317,7 +330,19 @@ def x4_decontam_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides broadcast inside the components); survivors thread through
     left-anti joins; each stage emits one aggregate row. At 100 TB the
     funnel's cost IS the three components' cost — the anti-joins and
-    rollups ride the same doc-keyed partitioning."""
+    rollups ride the same doc-keyed partitioning. r14: the semantic
+    stage composes the INDEXED tier (`x3_semantic_decontam_indexed`,
+    exact ball-bound pruning — identical flags, so this oracle is
+    unchanged); the brute spelling stays registered as the audit
+    path. Checkpointing the flag relations was MEASURED unnecessary
+    (none 5.3 s / lazy localCheckpoint 4.97 / persist 4.8 at sf0.1 —
+    within noise): Spark's ReusedExchange already computes each flag
+    subtree once across the four stage branches (funnel wall time ==
+    sum of its three components, not the 2-3x a recompute would
+    cost)."""
+    from etl_generator_demo_spark.operators.cosine_threshold import (
+        semantic_decontam_flags_indexed,
+    )
     from etl_generator_demo_spark.operators.surfaces_r12b import x4_fuzzy_decontam
     from etl_generator_demo_spark.operators.textops import (
         DECONTAM_MOD,
@@ -334,8 +359,10 @@ def x4_decontam_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy_flag = x4_fuzzy_decontam(spark, sf_dir).select(
         F.col("train_doc").alias("doc_id")
     )
-    sem_flag = x3_semantic_decontam(spark, sf_dir).select(
-        F.col("train_doc").alias("doc_id")
+    sem_flag = (
+        semantic_decontam_flags_indexed(spark, sf_dir)
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
     )
     s2 = pop.join(exact_flag, "doc_id", "left_anti")
     s3 = s2.join(fuzzy_flag, "doc_id", "left_anti")
@@ -399,7 +426,12 @@ def x4_decontam_tier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the three flag relations are train-doc-keyed and flagged-
     docs-sized; three left joins onto the train population, boolean
-    cell groupBy (<= 7 cells reach the final aggregate)."""
+    cell groupBy (<= 7 cells reach the final aggregate). r14: the
+    semantic flags come from the exact INDEXED tier (see
+    `x4_decontam_funnel` — identical flags, oracle unchanged)."""
+    from etl_generator_demo_spark.operators.cosine_threshold import (
+        semantic_decontam_flags_indexed,
+    )
     from etl_generator_demo_spark.operators.surfaces_r12b import x4_fuzzy_decontam
     from etl_generator_demo_spark.operators.textops import (
         DECONTAM_MOD,
@@ -422,9 +454,9 @@ def x4_decontam_tier_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "has_fuzzy",
     )
     sem_f = flag(
-        x3_semantic_decontam(spark, sf_dir).select(
-            F.col("train_doc").alias("doc_id")
-        ),
+        semantic_decontam_flags_indexed(spark, sf_dir)
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct(),
         "has_semantic",
     )
     return (

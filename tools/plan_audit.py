@@ -919,6 +919,30 @@ EXPECTATIONS: dict[str, dict] = {
     # eval embeddings broadcast (BroadcastNestedLoopJoin — crossJoin of
     # a broadcast side); shuffles = flagged-doc rollup + output order
     "x3_semantic_decontam": {"max_exchanges": 2, "min_broadcast": 1},
+    # r14 exact ball-bound-pruned serving tier: the (query, list)
+    # qualification relation broadcasts onto the index's ivf_list
+    # partition column, and Spark plants a dynamic-partition-pruning
+    # subquery at the scan — disqualified list dirs are never opened
+    "x3_semantic_decontam_indexed": {
+        "max_exchanges": 2,
+        "min_broadcast": 1,
+        "dpp_on": "ivf_list",
+    },
+    # both tiers' plans in one query (indexed flags ∩ brute flags);
+    # the indexed side must still carry its DPP subquery
+    "x3_semantic_decontam_recall": {
+        "max_exchanges": 2,
+        "min_broadcast": 1,
+        "dpp_on": "ivf_list",
+    },
+    # single-query radius search: driver-side qualification -> LITERAL
+    # ivf_list partition filter (static sibling of the DPP path)
+    "x3_radius_search": {
+        "max_exchanges": 1,
+        "min_broadcast": 1,
+        "partition_pruned_on": "ivf_list",
+        "pushed": True,
+    },
     # three contamination tiers + anti-join chain + 4 stage aggregates;
     # eval sides broadcast inside every component
     "x4_decontam_funnel": {"max_exchanges": 18, "min_broadcast": 8},
@@ -1078,6 +1102,13 @@ def audit(name: str, plan: str, exp: dict) -> list[str]:
                 f"no scan carries BOTH PartitionFilters on {part_col} and "
                 f"PushedFilters on {row_col} (pre-filter must ride the pruned scan)"
             )
+    if exp.get("dpp_on") and not re.search(
+        r"dynamicpruningexpression\([^)]*" + re.escape(exp["dpp_on"]), plan
+    ):
+        problems.append(
+            f"no dynamic-partition-pruning subquery on {exp['dpp_on']} at any "
+            "scan (the qualification relation must prune the index read)"
+        )
     if exp.get("partition_pruned_on") and not re.search(
         r"PartitionFilters: \[[^\]]*" + re.escape(exp["partition_pruned_on"]), plan
     ):
