@@ -80,6 +80,49 @@ def recover_staged(path: str) -> bool:
     return False
 
 
+def recover_partition_staged(path: str) -> list[str]:
+    """Crash recovery for the PER-PARTITION swap (round 14, r13 advice):
+    ``_partition_scoped_mutation`` parks each affected live partition
+    at ``<path>/.old_<dirname>`` before renaming the staged one in —
+    the dot prefix keeps readers blind to it (Hadoop's listing filter
+    hides ``.``/``_`` names). A crash inside that window leaves the
+    aside dir behind. Repair rule, per aside: if the live partition is
+    MISSING, restore the aside (the mutation rolls back on that
+    partition — the honest per-partition-atomicity contract); if the
+    live partition exists, the swap completed and the aside is
+    deleted. Also sweeps this table's stale ``.staging_part_<table>_*``
+    siblings (under the table lock any such dir is a dead write).
+    Returns the repaired/removed paths."""
+    touched: list[str] = []
+    if os.path.isdir(path):
+        for entry in sorted(os.listdir(path)):
+            if not entry.startswith(".old_"):
+                continue
+            aside = os.path.join(path, entry)
+            target = os.path.join(path, entry[len(".old_"):])
+            if os.path.exists(target):
+                _rm(aside)
+            else:
+                os.rename(aside, target)
+            touched.append(target)
+    parent = os.path.dirname(os.path.abspath(path))
+    stale_prefix = _part_staging_prefix(path)
+    if os.path.isdir(parent):
+        for entry in os.listdir(parent):
+            if entry.startswith(stale_prefix):
+                full = os.path.join(parent, entry)
+                _rm(full)
+                touched.append(full)
+    return touched
+
+
+def _part_staging_prefix(path: str) -> str:
+    """Staging-dir prefix KEYED TO THE TABLE, so the entry-time sweep
+    in :func:`recover_partition_staged` can never touch a sibling
+    table's in-flight staging dir in a shared parent."""
+    return f".staging_part_{os.path.basename(os.path.abspath(path))}_"
+
+
 def _staged_overwrite(spark: SparkSession, path: str, df) -> int:
     """Write df to a staging dir, then swap into `path`.
 
@@ -266,16 +309,29 @@ def _partition_scoped_mutation(
     prunes the READ (PartitionFilters at the scan, no other partition
     is even opened) and scopes the WRITE (stage-then-swap of exactly
     the affected partition directories; a partition whose rows are all
-    deleted is removed). A crash mid-swap leaves some partitions
-    updated and others not — per-partition atomicity, the honest
-    plain-parquet contract (a lakehouse manifest commit is the
-    all-or-nothing upgrade). With
+    deleted is removed). Each partition's swap is crash-recoverable
+    (r13 advice): the live dir is parked at a reader-invisible
+    ``.old_<dirname>`` aside before the staged dir renames in, and
+    :func:`recover_partition_staged` (run on entry here and available
+    to any caller) repairs an interrupted swap — a crash mid-run still
+    leaves some partitions updated and others not (per-partition
+    atomicity, the honest plain-parquet contract; a lakehouse manifest
+    commit is the all-or-nothing upgrade), but never a LOST partition.
+    Affected directory names are taken from Spark's own on-disk
+    escaping (staging listing + ``input_file_name``), never
+    re-formatted from values — string values with escaped characters
+    (``:``→``%3A`` etc.), formatted timestamps and
+    ``__HIVE_DEFAULT_PARTITION__`` NULLs all swap correctly. With
     `verify_containment` (default True) rows matching `predicate`
     OUTSIDE the partition filter raise instead of being silently
     missed — the check costs a complement scan, so a 100 TB caller
     that KNOWS containment (predicate includes the partition column)
     disables it, exactly the `replaceWhere` contract."""
+    from urllib.parse import unquote
+
     with table_lock(path):
+        recover_staged(path)
+        recover_partition_staged(path)
         df = spark.read.parquet(path)
         if partition_col not in df.columns:
             raise ValueError(f"{partition_col!r} is not a column of {path}")
@@ -299,24 +355,66 @@ def _partition_scoped_mutation(
         # read): the rewritten partitions land in a staging dir, then
         # each affected partition directory is swapped in — partitions
         # OUTSIDE the filter are never opened, written, or touched.
-        # The affected list comes from the partition-column relation
-        # (directory names), bounded by partition count.
+        # Affected LIVE directory names come from input_file_name() on
+        # the pruned scan (one distinct of the parent-dir component —
+        # partition-count-bounded): Spark writes partition dirs through
+        # ExternalCatalogUtils.escapePathName and input_file_name
+        # URI-encodes that on-disk name exactly once, so a single
+        # unquote() recovers it verbatim (measured: 'x:y' -> disk
+        # 'p=x%3Ay' -> ifn 'p=x%253Ay' -> unquote 'p=x%3Ay'; NULL ->
+        # 'p=__HIVE_DEFAULT_PARTITION__' untouched). Re-formatting
+        # values with f-strings (the r13 spelling) silently DROPPED any
+        # partition whose escaped name differed — data loss.
         parent = os.path.dirname(os.path.abspath(path))
-        staging = tempfile.mkdtemp(prefix=".staging_part_", dir=parent)
+        staging = tempfile.mkdtemp(prefix=_part_staging_prefix(path), dir=parent)
         try:
             out.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
         except Exception:
             shutil.rmtree(staging, ignore_errors=True)
             raise
-        affected_values = [
-            r[0] for r in affected.select(partition_col).distinct().collect()
-        ]
-        for v in affected_values:
-            dst = os.path.join(path, f"{partition_col}={v}")
-            src = os.path.join(staging, f"{partition_col}={v}")
-            _rm(dst)
-            if os.path.exists(src):  # absent = every row deleted
+        prefix = f"{partition_col}="
+        live_names = sorted(
+            unquote(r["_dir"])
+            for r in affected.select(
+                F.regexp_extract(F.input_file_name(), r"([^/]*)/[^/]*$", 1).alias(
+                    "_dir"
+                )
+            )
+            .distinct()
+            .collect()
+        )
+        bad = [n for n in live_names if not n.startswith(prefix)]
+        if bad:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ValueError(
+                f"unexpected partition directory names {bad!r} under {path} "
+                f"(expected '{prefix}*' — is the table partitionBy-written?)"
+            )
+        staged_names = {
+            n for n in os.listdir(staging) if n.startswith(prefix)
+        }
+        orphans = staged_names - set(live_names)
+        if orphans:
+            # a staged dir with no matching live dir means the source
+            # table's escaping differs from this Spark's writer (e.g.
+            # a foreign-written table) — swapping would mistake the
+            # mismatched partitions for fully-deleted ones. Fail BEFORE
+            # touching any live data.
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ValueError(
+                f"staged partition dirs {sorted(orphans)!r} have no "
+                f"matching live directory under {path} — partition-name "
+                "escaping mismatch; run the unscoped mutation instead"
+            )
+        for name in live_names:
+            dst = os.path.join(path, name)
+            src = os.path.join(staging, name)
+            aside = os.path.join(path, f".old_{name}")
+            _rm(aside)  # stale aside would break the park rename
+            os.rename(dst, aside)
+            if name in staged_names:  # absent = every row deleted
                 os.rename(src, dst)
+            _rm(aside)
         shutil.rmtree(staging, ignore_errors=True)
         return n_matched
 
@@ -483,7 +581,22 @@ def zorder_rewrite(
     instead of failing inside approxQuantile. NULL/NaN keys land in
     Bucketizer's overflow bucket, which is CLAMPED to the top Morton
     cell (previously its rescaled index overflowed 2^bits and the
-    interleave silently truncated the high bits, scattering NULLs)."""
+    interleave silently truncated the high bits, scattering NULLs).
+
+    Serializes on the same per-table writer lock as every other
+    mutation (r13 advice: an OPTIMIZE racing an UPDATE is the same
+    read/stage/swap lost-update race the lock exists to close)."""
+    with table_lock(path):
+        return _zorder_rewrite_locked(spark, path, cols, n_files, bits)
+
+
+def _zorder_rewrite_locked(
+    spark: SparkSession,
+    path: str,
+    cols: tuple[str, str],
+    n_files: int,
+    bits: int,
+) -> None:
     from pyspark.ml.feature import Bucketizer
     from pyspark.sql import functions as F
     from pyspark.sql.types import (
@@ -601,31 +714,37 @@ def write_audit_publish(
     100 TB the audits are ordinary distributed queries over the
     staged files; the publish itself stays a metadata-only rename.
     Production path: Iceberg's ``write.wap.enabled`` + branch commit,
-    same three phases (SURVEY §7.4)."""
+    same three phases (SURVEY §7.4).
+
+    Serializes on the per-table writer lock like every other mutation
+    (r13 advice); the write+audit phases hold it too — a publish that
+    raced a concurrent UPDATE's swap could otherwise crash in the
+    rename window or silently discard that UPDATE."""
     import tempfile
 
     parent = os.path.dirname(os.path.abspath(path))
     os.makedirs(parent, exist_ok=True)
-    recover_staged(path)
-    staging = tempfile.mkdtemp(prefix=".staging_", dir=parent)
-    try:
-        df.write.mode("overwrite").parquet(staging)
-        staged = spark.read.parquet(staging)
-        n = staged.count()
-        for name, audit in audits:
-            err = audit(staged)
-            if err:
-                raise AuditFailure(name, str(err))
-    except Exception:
-        shutil.rmtree(staging, ignore_errors=True)
-        raise
-    old = path + ".old"
-    _rm(old)
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(staging, path)
-    _rm(old)
-    return {"rows": n, "audits": [name for name, _ in audits]}
+    with table_lock(path):
+        recover_staged(path)
+        staging = tempfile.mkdtemp(prefix=".staging_", dir=parent)
+        try:
+            df.write.mode("overwrite").parquet(staging)
+            staged = spark.read.parquet(staging)
+            n = staged.count()
+            for name, audit in audits:
+                err = audit(staged)
+                if err:
+                    raise AuditFailure(name, str(err))
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        old = path + ".old"
+        _rm(old)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(staging, path)
+        _rm(old)
+        return {"rows": n, "audits": [name for name, _ in audits]}
 
 
 def audit_not_null(*cols: str):
