@@ -89,6 +89,7 @@ _REWRITTEN_SINCE_GREEN = (
     "x3_semantic_decontam",  # r14: per-side precomputed norms (2x, bitwise-same)
     "x4_decontam_funnel",  # r14: semantic stage -> exact indexed tier
     "x4_decontam_tier_overlap",  # r14: same tier switch
+    "x4_ndcg_eval",  # r14: both global windows bounded on-spine (gate catch)
 )
 
 

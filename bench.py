@@ -140,12 +140,16 @@ RETIRED = [
 # passes. If the deviation persists, the record is still emitted but
 # carries "noise_suspect": true — a flagged artifact, never silent.
 def _last_committed(cur_sf, here: str | None = None):
-    """(basename, {query: sec}) of the newest committed bench record
-    matching ``cur_sf``, or None. Prefers BENCH_LOCAL.json (the full
-    sidecar bench.py writes — immune to the driver's stdout-tail
-    truncation that left BENCH_r09.json with "parsed": null), then
-    falls back to the newest BENCH_r*.json, understanding both the raw
-    bench line and the driver's wrapper (bench JSON under ``parsed``)."""
+    """(basename, {query: sec}, calibration_sec|None) of the newest
+    committed bench record matching ``cur_sf``, or None. Prefers
+    BENCH_LOCAL.json (the full sidecar bench.py writes — immune to the
+    driver's stdout-tail truncation that left BENCH_r09.json with
+    "parsed": null), then falls back to the newest BENCH_r*.json,
+    understanding both the raw bench line and the driver's wrapper
+    (bench JSON under ``parsed``). The calibration value (round-14,
+    r13 verdict item 7) lets the noise guard normalize the cross-round
+    ratio by the box's measured speed instead of flagging every
+    whole-box drift as a regression."""
     here = here or os.path.dirname(os.path.abspath(__file__))
     local = os.path.join(here, "BENCH_LOCAL.json")
     if os.path.exists(local):
@@ -153,9 +157,11 @@ def _last_committed(cur_sf, here: str | None = None):
             with open(local) as f:
                 rec = json.load(f)
             if rec.get("sf") == cur_sf and "queries" in rec:
-                return "BENCH_LOCAL.json", {
-                    k: float(v) for k, v in rec["queries"].items()
-                }
+                return (
+                    "BENCH_LOCAL.json",
+                    {k: float(v) for k, v in rec["queries"].items()},
+                    rec.get("calibration_sec"),
+                )
         except Exception:
             pass
     best: tuple[int, str] | None = None
@@ -176,9 +182,11 @@ def _last_committed(cur_sf, here: str | None = None):
                     break
         if node.get("sf") != cur_sf or "queries" not in node:
             return None
-        return os.path.basename(best[1]), {
-            k: float(v) for k, v in node["queries"].items()
-        }
+        return (
+            os.path.basename(best[1]),
+            {k: float(v) for k, v in node["queries"].items()},
+            node.get("calibration_sec"),
+        )
     except Exception:
         return None
 
@@ -221,6 +229,14 @@ def _wait_for_idle():
 
 CALIBRATION_ROWS = 64_000_000
 
+#: A primary pass whose interleaved calibration rep runs more than
+#: this factor over the session-best calibration was CONTENDED by
+#: foreign load (our own Spark work is idle between the calibration
+#: rep and the pass start; the reference task is fixed-size CPU work,
+#: so only cross-process contention slows it). Quiet-box rep-to-rep
+#: jitter measured ~5-10%; 1.25 is a load signature.
+CALIB_CONTENTION_RATIO = 1.25
+
 
 def _calibration_sec(spark) -> float:
     """Fixed synthetic CPU-bound reference task (round-11, verdict
@@ -234,12 +250,23 @@ def _calibration_sec(spark) -> float:
 
     best = float("inf")
     for _ in range(3):
-        t0 = time.time()
-        spark.range(0, CALIBRATION_ROWS, 1, 32).select(
-            F.xxhash64("id").alias("h")
-        ).agg(F.expr("bit_xor(h)")).collect()
-        best = min(best, time.time() - t0)
+        best = min(best, _calibration_rep(spark))
     return round(best, 3)
+
+
+def _calibration_rep(spark) -> float:
+    """One rep of the fixed reference task — interleaved before each
+    primary pass (round-14, r13 verdict item 7) so foreign load DURING
+    the run is measured, not just at the start-of-run idle gate (the
+    r13 record started under the gate threshold and was contaminated
+    mid-run)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    spark.range(0, CALIBRATION_ROWS, 1, 32).select(
+        F.xxhash64("id").alias("h")
+    ).agg(F.expr("bit_xor(h)")).collect()
+    return round(time.time() - t0, 3)
 
 
 def _warm_indexes(spark, sf_dir: str) -> None:
@@ -299,6 +326,8 @@ def _compact_stdout_line(out: dict, limit: int = 1900) -> str:
             "idle_timed_out",
             "load_start_5m",
             "ratio_vs_prev",
+            "calibration_per_pass",
+            "calib_clean_passes",
         ):
             out.pop(k, None)
         line = json.dumps(out)
@@ -381,19 +410,49 @@ def main() -> None:
     # steady-state with warm caches is the honest number on a shared
     # box; a transient load spike during one pass cannot contaminate
     # both. Policy lives in _resolve_passes() (tested directly).
+    # Round-14 (r13 verdict item 7): one calibration rep is interleaved
+    # BEFORE each primary pass — the start-of-run idle gate cannot see
+    # load arriving mid-run (the r13 record started quiet and finished
+    # at loadavg 6.2). A pass whose rep runs >CALIB_CONTENTION_RATIO
+    # over the session-best calibration is CONTENDED; min-merge means
+    # one clean pass fixes the record, so when no pass was clean we
+    # spend bounded extra passes hunting one.
     min_passes = _resolve_passes()
-    timings = run_set(sf_dir)
+    calib_per_pass: list[float] = []
+
+    def primary_pass() -> dict[str, float]:
+        calib_per_pass.append(_calibration_rep(spark))
+        return run_set(sf_dir)
+
+    def n_clean() -> int:
+        lim = calibration * CALIB_CONTENTION_RATIO
+        return sum(1 for c in calib_per_pass if c <= lim)
+
+    timings = primary_pass()
     passes = 1
     while passes < min_passes:
-        repass = run_set(sf_dir)
+        repass = primary_pass()
         timings = {k: min(timings[k], repass[k]) for k in timings}
         passes += 1
+    calib_retries = int(os.environ.get("SPARK_GRAFT_BENCH_CALIB_RETRIES", "2"))
+    while n_clean() == 0 and calib_retries > 0:
+        print(
+            f"-- calibration contention: per-pass reps {calib_per_pass} all "
+            f">{CALIB_CONTENTION_RATIO}x session best {calibration:.3f}s; "
+            "re-passing",
+            file=sys.stderr,
+        )
+        repass = primary_pass()
+        timings = {k: min(timings[k], repass[k]) for k in timings}
+        passes += 1
+        calib_retries -= 1
+    calib_now = round(min([calibration, *calib_per_pass]), 3)
     guard = None
     prev = _last_committed(parse_sf(sf_dir))
     # retry threshold policy lives in _resolve_noise_ratio() (tested)
     thresh = _resolve_noise_ratio()
     if prev is not None:
-        prev_name, prev_q = prev
+        prev_name, prev_q, prev_calib = prev
         shared = sorted(set(prev_q) & set(timings))
         max_retries = int(os.environ.get("SPARK_GRAFT_BENCH_RETRIES", "2"))
         retries = 0
@@ -408,26 +467,41 @@ def main() -> None:
                 "shared_total_now": round(now_total, 3),
                 "ratio_vs_prev": round(ratio, 3),
             }
+            # calibration-normalized ratio (round-14): divide out the
+            # measured box-speed shift between the two records so a
+            # whole-box drift (the 1.22x-driver vs 0.836x-quiet r13
+            # whipsaw) stops reading as a plan regression. The retry
+            # and noise_suspect decisions use the normalized ratio
+            # when the prior record carries a calibration.
+            eff = ratio
+            if prev_calib:
+                speed_shift = calib_now / float(prev_calib)
+                eff = ratio / speed_shift if speed_shift > 0 else ratio
+                guard["calibration_prev"] = prev_calib
+                guard["ratio_vs_prev_norm"] = round(eff, 3)
             # only an UPWARD deviation is suspect — cross-process load
             # can only inflate wall-clock; running faster than a
             # (possibly itself-noisy, cf. BENCH_r07) committed record
             # needs no retry
-            if ratio <= thresh or retries >= max_retries:
+            if eff <= thresh or retries >= max_retries:
                 break
             print(
                 f"-- noise guard: shared total {now_total:.2f}s vs committed "
-                f"{prev_total:.2f}s ({ratio:.2f}x) deviates >{thresh - 1:.0%}; "
-                "re-passing",
+                f"{prev_total:.2f}s ({eff:.2f}x normalized) deviates "
+                f">{thresh - 1:.0%}; re-passing",
                 file=sys.stderr,
             )
-            repass = run_set(sf_dir)
+            repass = primary_pass()
             timings = {
                 k: min(timings[k], repass[k]) for k in timings
             }
+            calib_now = round(min([calib_now, *calib_per_pass]), 3)
             passes += 1
             retries += 1
         if guard is not None:
-            guard["noise_suspect"] = guard["ratio_vs_prev"] > thresh
+            guard["noise_suspect"] = (
+                guard.get("ratio_vs_prev_norm", guard["ratio_vs_prev"]) > thresh
+            )
 
     # Second scale factor (round-6 verdict advice #2): the committed
     # bench record itself must show the scaling slope, not just the
@@ -471,8 +545,11 @@ def main() -> None:
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "passes": passes,
         "idle_gate": idle_gate,
-        "calibration_sec": calibration,
-        "value_per_calib": round(sum(timings.values()) / calibration, 3),
+        "calibration_sec": calib_now,
+        "calibration_per_pass": calib_per_pass,
+        "calib_clean_passes": n_clean(),
+        "calib_contended": n_clean() == 0,
+        "value_per_calib": round(sum(timings.values()) / calib_now, 3),
     }
     if guard is not None:
         full["noise_guard"] = guard

@@ -499,3 +499,75 @@ def x3_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_filter=F.col("vec_id") != 0,
     )
     return pairs.select("vec_id", "cos_e6").orderBy("vec_id")
+
+
+#: Fixed-size eval split for the PROBE variant: the registered
+#: decontam queries use the fixtures' proportional eval split
+#: (vec_id % 20 == 7), which SCALES with the corpus — their probe
+#: slopes therefore measure |corpus| x |eval| data-shape growth, not
+#: the plan. This variant pins eval to the first 50 vec_ids (present
+#: at every probe tier), so its slope isolates the plan's
+#: corpus-scaling: one broadcast of a constant-size eval set against a
+#: linear corpus scan — expected ~linear.
+FIXED_EVAL_N = 50
+
+
+@register(
+    "x3_semantic_decontam_fixed_eval",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    ev AS (SELECT vec_id, v FROM e WHERE vec_id < {FIXED_EVAL_N}),
+    tr AS (SELECT vec_id, v FROM e WHERE vec_id >= {FIXED_EVAL_N}),
+    sc AS (
+        SELECT tr.vec_id AS train_doc,
+               CAST(FLOOR(LIST_DOT_PRODUCT(tr.v, ev.v)
+                    / (SQRT(LIST_DOT_PRODUCT(tr.v, tr.v))
+                       * SQRT(LIST_DOT_PRODUCT(ev.v, ev.v)))
+                    * 1000000) AS BIGINT) AS cos_e6
+        FROM tr CROSS JOIN ev
+    )
+    SELECT train_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_neardups,
+           CAST(MAX(cos_e6) AS BIGINT) AS max_cos_e6
+    FROM sc
+    WHERE cos_e6 >= 350000
+    GROUP BY train_doc
+    ORDER BY train_doc
+    """,
+    survey_ids=("X3", "X4"),
+)
+def x3_semantic_decontam_fixed_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination against a FIXED-SIZE eval suite (the
+    first {FIXED_EVAL_N} vec_ids) through the exact ball-bounded index
+    — the PROBE variant whose scaling slope measures the PLAN (linear
+    corpus scan under a constant broadcast) instead of the fixtures'
+    proportional eval split (see tools/scaling_probe.py: the
+    registered %-split decontam queries grow |corpus| x |eval| by data
+    shape; real eval suites are fixed-size benchmark sets, which this
+    variant models faithfully)."""
+    from etl_generator_demo_spark.operators.surfaces_r13 import (
+        SEMANTIC_DECONTAM_TAU_E6,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < FIXED_EVAL_N).select(
+        F.col("vec_id").alias("query_id"), _as_double("embedding").alias("qv")
+    )
+    pairs = cosine_threshold_join(
+        spark,
+        sf_dir,
+        q,
+        SEMANTIC_DECONTAM_TAU_E6,
+        corpus_filter=F.col("vec_id") >= FIXED_EVAL_N,
+    )
+    return (
+        pairs.select(F.col("vec_id").alias("train_doc"), "cos_e6")
+        .groupBy("train_doc")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_neardups"),
+            F.max("cos_e6").cast("long").alias("max_cos_e6"),
+        )
+        .orderBy("train_doc")
+    )

@@ -410,10 +410,16 @@ def x4_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: per-rank gain terms ``(2^rel − 1)·10⁶·ln2 / ln(r+1)``
     are floored to integers BEFORE summation (the BM25 idiom — SUM of
     BIGINT is order-free); the final NDCG is an integer floor ratio.
-    Scale: relevance and ranking are both query-sized after the
-    map-side term filter; the ideal ranking sorts the |hit-docs|
-    relation (query-term-bounded), and everything downstream is
-    ≤NDCG_K rows."""
+    Scale (r14 rewrite, caught by the spine-walk window gate): both
+    global row_numbers now run over provably-bounded inputs ON THEIR
+    OWN SPINE — the system ranks are assigned on the ≤NDCG_K BM25
+    relation BEFORE the relevance join (every BM25-scored doc contains
+    a query term, so the inner join drops no ranked row — rank-then-
+    join ≡ join-then-rank here, and the DuckDB oracle hash-pins it),
+    and the ideal ranking bounds `rel` with orderBy().limit(NDCG_K)
+    (TakeOrderedAndProject) before its window. The r10 spelling ran
+    the ideal window over the full hit-doc relation — corpus-sized on
+    a broad query mix — through one task."""
     from .retrieval import x4_bm25_topk
 
     docs = t(spark, sf_dir, "documents")
@@ -430,8 +436,8 @@ def x4_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         gain * F.log(F.lit(2.0)) / F.log((F.col("rnk") + 1).cast("double"))
     ).cast("long")
     sys_rows = (
-        ranking.join(rel, "doc_id")
-        .withColumn("rnk", F.row_number().over(w_sys))
+        ranking.withColumn("rnk", F.row_number().over(w_sys))
+        .join(rel, "doc_id")
         .select(term.alias("g"))
     )
     dcg = sys_rows.agg(
@@ -440,8 +446,9 @@ def x4_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_ideal = Window.orderBy(F.desc("rel"), "doc_id")
     ideal = (
-        rel.withColumn("rnk", F.row_number().over(w_ideal))
-        .filter(F.col("rnk") <= NDCG_K)
+        rel.orderBy(F.desc("rel"), "doc_id")
+        .limit(NDCG_K)
+        .withColumn("rnk", F.row_number().over(w_ideal))
         .select(term.alias("g"))
     )
     idcg = ideal.agg(F.sum("g").cast("long").alias("idcg_e6"))

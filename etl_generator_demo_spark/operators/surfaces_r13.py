@@ -72,7 +72,14 @@ def x3_filtered_topk_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: the probe reads n_probe/n_lists of the index, and the
     row-group predicate skips non-matching labels inside those lists;
-    cost scales with the filtered probe selectivity, not the corpus."""
+    cost scales with the filtered probe selectivity, not the corpus.
+
+    Plan-time driver work (r13 advice, noted like the sibling ANN
+    queries): one indexed ``.first()`` for the query vector+label
+    (ivf_probe_topk ranks centroids driver-side — inherent to the
+    serving shape) and, on first touch per corpus, the IVF index
+    build. Plan-only consumers (tools/plan_audit.py) pay those at
+    DataFrame-construction time."""
     from etl_generator_demo_spark.operators.ann_index import ivf_probe_topk
     from etl_generator_demo_spark.operators.similarity import brute_force_topk
 
@@ -648,7 +655,17 @@ def x3_prefilter_selectivity_sweep(spark: SparkSession, sf_dir: str) -> DataFram
 
     100 TB: each arm is one pruned index scan (n_probe/n_lists of the
     index, label band pushed into the row groups) + a bounded rank —
-    the sweep costs |arms| probes, never |arms| corpus scans."""
+    the sweep costs |arms| probes, never |arms| corpus scans.
+
+    Plan-time driver work (r13 advice): one indexed ``.first()`` for
+    the query vector, one |labels|-bounded ``distinct().count()`` for
+    L, and the first-touch IVF build. The L count CANNOT fold into the
+    plan as a lazy 1-row broadcast without losing the sweep's point:
+    the modular label band must be a LITERAL predicate string so it
+    pushes into the pruned index scan (PushedFilters) and prices the
+    pre-filter arm honestly — a join-carried L would turn the pushed
+    filter into a join condition evaluated after the scan. Plan-only
+    consumers pay these driver actions at construction time."""
     from etl_generator_demo_spark.operators.ann_index import ivf_probe_topk
     from etl_generator_demo_spark.operators.similarity import brute_force_topk
 

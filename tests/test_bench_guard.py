@@ -23,8 +23,9 @@ def test_last_committed_reads_raw_bench_line(tmp_path):
         "BENCH_r03.json",
         {"metric": "m", "value": 2.0, "sf": 0.1, "queries": {"q1": 2.0}},
     )
-    name, q = bench._last_committed(0.1, here=str(tmp_path))
+    name, q, calib = bench._last_committed(0.1, here=str(tmp_path))
     assert name == "BENCH_r03.json" and q == {"q1": 2.0}
+    assert calib is None
 
 
 def test_last_committed_reads_driver_wrapper_and_picks_newest(tmp_path):
@@ -45,8 +46,9 @@ def test_last_committed_reads_driver_wrapper_and_picks_newest(tmp_path):
             "parsed": {"sf": 0.1, "queries": {"q1": 1.5, "q2": 0.5}},
         },
     )
-    name, q = bench._last_committed(0.1, here=str(tmp_path))
+    name, q, calib = bench._last_committed(0.1, here=str(tmp_path))
     assert name == "BENCH_r10.json" and q == {"q1": 1.5, "q2": 0.5}
+    assert calib is None
 
 
 def test_last_committed_rejects_sf_mismatch_and_absence(tmp_path):
@@ -108,7 +110,7 @@ def test_repo_record_is_discoverable():
     catches."""
     found = bench._last_committed(0.1)
     assert found is not None
-    name, q = found
+    name, q, _calib = found
     assert q and all(isinstance(v, float) for v in q.values())
 
 
@@ -155,3 +157,23 @@ def test_calibration_task_runs_and_is_positive(spark):
 
     sec = bench._calibration_sec(spark)
     assert isinstance(sec, float) and sec > 0
+
+
+def test_last_committed_carries_calibration(tmp_path):
+    """Round-14: the guard normalizes ratio_vs_prev by the prior
+    record's calibration when present (driver wrapper shape too)."""
+    _write(
+        tmp_path,
+        "BENCH_r13.json",
+        {
+            "n": 10,
+            "rc": 0,
+            "parsed": {
+                "sf": 0.1,
+                "queries": {"q1": 1.0},
+                "calibration_sec": 0.62,
+            },
+        },
+    )
+    name, q, calib = bench._last_committed(0.1, here=str(tmp_path))
+    assert name == "BENCH_r13.json" and calib == 0.62

@@ -92,3 +92,43 @@ def test_sibling_subtree_limit_does_not_excuse_the_window():
 +- GlobalLimit 10
    +- FileScan parquet [k#2]"""
     assert len(unbounded_global_windows(plan)) == 1
+
+
+def test_limit_on_one_join_branch_below_window_does_not_excuse():
+    """r13 advice (round-14 fix): a Limit INSIDE the window's child
+    subtree but on ONE branch of a join must not excuse the window —
+    the other branch is unbounded and dominates the join's output.
+    The old anywhere-in-subtree text search passed this; the
+    first-child-spine walk must flag it."""
+    plan = """Window [row_number() windowspecdefinition(v#3 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS rn#4], [v#3 ASC NULLS FIRST]
++- *(5) Sort [v#3 ASC NULLS FIRST], false, 0
+   +- Exchange SinglePartition
+      +- *(4) SortMergeJoin [k#1], [k#2], Inner
+         :- GlobalLimit 10
+         :  +- FileScan parquet [k#1]
+         +- *(2) Sort [k#2 ASC NULLS FIRST], false, 0
+            +- FileScan parquet [k#2]"""
+    assert len(unbounded_global_windows(plan)) == 1
+
+
+def test_limit_on_direct_spine_through_passthrough_nodes_passes():
+    """A bound on the direct input chain still excuses the window even
+    through single-child pass-through nodes (Sort/Exchange/Project)."""
+    plan = """Window [row_number() windowspecdefinition(v#3 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS rn#4], [v#3 ASC NULLS FIRST]
++- *(3) Sort [v#3 ASC NULLS FIRST], false, 0
+   +- Exchange SinglePartition
+      +- *(2) Project [v#3]
+         +- GlobalLimit 1000
+            +- *(1) HashAggregate(keys=[tk#9], functions=[count(1)])
+               +- FileScan parquet [text#10]"""
+    assert unbounded_global_windows(plan) == []
+
+
+def test_generate_between_window_and_limit_does_not_excuse():
+    """explode() below the window re-inflates a limited input by a
+    data-dependent factor — the spine walk stops at Generate."""
+    plan = """Window [sum(x#1L) windowspecdefinition(specifiedwindowframe(RowFrame, unboundedpreceding$(), unboundedfollowing$())) AS total#2L]
++- *(2) Generate explode(arr#5), [x#1L], false
+   +- GlobalLimit 100
+      +- FileScan parquet [arr#5]"""
+    assert len(unbounded_global_windows(plan)) == 1

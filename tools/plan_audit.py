@@ -935,6 +935,13 @@ EXPECTATIONS: dict[str, dict] = {
         "min_broadcast": 1,
         "dpp_on": "ivf_list",
     },
+    # fixed-size eval split through the same DPP-pruned exact join —
+    # the probe variant whose slope isolates plan scaling
+    "x3_semantic_decontam_fixed_eval": {
+        "max_exchanges": 2,
+        "min_broadcast": 1,
+        "dpp_on": "ivf_list",
+    },
     # single-query radius search: driver-side qualification -> LITERAL
     # ivf_list partition filter (static sibling of the DPP path)
     "x3_radius_search": {
@@ -1031,13 +1038,56 @@ def _window_is_partitioned(node: str) -> bool:
     return False
 
 
+def _spine_has_bounded_head(lines: list[str], i: int, depth: int) -> bool:
+    """True when a bounding node (TakeOrderedAndProject / GlobalLimit /
+    CollectLimit) sits on the window's DIRECT input chain: walk first
+    children only, stopping at any multi-child node (a Limit on one
+    branch of a join says nothing about the other branch — the r13
+    advice's counterexample) and at any cardinality-expanding
+    single-child node (Generate/explode can re-inflate a limited
+    input by a data-dependent factor)."""
+
+    def d_of(s: str) -> int:
+        return len(s) - len(s.lstrip(" :+-"))
+
+    def name_of(s: str) -> str:
+        return re.sub(r"^\*\(\d+\) ", "", s.lstrip(" :+-"))
+
+    cur, cur_d = i, depth
+    while True:
+        sub_idx = []
+        for k in range(cur + 1, len(lines)):
+            if not lines[k].strip():
+                continue
+            dk = d_of(lines[k])
+            if dk <= cur_d:
+                break
+            sub_idx.append(k)
+        if not sub_idx:
+            return False  # reached a leaf without meeting a bound
+        child_d = min(d_of(lines[k]) for k in sub_idx)
+        children = [k for k in sub_idx if d_of(lines[k]) == child_d]
+        if len(children) != 1:
+            return False  # join/union: bound not attributable
+        c = children[0]
+        nm = name_of(lines[c])
+        if nm.startswith(("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")):
+            return True
+        if nm.startswith("Generate"):
+            return False  # explode below would re-inflate any bound above it
+        cur, cur_d = c, child_d
+
+
 def unbounded_global_windows(plan: str) -> list[str]:
     """Generic scale check (round-13, VERDICT r12 item 2): a Window
     node with an EMPTY partition spec moves every input row into one
     task (Spark's own `WindowExec: No Partition Defined` warning). That
-    is only acceptable when the window's child subtree provably bounds
-    cardinality — a Limit / TakeOrderedAndProject head. Returns a
-    description per offending Window node.
+    is only acceptable when the window's DIRECT INPUT CHAIN provably
+    bounds cardinality — a Limit / TakeOrderedAndProject on the
+    first-child spine (round-14, r13 advice: the earlier
+    anywhere-in-subtree test let a Limit on one join branch excuse a
+    window fed by the other, unbounded, branch). Returns a description
+    per offending Window node.
 
     Spelling detail: WindowExec prints as
     ``Window [exprs], [partSpec], [orderSpec]`` when partitioned and
@@ -1053,18 +1103,7 @@ def unbounded_global_windows(plan: str) -> list[str]:
         if _window_is_partitioned(node):
             continue  # partitioned window — parallel by key
         depth = len(line) - len(line.lstrip(" :+-"))
-        subtree = []
-        for nxt in lines[i + 1 :]:
-            d = len(nxt) - len(nxt.lstrip(" :+-"))
-            if nxt.strip() and d <= depth:
-                break
-            subtree.append(nxt)
-        sub = "\n".join(subtree)
-        if (
-            "TakeOrderedAndProject" in sub
-            or "GlobalLimit" in sub
-            or "CollectLimit" in sub
-        ):
+        if _spine_has_bounded_head(lines, i, depth):
             continue  # bounded head feeds the single-partition sort
         bad.append(node[: 100].strip())
     return bad

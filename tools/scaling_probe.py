@@ -312,6 +312,23 @@ QUERIES = [
     # ~flat past the pruned-list read (the exact tier is the bounded
     # ground truth over the qualifying slice).
     "x3_prefilter_selectivity_sweep",
+    # r14 (VERDICT r13 item 3): the decontam family probed HONESTLY —
+    # the fixture eval split (vec_id % 20 == 7) scales WITH the corpus,
+    # so these three slopes are expected SUPERLINEAR BY DATA SHAPE
+    # (|corpus| x |eval| grows ~quadratically across tiers; real eval
+    # suites are fixed-size). They are probed anyway because the
+    # verdict asked for measured slopes, with the fixed-eval variant
+    # below as the plan-scaling signal (expect ~linear) — read the two
+    # side by side.
+    "x3_semantic_decontam",
+    "x3_semantic_decontam_indexed",
+    "x4_decontam_funnel",
+    "x4_decontam_tier_overlap",
+    "x3_semantic_decontam_fixed_eval",
+    # r14: single-query radius search over the ball-bounded index —
+    # expect ~linear in the qualified-list read (uniform fixture
+    # vectors qualify every list; clustered corpora prune).
+    "x3_radius_search",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -341,22 +358,12 @@ PROBE_EXCLUDED = {
         " relation inflates ~quadratically at every banding — the probe"
         " would measure output size, not the operator"
     ),
-    "x3_semantic_decontam": (
-        "the eval split (vec_id % 20 == 7) scales WITH the synth corpus"
-        " (key offsets are multiples of 20), while real eval suites are"
-        " FIXED-size — the |corpus| x |eval| cosine product would"
-        " inflate ~100x by construction, measuring the scaled eval set,"
-        " not the broadcast-scan plan"
-    ),
-    "x4_decontam_funnel": (
-        "contains the semantic tier: the synth tier scales the eval"
-        " split with the corpus (real eval suites are fixed-size), so"
-        " the funnel's |corpus| x |eval| stage inflates quadratically"
-        " by data-shape, not by plan"
-    ),
-    "x4_decontam_tier_overlap": (
-        "same composition as x4_decontam_funnel (all three tiers over"
-        " the corpus-scaled eval split) — same data-shape inflation"
+    "x3_semantic_decontam_recall": (
+        "times the brute tier + the indexed tier + their intersection"
+        " in one row: both components are probed individually (r14),"
+        " and the brute side's |corpus| x |eval| product inflates"
+        " quadratically by the corpus-scaled eval split — the row"
+        " would measure that data shape twice, not a distinct plan"
     ),
 }
 
@@ -398,6 +405,15 @@ NOOP_SINK = {
 #: before the queueing round are exempt from carrying their rows.
 QUEUE_BACKFILLS: dict[int, list[str]] = {
     12: ["x2_dedup_incremental", "q4_local_supplier_volume"],
+    # r14: the decontam family moves from PROBE_EXCLUDED into the
+    # queue (VERDICT r13 item 3 wants the measured slopes, data-shape
+    # caveat documented at the QUERIES entry) — PROBE_r13 and earlier
+    # are exempt from carrying their rows.
+    14: [
+        "x3_semantic_decontam",
+        "x4_decontam_funnel",
+        "x4_decontam_tier_overlap",
+    ],
 }
 
 #: Names registered per round, for the completeness pin (git history
@@ -470,6 +486,12 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x2_softdedup_weights",
         "x1_dedup_keep_best",
         "x3_prefilter_selectivity_sweep",
+    ],
+    14: [
+        "x3_semantic_decontam_indexed",
+        "x3_semantic_decontam_recall",
+        "x3_radius_search",
+        "x3_semantic_decontam_fixed_eval",
     ],
 }
 
