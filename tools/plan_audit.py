@@ -942,6 +942,10 @@ EXPECTATIONS: dict[str, dict] = {
         "min_broadcast": 1,
         "dpp_on": "ivf_list",
     },
+    # five 1-row snapshot aggregates (one per committed version), each
+    # a manifest-listed parquet scan; the five commits themselves are
+    # plan-time writes (documented eager edge)
+    "d_txlog_time_travel": {"max_exchanges": 5},
     # single-query radius search: driver-side qualification -> LITERAL
     # ivf_list partition filter (static sibling of the DPP path)
     "x3_radius_search": {

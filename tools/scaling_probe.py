@@ -329,6 +329,11 @@ QUERIES = [
     # expect ~linear in the qualified-list read (uniform fixture
     # vectors qualify every list; clustered corpora prune).
     "x3_radius_search",
+    # r14: the optimistic-commit table format end-to-end — five
+    # full-table commit writes + five snapshot scans per call, all
+    # construction-time by design (the commit protocol IS the
+    # operator); expect ~linear in the orders relation.
+    "d_txlog_time_travel",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -492,6 +497,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x3_semantic_decontam_recall",
         "x3_radius_search",
         "x3_semantic_decontam_fixed_eval",
+        "d_txlog_time_travel",
     ],
 }
 
