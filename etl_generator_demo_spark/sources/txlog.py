@@ -438,3 +438,94 @@ def d_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# transactional extensions: idempotent streaming commits + OPTIMIZE
+# ---------------------------------------------------------------------------
+
+
+def txn_append(tab: TxTable, df: DataFrame, app_id: str, txn_version: int) -> int | None:
+    """Idempotent transactional append — the Delta ``txnAppId`` /
+    ``txnVersion`` idiom: the commit manifest records
+    (app_id, txn_version); a replayed transaction (same app, version
+    <= the highest committed for that app) is SKIPPED instead of
+    double-appended. This is what makes a Structured Streaming
+    ``foreachBatch`` sink EXACTLY-ONCE end-to-end: the batch_id plays
+    txn_version, so a restart that replays a source batch after a
+    sink-side success commits nothing the second time.
+
+    Returns the committed version, or None when skipped as a replay.
+    The replay check re-runs inside the optimistic retry loop, so two
+    racing writers with the same (app_id, txn_version) commit exactly
+    one of themselves — the put-if-absent claim serializes them and
+    the loser's re-check sees the winner's txn marker."""
+    files = tab._write_data_files(df)
+    for _ in range(TxTable.MAX_RETRIES):
+        v = tab.latest_version()
+        if _txn_already_committed(tab, app_id, txn_version, v):
+            return None
+        base = tab._read_manifest(v)
+        manifest = {
+            "op": "append",
+            "files": base["files"] + files,
+            "schema_ddl": base["schema_ddl"],
+            "read_version": v,
+            "txn_app_id": app_id,
+            "txn_version": txn_version,
+            "ts": time.time(),
+        }
+        if tab._try_commit(v + 1, manifest):
+            return v + 1
+    raise CommitConflict(f"txn_append lost {TxTable.MAX_RETRIES} races")
+
+
+def _txn_already_committed(
+    tab: TxTable, app_id: str, txn_version: int, latest: int
+) -> bool:
+    for v in range(latest + 1):
+        m = tab._read_manifest(v)
+        if (
+            m.get("txn_app_id") == app_id
+            and m.get("txn_version") is not None
+            and int(m["txn_version"]) >= txn_version
+        ):
+            return True
+    return False
+
+
+def txlog_stream_sink(table_path: str, app_id: str):
+    """foreachBatch sink committing each micro-batch as ONE
+    transactional append to a TxTable (created on first batch).
+    Exactly-once by txn idempotence: batch_id = txn_version, so
+    checkpoint-replayed batches commit nothing. Readers only ever see
+    whole batches (manifest-atomic), unlike a raw parquet append sink
+    whose files land one by one."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tab = TxTable(spark, table_path)
+        if tab.latest_version() < 0:
+            try:
+                TxTable.create(spark, table_path, batch_df.limit(0))
+            except FileExistsError:
+                pass  # racing first batch — someone else created it
+            tab = TxTable(spark, table_path)
+        txn_append(tab, batch_df, app_id, int(batch_id))
+
+    return write_batch
+
+
+def optimize_txtable(tab: TxTable, target_files: int = 1) -> int:
+    """OPTIMIZE (compaction) as an ordinary commit: rewrite the latest
+    snapshot into ``target_files`` files and commit the new manifest —
+    readers flip atomically from many small files to few, old versions
+    stay time-travelable until vacuum. Small-file buildup is the
+    steady-state failure of streaming ingest at 100 TB; this is the
+    maintenance op every lakehouse runs (Delta OPTIMIZE / Iceberg
+    rewrite_data_files), expressed in the same optimistic protocol so
+    it can run CONCURRENTLY with appends without a lock: a lost race
+    re-compacts the fresh snapshot."""
+    return tab._read_modify_write(
+        "optimize", lambda snap: snap.coalesce(target_files), None
+    )

@@ -177,3 +177,92 @@ def test_registered_query_matches_mutation_layer(spark, sf_dir):
     assert [r["op"] for r in rows] == ["create", "append", "delete", "update", "merge"]
     assert [r["version"] for r in rows] == [0, 1, 2, 3, 4]
     assert all(r["n_rows"] >= 0 for r in rows)
+
+
+# --- transactional extensions: txn idempotence, streaming sink, OPTIMIZE ---
+
+
+def test_txn_append_idempotent_on_replay(spark, tmp_path):
+    from etl_generator_demo_spark.sources.txlog import txn_append
+
+    tab = _mk(spark, tmp_path, rows=[(0, 0)])
+    df = spark.createDataFrame([(1, 1), (2, 2)], "k long, v long")
+    v1 = txn_append(tab, df, "appA", 0)
+    assert v1 == 1 and tab.read().count() == 3
+    assert txn_append(tab, df, "appA", 0) is None  # replay skipped
+    assert tab.read().count() == 3
+    # a LOWER version for the same app is also a replay (monotone)
+    assert txn_append(tab, df, "appA", -1) is None
+    # a different app with the same version is NOT a replay
+    assert txn_append(tab, df, "appB", 0) == 2
+    assert tab.read().count() == 5
+
+
+def test_txn_append_racing_duplicates_commit_once(spark, tmp_path):
+    """Two unsynchronized writers carrying the SAME (app_id, txn)
+    commit exactly one of themselves — the exactly-once property a
+    replayed foreachBatch needs under concurrency."""
+    from etl_generator_demo_spark.sources.txlog import txn_append
+
+    tab = _mk(spark, tmp_path, rows=[(0, 0)])
+    results = []
+
+    def writer():
+        df = spark.createDataFrame([(7, 7)], "k long, v long")
+        results.append(txn_append(TxTable(spark, str(tmp_path / "t")), df, "app", 5))
+
+    ts = [threading.Thread(target=writer) for _ in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    committed = [r for r in results if r is not None]
+    assert len(committed) == 1
+    assert tab.read().filter("k = 7").count() == 1
+
+
+def test_streaming_sink_exactly_once(spark, tmp_path):
+    """availableNow stream -> txlog sink; DRAINING THE SAME CHECKPOINT
+    twice commits nothing new, and a fresh checkpoint over the same
+    source (a genuine replay without sink state) is also absorbed by
+    txn idempotence."""
+    from etl_generator_demo_spark.sources.txlog import txlog_stream_sink
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(k, k * 2) for k in range(20)], "k long, v long"
+    ).coalesce(1).write.parquet(src)
+    table = str(tmp_path / "sink_table")
+
+    def drain(checkpoint: str):
+        stream = spark.readStream.schema("k long, v long").parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(txlog_stream_sink(table, "ingestA"))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain(str(tmp_path / "cp1"))
+    tab = TxTable(spark, table)
+    assert tab.read().count() == 20
+    v_after_first = tab.latest_version()
+    drain(str(tmp_path / "cp1"))  # same checkpoint: no new batches
+    assert tab.read().count() == 20
+    drain(str(tmp_path / "cp2"))  # fresh checkpoint REPLAYS batch 0
+    assert tab.read().count() == 20  # absorbed by txn idempotence
+    assert tab.latest_version() == v_after_first
+
+
+def test_optimize_compacts_atomically_and_preserves_history(spark, tmp_path):
+    from etl_generator_demo_spark.sources.txlog import optimize_txtable
+
+    tab = _mk(spark, tmp_path, rows=[(0, 0)])
+    for i in range(1, 4):
+        tab.append(spark.createDataFrame([(i, i)], "k long, v long"))
+    files_before = len(tab._read_manifest(tab.latest_version())["files"])
+    assert files_before >= 4
+    v = optimize_txtable(tab, target_files=1)
+    m = tab._read_manifest(v)
+    assert m["op"] == "optimize" and len(m["files"]) == 1
+    assert tab.read().count() == 4  # same data
+    assert tab.read(version=v - 1).count() == 4  # pre-compaction snapshot alive
