@@ -104,6 +104,14 @@ HEADLINE = [
     "w3_range_frame_price_band",
     "x3_filtered_topk_prefilter",
     "x4_decontam_funnel",
+    # round-14 headliners: the exact index-served semantic decontam
+    # tier (ball-bound DPP-pruned join — the serving path the funnel
+    # now composes; watch it stay ~1s while the funnel drops), and
+    # the transaction-log time-travel pipeline (five optimistic
+    # commits + five snapshot reads — the DML family's first benched
+    # representative; its cost IS the commit protocol's write path)
+    "x3_semantic_decontam_indexed",
+    "d_txlog_time_travel",
 ]
 
 #: ROTATION POLICY (round-12, r11 verdict item 7). The primary
