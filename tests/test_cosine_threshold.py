@@ -251,3 +251,66 @@ def test_recall_row_is_one(spark, tmp_path):
     (row,) = x3_semantic_decontam_recall(spark, str(tmp_path)).collect()
     assert row["n_flagged_indexed"] == row["n_flagged_exact"] == row["n_overlap"]
     assert row["recall_e6"] == 1_000_000
+
+
+def test_exact_topk_indexed_matches_brute_and_prunes(spark, tmp_path):
+    """Two-phase ball-bound top-k: bitwise brute-force answer on a
+    clustered corpus, AND phase 2 provably skips lists there (the
+    kth-score cap from the query's own cluster excludes the far
+    clusters' balls)."""
+    import numpy as np
+
+    from etl_generator_demo_spark.operators.cosine_threshold import (
+        ensure_cosine_ivf_index,
+        exact_topk_indexed,
+    )
+    from etl_generator_demo_spark.operators.similarity import brute_force_topk
+
+    rows = _clustered_rows(n_per=10)
+    _write_embeddings(spark, str(tmp_path), rows)
+    qv = [1.0, 0.0, 0.0, 0.12, 0.0, 0.0]
+    got = [
+        (r["vec_id"], r["cosine"])
+        for r in exact_topk_indexed(spark, str(tmp_path), qv, k=5, n_lists=4).collect()
+    ]
+    emb = spark.read.parquet(f"{tmp_path}/embeddings.parquet")
+    want = [
+        (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(emb, qv, k=5).collect()
+    ]
+    assert got == want and len(got) == 5
+
+    # pruning really fires: with the kth score ~0.99 from the query's
+    # cluster, at least one other cluster's ball bound falls below it
+    path, centroids, radii = ensure_cosine_ivf_index(
+        spark, str(tmp_path), n_lists=4
+    )
+    q = np.asarray(qv)
+    qhat = q / np.sqrt((q * q).sum())
+    bounds = np.asarray(centroids) @ qhat + np.asarray(radii)
+    s = min(c for _, c in got)
+    assert (bounds < s - 1e-6).any()
+
+
+def test_exact_topk_indexed_small_head_falls_back_exact(spark, tmp_path):
+    """k larger than the nearest list: phase 1 underfills, s drops to
+    -1, phase 2 scans all qualified lists — still the exact answer."""
+    from etl_generator_demo_spark.operators.cosine_threshold import (
+        exact_topk_indexed,
+    )
+    from etl_generator_demo_spark.operators.similarity import brute_force_topk
+
+    _write_embeddings(spark, str(tmp_path), _clustered_rows(n_per=4))
+    qv = [0.0, 1.0, 0.0, 0.0, 0.1, 0.0]
+    got = [
+        tuple(r)
+        for r in exact_topk_indexed(
+            spark, str(tmp_path), qv, k=9, n_lists=4
+        ).select("vec_id", "cosine").collect()
+    ]
+    emb = spark.read.parquet(f"{tmp_path}/embeddings.parquet")
+    want = [
+        tuple(r)
+        for r in brute_force_topk(emb, qv, k=9).select("vec_id", "cosine").collect()
+    ]
+    assert got == want and len(got) == 9

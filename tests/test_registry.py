@@ -10,7 +10,7 @@ def test_registry_surface_does_not_shrink():
     from etl_generator_demo_spark.registry import load_all
 
     reg = load_all()
-    assert len(reg) >= 400, f"registry shrank to {len(reg)} queries"
+    assert len(reg) >= 401, f"registry shrank to {len(reg)} queries"
     n_oracle = sum(1 for rq in reg.values() if rq.oracle is not None)
     # since round 4 EVERY registered query is oracle-backed — a new
     # oracle=None registration is a regression, not a choice

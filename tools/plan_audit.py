@@ -946,6 +946,13 @@ EXPECTATIONS: dict[str, dict] = {
     # a manifest-listed parquet scan; the five commits themselves are
     # plan-time writes (documented eager edge)
     "d_txlog_time_travel": {"max_exchanges": 5},
+    # exact two-phase ball-bound top-k: phase-2 scan carries a literal
+    # ivf_list partition filter and compiles to TakeOrderedAndProject
+    "x3_exact_topk_indexed": {
+        "max_exchanges": 0,
+        "partition_pruned_on": "ivf_list",
+        "take_ordered": True,
+    },
     # single-query radius search: driver-side qualification -> LITERAL
     # ivf_list partition filter (static sibling of the DPP path)
     "x3_radius_search": {

@@ -334,6 +334,10 @@ QUERIES = [
     # construction-time by design (the commit protocol IS the
     # operator); expect ~linear in the orders relation.
     "d_txlog_time_travel",
+    # r14: exact two-phase ball-bound top-k — expect ~linear in the
+    # scanned lists (uniform fixtures qualify every list; the
+    # clustered-corpus pruning is pinned in pytest).
+    "x3_exact_topk_indexed",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -498,6 +502,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x3_radius_search",
         "x3_semantic_decontam_fixed_eval",
         "d_txlog_time_travel",
+        "x3_exact_topk_indexed",
     ],
 }
 
