@@ -314,3 +314,56 @@ def test_exact_topk_indexed_small_head_falls_back_exact(spark, tmp_path):
         for r in brute_force_topk(emb, qv, k=9).select("vec_id", "cosine").collect()
     ]
     assert got == want and len(got) == 9
+
+
+def test_randomized_differential_exactness(spark, tmp_path):
+    """Seeded randomized differential: across random corpora (mixed
+    cluster tightness, duplicate vectors, negative components, a zero
+    vector, varying n_lists) and multiple taus, the ball-bound join's
+    hit set is ALWAYS bitwise the brute-force hit set. This is the
+    adversarial sweep behind the exactness claim — any eps/radius
+    bug that drops a borderline pair fails here before the oracle
+    gate sees it."""
+    import random
+
+    from etl_generator_demo_spark.operators.cosine_threshold import (
+        cosine_threshold_join,
+    )
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        dim = rng.choice((4, 8))
+        n = rng.randint(30, 60)
+        rows = []
+        for vid in range(n):
+            mode = rng.random()
+            if mode < 0.5:  # clustered around an axis
+                axis = rng.randrange(dim)
+                v = [rng.gauss(0, 0.1) for _ in range(dim)]
+                v[axis] += 1.0
+            elif mode < 0.9:  # uniform
+                v = [rng.uniform(-1, 1) for _ in range(dim)]
+            else:  # exact duplicate of an earlier vector
+                v = list(rows[rng.randrange(len(rows))][1]) if rows else [1.0] * dim
+            rows.append((vid, [float(x) for x in v], 0))
+        rows.append((n, [0.0] * dim, 0))  # zero vector
+        base = str(tmp_path / f"c{seed}")
+        os.makedirs(base, exist_ok=True)
+        _write_embeddings(spark, base, rows)
+        queries = [
+            (0, rows[rng.randrange(n)][1]),
+            (1, [rng.uniform(-1, 1) for _ in range(dim)]),
+        ]
+        for tau_e6 in (rng.choice((150_000, 400_000)), 900_000):
+            n_lists = rng.choice((2, 4, 8))
+            got = sorted(
+                tuple(r)
+                for r in cosine_threshold_join(
+                    spark, base, queries, tau_e6, n_lists=n_lists
+                ).collect()
+            )
+            want = _brute_pairs(spark, base, queries, tau_e6)
+            assert got == want, (
+                f"seed={seed} tau={tau_e6} n_lists={n_lists}: "
+                f"indexed {len(got)} pairs != brute {len(want)}"
+            )
