@@ -529,3 +529,138 @@ def optimize_txtable(tab: TxTable, target_files: int = 1) -> int:
     return tab._read_modify_write(
         "optimize", lambda snap: snap.coalesce(target_files), None
     )
+
+
+# ---------------------------------------------------------------------------
+# manifest file statistics + scan-time file skipping (zone maps)
+# ---------------------------------------------------------------------------
+
+
+def _file_stats(path: str, stat_cols: list[str]) -> dict:
+    """Per-column min/max over one parquet file, read from the FOOTER
+    (row-group statistics — no data pages touched). This is the
+    metadata Iceberg keeps per data file in its manifests and Delta
+    in add-file stats; collecting it at write time makes scan-time
+    file skipping a pure manifest operation."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(path).metadata
+    idx = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+    out = {}
+    for col in stat_cols:
+        if col not in idx:
+            continue
+        lo = hi = None
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx[col]).statistics
+            if st is None or not st.has_min_max:
+                lo = hi = None
+                break  # a statless row group poisons the whole file
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            out[col] = [_json_safe(lo), _json_safe(hi)]
+    return out
+
+
+def _json_safe(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+class StatsTxTable(TxTable):
+    """TxTable whose commits record per-file min/max statistics for
+    ``stat_cols``, enabling manifest-only file skipping at read time —
+    the zone-map discipline that makes a clustered layout (see
+    ``optimize_txtable`` with ``sort_cols``) pay off: a range
+    predicate on a clustered column opens only the files whose
+    [min, max] interval intersects it, decided entirely from the
+    manifest (no file footer reads at query time, no directory
+    listing). At 100 TB this is the difference between a metadata
+    lookup and a million-file scan plan."""
+
+    def __init__(
+        self, spark: SparkSession, path: str, stat_cols: list[str] | None = None
+    ):
+        # default [] keeps the base classmethods (create) working
+        # through cls(spark, path); callers set stat_cols to record
+        super().__init__(spark, path)
+        self.stat_cols = list(stat_cols or [])
+
+    def _write_data_files(self, df: DataFrame) -> list[str]:
+        names = super()._write_data_files(df)
+        stats = self._pending_stats = {}
+        for n in names:
+            stats[n] = _file_stats(os.path.join(self.data_dir, n), self.stat_cols)
+        return names
+
+    def _try_commit(self, version: int, manifest: dict) -> bool:
+        # carry forward prior files' stats, attach the new files'
+        prior = {}
+        if version > 0:
+            try:
+                prior = self._read_manifest(version - 1).get("file_stats", {})
+            except FileNotFoundError:
+                pass
+        pending = getattr(self, "_pending_stats", {})
+        manifest = dict(manifest)
+        manifest["file_stats"] = {
+            f: (pending.get(f) or prior.get(f) or {}) for f in manifest["files"]
+        }
+        return super()._try_commit(version, manifest)
+
+    def read_range(
+        self, col: str, lo, hi, version: int | None = None
+    ) -> tuple[DataFrame, int, int]:
+        """Snapshot read of rows with ``col BETWEEN lo AND hi``, opening
+        ONLY the files whose recorded [min, max] intersects — plus a
+        row-level filter for exactness (file skipping is a superset
+        prune, never a semantic change). Files with no recorded stats
+        are conservatively read. Returns (df, files_read, files_total)
+        so callers — and tests — can see the skip rate."""
+        v = self.latest_version() if version is None else version
+        m = self._read_manifest(v)
+        stats = m.get("file_stats", {})
+        keep = []
+        for f in m["files"]:
+            s = stats.get(f, {}).get(col)
+            if s is None or not (s[1] < lo or s[0] > hi):
+                keep.append(f)
+        total = len(m["files"])
+        cond = F.col(col).between(F.lit(lo), F.lit(hi))
+        if not keep:
+            return (
+                self.spark.createDataFrame([], m["schema_ddl"]).filter(cond),
+                0,
+                total,
+            )
+        df = self.spark.read.parquet(
+            *[os.path.join(self.data_dir, f) for f in keep]
+        ).filter(cond)
+        return df, len(keep), total
+
+
+def optimize_txtable_clustered(
+    tab: TxTable, sort_cols: list[str], target_files: int = 8
+) -> int:
+    """OPTIMIZE with clustering: range-repartition the latest snapshot
+    by ``sort_cols`` and sort within files before committing — each
+    output file owns a narrow [min, max] slice of the sort key, so the
+    manifest stats above skip almost everything for selective range
+    predicates (Delta OPTIMIZE ZORDER's single-column analogue; the
+    two-column Morton composition lives in
+    `sources/mutations.zorder_rewrite`)."""
+    return tab._read_modify_write(
+        "optimize",
+        lambda snap: snap.repartitionByRange(target_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols),
+        None,
+    )
