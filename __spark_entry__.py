@@ -90,6 +90,9 @@ _REWRITTEN_SINCE_GREEN = (
     "x4_decontam_funnel",  # r14: semantic stage -> exact indexed tier
     "x4_decontam_tier_overlap",  # r14: same tier switch
     "x4_ndcg_eval",  # r14: both global windows bounded on-spine (gate catch)
+    "g_pagerank_tree",  # r14: exact-integer ranks (e6 boundary, reseed catch)
+    "g_triangle_count",  # r14: oracle gcc_ppm integer floor-div (same class)
+    "g_bfs_hop_histogram",  # r14: BFS_ROUNDS 24->40 (reseeded eccentricity 30)
 )
 
 

@@ -895,11 +895,15 @@ def g_wcc_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 9: exact BFS hop distance from the hub part
 # ---------------------------------------------------------------------------
 
-#: Unrolled BFS rounds. The sf0.01 high-quantity giant component has
-#: eccentricity 19 from the hub (probed); 24 rounds leaves margin, and
-#: the Spark side runs the SAME frontier expansion to a proven
-#: fixpoint, so an insufficient unroll surfaces as a loud mismatch.
-BFS_ROUNDS = 24
+#: Unrolled BFS rounds. Fixture graphs are REGENERATED each round with
+#: fresh seeds, and the hub eccentricity moves with them (measured 19
+#: at sf0.01 / 30 at sf0.1 on the r14 seed — the r13 seed's sf0.1
+#: eccentricity fit inside the old 24). 40 leaves seed margin; the
+#: Spark side runs the SAME frontier expansion to a proven fixpoint,
+#: so an insufficient unroll still surfaces as a loud error, never a
+#: silent short histogram. DuckDB's MATERIALIZED per-round CTEs make
+#: the post-fixpoint rounds cheap no-ops.
+BFS_ROUNDS = 40
 
 
 def _bfs_cte() -> str:

@@ -193,8 +193,18 @@ def _pagerank_oracle() -> str:
     """Unrolled fixed-iteration PageRank SQL: each iteration is one
     CTE (no recursive aggregate needed). Edges: child -> parent,
     out-degree 1; root (dangling) mass is NOT redistributed — the
-    'lossy' PageRank variant, identical on both engines."""
-    d, iters = PAGERANK_DAMPING, PAGERANK_ITERS
+    'lossy' PageRank variant, identical on both engines.
+
+    r14 exactness rewrite: ranks are EXACT BIGINTs in units of
+    rank·n/20³ (d = 0.85 = 17/20, so after k ≤ 3 iterations every
+    value is an integer multiple of 20^(3-k) in that scale — each
+    `(17·Σchild) // 20` divides exactly; proof in g_pagerank_tree's
+    docstring). The old float spelling floored rank·n at an e6
+    boundary and a reseeded fixture landed one node within 1 ulp of
+    a boundary (Spark 1.424999 vs DuckDB 1.425) — summation-order
+    float drift, the exact failure class the repo's integer-scaling
+    discipline exists to kill."""
+    iters = PAGERANK_ITERS
     sql = """
     WITH nodes AS (
         SELECT c_custkey AS id,
@@ -202,28 +212,26 @@ def _pagerank_oracle() -> str:
                     ELSE c_custkey // 10 END AS parent
         FROM customer
     ),
-    n AS (SELECT COUNT(*) AS n FROM nodes),
-    r0 AS (SELECT id, parent, 1.0 / n.n AS rank FROM nodes, n)
+    r0 AS (SELECT id, parent, CAST(8000 AS BIGINT) AS r FROM nodes)
     """
     prev = "r0"
     for k in range(1, iters + 1):
         sql += f""",
     r{k} AS (
         SELECT cur.id, cur.parent,
-               (1.0 - {d}) / n.n
-               + {d} * COALESCE(SUM(child.rank), 0) AS rank
+               CAST(1200 + (17 * COALESCE(SUM(child.r), 0)) // 20
+                    AS BIGINT) AS r
         FROM {prev} cur
         LEFT JOIN {prev} child ON child.parent = cur.id
-        CROSS JOIN n
-        GROUP BY cur.id, cur.parent, n.n
+        GROUP BY cur.id, cur.parent
     )
     """
         prev = f"r{k}"
     sql += f"""
-    SELECT r.id,
-           FLOOR(r.rank * n.n * 1000000) / 1000000 AS rank_scaled
-    FROM {prev} r, n
-    ORDER BY r.id
+    SELECT id,
+           CAST(r * 125 AS DOUBLE) / 1000000 AS rank_scaled
+    FROM {prev}
+    ORDER BY id
     """
     return sql
 
@@ -238,17 +246,27 @@ def g_pagerank_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     per node, and ``localCheckpoint`` cuts lineage per round exactly
     like the other iterative operators. Root (dangling) mass is not
     redistributed — the lossy variant, mirrored exactly by the
-    unrolled-CTE oracle; ranks are reported scaled by N (≈1.0) and
-    floor-scaled for cross-engine hashing."""
+    unrolled-CTE oracle; ranks are reported scaled by N (≈1.0).
+
+    r14 exactness rewrite (a reseeded fixture landed one rank 1 ulp
+    from an e6 floor boundary — Spark 1.424999 vs DuckDB 1.425):
+    ranks are EXACT BIGINTs in units of rank·n/20³. With
+    d = 0.85 = 17/20 the update is R_k = 1200 + (17·Σ_child R_{k-1})/20
+    (1200 = 0.15·20³), and induction gives R_k ≡ 0 (mod 20^(3-k)):
+    R₀ = 20³, a sum of multiples of 20^(4-k) divided by 20 is a
+    multiple of 20^(3-k), and 1200 = 3·20² is one too. So every
+    `(17·Σ) DIV 20` divides with remainder 0 for the 3 configured
+    iterations — no float exists anywhere until the final division of
+    the integer R·125 by 10⁶, which both engines perform on identical
+    integers. Summation-order drift is impossible by construction,
+    for ANY fixture seed."""
     nodes = _customer_tree(spark, sf_dir).localCheckpoint(eager=True)
-    n = nodes.count()
-    d = PAGERANK_DAMPING
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks = nodes.withColumn("r", F.lit(8000).cast("long"))
     for _ in range(PAGERANK_ITERS):
         contrib = (
             ranks.filter(F.col("parent").isNotNull())
             .groupBy("parent")
-            .agg(F.sum("rank").alias("child_mass"))
+            .agg(F.sum("r").alias("child_mass"))
             .select(F.col("parent").alias("_target"), "child_mass")
         )
         ranks = (
@@ -256,15 +274,15 @@ def g_pagerank_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "id",
                 "parent",
-                (
-                    F.lit((1.0 - d) / n)
-                    + F.lit(d) * F.coalesce(F.col("child_mass"), F.lit(0.0))
-                ).alias("rank"),
+                F.expr(
+                    "CAST(1200 + (17 * COALESCE(child_mass, 0L)) DIV 20 AS BIGINT)"
+                ).alias("r"),
             )
             .localCheckpoint(eager=True)
         )
     return ranks.select(
-        "id", (F.floor(F.col("rank") * n * 1_000_000) / 1_000_000).alias("rank_scaled")
+        "id",
+        ((F.col("r") * 125).cast("double") / 1_000_000).alias("rank_scaled"),
     ).orderBy("id")
 
 
@@ -364,10 +382,16 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg)       AS n_nodes,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM e)         AS n_edges,
-           (SELECT CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT CAST(SUM(deg * (deg - 1)) AS BIGINT) // 2 FROM deg) AS n_wedges,
            CAST(n_triangles AS BIGINT)                      AS n_triangles,
+           -- BIGINT // BIGINT: exact floor. The old spelling divided
+           -- by SUM(..)/2 — a DOUBLE in DuckDB — and a reseeded
+           -- fixture landed gcc within 1 ulp of an integer (38246
+           -- exact vs 38247 float); the Spark side's integer DIV was
+           -- already exact.
            CAST((3 * n_triangles * 1000000)
-                // (SELECT SUM(deg * (deg - 1)) / 2 FROM deg) AS BIGINT) AS gcc_ppm
+                // (SELECT CAST(SUM(deg * (deg - 1)) AS BIGINT) // 2 FROM deg)
+                AS BIGINT) AS gcc_ppm
     FROM tri
     """,
     survey_ids=("J3", "A2"),
