@@ -85,14 +85,10 @@ _R4_MARQUEE = (
 #: driver's 50-slot sample just below never-green queries — a green
 #: row for code that has since changed is not a regression guard.
 _REWRITTEN_SINCE_GREEN = (
-    # r13's nine rewrites all re-greened in CORRECTNESS_r13 — cleared.
-    "x3_semantic_decontam",  # r14: per-side precomputed norms (2x, bitwise-same)
-    "x4_decontam_funnel",  # r14: semantic stage -> exact indexed tier
-    "x4_decontam_tier_overlap",  # r14: same tier switch
-    "x4_ndcg_eval",  # r14: both global windows bounded on-spine (gate catch)
-    "g_pagerank_tree",  # r14: exact-integer ranks (e6 boundary, reseed catch)
-    "g_triangle_count",  # r14: oracle gcc_ppm integer floor-div (same class)
-    "g_bfs_hop_histogram",  # r14: BFS_ROUNDS 24->40 (reseeded eccentricity 30)
+    # r14's seven rewrites all re-greened in CORRECTNESS_r14 — cleared.
+    # r15: eager per-version rollups + scratch-table cleanup (r14
+    # advice tmpdir fix) over the new delta-manifest/checkpoint log
+    "d_txlog_time_travel",
 )
 
 

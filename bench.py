@@ -433,7 +433,11 @@ def main() -> None:
         return run_set(sf_dir)
 
     def n_clean() -> int:
-        lim = calibration * CALIB_CONTENTION_RATIO
+        # Gate against the RUNNING session minimum, not the start-of-run
+        # calibration: a box that was loaded at session start and quiets
+        # down later would otherwise inflate the contention limit and
+        # count contended passes as clean (r14 advice).
+        lim = min(calibration, *calib_per_pass) * CALIB_CONTENTION_RATIO
         return sum(1 for c in calib_per_pass if c <= lim)
 
     timings = primary_pass()

@@ -10,6 +10,7 @@ lost (the lost-update anomaly is the explicit regression pin here).
 from __future__ import annotations
 
 import os
+import tempfile
 import threading
 
 import pytest
@@ -138,7 +139,7 @@ def test_put_if_absent_claim(spark, tmp_path):
 
 def test_vacuum_removes_only_old_unreferenced_files(spark, tmp_path):
     tab = _mk(spark, tmp_path)
-    v0_files = set(tab._read_manifest(0)["files"])
+    v0_files = set(tab.snapshot(0)["files"])
     tab.overwrite(spark.createDataFrame([(1, 1)], "k long, v long"))  # v1
     tab.overwrite(spark.createDataFrame([(2, 2)], "k long, v long"))  # v2
     # retain last 2 versions (v1, v2): v0's files are unreferenced
@@ -259,11 +260,13 @@ def test_optimize_compacts_atomically_and_preserves_history(spark, tmp_path):
     tab = _mk(spark, tmp_path, rows=[(0, 0)])
     for i in range(1, 4):
         tab.append(spark.createDataFrame([(i, i)], "k long, v long"))
-    files_before = len(tab._read_manifest(tab.latest_version())["files"])
+    files_before = len(tab.snapshot()["files"])
     assert files_before >= 4
     v = optimize_txtable(tab, target_files=1)
     m = tab._read_manifest(v)
-    assert m["op"] == "optimize" and len(m["files"]) == 1
+    assert m["op"] == "optimize" and len(tab.snapshot(v)["files"]) == 1
+    # delta manifest: the rewrite removes every prior live file
+    assert len(m["remove"]) == files_before and len(m["add"]) == 1
     assert tab.read().count() == 4  # same data
     assert tab.read(version=v - 1).count() == 4  # pre-compaction snapshot alive
 
@@ -289,9 +292,9 @@ def test_stats_recorded_and_file_skipping_after_clustering(spark, tmp_path):
     # re-bind with stats and commit a clustered rewrite
     tab = StatsTxTable(spark, path, stat_cols=["k"])
     v = optimize_txtable_clustered(tab, ["k"], target_files=8)
-    m = tab._read_manifest(v)
-    assert m["op"] == "optimize" and len(m["files"]) == 8
-    assert all(m["file_stats"][f].get("k") for f in m["files"])
+    state = tab.snapshot(v)
+    assert tab._read_manifest(v)["op"] == "optimize" and len(state["files"]) == 8
+    assert all(state["file_stats"][f].get("k") for f in state["files"])
     out, files_read, files_total = tab.read_range("k", 100, 199)
     assert files_total == 8 and files_read <= 2  # ~1/8 slice of the key
     rows = sorted(r["k"] for r in out.collect())
@@ -324,7 +327,13 @@ def test_stats_carry_forward_across_appends(spark, tmp_path):
     files = t0._write_data_files(df_lo)
     assert t0._try_commit(
         0,
-        {"op": "create", "files": files, "schema_ddl": "k long, v long", "ts": 0},
+        t0._build_manifest(
+            "create",
+            add=files,
+            remove=[],
+            base_state={"schema_ddl": "k long, v long", "txns": {}},
+            read_version=None,
+        ),
     )
     df_hi = spark.createDataFrame(
         [(k, 1) for k in range(1000, 1100)], "k long, v long"
@@ -335,3 +344,266 @@ def test_stats_carry_forward_across_appends(spark, tmp_path):
     assert out.count() == 11
     out2, fr2, _ = t0.read_range("k", 5000, 6000)
     assert fr2 == 0 and out2.count() == 0  # nothing intersects: zero files
+
+
+# --- round 15: delta manifests + checkpoints, typed stats, exactly-once ----
+
+
+def test_delta_manifests_record_only_changed_files(spark, tmp_path):
+    """Commit cost is O(changed files): an append to a table with many
+    live files carries ONLY its own files in `add` and nothing in
+    `remove` — the r14 full-file-list manifest (O(table files) per
+    commit) is gone."""
+    tab = _mk(spark, tmp_path, rows=[(0, 0)])
+    for i in range(1, 5):
+        tab.append(spark.createDataFrame([(i, i)], "k long, v long"))
+    live_before = len(tab.snapshot()["files"])
+    v = tab.append(spark.createDataFrame([(99, 99)], "k long, v long"))
+    m = tab._read_manifest(v)
+    assert m["remove"] == [] and 1 <= len(m["add"]) < live_before
+    assert len(tab.snapshot(v)["files"]) == live_before + len(m["add"])
+
+
+def test_checkpoint_written_and_resolves_snapshots(spark, tmp_path):
+    """Past CHECKPOINT_INTERVAL commits, a checkpoint file exists and
+    snapshot reads resolve THROUGH it (checkpoint + tail replay ==
+    full replay, for every version — the read path at every offset
+    from the checkpoint boundary)."""
+    interval = TxTable.CHECKPOINT_INTERVAL
+    tab = _mk(spark, tmp_path, rows=[(0, 0)])
+    for i in range(1, interval + 3):
+        tab.append(spark.createDataFrame([(i, i)], "k long, v long"))
+    assert tab.latest_version() == interval + 2
+    assert tab._checkpoint_versions() == [interval]
+    assert os.path.exists(tab._checkpoint_path(interval))
+    # checkpoint-resolved state == pure-delta replay at every version
+    import json as _json
+
+    for v in range(tab.latest_version() + 1):
+        via_cp = tab._snapshot(v)["files"]
+        # ground truth: replay every delta from 0 ignoring checkpoints
+        state: dict[str, None] = {}
+        for w in range(v + 1):
+            m = tab._read_manifest(w)
+            for f in m.get("remove", ()):
+                state.pop(f, None)
+            for f in m.get("add", ()):
+                state.setdefault(f, None)
+        assert via_cp == list(state), f"divergence at version {v}"
+        assert tab.read(version=v).count() == v + 1
+    cp = _json.load(open(tab._checkpoint_path(interval)))
+    assert cp["version"] == interval
+    assert cp["files"] == tab._snapshot(interval)["files"]
+
+
+def test_checkpoint_carries_txn_highwater_and_stats(spark, tmp_path):
+    """The txn high-water map and per-file stats survive INTO the
+    checkpoint and keep working past it — a replay arriving after the
+    checkpoint boundary is still absorbed, and file skipping still
+    sees pre-checkpoint files' stats."""
+    from etl_generator_demo_spark.sources.txlog import StatsTxTable, txn_append
+
+    path = str(tmp_path / "t")
+    tab = StatsTxTable(spark, path, stat_cols=["k"])
+    files = tab._write_data_files(
+        spark.createDataFrame([(k, 0) for k in range(100)], "k long, v long")
+    )
+    assert tab._try_commit(
+        0,
+        tab._build_manifest(
+            "create",
+            add=files,
+            remove=[],
+            base_state={"schema_ddl": "k long, v long", "txns": {}},
+            read_version=None,
+        ),
+    )
+    assert txn_append(
+        tab, spark.createDataFrame([(1000, 1)], "k long, v long"), "app", 7
+    ) == 1
+    for i in range(TxTable.CHECKPOINT_INTERVAL + 1):
+        tab.append(
+            spark.createDataFrame([(2000 + i, 2)], "k long, v long")
+        )
+    assert tab._checkpoint_versions()  # boundary crossed
+    # replay of (app, 7) after the checkpoint: still absorbed
+    assert txn_append(
+        tab, spark.createDataFrame([(1000, 1)], "k long, v long"), "app", 7
+    ) is None
+    # pre-checkpoint create files' stats still serve the range read
+    out, files_read, files_total = tab.read_range("k", 0, 50)
+    assert files_read < files_total
+    assert out.count() == 51
+
+
+def test_txn_highwater_carried_in_every_manifest(spark, tmp_path):
+    """Every commit (including plain appends between txn_appends)
+    carries the merged per-app map forward, so the replay check is one
+    manifest read — the r14 advice's O(V^2) fix."""
+    from etl_generator_demo_spark.sources.txlog import txn_append
+
+    tab = _mk(spark, tmp_path, rows=[(0, 0)])
+    txn_append(tab, spark.createDataFrame([(1, 1)], "k long, v long"), "appA", 3)
+    tab.append(spark.createDataFrame([(2, 2)], "k long, v long"))  # plain
+    txn_append(tab, spark.createDataFrame([(3, 3)], "k long, v long"), "appB", 1)
+    m = tab._read_manifest(tab.latest_version())
+    assert m["txns"] == {"appA": 3, "appB": 1}
+
+
+def test_read_range_decimal_stats_compare_numerically(spark, tmp_path):
+    """The r14 advice's silent-row-loss case: decimal stats stored as
+    JSON strings would compare lexicographically ('9.50' > '10.20'),
+    wrongly skipping the file holding 9.50. Two defenses now hold: the
+    stats collector records nothing for types pyarrow cannot decode
+    (decimal raises ArrowNotImplementedError), and read_range's typed
+    codec decodes any decimal stat that IS present back to Decimal —
+    either way the file is read and the rows come back."""
+    from decimal import Decimal
+
+    from etl_generator_demo_spark.sources.txlog import StatsTxTable, TxTable
+
+    ddl = "k long, d decimal(10,2)"
+    df = spark.createDataFrame([(1, Decimal("9.50")), (2, Decimal("9.80"))], ddl)
+
+    # Defense 1: the collector records nothing for decimal (pyarrow
+    # cannot decode its stats) -> conservative read, never a skip.
+    path1 = str(tmp_path / "t1")
+    tab1 = StatsTxTable(spark, path1, stat_cols=["d"])
+    files = tab1._write_data_files(df)
+    assert all(not s for s in tab1._pending_stats.values())
+    assert tab1._try_commit(
+        0,
+        tab1._build_manifest(
+            "create", add=files, remove=[],
+            base_state={"schema_ddl": ddl, "txns": {}}, read_version=None,
+        ),
+    )
+    out, files_read, files_total = tab1.read_range(
+        "d", Decimal("9.0"), Decimal("10.2")
+    )
+    assert files_read == files_total
+    assert out.count() == 2
+
+    # Defense 2: a decimal stat that IS present (string-encoded, as
+    # _json_safe stores it) decodes back to Decimal. Stat interval
+    # ['9.50','9.80'] vs bounds [9.6, 10.5]: lexicographically
+    # '9.50' > '10.5' so a string compare would SKIP the file and
+    # silently lose the 9.80 row; the numeric compare reads it.
+    class _InjectedStats(StatsTxTable):
+        def _write_data_files(self, d):
+            names = TxTable._write_data_files(self, d)
+            self._pending_stats = {n: {"d": ["9.50", "9.80"]} for n in names}
+            return names
+
+    path2 = str(tmp_path / "t2")
+    tab2 = _InjectedStats(spark, path2, stat_cols=["d"])
+    files = tab2._write_data_files(df)
+    assert tab2._try_commit(
+        0,
+        tab2._build_manifest(
+            "create", add=files, remove=[],
+            base_state={"schema_ddl": ddl, "txns": {}}, read_version=None,
+        ),
+    )
+    out, files_read, files_total = tab2.read_range(
+        "d", Decimal("9.6"), Decimal("10.5")
+    )
+    assert files_read == files_total  # numeric intersect: must read
+    assert out.count() == 1  # the 9.80 row — no silent loss
+    # and a numerically disjoint range skips even though the string
+    # compare would NOT ('9.80' > '10.0' lexicographically)
+    _, fr2, _ = tab2.read_range("d", Decimal("10.0"), Decimal("10.2"))
+    assert fr2 == 0
+
+
+def test_read_range_binary_stats_conservative(spark, tmp_path):
+    """Bytes stats JSON-decode lossily (not order-safe): the codec
+    refuses them and every file is read — a superset, never a loss."""
+    from etl_generator_demo_spark.sources.txlog import StatsTxTable
+
+    path = str(tmp_path / "t")
+    tab = StatsTxTable(spark, path, stat_cols=["b"])
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xffhi")), (2, bytearray(b"\x00lo"))], "k long, b binary"
+    )
+    files = tab._write_data_files(df)
+    assert tab._try_commit(
+        0,
+        tab._build_manifest(
+            "create",
+            add=files,
+            remove=[],
+            base_state={"schema_ddl": "k long, b binary", "txns": {}},
+            read_version=None,
+        ),
+    )
+    out, files_read, files_total = tab.read_range("b", b"\x00", b"\xff~")
+    assert files_read == files_total  # conservative: binary stats unusable
+    assert out.count() == 2
+
+
+def test_read_range_date_stats_prune_correctly(spark, tmp_path):
+    """Date stats round-trip as ISO strings (lexicographic ==
+    chronological); the caller's date bounds are coerced to the same
+    key — disjoint ranges skip, overlapping ranges read."""
+    import datetime
+
+    from etl_generator_demo_spark.sources.txlog import StatsTxTable
+
+    path = str(tmp_path / "t")
+    tab = StatsTxTable(spark, path, stat_cols=["dt"])
+    df = spark.createDataFrame(
+        [(1, datetime.date(2024, 3, 1)), (2, datetime.date(2024, 3, 20))],
+        "k long, dt date",
+    ).coalesce(1)  # one data file (empty part files carry no stats)
+    files = tab._write_data_files(df)
+    assert tab._try_commit(
+        0,
+        tab._build_manifest(
+            "create",
+            add=files,
+            remove=[],
+            base_state={"schema_ddl": "k long, dt date", "txns": {}},
+            read_version=None,
+        ),
+    )
+    out, fr, _ = tab.read_range(
+        "dt", datetime.date(2024, 3, 10), datetime.date(2024, 4, 1)
+    )
+    assert fr == 1 and out.count() == 1
+    _, fr2, _ = tab.read_range(
+        "dt", datetime.date(2025, 1, 1), datetime.date(2025, 2, 1)
+    )
+    assert fr2 == 0
+
+
+def test_registered_exactly_once_query_structure(spark, sf_dir):
+    """st_txlog_exactly_once: 4 batch rows, final_version pinned at 4
+    (create + 4 appends — replays absorbed), and the scratch table is
+    gone (values hash-pinned by DuckDB in the oracle gate)."""
+    import glob
+
+    from etl_generator_demo_spark.sources.txlog import st_txlog_exactly_once
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "txlog_eo_*")))
+    rows = st_txlog_exactly_once(spark, sf_dir).collect()
+    assert [r["batch_id"] for r in rows] == [0, 1, 2, 3]
+    assert all(r["final_version"] == 4 for r in rows)
+    assert all(r["n_rows"] > 0 for r in rows)
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "txlog_eo_*")))
+    assert after <= before  # no new scratch table left behind
+
+
+def test_time_travel_query_cleans_up_scratch(spark, sf_dir):
+    """The r14 advice's /tmp-growth fix: after the registered query
+    returns (rows already materialized), no txlog_q_* scratch table
+    remains under $TMPDIR."""
+    import glob
+
+    from etl_generator_demo_spark.sources.txlog import d_txlog_time_travel
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "txlog_q_*")))
+    rows = d_txlog_time_travel(spark, sf_dir).collect()
+    assert [r["op"] for r in rows] == ["create", "append", "delete", "update", "merge"]
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "txlog_q_*")))
+    assert after <= before  # no new scratch table left behind

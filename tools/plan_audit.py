@@ -942,10 +942,15 @@ EXPECTATIONS: dict[str, dict] = {
         "min_broadcast": 1,
         "dpp_on": "ivf_list",
     },
-    # five 1-row snapshot aggregates (one per committed version), each
-    # a manifest-listed parquet scan; the five commits themselves are
-    # plan-time writes (documented eager edge)
-    "d_txlog_time_travel": {"max_exchanges": 5},
+    # r15: commits + per-version rollups run eagerly at plan time (the
+    # commit protocol IS the operator; r14-advice tmpdir fix made the
+    # rollups eager so the scratch table can be removed) — the
+    # returned plan is a local row scan + one output sort
+    "d_txlog_time_travel": {"max_exchanges": 1},
+    # r15 (VERDICT r14 item 1b): exactly-once streaming commits —
+    # 8 foreachBatch-shaped writes (4 replays absorbed) run eagerly;
+    # returned plan is the 4 collected rollup rows + one output sort
+    "st_txlog_exactly_once": {"max_exchanges": 1},
     # exact two-phase ball-bound top-k: phase-2 scan carries a literal
     # ivf_list partition filter and compiles to TakeOrderedAndProject
     "x3_exact_topk_indexed": {

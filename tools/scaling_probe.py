@@ -338,6 +338,11 @@ QUERIES = [
     # scanned lists (uniform fixtures qualify every list; the
     # clustered-corpus pruning is pinned in pytest).
     "x3_exact_topk_indexed",
+    # r15: exactly-once streaming commits into the txlog — 8 batch
+    # writes (4 replays absorbed by the txn high-water map) + one
+    # grouped read-back, all construction-time by design; expect
+    # ~linear in the orders relation.
+    "st_txlog_exactly_once",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -503,6 +508,9 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "x3_semantic_decontam_fixed_eval",
         "d_txlog_time_travel",
         "x3_exact_topk_indexed",
+    ],
+    15: [
+        "st_txlog_exactly_once",
     ],
 }
 
