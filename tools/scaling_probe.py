@@ -565,6 +565,142 @@ def synthesize_10x(spark, src_dir: str, dst_dir: str) -> None:
         out.write.mode("overwrite").parquet(out_path)
 
 
+def clustered_ball_bound_arm(spark, scratch: str) -> list[dict]:
+    """Pruned-vs-brute measurement for the ball-bound cosine index on
+    a CLUSTERED synthetic corpus (round 15; VERDICT r14 item 3).
+
+    The fixture embeddings are uniform-random, so list radii sit ~1.0
+    and the ball bound never prunes in any driver artifact — the
+    pruning win existed only in the clustered-synth pytest. This arm
+    synthesizes what real embedding corpora look like (16 direction
+    clusters, sigma=0.05 in normalized space) at 1x/10x/100x of the
+    sf0.1 vector count and records, per tier: lists read vs total,
+    pruned wall, brute wall, and the hit counts of both paths (which
+    must MATCH — the bound is exact, pruning is free).
+
+    Index build (k-means fit + partitioned write) runs before timing:
+    it is a once-per-corpus cost amortized over every query, the same
+    accounting the sibling ANN probes use."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from etl_generator_demo_spark.operators.cosine_threshold import (
+        BOUND_EPS,
+        COS_IVF_LISTS,
+        cosine_threshold_join,
+        ensure_cosine_ivf_index,
+    )
+    from etl_generator_demo_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _norm,
+    )
+
+    rng = np.random.default_rng(451)
+    dim, k_clusters, sigma = 64, 16, 0.05
+    centers = rng.standard_normal((k_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def synth(n: int, seed_off: int) -> np.ndarray:
+        r = np.random.default_rng(451 + seed_off)
+        ks = r.integers(0, k_clusters, n)
+        pts = centers[ks] + sigma * r.standard_normal((n, dim))
+        pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+        mags = r.uniform(0.5, 2.0, (n, 1))
+        return pts * mags
+
+    # 20 queries near 5 of the clusters (fresh noise draws)
+    qr = np.random.default_rng(777)
+    q_ks = np.repeat(np.arange(5), 4)
+    qvs = centers[q_ks] + sigma * qr.standard_normal((20, dim))
+    queries = [(int(i), [float(x) for x in qvs[i]]) for i in range(20)]
+    tau_e6 = 800_000
+
+    out = []
+    for tier, n in (("1x", 2_000), ("10x", 20_000), ("100x", 200_000)):
+        tier_dir = os.path.join(scratch, f"clustered_{tier}")
+        emb_path = os.path.join(tier_dir, "embeddings.parquet")
+        if not os.path.exists(os.path.join(emb_path, "_SUCCESS")):
+            os.makedirs(tier_dir, exist_ok=True)
+            vecs = synth(n, seed_off=n)
+            rows = [
+                (i, [float(x) for x in vecs[i]], int(i % 7)) for i in range(n)
+            ]
+            spark.createDataFrame(
+                rows, "vec_id long, embedding array<float>, label int"
+            ).repartition(max(1, n // 25_000)).write.mode("overwrite").parquet(
+                emb_path
+            )
+        # build outside the timed region; centroids/radii also give the
+        # lists-read count via the same driver-side qualification math
+        _path, centroids, radii = ensure_cosine_ivf_index(spark, tier_dir)
+        c = np.asarray(centroids)
+        r = np.asarray(radii)
+        lists_read = set()
+        for _qid, vec in queries:
+            v = np.asarray(vec)
+            vhat = v / np.linalg.norm(v)
+            bounds = c @ vhat + r
+            lists_read.update(
+                int(i) for i in np.nonzero(bounds >= tau_e6 / 1e6 - BOUND_EPS)[0]
+            )
+
+        def pruned_run() -> int:
+            return cosine_threshold_join(spark, tier_dir, queries, tau_e6).count()
+
+        def brute_run() -> int:
+            from etl_generator_demo_spark.catalog import read_table
+
+            q = spark.createDataFrame(
+                queries, "query_id long, qv array<double>"
+            ).withColumn("_qn", _norm(F.col("qv")))
+            emb = (
+                read_table(spark, tier_dir, "embeddings")
+                .select("vec_id", _as_double("embedding").alias("_cv"))
+                .withColumn("_cn", _norm(F.col("_cv")))
+            )
+            return (
+                emb.crossJoin(F.broadcast(q))
+                .select(
+                    F.floor(
+                        F.try_divide(
+                            _dot(F.col("_cv"), F.col("qv")),
+                            F.col("_cn") * F.col("_qn"),
+                        )
+                        * 1_000_000
+                    )
+                    .cast("long")
+                    .alias("cos_e6")
+                )
+                .filter(F.col("cos_e6") >= tau_e6)
+                .count()
+            )
+
+        timings = {}
+        hits = {}
+        for label, fn in (("pruned", pruned_run), ("brute", brute_run)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                hits[label] = fn()
+                best = min(best, time.time() - t0)
+            timings[label] = round(best, 3)
+        row = {
+            "tier": tier,
+            "n_vectors": n,
+            "lists_total": COS_IVF_LISTS,
+            "lists_read": len(lists_read),
+            "pruned_sec": timings["pruned"],
+            "brute_sec": timings["brute"],
+            "hits_pruned": hits["pruned"],
+            "hits_brute": hits["brute"],
+            "exact": hits["pruned"] == hits["brute"],
+        }
+        out.append(row)
+        print(f"  clustered-arm {tier}: {row}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scratch", default="/tmp/sf1x10")
@@ -579,6 +715,11 @@ def main() -> None:
         default=None,
         help="merge results into this existing PROBE_r*.json in place",
     )
+    ap.add_argument(
+        "--clustered-arm",
+        action="store_true",
+        help="run ONLY the clustered ball-bound pruning arm",
+    )
     args = ap.parse_args()
 
     from etl_generator_demo_spark.registry import load_all
@@ -587,6 +728,19 @@ def main() -> None:
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
+
+    if args.clustered_arm:
+        arm = clustered_ball_bound_arm(spark, args.scratch)
+        if args.merge:
+            with open(args.merge) as fh:
+                prior = json.load(fh)
+            prior["clustered_ball_bound"] = arm
+            with open(args.merge, "w") as fh:
+                json.dump(prior, fh)
+            print(f"merged clustered arm into {args.merge}", file=sys.stderr)
+        else:
+            print(json.dumps({"clustered_ball_bound": arm}))
+        return
 
     print("synthesizing 10x tier (one-time)...", file=sys.stderr)
     synthesize_10x(spark, "/root/testdata/sf0.1", args.scratch)
