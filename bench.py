@@ -112,6 +112,12 @@ HEADLINE = [
     # representative; its cost IS the commit protocol's write path)
     "x3_semantic_decontam_indexed",
     "d_txlog_time_travel",
+    # round-15 headliner: exactly-once streaming commits into the
+    # delta-manifest/checkpoint txlog (8 foreachBatch writes, 4
+    # replays absorbed via the per-manifest txn high-water map) —
+    # prices the commit protocol's streaming write path the way
+    # d_txlog_time_travel prices its batch DML path
+    "st_txlog_exactly_once",
 ]
 
 #: ROTATION POLICY (round-12, r11 verdict item 7). The primary

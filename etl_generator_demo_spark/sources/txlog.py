@@ -917,6 +917,80 @@ class StatsTxTable(TxTable):
         return df, len(keep), total
 
 
+def _file_skipping_oracle() -> str:
+    """DuckDB computes the range aggregate directly; the Spark side
+    must deliver the SAME rows from a pruned file subset (skipping is
+    a superset prune — a wrong skip would change n_rows/sum and flip
+    the hash). files_total pins the clustered layout (8 range files);
+    skipped_some pins that the manifest stats actually pruned (a
+    quarter-wide window cannot intersect all 8 range slices of a
+    6.5-year span unless pruning is broken)."""
+    return """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_e2,
+           CAST(8 AS BIGINT) AS files_total,
+           TRUE AS skipped_some
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                          AND TIMESTAMP '1996-03-31'
+    """
+
+
+@register(
+    "d_txlog_file_skipping",
+    oracle=_file_skipping_oracle(),
+    survey_ids=("D1", "S8", "P4", "A2"),
+)
+def d_txlog_file_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map file skipping made driver-visible (round 15): `orders`
+    lands in a StatsTxTable, a clustered OPTIMIZE range-partitions it
+    into 8 files by o_orderdate (each file owns a narrow [min, max]
+    date slice recorded in the manifest), and a one-quarter range read
+    opens ONLY the intersecting files — decided from manifest stats
+    alone, no footer reads, no directory listing. The returned row
+    pins the aggregate over the range (vs DuckDB scanning everything),
+    the 8-file layout, and that skipping actually happened; a wrong
+    skip would drop rows and flip the hash, a broken prune would flip
+    skipped_some. The cluster key is stored as a DATE column (Spark
+    writes TIMESTAMP as stat-less INT96 pages; date32 carries footer
+    min/max), so the stats ride the ISO-string codec (lexicographic ==
+    chronological; r14-advice typed-codec path).
+
+    At 100 TB this is the OPTIMIZE-ZORDER + data-skipping workflow
+    every lakehouse query planner leans on: the manifest is the zone
+    map, and a selective predicate touches metadata + a handful of
+    files. Same eager-rollup + rmtree discipline as the sibling txlog
+    queries."""
+    import datetime
+
+    from etl_generator_demo_spark.operators.relational import t
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("o_date"),
+        "o_totalprice",
+    )
+    path = tempfile.mkdtemp(prefix="txlog_fs_")
+    shutil.rmtree(path)
+    try:
+        StatsTxTable.create(spark, path, o)
+        tab = StatsTxTable(spark, path, stat_cols=["o_date"])
+        optimize_txtable_clustered(tab, ["o_date"], target_files=8)
+        df, files_read, files_total = tab.read_range(
+            "o_date",
+            datetime.date(1996, 1, 1),
+            datetime.date(1996, 3, 31),
+        )
+        n, s = _version_rollup(df)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        [(n, s, files_total, files_read < files_total)],
+        "n_rows long, sum_price_e2 long, files_total long, skipped_some boolean",
+    )
+
+
 def optimize_txtable_clustered(
     tab: TxTable, sort_cols: list[str], target_files: int = 8
 ) -> int:

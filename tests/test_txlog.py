@@ -607,3 +607,20 @@ def test_time_travel_query_cleans_up_scratch(spark, sf_dir):
     assert [r["op"] for r in rows] == ["create", "append", "delete", "update", "merge"]
     after = set(glob.glob(os.path.join(tempfile.gettempdir(), "txlog_q_*")))
     assert after <= before  # no new scratch table left behind
+
+
+def test_registered_file_skipping_query_structure(spark, sf_dir):
+    """d_txlog_file_skipping: one row, 8-file clustered layout, and
+    the stats prune actually skipped files (values hash-pinned by
+    DuckDB in the oracle gate)."""
+    import glob
+
+    from etl_generator_demo_spark.sources.txlog import d_txlog_file_skipping
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "txlog_fs_*")))
+    (row,) = d_txlog_file_skipping(spark, sf_dir).collect()
+    assert row["files_total"] == 8
+    assert row["skipped_some"] is True
+    assert row["n_rows"] > 0
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "txlog_fs_*")))
+    assert after <= before

@@ -951,6 +951,9 @@ EXPECTATIONS: dict[str, dict] = {
     # 8 foreachBatch-shaped writes (4 replays absorbed) run eagerly;
     # returned plan is the 4 collected rollup rows + one output sort
     "st_txlog_exactly_once": {"max_exchanges": 1},
+    # r15: zone-map file skipping — clustered OPTIMIZE + stats-pruned
+    # range read run eagerly; returned plan is one collected row
+    "d_txlog_file_skipping": {"max_exchanges": 0},
     # exact two-phase ball-bound top-k: phase-2 scan carries a literal
     # ivf_list partition filter and compiles to TakeOrderedAndProject
     "x3_exact_topk_indexed": {

@@ -343,6 +343,11 @@ QUERIES = [
     # grouped read-back, all construction-time by design; expect
     # ~linear in the orders relation.
     "st_txlog_exactly_once",
+    # r15: zone-map file skipping — create + clustered rewrite + one
+    # stats-pruned range read, construction-time by design; expect
+    # ~linear in the orders relation (the pruned read itself is the
+    # flat part).
+    "d_txlog_file_skipping",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -511,6 +516,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
     ],
     15: [
         "st_txlog_exactly_once",
+        "d_txlog_file_skipping",
     ],
 }
 
