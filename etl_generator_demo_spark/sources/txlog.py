@@ -291,12 +291,15 @@ class TxTable:
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read. ``version`` time-travels to an older commit;
         default = latest. An empty file list yields an empty frame
-        with the schema recorded at commit time."""
+        with the schema recorded at commit time. The read pins the
+        MANIFEST's schema explicitly (not footer-merged inference), so
+        files written before a schema evolution surface the added
+        columns as NULL — Delta's read-time reconciliation."""
         state = self.snapshot(version)
         files = [os.path.join(self.data_dir, f) for f in state["files"]]
         if not files:
             return self.spark.createDataFrame([], state["schema_ddl"])
-        return self.spark.read.parquet(*files)
+        return self.spark.read.schema(state["schema_ddl"]).parquet(*files)
 
     def history(self) -> list[dict]:
         """Commit metadata, oldest first (the DESCRIBE HISTORY view —
@@ -422,6 +425,39 @@ class TxTable:
             )
 
         return self._read_modify_write("merge", transform, None)
+
+    def add_columns(self, cols: dict[str, str]) -> int:
+        """ALTER TABLE ADD COLUMNS as a METADATA-ONLY commit (Delta's
+        schema evolution): no data file is touched or rewritten — the
+        new schema lands in the manifest and every pre-evolution file
+        reads the added columns as NULL via the explicit-schema read.
+        Time travel to an older version still sees the older schema
+        (the schema is part of the snapshot). Duplicate names reject.
+
+        At 100 TB this is the only affordable ALTER: a rewrite-based
+        add would touch every file for a column of NULLs."""
+        for _ in range(self.MAX_RETRIES):
+            v = self.latest_version()
+            base = self._snapshot(v)
+            existing = {
+                p.partition(" ")[0] for p in base["schema_ddl"].split(", ")
+            }
+            dupes = existing & set(cols)
+            if dupes:
+                raise ValueError(f"columns already exist: {sorted(dupes)}")
+            manifest = self._build_manifest(
+                "add_columns",
+                add=[],
+                remove=[],
+                base_state=base,
+                read_version=v,
+            )
+            manifest["schema_ddl"] = base["schema_ddl"] + "".join(
+                f", {name} {typ}" for name, typ in cols.items()
+            )
+            if self._try_commit(v + 1, manifest):
+                return v + 1
+        raise CommitConflict(f"add_columns lost {self.MAX_RETRIES} races")
 
     # -- maintenance ---------------------------------------------------------
 
@@ -915,6 +951,115 @@ class StatsTxTable(TxTable):
             *[os.path.join(self.data_dir, f) for f in keep]
         ).filter(cond)
         return df, len(keep), total
+
+
+def _schema_evolution_oracle() -> str:
+    """DuckDB replays the four commits as CTEs; the evolved column is
+    NULL for pre-evolution rows until the UPDATE fills a slice of
+    them. Discount values are integral-valued doubles, so the floored
+    sums are exact-integer in both engines (oracle_lint-clean)."""
+    return """
+    WITH base AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 1
+    ),
+    appended AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(o_orderkey % 10 AS DOUBLE) AS discount_pct
+        FROM orders WHERE o_orderkey % 4 = 3
+    ),
+    v2 AS (
+        SELECT o_orderkey, o_totalprice, CAST(NULL AS DOUBLE) AS discount_pct
+        FROM base
+        UNION ALL
+        SELECT * FROM appended
+    ),
+    v3 AS (
+        SELECT o_orderkey, o_totalprice,
+               CASE WHEN o_orderkey % 8 = 1 THEN 5.0 ELSE discount_pct END
+                   AS discount_pct
+        FROM v2
+    )
+    SELECT * FROM (
+        SELECT CAST(0 AS BIGINT) AS version, 'create' AS op,
+               CAST((SELECT COUNT(*) FROM base) AS BIGINT) AS n_rows,
+               CAST(0 AS BIGINT) AS n_discount,
+               CAST(0 AS BIGINT) AS sum_disc_e2
+        UNION ALL
+        SELECT 1, 'add_columns',
+               CAST((SELECT COUNT(*) FROM base) AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 2, 'append', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(discount_pct) AS BIGINT),
+               CAST(COALESCE(SUM(CAST(FLOOR(discount_pct * 100) AS BIGINT)), 0)
+                    AS BIGINT)
+        FROM v2
+        UNION ALL
+        SELECT 3, 'update', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(discount_pct) AS BIGINT),
+               CAST(COALESCE(SUM(CAST(FLOOR(discount_pct * 100) AS BIGINT)), 0)
+                    AS BIGINT)
+        FROM v3
+    ) ORDER BY version
+    """
+
+
+@register(
+    "d_txlog_schema_evolution",
+    oracle=_schema_evolution_oracle(),
+    survey_ids=("D1", "F3", "F1"),
+)
+def d_txlog_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALTER TABLE ADD COLUMNS, end-to-end and hash-pinned (round 15):
+    CREATE from an `orders` slice -> metadata-only ADD COLUMNS (no
+    data file touched) -> APPEND rows that carry the new column ->
+    UPDATE filling a slice of the pre-evolution NULLs; every version
+    read back by time travel and rolled up (row count, non-null count
+    of the evolved column, exact-integer discount sum). Pins Delta's
+    read-time reconciliation: pre-evolution files surface the added
+    column as NULL under the manifest's explicit schema, and the
+    pre-evolution snapshot still reads with the OLD schema.
+
+    Same eager-rollup + rmtree discipline as the sibling txlog
+    queries; the commits are the operator."""
+    from etl_generator_demo_spark.operators.relational import t
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="txlog_se_")
+    shutil.rmtree(path)
+    try:
+        tab = TxTable.create(spark, path, o.filter(F.col("o_orderkey") % 4 == 1))
+        tab.add_columns({"discount_pct": "double"})
+        tab.append(
+            o.filter(F.col("o_orderkey") % 4 == 3).withColumn(
+                "discount_pct", (F.col("o_orderkey") % 10).cast("double")
+            )
+        )
+        tab.update({"discount_pct": "5.0"}, "o_orderkey % 8 = 1")
+        rows = []
+        for h in tab.history():
+            snap = tab.read(version=h["version"])
+            if "discount_pct" in snap.columns:
+                r = snap.agg(
+                    F.count(F.lit(1)).cast("long"),
+                    F.count("discount_pct").cast("long"),
+                    F.coalesce(
+                        F.sum(
+                            F.floor(F.col("discount_pct") * 100).cast("long")
+                        ),
+                        F.lit(0),
+                    ).cast("long"),
+                ).first()
+                rows.append((h["version"], h["op"], int(r[0]), int(r[1]), int(r[2])))
+            else:
+                n = snap.count()
+                rows.append((h["version"], h["op"], n, 0, 0))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "version long, op string, n_rows long, n_discount long, sum_disc_e2 long",
+    ).orderBy("version")
 
 
 def _file_skipping_oracle() -> str:

@@ -624,3 +624,67 @@ def test_registered_file_skipping_query_structure(spark, sf_dir):
     assert row["n_rows"] > 0
     after = set(glob.glob(os.path.join(tempfile.gettempdir(), "txlog_fs_*")))
     assert after <= before
+
+
+# --- round 15: metadata-only schema evolution -------------------------------
+
+
+def test_add_columns_metadata_only_null_fill(spark, tmp_path):
+    """ADD COLUMNS touches no data file; pre-evolution files read the
+    new column as NULL; post-evolution appends carry values; time
+    travel to the pre-evolution version sees the OLD schema."""
+    tab = _mk(spark, tmp_path)  # k, v — 10 rows
+    files_before = tab.snapshot()["files"]
+    v = tab.add_columns({"w": "double"})
+    assert tab.snapshot(v)["files"] == files_before  # no data rewrite
+    assert tab.read().columns == ["k", "v", "w"]
+    assert tab.read().filter("w IS NULL").count() == 10
+    assert tab.read(version=0).columns == ["k", "v"]  # old schema via travel
+    tab.append(
+        spark.createDataFrame([(100, 1, 2.5)], "k long, v long, w double")
+    )
+    got = {r["k"]: r["w"] for r in tab.read().collect()}
+    assert got[100] == 2.5 and got[0] is None
+    # NULL-fill update works on pre-evolution rows
+    tab.update({"w": "7.5"}, "k = 3")
+    got = {r["k"]: r["w"] for r in tab.read().collect()}
+    assert got[3] == 7.5 and got[0] is None
+
+
+def test_add_columns_duplicate_rejected(spark, tmp_path):
+    tab = _mk(spark, tmp_path)
+    with pytest.raises(ValueError):
+        tab.add_columns({"v": "double"})
+
+
+def test_evolved_schema_survives_checkpoint(spark, tmp_path):
+    """The evolved schema crosses the checkpoint boundary (schema is
+    snapshot state), and merge against the evolved schema works."""
+    tab = _mk(spark, tmp_path, rows=[(0, 0)])
+    tab.add_columns({"w": "double"})
+    for i in range(TxTable.CHECKPOINT_INTERVAL + 1):
+        tab.append(
+            spark.createDataFrame([(10 + i, i, float(i))], "k long, v long, w double")
+        )
+    assert tab._checkpoint_versions()
+    assert tab.read().columns == ["k", "v", "w"]
+    tab.merge(
+        spark.createDataFrame([(0, 99, 9.5)], "k long, v long, w double"), ["k"]
+    )
+    got = {r["k"]: (r["v"], r["w"]) for r in tab.read().collect()}
+    assert got[0] == (99, 9.5)
+
+
+def test_registered_schema_evolution_query_structure(spark, sf_dir):
+    import glob
+
+    from etl_generator_demo_spark.sources.txlog import d_txlog_schema_evolution
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "txlog_se_*")))
+    rows = d_txlog_schema_evolution(spark, sf_dir).collect()
+    assert [r["op"] for r in rows] == ["create", "add_columns", "append", "update"]
+    assert rows[0]["n_discount"] == 0 and rows[1]["n_discount"] == 0
+    assert rows[2]["n_discount"] > 0
+    assert rows[3]["n_discount"] > rows[2]["n_discount"]  # update filled NULLs
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "txlog_se_*")))
+    assert after <= before

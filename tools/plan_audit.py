@@ -954,6 +954,10 @@ EXPECTATIONS: dict[str, dict] = {
     # r15: zone-map file skipping — clustered OPTIMIZE + stats-pruned
     # range read run eagerly; returned plan is one collected row
     "d_txlog_file_skipping": {"max_exchanges": 0},
+    # r15: metadata-only ADD COLUMNS + NULL-fill update — commits and
+    # per-version rollups run eagerly; returned plan is the collected
+    # rows + one output sort
+    "d_txlog_schema_evolution": {"max_exchanges": 1},
     # exact two-phase ball-bound top-k: phase-2 scan carries a literal
     # ivf_list partition filter and compiles to TakeOrderedAndProject
     "x3_exact_topk_indexed": {

@@ -348,6 +348,10 @@ QUERIES = [
     # ~linear in the orders relation (the pruned read itself is the
     # flat part).
     "d_txlog_file_skipping",
+    # r15: metadata-only schema evolution — the ALTER commit is
+    # O(1) by design; total cost is the create/append/update writes +
+    # four snapshot rollups; expect ~linear in the orders relation.
+    "d_txlog_schema_evolution",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -517,6 +521,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
     15: [
         "st_txlog_exactly_once",
         "d_txlog_file_skipping",
+        "d_txlog_schema_evolution",
     ],
 }
 
