@@ -456,8 +456,8 @@ def main() -> None:
     while n_clean() == 0 and calib_retries > 0:
         print(
             f"-- calibration contention: per-pass reps {calib_per_pass} all "
-            f">{CALIB_CONTENTION_RATIO}x session best {calibration:.3f}s; "
-            "re-passing",
+            f">{CALIB_CONTENTION_RATIO}x running session min "
+            f"{min(calibration, *calib_per_pass):.3f}s; re-passing",
             file=sys.stderr,
         )
         repass = primary_pass()

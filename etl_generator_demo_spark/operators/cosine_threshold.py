@@ -165,6 +165,38 @@ def ensure_cosine_ivf_index(
     return path, centroids, radii
 
 
+def qualify_lists_driver_side(
+    centroids: list[list[float]],
+    radii: list[float],
+    queries,
+    tau: float,
+) -> tuple[list[tuple[int, list[float], int]], list[int]]:
+    """THE ball-bound qualification for driver-side query batches:
+    per query, the lists whose bound ``c_l · q̂ + r_l >= τ - ε`` can
+    contain a hit (zero-norm queries qualify nothing via the zero
+    vector, matching the NULL-cosine drop downstream). Returns
+    (``(query_id, raw_vector, ivf_list)`` rows, sorted distinct
+    lists). Shared by :func:`cosine_threshold_join`'s list path and
+    the clustered scaling-probe arm, so the probe's reported
+    lists-read count is BY CONSTRUCTION the operator's pruning
+    decision, not a hand-copied approximation of it."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype="float64")  # (n_lists, dim)
+    r = np.asarray(radii, dtype="float64")
+    rows = []
+    lists: set[int] = set()
+    for qid, vec in queries:
+        v = np.asarray([float(x) for x in vec], dtype="float64")
+        n = float(np.sqrt((v * v).sum()))
+        vhat = v / n if n > 0 else v * 0.0
+        bounds = c @ vhat + r
+        ls = [int(i) for i in np.nonzero(bounds >= tau - BOUND_EPS)[0]]
+        lists.update(ls)
+        rows.extend((int(qid), [float(x) for x in v], l) for l in ls)
+    return rows, sorted(lists)
+
+
 def cosine_threshold_join(
     spark: SparkSession,
     sf_dir: str,
@@ -234,20 +266,9 @@ def cosine_threshold_join(
         )
         probe_lists = None
     else:
-        import numpy as np
-
-        c = np.asarray(centroids, dtype="float64")  # (n_lists, dim)
-        r = np.asarray(radii, dtype="float64")
-        rows = []
-        lists: set[int] = set()
-        for qid, vec in queries:
-            v = np.asarray([float(x) for x in vec], dtype="float64")
-            n = float(np.sqrt((v * v).sum()))
-            vhat = v / n if n > 0 else v * 0.0
-            bounds = c @ vhat + r
-            ls = [int(i) for i in np.nonzero(bounds >= tau - BOUND_EPS)[0]]
-            lists.update(ls)
-            rows.extend((int(qid), [float(x) for x in v], l) for l in ls)
+        rows, probe_lists = qualify_lists_driver_side(
+            centroids, radii, queries, tau
+        )
         qual = F.broadcast(
             spark.createDataFrame(
                 rows, "query_id long, qv array<double>, ivf_list int"
@@ -257,7 +278,6 @@ def cosine_threshold_join(
                 [], "query_id long, qv array<double>, ivf_list int"
             ).withColumn("_qn", F.lit(0.0))
         )
-        probe_lists = sorted(lists)
 
     idx = spark.read.parquet(path)
     if probe_lists is not None:

@@ -150,7 +150,15 @@ class TxTable:
         finally:
             os.unlink(tmp)
         if version > 0 and version % self.CHECKPOINT_INTERVAL == 0:
-            self._write_checkpoint(version)
+            # genuinely best-effort: the manifest link above already
+            # made the commit durable, so a checkpoint-write failure
+            # (ENOSPC, ...) must NOT make a committed transaction look
+            # failed — readers just replay a longer tail until the
+            # next boundary
+            try:
+                self._write_checkpoint(version)
+            except Exception:
+                pass
         return True
 
     def _write_checkpoint(self, version: int) -> None:
@@ -199,6 +207,15 @@ class TxTable:
             start = cps[-1] + 1
         for v in range(start, version + 1):
             m = self._read_manifest(v)
+            if "add" not in m and "files" in m:
+                # legacy round-14 full-file-list manifest: resolving it
+                # as a delta would silently yield an EMPTY file set and
+                # vacuum would then delete live data — fail loudly
+                raise ValueError(
+                    f"manifest {v} under {self.path} uses the legacy "
+                    "full-file-list format; this reader only supports "
+                    "delta manifests (recreate the table)"
+                )
             schema = m.get("schema_ddl", schema)
             for f in m.get("remove", ()):
                 files.pop(f, None)
@@ -295,7 +312,11 @@ class TxTable:
         MANIFEST's schema explicitly (not footer-merged inference), so
         files written before a schema evolution surface the added
         columns as NULL — Delta's read-time reconciliation."""
-        state = self.snapshot(version)
+        return self._read_state(self.snapshot(version))
+
+    def _read_state(self, state: dict) -> DataFrame:
+        """DataFrame over an ALREADY-RESOLVED snapshot state (avoids a
+        second checkpoint+tail replay when the caller holds one)."""
         files = [os.path.join(self.data_dir, f) for f in state["files"]]
         if not files:
             return self.spark.createDataFrame([], state["schema_ddl"])
@@ -362,7 +383,7 @@ class TxTable:
         for _ in range(self.MAX_RETRIES):
             v = self.latest_version()
             base = self._snapshot(v)
-            out = transform(self.read(version=v))
+            out = transform(self._read_state(base))  # one resolution
             files = self._write_data_files(out)
             manifest = self._build_manifest(
                 op,
@@ -436,6 +457,8 @@ class TxTable:
 
         At 100 TB this is the only affordable ALTER: a rewrite-based
         add would touch every file for a column of NULLs."""
+        from pyspark.sql.types import _parse_datatype_string
+
         for _ in range(self.MAX_RETRIES):
             v = self.latest_version()
             base = self._snapshot(v)
@@ -445,6 +468,20 @@ class TxTable:
             dupes = existing & set(cols)
             if dupes:
                 raise ValueError(f"columns already exist: {sorted(dupes)}")
+            new_ddl = base["schema_ddl"] + "".join(
+                f", {name} {typ}" for name, typ in cols.items()
+            )
+            # validate BEFORE commit: a typo'd type or a name with a
+            # comma would otherwise corrupt schema_ddl permanently and
+            # surface as a parse error on every later read
+            try:
+                parsed = _parse_datatype_string(new_ddl)
+            except Exception as e:
+                raise ValueError(f"invalid column definition: {e}") from None
+            if len(parsed.fields) != len(existing) + len(cols):
+                raise ValueError(
+                    f"column names/types must be single identifiers: {cols}"
+                )
             manifest = self._build_manifest(
                 "add_columns",
                 add=[],
@@ -452,9 +489,7 @@ class TxTable:
                 base_state=base,
                 read_version=v,
             )
-            manifest["schema_ddl"] = base["schema_ddl"] + "".join(
-                f", {name} {typ}" for name, typ in cols.items()
-            )
+            manifest["schema_ddl"] = new_ddl
             if self._try_commit(v + 1, manifest):
                 return v + 1
         raise CommitConflict(f"add_columns lost {self.MAX_RETRIES} races")
@@ -650,14 +685,25 @@ def txn_append(tab: TxTable, df: DataFrame, app_id: str, txn_version: int) -> in
     one of themselves — the put-if-absent claim serializes them and
     the loser's re-check sees the winner's txn marker. The check reads
     the merged per-app high-water map every manifest carries (one JSON
-    read), not the whole log — the r14 advice's O(V²) fix."""
-    files = tab._write_data_files(df)
-    for _ in range(TxTable.MAX_RETRIES):
+    read), not the whole log — the r14 advice's O(V²) fix. The first
+    check runs BEFORE the data-file write, so a replayed batch (the
+    common restart case) skips the whole parquet write instead of
+    leaving a full batch of garbage for vacuum."""
+
+    def _is_replay() -> tuple[bool, int, dict]:
         v = tab.latest_version()
         base = tab._snapshot(v)
         hw = base["txns"].get(app_id)
-        if hw is not None and int(hw) >= int(txn_version):
-            return None  # replay — already committed
+        return (hw is not None and int(hw) >= int(txn_version)), v, base
+
+    replay, _, _ = _is_replay()
+    if replay:
+        return None  # replay — skip the write entirely
+    files = tab._write_data_files(df)
+    for _ in range(TxTable.MAX_RETRIES):
+        replay, v, base = _is_replay()
+        if replay:
+            return None  # lost a race to a twin writer — already in
         manifest = tab._build_manifest(
             "append",
             add=files,
@@ -947,7 +993,10 @@ class StatsTxTable(TxTable):
                 0,
                 total,
             )
-        df = self.spark.read.parquet(
+        # pin the manifest schema like read(): a schema-evolved table's
+        # pre-evolution files would otherwise make footer inference
+        # drop the added columns nondeterministically
+        df = self.spark.read.schema(state["schema_ddl"]).parquet(
             *[os.path.join(self.data_dir, f) for f in keep]
         ).filter(cond)
         return df, len(keep), total

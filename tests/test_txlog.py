@@ -688,3 +688,65 @@ def test_registered_schema_evolution_query_structure(spark, sf_dir):
     assert rows[3]["n_discount"] > rows[2]["n_discount"]  # update filled NULLs
     after = set(glob.glob(os.path.join(tempfile.gettempdir(), "txlog_se_*")))
     assert after <= before
+
+
+def test_add_columns_invalid_type_rejected_before_commit(spark, tmp_path):
+    """A typo'd type or a malformed name must fail BEFORE commit —
+    otherwise schema_ddl is corrupted and every later read throws far
+    from the cause (r15 review finding)."""
+    tab = _mk(spark, tmp_path)
+    with pytest.raises(ValueError):
+        tab.add_columns({"x": "dobule"})
+    with pytest.raises(ValueError):
+        tab.add_columns({"x, y": "double"})
+    assert tab.latest_version() == 0  # nothing committed
+    assert tab.read().columns == ["k", "v"]
+
+
+def test_txn_replay_skips_data_write(spark, tmp_path):
+    """A replayed txn_append must not write any data files (r15 review
+    finding: the pre-write high-water check)."""
+    from etl_generator_demo_spark.sources.txlog import txn_append
+
+    tab = _mk(spark, tmp_path, rows=[(0, 0)])
+    df = spark.createDataFrame([(1, 1)], "k long, v long")
+    txn_append(tab, df, "app", 1)
+    n_files_before = len(os.listdir(tab.data_dir))
+    assert txn_append(tab, df, "app", 1) is None
+    assert len(os.listdir(tab.data_dir)) == n_files_before  # no garbage
+
+
+def test_legacy_full_list_manifest_fails_loudly(spark, tmp_path):
+    """A round-14-format manifest (full 'files' list, no deltas) must
+    raise, not silently resolve to an empty table that vacuum would
+    then destroy (r15 review finding)."""
+    import json as _json
+
+    tab = _mk(spark, tmp_path)
+    m = tab._read_manifest(0)
+    legacy = {"op": "create", "files": m["add"], "schema_ddl": m["schema_ddl"]}
+    with open(tab._manifest_path(0), "w") as fh:
+        _json.dump(legacy, fh)
+    with pytest.raises(ValueError, match="legacy"):
+        tab.read()
+
+
+def test_read_range_pins_evolved_schema(spark, tmp_path):
+    """read_range over a schema-evolved table must surface the added
+    column deterministically (r15 review finding: footer inference
+    could drop it when sampling a pre-evolution file)."""
+    from etl_generator_demo_spark.sources.txlog import StatsTxTable
+
+    path = str(tmp_path / "t")
+    StatsTxTable.create(
+        spark, path, spark.createDataFrame([(k, k) for k in range(50)], "k long, v long")
+    )
+    tab = StatsTxTable(spark, path, stat_cols=["k"])
+    tab.add_columns({"w": "double"})
+    tab.append(
+        spark.createDataFrame([(100, 1, 2.5)], "k long, v long, w double")
+    )
+    out, _, _ = tab.read_range("k", 0, 200)
+    assert out.columns == ["k", "v", "w"]
+    got = {r["k"]: r["w"] for r in out.collect()}
+    assert got[100] == 2.5 and got[0] is None

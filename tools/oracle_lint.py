@@ -51,9 +51,6 @@ AGG_RE = re.compile(
     r"\b(" + "|".join(FLOAT_AGGS) + r"|COUNT|COUNT_IF|MIN|MAX)\s*\(", re.I
 )
 FLOOR_RE = re.compile(r"\b(FLOOR|ROUND|CEIL|CEILING)\s*\(", re.I)
-#: CAST ... AS <integer type> anywhere inside an aggregate's argument
-#: marks it integral (the scaled-BIGINT idiom).
-INT_CAST_RE = re.compile(r"\bAS\s+U?(?:BIG|SMALL|TINY|HUGE)?INT(?:EGER)?\b", re.I)
 
 
 def _balanced_arg(s: str, open_idx: int) -> str:

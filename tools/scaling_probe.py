@@ -596,10 +596,10 @@ def clustered_ball_bound_arm(spark, scratch: str) -> list[dict]:
     from pyspark.sql import functions as F
 
     from etl_generator_demo_spark.operators.cosine_threshold import (
-        BOUND_EPS,
         COS_IVF_LISTS,
         cosine_threshold_join,
         ensure_cosine_ivf_index,
+        qualify_lists_driver_side,
     )
     from etl_generator_demo_spark.operators.similarity import (
         _as_double,
@@ -642,19 +642,13 @@ def clustered_ball_bound_arm(spark, scratch: str) -> list[dict]:
             ).repartition(max(1, n // 25_000)).write.mode("overwrite").parquet(
                 emb_path
             )
-        # build outside the timed region; centroids/radii also give the
-        # lists-read count via the same driver-side qualification math
+        # build outside the timed region; the lists-read count comes
+        # from the OPERATOR'S OWN qualification helper, so the probe
+        # reports exactly what the pruned scan will read
         _path, centroids, radii = ensure_cosine_ivf_index(spark, tier_dir)
-        c = np.asarray(centroids)
-        r = np.asarray(radii)
-        lists_read = set()
-        for _qid, vec in queries:
-            v = np.asarray(vec)
-            vhat = v / np.linalg.norm(v)
-            bounds = c @ vhat + r
-            lists_read.update(
-                int(i) for i in np.nonzero(bounds >= tau_e6 / 1e6 - BOUND_EPS)[0]
-            )
+        _rows, lists_read = qualify_lists_driver_side(
+            centroids, radii, queries, tau_e6 / 1e6
+        )
 
         def pruned_run() -> int:
             return cosine_threshold_join(spark, tier_dir, queries, tau_e6).count()
