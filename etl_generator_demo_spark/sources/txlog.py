@@ -739,6 +739,87 @@ def txlog_stream_sink(table_path: str, app_id: str):
     return write_batch
 
 
+def read_increment(
+    tab: TxTable, version: int, allow_changes: bool = False
+) -> DataFrame:
+    """Rows ADDED by commit ``version`` — the micro-batch a streaming
+    consumer of the table sees (Delta's streaming-source semantics:
+    each commit's add-list is one batch, read in O(new files) without
+    ever rescanning the table; this is what the delta manifests buy a
+    downstream pipeline). A commit that REMOVES files (update/delete/
+    merge/overwrite/optimize) is not expressible as an append-only
+    increment, so it raises — Delta's streaming source fails the same
+    way unless ``ignoreChanges`` is set; ``allow_changes=True`` mirrors
+    that escape hatch and yields just the commit's added rows."""
+    m = tab._read_manifest(version)
+    if m.get("remove") and not allow_changes:
+        raise ValueError(
+            f"commit {version} ({m.get('op')}) rewrites files; an "
+            "append-only increment cannot represent it (pass "
+            "allow_changes=True to read only its additions)"
+        )
+    state = tab._snapshot(version)  # schema as-of the commit
+    files = [os.path.join(tab.data_dir, f) for f in m.get("add", ())]
+    if not files:
+        return tab.spark.createDataFrame([], state["schema_ddl"])
+    return tab.spark.read.schema(state["schema_ddl"]).parquet(*files)
+
+
+def _incremental_read_oracle() -> str:
+    """DuckDB computes each micro-batch's aggregate from the slice
+    DEFINITION; the Spark side must reconstruct the same numbers from
+    the manifests' add-lists alone. A consumer that re-read old files
+    (double count) or missed an increment would flip the hash."""
+    return """
+    SELECT CAST(b AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_price_e2
+    FROM (SELECT o_orderkey % 4 AS b, o_totalprice FROM orders)
+    GROUP BY b
+    ORDER BY version
+    """
+
+
+@register(
+    "st_txlog_incremental_read",
+    oracle=_incremental_read_oracle(),
+    survey_ids=("§2.11", "D1", "S9"),
+)
+def st_txlog_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The READ half of the streaming-lakehouse loop (the write half is
+    st_txlog_exactly_once): `orders` lands in the txlog as four
+    append commits, and a downstream consumer reads each commit's
+    increment from the manifest's add-list — O(that commit's files)
+    per batch, never a table rescan — producing one rollup row per
+    version. DuckDB recomputes each batch from its slice definition,
+    so a consumer that double-read or skipped an increment flips the
+    hash. This is exactly how an incremental pipeline (or a streaming
+    source over the table) tails the log at 100 TB: the delta
+    manifests make "what changed since version v" a metadata lookup.
+
+    Same eager-rollup + rmtree discipline as the sibling txlog
+    queries."""
+    from etl_generator_demo_spark.operators.relational import t
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = tempfile.mkdtemp(prefix="txlog_ir_")
+    shutil.rmtree(path)
+    try:
+        tab = TxTable.create(spark, path, o.filter(F.col("o_orderkey") % 4 == 0))
+        for b in (1, 2, 3):
+            tab.append(o.filter(F.col("o_orderkey") % 4 == b))
+        rows = []
+        for v in range(tab.latest_version() + 1):
+            n, s = _version_rollup(read_increment(tab, v))
+            rows.append((v, n, s))
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version long, n_rows long, sum_price_e2 long"
+    ).orderBy("version")
+
+
 def optimize_txtable(tab: TxTable, target_files: int = 1) -> int:
     """OPTIMIZE (compaction) as an ordinary commit: rewrite the latest
     snapshot into ``target_files`` files and commit the new manifest —

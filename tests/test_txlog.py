@@ -750,3 +750,40 @@ def test_read_range_pins_evolved_schema(spark, tmp_path):
     assert out.columns == ["k", "v", "w"]
     got = {r["k"]: r["w"] for r in out.collect()}
     assert got[100] == 2.5 and got[0] is None
+
+
+# --- round 15: incremental (streaming-source) reads of the log --------------
+
+
+def test_read_increment_per_commit(spark, tmp_path):
+    """Each commit's increment is exactly its added rows; the union of
+    increments reconstructs the snapshot; a rewrite commit raises
+    unless allow_changes (Delta streaming-source semantics)."""
+    from etl_generator_demo_spark.sources.txlog import read_increment
+
+    tab = _mk(spark, tmp_path)  # v0: k in 0..9
+    tab.append(spark.createDataFrame([(20, 1), (21, 1)], "k long, v long"))
+    tab.append(spark.createDataFrame([(30, 2)], "k long, v long"))
+    assert sorted(r["k"] for r in read_increment(tab, 0).collect()) == list(range(10))
+    assert sorted(r["k"] for r in read_increment(tab, 1).collect()) == [20, 21]
+    assert read_increment(tab, 2).count() == 1
+    total = sum(read_increment(tab, v).count() for v in range(3))
+    assert total == tab.read().count()
+    tab.delete("k = 30")  # v3: a rewrite
+    with pytest.raises(ValueError, match="rewrites files"):
+        read_increment(tab, 3)
+    # the escape hatch yields only the rewrite's additions
+    assert read_increment(tab, 3, allow_changes=True).count() == tab.read().count()
+
+
+def test_registered_incremental_read_structure(spark, sf_dir):
+    import glob
+
+    from etl_generator_demo_spark.sources.txlog import st_txlog_incremental_read
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "txlog_ir_*")))
+    rows = st_txlog_incremental_read(spark, sf_dir).collect()
+    assert [r["version"] for r in rows] == [0, 1, 2, 3]
+    assert all(r["n_rows"] > 0 for r in rows)
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "txlog_ir_*")))
+    assert after <= before

@@ -958,6 +958,10 @@ EXPECTATIONS: dict[str, dict] = {
     # per-version rollups run eagerly; returned plan is the collected
     # rows + one output sort
     "d_txlog_schema_evolution": {"max_exchanges": 1},
+    # r15: incremental (streaming-source) reads of the commit log —
+    # four append writes + four add-list-only batch rollups run
+    # eagerly; returned plan is the collected rows + one output sort
+    "st_txlog_incremental_read": {"max_exchanges": 1},
     # exact two-phase ball-bound top-k: phase-2 scan carries a literal
     # ivf_list partition filter and compiles to TakeOrderedAndProject
     "x3_exact_topk_indexed": {

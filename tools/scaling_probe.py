@@ -352,6 +352,10 @@ QUERIES = [
     # O(1) by design; total cost is the create/append/update writes +
     # four snapshot rollups; expect ~linear in the orders relation.
     "d_txlog_schema_evolution",
+    # r15: incremental reads tail the log's add-lists — each batch is
+    # O(its own files); total cost is the four append writes + four
+    # increment rollups; expect ~linear in the orders relation.
+    "st_txlog_incremental_read",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -522,6 +526,7 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "st_txlog_exactly_once",
         "d_txlog_file_skipping",
         "d_txlog_schema_evolution",
+        "st_txlog_incremental_read",
     ],
 }
 
