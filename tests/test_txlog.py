@@ -787,3 +787,41 @@ def test_registered_incremental_read_structure(spark, sf_dir):
     assert all(r["n_rows"] > 0 for r in rows)
     after = set(glob.glob(os.path.join(tempfile.gettempdir(), "txlog_ir_*")))
     assert after <= before
+
+
+def test_concurrent_appends_across_checkpoint_boundary(spark, tmp_path):
+    """Unsynchronized writers racing THROUGH a checkpoint boundary:
+    versions stay dense, no rows are lost, the boundary checkpoint
+    exists, and post-boundary snapshots resolve identically through
+    the checkpoint and through a pure-delta replay."""
+    interval = TxTable.CHECKPOINT_INTERVAL
+    tab = _mk(spark, tmp_path, rows=[(0, 0)])
+    # advance to just below the boundary, then race 6 writers past it
+    for i in range(1, interval - 2):
+        tab.append(spark.createDataFrame([(i, i)], "k long, v long"))
+    errs = []
+
+    def writer(i):
+        try:
+            TxTable(spark, str(tmp_path / "t")).append(
+                spark.createDataFrame([(1000 + i, i)], "k long, v long")
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(6)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    assert tab.latest_version() == interval + 3  # dense through the boundary
+    assert tab._checkpoint_versions() == [interval]
+    assert tab.read().count() == 1 + (interval - 3) + 6  # no lost rows
+    # checkpoint-resolved state == pure-delta ground truth at latest
+    state: dict[str, None] = {}
+    for w in range(tab.latest_version() + 1):
+        m = tab._read_manifest(w)
+        for f in m.get("remove", ()):
+            state.pop(f, None)
+        for f in m.get("add", ()):
+            state.setdefault(f, None)
+    assert tab.snapshot()["files"] == list(state)
