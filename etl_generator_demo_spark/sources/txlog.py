@@ -130,7 +130,19 @@ class TxTable:
 
     def _read_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as fh:
-            return json.load(fh)
+            m = json.load(fh)
+        if "add" not in m and "files" in m:
+            # legacy round-14 full-file-list manifest: resolving it as
+            # a delta would silently yield an EMPTY file set (vacuum
+            # would then delete live data), and history() would report
+            # a table of empty commits — fail loudly at EVERY reader
+            # (r15 advice: the check lived only in _snapshot before)
+            raise ValueError(
+                f"manifest {version} under {self.path} uses the legacy "
+                "full-file-list format; this reader only supports "
+                "delta manifests (recreate the table)"
+            )
+        return m
 
     def _try_commit(self, version: int, manifest: dict) -> bool:
         """Atomic put-if-absent of the version file. True = won. The
@@ -154,11 +166,23 @@ class TxTable:
             # made the commit durable, so a checkpoint-write failure
             # (ENOSPC, ...) must NOT make a committed transaction look
             # failed — readers just replay a longer tail until the
-            # next boundary
+            # next boundary. Still warn (r15 advice): a PERSISTENT
+            # checkpoint bug would otherwise silently degrade every
+            # reader to full-log replay forever.
             try:
                 self._write_checkpoint(version)
-            except Exception:
-                pass
+            except Exception as exc:
+                import warnings
+
+                warnings.warn(
+                    f"TxTable checkpoint write failed at version "
+                    f"{version} under {self.path} "
+                    f"({type(exc).__name__}: {exc}); commit is durable, "
+                    "readers replay a longer manifest tail until the "
+                    "next checkpoint boundary",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
         return True
 
     def _write_checkpoint(self, version: int) -> None:
@@ -206,16 +230,7 @@ class TxTable:
             schema = cp["schema_ddl"]
             start = cps[-1] + 1
         for v in range(start, version + 1):
-            m = self._read_manifest(v)
-            if "add" not in m and "files" in m:
-                # legacy round-14 full-file-list manifest: resolving it
-                # as a delta would silently yield an EMPTY file set and
-                # vacuum would then delete live data — fail loudly
-                raise ValueError(
-                    f"manifest {v} under {self.path} uses the legacy "
-                    "full-file-list format; this reader only supports "
-                    "delta manifests (recreate the table)"
-                )
+            m = self._read_manifest(v)  # raises on legacy manifests
             schema = m.get("schema_ddl", schema)
             for f in m.get("remove", ()):
                 files.pop(f, None)
@@ -465,9 +480,16 @@ class TxTable:
             existing = {
                 p.partition(" ")[0] for p in base["schema_ddl"].split(", ")
             }
-            dupes = existing & set(cols)
+            # case-INSENSITIVE duplicate check (r15 advice): Spark's
+            # default analyzer resolves columns case-insensitively, so
+            # adding 'V' to a table with 'v' would commit a schema
+            # under which every later reference is ambiguous —
+            # permanent corruption the pre-commit validation exists
+            # to prevent
+            existing_ci = {e.lower() for e in existing}
+            dupes = sorted(c for c in cols if c.lower() in existing_ci)
             if dupes:
-                raise ValueError(f"columns already exist: {sorted(dupes)}")
+                raise ValueError(f"columns already exist: {dupes}")
             new_ddl = base["schema_ddl"] + "".join(
                 f", {name} {typ}" for name, typ in cols.items()
             )
@@ -758,11 +780,16 @@ def read_increment(
             "append-only increment cannot represent it (pass "
             "allow_changes=True to read only its additions)"
         )
-    state = tab._snapshot(version)  # schema as-of the commit
+    # schema as-of the commit comes from the manifest ITSELF (every
+    # manifest carries schema_ddl) — resolving a full snapshot just for
+    # the schema would make tailing the log O(checkpoint + interval
+    # manifests) per batch instead of O(this commit's files) (r15
+    # advice)
+    schema = m["schema_ddl"]
     files = [os.path.join(tab.data_dir, f) for f in m.get("add", ())]
     if not files:
-        return tab.spark.createDataFrame([], state["schema_ddl"])
-    return tab.spark.read.schema(state["schema_ddl"]).parquet(*files)
+        return tab.spark.createDataFrame([], schema)
+    return tab.spark.read.schema(schema).parquet(*files)
 
 
 def _incremental_read_oracle() -> str:

@@ -825,3 +825,91 @@ def test_concurrent_appends_across_checkpoint_boundary(spark, tmp_path):
         for f in m.get("add", ()):
             state.setdefault(f, None)
     assert tab.snapshot()["files"] == list(state)
+
+
+# ---------------------------------------------------------------------------
+# round 16: advice fixes
+# ---------------------------------------------------------------------------
+
+
+def test_add_columns_duplicate_case_insensitive(spark, tmp_path):
+    """Spark's default analyzer resolves columns case-insensitively,
+    so add_columns({'V': ...}) on a table with 'v' must reject — a
+    commit would make every later reference to v ambiguous (r15
+    advice: the old check compared case-sensitively and let it
+    through)."""
+    tab = _mk(spark, tmp_path)
+    with pytest.raises(ValueError, match="already exist"):
+        tab.add_columns({"V": "double"})
+    with pytest.raises(ValueError, match="already exist"):
+        tab.add_columns({"K": "double", "fresh": "double"})
+    # nothing committed by the failed attempts
+    assert tab.latest_version() == 0
+
+
+def test_history_rejects_legacy_manifest(spark, tmp_path):
+    """history() on a legacy full-file-list manifest fails loudly like
+    _snapshot does, instead of reporting a table of 0-add/0-remove
+    commits (r15 advice)."""
+    import json as _json
+
+    tab = _mk(spark, tmp_path)
+    m = tab._read_manifest(0)
+    legacy = {"op": "create", "files": m["add"], "schema_ddl": m["schema_ddl"]}
+    with open(tab._manifest_path(0), "w") as fh:
+        _json.dump(legacy, fh)
+    with pytest.raises(ValueError, match="legacy"):
+        tab.history()
+
+
+def test_checkpoint_write_failure_warns_but_commit_survives(
+    spark, tmp_path, monkeypatch
+):
+    """A checkpoint-write failure at the boundary emits a RuntimeWarning
+    (r15 advice: a persistent _write_checkpoint bug was silently
+    degrading readers to full-log replay) while the commit itself stays
+    durable and readable."""
+    tab = _mk(spark, tmp_path, rows=[(0, 0)])
+
+    def boom(version):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(tab, "_write_checkpoint", boom)
+    interval = TxTable.CHECKPOINT_INTERVAL
+    for i in range(1, interval):
+        tab.append(spark.createDataFrame([(i, i)], "k long, v long"))
+    with pytest.warns(RuntimeWarning, match="checkpoint write failed"):
+        v = tab.append(
+            spark.createDataFrame([(interval, interval)], "k long, v long")
+        )
+    assert v == interval  # the boundary commit landed despite the failure
+    assert tab._checkpoint_versions() == []  # no checkpoint materialized
+    assert tab.read().count() == interval + 1  # full-log replay still correct
+
+
+def test_read_increment_does_not_resolve_snapshots(spark, tmp_path, monkeypatch):
+    """Tailing the log is O(that commit's files): read_increment takes
+    the schema from the commit's own manifest and must NOT resolve a
+    full snapshot per version (r15 advice: the old spelling paid a
+    checkpoint load + tail replay per batch)."""
+    from etl_generator_demo_spark.sources.txlog import read_increment
+
+    tab = _mk(spark, tmp_path)
+    tab.append(spark.createDataFrame([(20, 1), (21, 1)], "k long, v long"))
+    tab.add_columns({"w": "double"})
+    tab.append(
+        spark.createDataFrame([(30, 1, 1.5)], "k long, v long, w double")
+    )
+
+    def no_snapshot(version):  # pragma: no cover - failure path
+        raise AssertionError("read_increment resolved a snapshot")
+
+    monkeypatch.setattr(tab, "_snapshot", no_snapshot)
+    assert sorted(r["k"] for r in read_increment(tab, 1).collect()) == [20, 21]
+    # post-evolution increment carries the evolved schema from ITS manifest
+    inc3 = read_increment(tab, 3)
+    assert "w" in inc3.columns
+    assert inc3.count() == 1
+    # metadata-only commit yields an empty increment with the new schema
+    inc2 = read_increment(tab, 2)
+    assert inc2.count() == 0 and "w" in inc2.columns
