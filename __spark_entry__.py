@@ -85,10 +85,12 @@ _R4_MARQUEE = (
 #: driver's 50-slot sample just below never-green queries — a green
 #: row for code that has since changed is not a regression guard.
 _REWRITTEN_SINCE_GREEN = (
-    # r14's seven rewrites all re-greened in CORRECTNESS_r14 — cleared.
-    # r15: eager per-version rollups + scratch-table cleanup (r14
-    # advice tmpdir fix) over the new delta-manifest/checkpoint log
-    "d_txlog_time_travel",
+    # r15's txlog rewrite (d_txlog_time_travel) re-greened in
+    # CORRECTNESS_r15 — cleared.
+    # r16: candidate-join size gate in verified_neardup_pairs (r15
+    # verdict item 1) — warm small-SF plan is unchanged (broadcast
+    # tier), but the code is new since the r13 green
+    "x2_neardup_verified",
 )
 
 

@@ -437,28 +437,55 @@ def x2_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_fingerprints(corpus_shingles(spark, sf_dir)).orderBy("doc_id")
 
 
+#: Candidate-pair relations broadcast only below this row count. Pairs
+#: are two longs (~16 B/row), so 2M rows is tens of MB in an executor —
+#: same order as similarity.BROADCAST_VECTORS_MAX_ROWS. Above it the
+#: verify tier falls back to shuffle (sort-merge) joins: candidate
+#: mass scales with the corpus's DUPLICATE mass (real web crawls run
+#: 30-50% dup rates), so at 100 TB these relations are corpus-scale
+#: and a forced broadcast is a driver/executor OOM, not a slow plan
+#: (r15 verdict item 1).
+BROADCAST_CANDIDATES_MAX_ROWS = 2_000_000
+
+
 def verified_neardup_pairs(
-    docs: DataFrame, id_col: str = "doc_id", threshold: float = 0.5
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    broadcast_candidates: bool | None = None,
 ) -> DataFrame:
     """The composed 100 TB near-dup pipeline: LSH candidate pairs →
     exact Jaccard computed ONLY over candidate documents. The
     inverted-index join runs on the shingles of docs that appear in
-    some candidate pair (a left-semi prune — at scale that set is
-    orders of magnitude smaller than the corpus), and its output is
-    reduced to the candidate pairs themselves before scoring, so no
-    non-candidate pair is ever materialized."""
+    some candidate pair (a left-semi prune), and its output is reduced
+    to the candidate pairs themselves before scoring, so no
+    non-candidate pair is ever materialized.
+
+    The candidate-side join strategy is SIZED, not hard-coded (the
+    similarity.py rejoin discipline): the pair relation is already
+    materialized by the localCheckpoint, so its EXACT row count is one
+    cheap job, and the broadcast hints are only applied under
+    ``BROADCAST_CANDIDATES_MAX_ROWS`` — above that every candidate
+    join runs as a keyed shuffle join (hint("merge"), so Catalyst's
+    static size stats cannot silently re-broadcast), which is the
+    dup-heavy 100 TB shape. Pass ``broadcast_candidates`` to force
+    either plan."""
     cand = lsh_candidate_pairs(
         minhash_signatures(doc_shingles(docs, id_col=id_col, distinct=False), id_col=id_col)
     ).localCheckpoint(eager=True)  # consumed twice (doc prune + pair filter):
     # materialize the candidate pairs once instead of re-running the
     # whole shingle->minhash->band pipeline per consumer
+    if broadcast_candidates is None:
+        # count of an eagerly-checkpointed relation: no recompute
+        broadcast_candidates = cand.count() <= BROADCAST_CANDIDATES_MAX_ROWS
+    _side = F.broadcast if broadcast_candidates else (lambda df: df.hint("merge"))
     cand_docs = (
         cand.select(F.col("doc_a").alias(id_col))
         .union(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
     sh = doc_shingles(docs, id_col=id_col).join(
-        F.broadcast(cand_docs), id_col, "left_semi"
+        _side(cand_docs), id_col, "left_semi"
     )
     card = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("card"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -468,15 +495,15 @@ def verified_neardup_pairs(
         .select(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .join(F.broadcast(cand), ["doc_a", "doc_b"], "left_semi")
+        .join(_side(cand), ["doc_a", "doc_b"], "left_semi")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     ca = card.select(F.col(id_col).alias("doc_a"), F.col("card").alias("card_a"))
     cb = card.select(F.col(id_col).alias("doc_b"), F.col("card").alias("card_b"))
     return (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        inter.join(_side(ca), "doc_a")
+        .join(_side(cb), "doc_b")
         .withColumn(
             "jaccard",
             F.col("inter").cast("double")
