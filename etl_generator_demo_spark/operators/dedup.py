@@ -35,6 +35,9 @@ from etl_generator_demo_spark.operators.relational import t
 from etl_generator_demo_spark.registry import register
 
 from etl_generator_demo_spark.operators._fallback import (
+    check_forced as _check_forced,
+)
+from etl_generator_demo_spark.operators._fallback import (
     warn_fallback_once as _warn_fallback_once,
 )
 
@@ -197,6 +200,7 @@ def corpus_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unavailable. Same md5 family either way — hash-exact vs the
     DuckDB oracles."""
     try:
+        _check_forced("corpus_candidate_pairs")
         from etl_generator_demo_spark.operators.dedup_incremental import (
             ensure_full_band_index,
         )
@@ -223,6 +227,7 @@ def corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash path keeps its own ``distinct=False`` pipeline inside the
     band index (min() is duplicate-invariant; see `banded_keys`)."""
     try:
+        _check_forced("corpus_shingles")
         from etl_generator_demo_spark.operators.dedup_incremental import (
             ensure_shingle_index,
         )

@@ -368,6 +368,9 @@ def _bucket_assignments(spark: SparkSession, sf_dir: str, emb: DataFrame) -> Dat
     built (e.g. an unwritable cache root) — same assignments, computed
     inline."""
     try:
+        from etl_generator_demo_spark.operators._fallback import check_forced
+
+        check_forced("similarity._bucket_assignments")
         from etl_generator_demo_spark.operators.ann_index import ensure_lsh_index
 
         path = ensure_lsh_index(spark, sf_dir, NEARDUP_TABLES, NEARDUP_PLANES)

@@ -22,6 +22,19 @@ sys.path.insert(0, "/root/repo")
 
 EXPECTATIONS: dict[str, dict] = {
     # name -> {max_exchanges, min_broadcast, pushed_filters}
+    #
+    # Cache-state-aware budgets (round 16, VERDICT r15 item 2): a
+    # query served from a persisted index (shingle store / band index
+    # / LSH bucket index) has FEWER shuffles warm than when the
+    # ``operators/_fallback`` inline pipeline fires (index
+    # unavailable or mid-rebuild — the state that produced the r5 and
+    # r15 WARNs under contention). Entries may carry
+    # ``max_exchanges_cold`` / ``min_broadcast_cold`` for the inline
+    # state; the audit detects which state each plan was actually
+    # built in (fallback-event diff), applies that state's budget, and
+    # prints the state. ``--cold`` forces the inline state for all
+    # three fallback sites so the cold budgets are auditable
+    # deterministically.
     "q1_pricing_summary": {"max_exchanges": 2, "pushed": True},
     "q2_revenue_by_segment": {"max_exchanges": 4, "min_broadcast": 1},
     "q3_revenue_by_nation": {"max_exchanges": 2, "min_broadcast": 3},
@@ -1136,16 +1149,25 @@ def unbounded_global_windows(plan: str) -> list[str]:
     return bad
 
 
-def audit(name: str, plan: str, exp: dict) -> list[str]:
+def audit(name: str, plan: str, exp: dict, cold: bool = False) -> list[str]:
     problems = []
     n_ex = len(re.findall(r"Exchange (?:hash|range|SinglePartition)", plan))
     # BroadcastNestedLoopJoin is the broadcast form for non-equi joins
     # (e.g. the batched-retrieval bounded fan-out)
     n_bc = plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin")
-    if "max_exchanges" in exp and n_ex > exp["max_exchanges"]:
-        problems.append(f"{n_ex} shuffles (budget {exp['max_exchanges']})")
-    if exp.get("min_broadcast", 0) > n_bc:
-        problems.append(f"only {n_bc} broadcast joins (need {exp['min_broadcast']})")
+    # cache-state-aware budgets: the inline-fallback plan legitimately
+    # carries its ingest shuffles; audit it against ITS pin
+    max_ex = exp.get("max_exchanges")
+    min_bc = exp.get("min_broadcast", 0)
+    if cold:
+        max_ex = exp.get("max_exchanges_cold", max_ex)
+        min_bc = exp.get("min_broadcast_cold", min_bc)
+    if max_ex is not None and n_ex > max_ex:
+        problems.append(
+            f"{n_ex} shuffles (budget {max_ex}, {'cold' if cold else 'warm'})"
+        )
+    if min_bc > n_bc:
+        problems.append(f"only {n_bc} broadcast joins (need {min_bc})")
     if exp.get("pushed") and "PushedFilters: [" not in plan.replace("PushedFilters: []", ""):
         problems.append("no pushed filters reached the scan")
     if exp.get("take_ordered") and "TakeOrderedAndProject" not in plan:
@@ -1205,9 +1227,22 @@ def main() -> int:
         help="audit every registered query (generic checks apply even "
         "without an EXPECTATIONS entry); default audits EXPECTATIONS only",
     )
+    ap.add_argument(
+        "--cold",
+        action="store_true",
+        help="force the persisted-index FALLBACK (inline) pipelines via "
+        "SPARK_GRAFT_FORCE_FALLBACK and audit against the *_cold budgets "
+        "— the deterministic spelling of the index-unavailable state",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
+    import os
+
+    if args.cold:
+        os.environ["SPARK_GRAFT_FORCE_FALLBACK"] = "1"
+
+    from etl_generator_demo_spark.operators import _fallback
     from etl_generator_demo_spark.registry import load_all
     from etl_generator_demo_spark.session import get_spark
 
@@ -1221,17 +1256,22 @@ def main() -> int:
         return 2
     bad = 0
     for name in names:
+        ev0 = _fallback.events()
         df = registry[name].fn(spark, args.sf)
         df.collect()  # AQE finalizes (and codegen-wraps) the plan only on execution
         plan = df._jdf.queryExecution().executedPlan().toString()
         # executed AdaptiveSparkPlan prints Final AND Initial subtrees;
         # audit only the final one
         plan = plan.split("== Initial Plan ==")[0]
-        problems = audit(name, plan, EXPECTATIONS.get(name, {}))
+        # a fallback event during THIS query's build/run means its plan
+        # is the inline (cold) shape — audit it against the cold budget
+        cold = args.cold or _fallback.events() > ev0
+        problems = audit(name, plan, EXPECTATIONS.get(name, {}), cold=cold)
         n_ex = len(re.findall(r"Exchange (?:hash|range|SinglePartition)", plan))
         codegen_stages = len(set(re.findall(r"\*\((\d+)\)", plan)))
         summary = (
-            f"shuffles={n_ex} bcast={plan.count('BroadcastHashJoin')} "
+            f"state={'cold' if cold else 'warm'} shuffles={n_ex} "
+            f"bcast={plan.count('BroadcastHashJoin')} "
             f"smj={plan.count('SortMergeJoin')} codegen_stages={codegen_stages}"
         )
         if problems:
