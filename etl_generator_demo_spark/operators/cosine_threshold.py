@@ -92,6 +92,8 @@ def ensure_cosine_ivf_index(
     sf_dir: str,
     n_lists: int = COS_IVF_LISTS,
     seed: int = 42,
+    corpus_fn=None,
+    variant: str = "",
 ) -> tuple[str, list[list[float]], list[float]]:
     """Build (once per corpus fingerprint) the normalized-space IVF
     layout with per-list ball radii; return (path, centroids, radii).
@@ -104,11 +106,19 @@ def ensure_cosine_ivf_index(
     brute tier (`try_divide` -> NULL -> filtered).
 
     Warm calls read two small JSON files; the parquet is partitioned
-    by ``ivf_list`` so queries can prune at the directory level."""
+    by ``ivf_list`` so queries can prune at the directory level.
+
+    ``corpus_fn(spark, sf_dir) -> DataFrame`` (round 16) indexes a
+    DERIVED corpus (columns vec_id + embedding) instead of the
+    embeddings table, cached under its own ``variant`` tag — a
+    callable, not a DataFrame, so a warm call never even constructs
+    the derivation plan. The cache key still carries the fixture
+    fingerprint, so reseeds rebuild derived indexes too."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    path = _index_dir(sf_dir, "cosivf", f"l{n_lists}")
+    tag = f"l{n_lists}" + (f"_{variant}" if variant else "")
+    path = _index_dir(sf_dir, "cosivf", tag)
     cj = os.path.join(path, "_CENTROIDS.json")
     rj = os.path.join(path, "_RADII.json")
     if _is_built(path) and os.path.exists(cj) and os.path.exists(rj):
@@ -118,7 +128,7 @@ def ensure_cosine_ivf_index(
             radii = json.load(fh)
         return path, centroids, radii
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = corpus_fn(spark, sf_dir) if corpus_fn else t(spark, sf_dir, "embeddings")
     v = _as_double("embedding")
     nrm = _norm(v)
     vhat = F.transform(v, lambda x: F.coalesce(F.try_divide(x, nrm), F.lit(0.0)))
@@ -204,6 +214,8 @@ def cosine_threshold_join(
     tau_e6: int,
     corpus_filter=None,
     n_lists: int = COS_IVF_LISTS,
+    corpus_fn=None,
+    variant: str = "",
 ) -> DataFrame:
     """EXACT radius search: every (corpus vec, query) pair with
     ``floor(cosine * 1e6) >= tau_e6``, served from the ball-bounded
@@ -241,7 +253,9 @@ def cosine_threshold_join(
     k-means fit on first touch, two small JSON reads warm) — the same
     eager cost every sibling ANN query pays (`ivf_probe_topk`,
     `lsh_probe_batch_topk`)."""
-    path, centroids, radii = ensure_cosine_ivf_index(spark, sf_dir, n_lists)
+    path, centroids, radii = ensure_cosine_ivf_index(
+        spark, sf_dir, n_lists, corpus_fn=corpus_fn, variant=variant
+    )
     tau = tau_e6 / 1e6
 
     if isinstance(queries, DataFrame):
@@ -703,3 +717,121 @@ def x3_exact_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         exclude_ids=(0,),
     ).select("vec_id", "cosine")
+
+
+# ---------------------------------------------------------------------------
+# ball-bound pruning on CLUSTERED data, driver-visible (round 16)
+# ---------------------------------------------------------------------------
+
+#: Deterministic clustered-corpus derivation (r15 verdict item 5): the
+#: uniform fixture embeddings give ball radii ~1.0, so the registered
+#: radius search prunes nothing at fixture shape and the r15 clustered
+#: evidence lived only in the probe harness. This derivation builds a
+#: REALISTICALLY CLUSTERED corpus in-plan from the same fixtures —
+#: every vector is shrunk toward its cluster anchor (anchor g = the
+#: raw embedding of vec_id g, cluster of v = vec_id % G) — with
+#: arithmetic expressible identically in DuckDB, so the pruned index
+#: answer is hash-verified against brute force over the same derived
+#: corpus. ALPHA = 0.25 is a power-of-two fraction: bit-exact in both
+#: engines, no decimal-literal conversion concerns.
+CLUSTERED_G = 8
+CLUSTERED_ALPHA = 0.25
+CLUSTERED_TAU_E6 = 800_000
+
+
+def clustered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, embedding) with embedding = anchor + ALPHA * (v -
+    anchor): G tight clusters around the first G raw embeddings.
+    Same-cluster cosines land ~0.97, cross-cluster near 0 — the
+    geometry real embedding corpora have and the uniform fixture
+    lacks."""
+    emb = t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < CLUSTERED_G).select(
+        F.col("vec_id").alias("_g"), _as_double("embedding").alias("_a")
+    )
+    return (
+        emb.withColumn("_g", F.col("vec_id") % CLUSTERED_G)
+        .join(F.broadcast(anchors), "_g")
+        .select(
+            "vec_id",
+            F.zip_with(
+                F.col("_a"),
+                _as_double("embedding"),
+                lambda a, x: a + F.lit(CLUSTERED_ALPHA) * (x - a),
+            ).alias("embedding"),
+        )
+    )
+
+
+@register(
+    "x3_radius_search_clustered",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    a AS (SELECT vec_id AS g, v AS av FROM e WHERE vec_id < {CLUSTERED_G}),
+    c AS (
+        SELECT e.vec_id,
+               LIST_TRANSFORM(
+                   GENERATE_SERIES(1, LEN(e.v)),
+                   i -> a.av[i] + CAST({CLUSTERED_ALPHA} AS DOUBLE)
+                        * (e.v[i] - a.av[i])
+               ) AS cv
+        FROM e JOIN a ON e.vec_id % {CLUSTERED_G} = a.g
+    ),
+    q AS (SELECT cv AS qv FROM c WHERE vec_id = 0),
+    s AS (
+        SELECT vec_id,
+               CAST(FLOOR(LIST_DOT_PRODUCT(cv, qv)
+                    / (SQRT(LIST_DOT_PRODUCT(cv, cv))
+                       * SQRT(LIST_DOT_PRODUCT(qv, qv)))
+                    * 1000000) AS BIGINT) AS cos_e6
+        FROM c, q WHERE vec_id <> 0
+    )
+    SELECT vec_id, cos_e6, TRUE AS pruned_some FROM s
+    WHERE cos_e6 >= {CLUSTERED_TAU_E6}
+    ORDER BY vec_id
+    """,
+    survey_ids=("X3",),
+)
+def x3_radius_search_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ball-bound pruning made DRIVER-VISIBLE on clustered data (r15
+    verdict item 5): the radius search runs over the deterministic
+    clustered corpus (`clustered_corpus` — derived in-plan from the
+    fixture embeddings, identically in DuckDB) through its own
+    persisted ball-bounded IVF index, and the ``pruned_some`` column
+    pins ``lists_read < lists_total`` INTO THE HASH — if ball-bound
+    pruning ever stops firing on clustered geometry (radii blow up,
+    qualification breaks), every row flips FALSE against the oracle's
+    TRUE and the driver row goes red. The hit set itself stays
+    hash-exact vs brute force because the bound provably drops no hit
+    (module docstring).
+
+    The query vector is the derived vector of vec_id 0, which equals
+    its own anchor (shrink of a point toward itself), i.e. the raw
+    embedding of vec 0 — fetched driver-side at plan time like every
+    sibling ANN query. The qualified-list count comes from
+    ``qualify_lists_driver_side`` — the operator's OWN pruning
+    decision, not a re-derivation."""
+    emb = t(spark, sf_dir, "embeddings")
+    row0 = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row0["embedding"]]
+    _path, centroids, radii = ensure_cosine_ivf_index(
+        spark, sf_dir, corpus_fn=clustered_corpus, variant="clustered"
+    )
+    _rows, probe_lists = qualify_lists_driver_side(
+        centroids, radii, [(0, qv)], CLUSTERED_TAU_E6 / 1e6
+    )
+    pruned_some = len(probe_lists) < len(centroids)
+    pairs = cosine_threshold_join(
+        spark,
+        sf_dir,
+        [(0, qv)],
+        CLUSTERED_TAU_E6,
+        corpus_filter=F.col("vec_id") != 0,
+        corpus_fn=clustered_corpus,
+        variant="clustered",
+    )
+    return (
+        pairs.select(
+            "vec_id", "cos_e6", F.lit(pruned_some).alias("pruned_some")
+        ).orderBy("vec_id")
+    )

@@ -367,3 +367,58 @@ def test_randomized_differential_exactness(spark, tmp_path):
                 f"seed={seed} tau={tau_e6} n_lists={n_lists}: "
                 f"indexed {len(got)} pairs != brute {len(want)}"
             )
+
+
+def test_clustered_radius_search_prunes_and_matches_brute(spark, sf_dir):
+    """Ball-bound pruning must actually FIRE on the derived clustered
+    corpus (lists_read < lists_total — the r15 probe-only evidence,
+    now in-plan) and the pruned hit set must equal the brute-force
+    answer over the same derived corpus exactly (pruning is provably
+    lossless)."""
+    from etl_generator_demo_spark.operators.cosine_threshold import (
+        CLUSTERED_TAU_E6,
+        clustered_corpus,
+        ensure_cosine_ivf_index,
+        qualify_lists_driver_side,
+        x3_radius_search_clustered,
+    )
+    from etl_generator_demo_spark.operators.relational import t
+    from etl_generator_demo_spark.operators.similarity import _as_double, _dot, _norm
+    from pyspark.sql import functions as F
+
+    got = x3_radius_search_clustered(spark, sf_dir).collect()
+    assert got, "clustered same-cluster hits must exist by construction"
+    assert all(r["pruned_some"] for r in got)
+
+    # the operator's own qualification must have pruned lists
+    emb = t(spark, sf_dir, "embeddings")
+    row0 = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    qv = [float(x) for x in row0["embedding"]]
+    _p, centroids, radii = ensure_cosine_ivf_index(
+        spark, sf_dir, corpus_fn=clustered_corpus, variant="clustered"
+    )
+    _rows, lists = qualify_lists_driver_side(
+        centroids, radii, [(0, qv)], CLUSTERED_TAU_E6 / 1e6
+    )
+    assert 0 < len(lists) < len(centroids)
+
+    # brute force over the SAME derived corpus — exact hit parity
+    cc = clustered_corpus(spark, sf_dir).filter(F.col("vec_id") != 0)
+    qlit = F.array(*[F.lit(x) for x in qv])
+    qn = sum(x * x for x in qv) ** 0.5
+    brute = {
+        (r["vec_id"], r["cos_e6"])
+        for r in cc.select(
+            "vec_id",
+            F.floor(
+                _dot(_as_double("embedding"), qlit)
+                / (_norm(_as_double("embedding")) * F.lit(qn))
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("cos_e6"),
+        )
+        .filter(F.col("cos_e6") >= CLUSTERED_TAU_E6)
+        .collect()
+    }
+    assert {(r["vec_id"], r["cos_e6"]) for r in got} == brute

@@ -132,3 +132,48 @@ def test_generate_between_window_and_limit_does_not_excuse():
    +- GlobalLimit 100
       +- FileScan parquet [arr#5]"""
     assert len(unbounded_global_windows(plan)) == 1
+
+
+# ---------------------------------------------------------------------------
+# round 16: cache-state-aware budgets (r15 verdict item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_audit_applies_cold_budget_only_in_cold_state():
+    """A plan over budget warm but within the cold pin must WARN warm
+    and pass cold — the budget is keyed on the state the plan was
+    actually built in."""
+    from plan_audit import audit
+
+    plan = (
+        "*(1) Project\n"
+        "+- Exchange hashpartitioning(a#1, 32)\n"
+        "   +- Exchange hashpartitioning(b#2, 32)\n"
+        "      +- Exchange hashpartitioning(c#3, 32)\n"
+    )
+    exp = {"max_exchanges": 2, "max_exchanges_cold": 3}
+    assert any("3 shuffles" in p for p in audit("q", plan, exp, cold=False))
+    assert audit("q", plan, exp, cold=True) == []
+    # a cold pin is never LOOSER protection than none: without the
+    # cold key the warm budget applies in both states
+    assert any("shuffles" in p for p in audit("q", plan, {"max_exchanges": 2}, cold=True))
+
+
+def test_forced_fallback_env_raises_and_counts(monkeypatch):
+    """SPARK_GRAFT_FORCE_FALLBACK makes check_forced raise (the --cold
+    determinism hook) and every fallback occurrence bumps events() —
+    the counter plan_audit diffs to attribute a fallback to the query
+    whose plan it was building."""
+    import pytest
+
+    from etl_generator_demo_spark.operators import _fallback
+
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_FALLBACK", raising=False)
+    _fallback.check_forced("site")  # no-op when unset
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_FALLBACK", "1")
+    with pytest.raises(_fallback.FallbackForced):
+        _fallback.check_forced("site")
+    n0 = _fallback.events()
+    _fallback.warn_fallback_once("test.site", RuntimeError("x"))
+    _fallback.warn_fallback_once("test.site", RuntimeError("x"))
+    assert _fallback.events() == n0 + 2  # every occurrence, not just first

@@ -97,7 +97,8 @@ EXPECTATIONS: dict[str, dict] = {
     # decode agg: one groupBy exchange + ordered output
     "x5_decode_features": {"max_exchanges": 2},
     # shingle counts + co-keyed join back + per-doc agg + output order
-    "x2_shingle_dup_coverage": {"max_exchanges": 3},
+    # (cold: + the inline Arrow shingling's distinct + ingest shuffle)
+    "x2_shingle_dup_coverage": {"max_exchanges": 3, "max_exchanges_cold": 5},
     # adjacency window + two count aggs + joins back + per-doc agg
     "x4_bigram_lm_quality": {"max_exchanges": 6, "min_broadcast": 1},
     # per-lang count + quota broadcast + md5-rank window + output order
@@ -152,7 +153,7 @@ EXPECTATIONS: dict[str, dict] = {
     "x4_vocab_growth": {"max_exchanges": 4},
     # band join + inverted-index verify + per-bucket agg — the verify
     # tier reuses the shingle relation, so budget covers both chains
-    "x2_lsh_precision_report": {"max_exchanges": 8},
+    "x2_lsh_precision_report": {"max_exchanges": 8, "max_exchanges_cold": 9},
     # one lead() window on the natural key + output ordering
     "d_scd2_user_state": {"max_exchanges": 2, "pushed": True},
     # four stage scalar aggregates over the shared pipeline chain
@@ -204,8 +205,12 @@ EXPECTATIONS: dict[str, dict] = {
     # zero exchanges
     "o_keyset_page": {"max_exchanges": 0, "take_ordered": True},
     # checkpointed shingles feed card + both join sides; inter agg +
-    # direction union + rejoins
-    "x2_shingle_containment_pairs": {"max_exchanges": 5},
+    # direction union + rejoins. Cold budget carries one exchange of
+    # slack over the measured inline-pipeline count (5): the r5/r15
+    # WARNs showed 6 when the shingle store was MID-rebuild under
+    # contention — a state between the two clean audits (r15 verdict
+    # item 2's suggested pin)
+    "x2_shingle_containment_pairs": {"max_exchanges": 5, "max_exchanges_cold": 6},
     # one Arrow encode pass; only the output ordering shuffles
     "x3_pq_codes": {"max_exchanges": 1},
     # sweep-line: session rollup + boundary-merge + curve window + day agg
@@ -232,7 +237,7 @@ EXPECTATIONS: dict[str, dict] = {
     # Catalyst decorrelates LATERAL into the ranked join
     "u_lateral_topn_per_nation": {"max_exchanges": 2, "min_broadcast": 1},
     # first-owner min + co-keyed join back + per-doc agg
-    "x4_shingle_novelty": {"max_exchanges": 3},
+    "x4_shingle_novelty": {"max_exchanges": 3, "max_exchanges_cold": 4},
     # length scan × |caps| explode (map-side) + one grouped agg
     "x4_seqlen_cap_selection": {"max_exchanges": 2},
     # windowed counts + per-window rank + output order
@@ -491,13 +496,17 @@ EXPECTATIONS: dict[str, dict] = {
     "x1_dedup_normalized": {"max_exchanges": 2},
     "x2_cluster_size_histogram": {"max_exchanges": 3},
     "x2_dedup_qa_sample": {"max_exchanges": 4},
-    "x2_minhash_estimate_error": {"max_exchanges": 8},
+    "x2_minhash_estimate_error": {"max_exchanges": 8, "max_exchanges_cold": 9},
     "x2_minhash_lsh_pairs_guarded": {"max_exchanges": 5},
     # shingle-set consumers serve from the persisted distinct-shingle
     # store since r5 (ensure_shingle_index): the Arrow text pass and
     # the distinct shuffle are ingest-time, so warm budgets tightened
-    "x2_ngram_jaccard_pairs": {"max_exchanges": 3, "min_broadcast": 2},
-    "x2_simhash_fingerprints": {"max_exchanges": 2},
+    "x2_ngram_jaccard_pairs": {
+        "max_exchanges": 3,
+        "min_broadcast": 2,
+        "max_exchanges_cold": 6,
+    },
+    "x2_simhash_fingerprints": {"max_exchanges": 2, "max_exchanges_cold": 3},
     "x3_label_centroids": {"max_exchanges": 4},
     "x3_quantize_int8": {"max_exchanges": 1},
     "x4_balanced_sample_per_lang": {"max_exchanges": 2},
@@ -698,7 +707,11 @@ EXPECTATIONS: dict[str, dict] = {
     "x2_exact_substr_cross_source": {"max_exchanges": 10, "min_broadcast": 7},
     # both pair pipelines + pair-relation full outer (SMJ over pairs,
     # not corpus) + one-row aggregate
-    "x2_dedup_methods_agreement": {"max_exchanges": 12, "min_broadcast": 8},
+    "x2_dedup_methods_agreement": {
+        "max_exchanges": 12,
+        "min_broadcast": 8,
+        "max_exchanges_cold": 15,
+    },
     # spans pipeline + the fp doc-frequency cap aggregate (one extra
     # keyed shuffle + broadcast keep-list)
     "x2_exact_substr_spans_capped": {"max_exchanges": 11, "min_broadcast": 9},
@@ -788,7 +801,11 @@ EXPECTATIONS: dict[str, dict] = {
     "j_bloom_fpr_sweep": {"max_exchanges": 6, "min_broadcast": 2},
     # minhash k sweep: the estimate-error pair build (candidate-
     # restricted exact tier) + one stacked rollup
-    "x2_minhash_k_sweep": {"max_exchanges": 9, "min_broadcast": 4},
+    "x2_minhash_k_sweep": {
+        "max_exchanges": 9,
+        "min_broadcast": 4,
+        "max_exchanges_cold": 10,
+    },
     # QL-Dirichlet: dl rollup + broadcast query stats + tf left join,
     # TakeOrderedAndProject top-k
     "x4_query_likelihood_topk": {"max_exchanges": 4, "min_broadcast": 3,
@@ -981,6 +998,15 @@ EXPECTATIONS: dict[str, dict] = {
         "max_exchanges": 0,
         "partition_pruned_on": "ivf_list",
         "take_ordered": True,
+    },
+    # r16 clustered-arm twin: same static-pruned shape over the
+    # derived clustered corpus's own index; the pruned_some hash pin
+    # is the semantic guard, this pin guards the plan (1 shuffle =
+    # output ordering; broadcast = the 1-row query relation)
+    "x3_radius_search_clustered": {
+        "max_exchanges": 1,
+        "min_broadcast": 1,
+        "partition_pruned_on": "ivf_list",
     },
     # single-query radius search: driver-side qualification -> LITERAL
     # ivf_list partition filter (static sibling of the DPP path)

@@ -356,6 +356,13 @@ QUERIES = [
     # O(its own files); total cost is the four append writes + four
     # increment rollups; expect ~linear in the orders relation.
     "st_txlog_incremental_read",
+    # r16: ball-bound pruning on the derived clustered corpus — the
+    # pruned-scan query itself should stay near-flat (lists read is
+    # geometry-dependent, not N-dependent); total cost is dominated
+    # by the first-touch index build (k-means + partitioned write,
+    # ~linear), re-paid per tier because each tier is its own corpus
+    # fingerprint.
+    "x3_radius_search_clustered",
 ]
 
 #: Probe-completeness contract, pinned by tests/test_registry.py:
@@ -527,6 +534,9 @@ ROUND_REGISTRATIONS: dict[int, list[str]] = {
         "d_txlog_file_skipping",
         "d_txlog_schema_evolution",
         "st_txlog_incremental_read",
+    ],
+    16: [
+        "x3_radius_search_clustered",
     ],
 }
 
