@@ -101,3 +101,28 @@ def test_true_float_accumulation_is_flagged():
     assert _sites("SELECT ROUND(SUM(price), 2) FROM t")
     assert _sites("SELECT FLOOR(AVG(lp) * 10000) FROM t")
     assert _sites("SELECT FLOOR(STDDEV_SAMP(price) * 100) FROM t")
+
+
+def test_suggestions_steer_to_scaled_bigint(monkeypatch):
+    """Every flag carries a concrete integer-exact rewrite (round 16,
+    r15 verdict item 7): scaled-BIGINT SUM for SUM/ROUND sites, the
+    // COUNT spelling for AVG, and the integer-moment-sums
+    decomposition for moment aggregates (which have no single-call
+    exact respelling)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from oracle_lint import scan_oracle, suggest_rewrite
+
+    (s,) = scan_oracle("SELECT ROUND(SUM(a * (1 - b)), 2) AS r FROM t", set())
+    sug = suggest_rewrite(s)
+    assert "SUM(CAST(FLOOR((a * (1 - b)) * 100) AS BIGINT))" in sug
+    assert "BEFORE the sum" in sug
+
+    (s,) = scan_oracle("SELECT FLOOR(AVG(lp) * 10000) AS alp FROM t", set())
+    sug = suggest_rewrite(s)
+    assert "SUM(CAST(FLOOR((lp) * 10000) AS BIGINT)) // COUNT(lp)" in sug
+
+    (s,) = scan_oracle("SELECT FLOOR(STDDEV_SAMP(p) * 100) AS sd FROM t", set())
+    sug = suggest_rewrite(s)
+    assert "moment sums" in sug and "COUNT(*)" in sug

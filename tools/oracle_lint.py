@@ -426,6 +426,8 @@ def scan_oracle(sql: str, base_int_cols: set[str] | None = None) -> list[dict]:
                     "kind": fn,
                     "snippet": re.sub(r"\s+", " ", sql[m.start() : m.end() + min(len(arg) + 1, 120)]).strip(),
                     "aggs": [n for n, _ in floats],
+                    "agg_sites": floats,
+                    "arg": arg,
                 }
             )
     # DuckDB integer division over a float aggregate (g_triangle_count
@@ -442,9 +444,67 @@ def scan_oracle(sql: str, base_int_cols: set[str] | None = None) -> list[dict]:
                     "kind": "//",
                     "snippet": re.sub(r"\s+", " ", sql[max(0, m.start() - 60) : m.start() + 60]).strip(),
                     "aggs": [n for n, _ in floats],
+                    "agg_sites": floats,
+                    "arg": left,
                 }
             )
     return sites
+
+
+#: Aggregates with no integer-exact one-call respelling: suggest the
+#: integer-moment-sums decomposition instead of a scaled single SUM.
+_MOMENT_AGGS = {
+    "STDDEV", "STDDEV_SAMP", "STDDEV_POP", "VARIANCE", "VAR_SAMP",
+    "VAR_POP", "CORR", "COVAR_POP", "COVAR_SAMP", "REGR_SLOPE",
+    "REGR_INTERCEPT",
+}
+
+
+def suggest_rewrite(site: dict) -> str:
+    """The integer-exact respelling for a flagged site (round 16,
+    VERDICT r15 item 7): steer NEW oracles to the scaled-BIGINT
+    spelling at write time instead of allowlisting after. The
+    suggestion must be applied to BOTH the oracle SQL and the Spark
+    query — floor each addend BEFORE the sum so both engines sum
+    identical integers (the SCALE.md reseed-triage class fix)."""
+    # recover the scale: ROUND(expr, d) -> 10^d; FLOOR(expr * K) -> K
+    arg = site.get("arg", "")
+    scale = "1000000 /*pick the metric's grid*/"
+    if site["kind"] == "ROUND":
+        parts = _split_top_level(arg, ",")
+        if len(parts) == 2 and re.fullmatch(r"\d+", parts[1]):
+            scale = str(10 ** int(parts[1]))
+    else:
+        m_scale = re.search(r"\*\s*(\d+(?:_\d+)*)\s*$", arg.strip())
+        if m_scale:
+            scale = m_scale.group(1)
+    name, inner = site.get("agg_sites", [("SUM", "x")])[0]
+    inner = re.split(r"\bORDER\s+BY\b|\bFILTER\b", inner, flags=re.I)[0].strip()
+    inner = re.sub(r"\s+", " ", inner)
+    if len(inner) > 60:
+        inner = inner[:57] + "..."
+    if name in _MOMENT_AGGS:
+        return (
+            f"no single-call integer-exact spelling for {name}; compute it "
+            f"from integer moment sums — n = COUNT(*), s1 = SUM(CAST(FLOOR("
+            f"({inner}) * {scale}) AS BIGINT)), s2 = SUM(CAST(FLOOR(({inner})"
+            f" * {scale}) AS BIGINT) * CAST(FLOOR(({inner}) * {scale}) AS "
+            "BIGINT)) — and assemble the moment from (n, s1, s2) in exact "
+            "integer arithmetic in BOTH engines"
+        )
+    if name in ("AVG", "MEAN"):
+        return (
+            f"SUM(CAST(FLOOR(({inner}) * {scale}) AS BIGINT)) // "
+            f"COUNT({inner}) — floor each addend BEFORE the sum (apply the "
+            "same spelling in the Spark query) so both engines divide "
+            "identical integers"
+        )
+    return (
+        f"SUM(CAST(FLOOR(({inner}) * {scale}) AS BIGINT)) AS <metric>_e"
+        f"{len(scale.split()[0]) - 1} — floor each addend BEFORE the sum "
+        "(apply the same spelling in the Spark query) so both engines sum "
+        "identical integers"
+    )
 
 
 #: (query_name, site_index) -> (snippet_prefix, reason-class). Every
@@ -544,6 +604,7 @@ def main(argv: list[str]) -> int:
                 f"FLAG {name}[{i}] {site['kind']} over float agg "
                 f"{site['aggs']}: {site['snippet'][:140]}"
             )
+            print(f"  SUGGEST: {suggest_rewrite(site)}")
     print(
         f"-- oracle lint: {unexplained} unexplained, {allowed} allowlisted "
         f"over {len(names)} oracles"
