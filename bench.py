@@ -118,6 +118,12 @@ HEADLINE = [
     # prices the commit protocol's streaming write path the way
     # d_txlog_time_travel prices its batch DML path
     "st_txlog_exactly_once",
+    # round-16 headliner: ball-bound-pruned radius search over the
+    # derived clustered corpus (the geometry where IVF pruning pays) —
+    # warm cost is the pruned scan + 1-row broadcast; watch it stay
+    # near-flat while the corpus grows (lists_read is geometry-, not
+    # N-dependent; first touch per fixture pays the index build)
+    "x3_radius_search_clustered",
 ]
 
 #: ROTATION POLICY (round-12, r11 verdict item 7). The primary

@@ -1103,3 +1103,20 @@ def test_threaded_disjoint_range_updates_all_commit(spark, tmp_path):
     assert len(got) == 80
     for k, v in got.items():
         assert v == k * 10 + (k // 20) + 1
+
+
+def test_update_range_touches_only_intersecting_files(spark, tmp_path):
+    """The scoped update's manifest must remove only the zone-map-
+    intersecting files — the property that gives disjoint writers
+    disjoint write sets (8 clustered files, a one-range update should
+    rewrite ~1 of them, and rows outside the range in a touched file
+    survive unchanged)."""
+    tab = _clustered(spark, tmp_path)  # 80 rows, 8 k-ranges
+    n_files_before = len(tab.snapshot()["files"])
+    v = tab.update_range("k", 0, 9, {"v": "v + 1"})
+    m = tab._read_manifest(v)
+    assert 1 <= len(m["remove"]) <= 2  # only the intersecting slice(s)
+    assert len(m["remove"]) < n_files_before
+    got = {r["k"]: r["v"] for r in tab.read().collect()}
+    assert all(got[k] == k * 10 + 1 for k in range(0, 10))
+    assert all(got[k] == k * 10 for k in range(10, 80))
