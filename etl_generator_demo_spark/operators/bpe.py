@@ -115,10 +115,9 @@ def _bpe_oracle() -> str:
     """
 
 
-def bpe_merge_step(s: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """One BPE merge over a (word, wcount, pos, sym) symbol state:
-    returns (winner, next_state). Fully declarative — the 1-row winner
-    broadcasts into the apply pass, so chaining steps builds one plan."""
+def bpe_pair_winner(s: DataFrame) -> DataFrame:
+    """The 1-row winning adjacent pair (x, y, cnt) of one BPE merge
+    round over a (word, wcount, pos, sym) symbol state."""
     w_word = Window.partitionBy("word").orderBy("pos")
     pairs = (
         s.select("sym", "wcount", F.lead("sym").over(w_word).alias("nxt"))
@@ -126,13 +125,30 @@ def bpe_merge_step(s: DataFrame) -> tuple[DataFrame, DataFrame]:
         .groupBy("sym", "nxt")
         .agg(F.sum("wcount").cast("long").alias("cnt"))
     )
-    top = (
+    return (
         pairs.orderBy(F.desc("cnt"), "sym", "nxt")
         .limit(1)
         .select(
             F.col("sym").alias("x"), F.col("nxt").alias("y"), F.col("cnt")
         )
     )
+
+
+def bpe_merge_step(s: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """One BPE merge over a (word, wcount, pos, sym) symbol state:
+    returns (winner, next_state). Fully declarative — the 1-row winner
+    broadcasts into the apply pass, so chaining steps builds one plan.
+    (r16: split into :func:`bpe_pair_winner` + :func:`bpe_merge_step_apply`
+    so callers that materialize the winner can avoid recomputing its
+    window+aggregate subtree in each consumer.)"""
+    top = bpe_pair_winner(s)
+    return top, bpe_merge_step_apply(s, top)
+
+
+def bpe_merge_step_apply(s: DataFrame, top: DataFrame) -> DataFrame:
+    """Apply a (possibly materialized) 1-row winner to the symbol
+    state — the greedy-leftmost merge pass of :func:`bpe_merge_step`."""
+    w_word = Window.partitionBy("word").orderBy("pos")
     m = s.crossJoin(F.broadcast(top)).select(
         "word",
         "wcount",
@@ -176,7 +192,7 @@ def bpe_merge_step(s: DataFrame) -> tuple[DataFrame, DataFrame]:
             .alias("sym"),
         )
     )
-    return top, nxt_state
+    return nxt_state
 
 
 @register(
@@ -212,7 +228,14 @@ def x4_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tops = []
     for k in range(1, BPE_STEPS + 1):
-        top, state = bpe_merge_step(state)
+        # r16 (guide §2.4): materialize the 1-row winner BEFORE the
+        # apply pass. The winner subtree (a window pass + pair
+        # aggregate over the whole symbol state) feeds BOTH the apply
+        # pass's broadcast and the final per-step output row; the r9
+        # spelling recomputed it in each consumer, costing one extra
+        # full window+aggregate pass per step.
+        top = bpe_pair_winner(state).localCheckpoint(eager=True)
+        state = bpe_merge_step_apply(state, top)
         # localCheckpoint: cut the per-step plan growth (the iterative
         # operator discipline) — state is vocabulary-sized
         state = state.localCheckpoint(eager=True)

@@ -215,6 +215,33 @@ def corpus_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
 
+def corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, band_id, band_key)`` for the FULL documents corpus,
+    served from the persisted full band index (`ensure_full_band_index`
+    — the same ingest-time artifact `corpus_candidate_pairs` probes)
+    when warm or buildable: band consumers that need the keyed relation
+    itself (not the self-joined pairs) start from one parquet scan
+    instead of re-running the shingle→minhash→band Arrow pipeline per
+    query (guide §2.4: remove the recompute, reuse the materialized
+    partitioning). Falls back to the inline pipeline when the cache
+    root is unavailable. Same md5 family either way — hash-exact vs
+    the DuckDB oracles."""
+    try:
+        _check_forced("corpus_bands")
+        from etl_generator_demo_spark.operators.dedup_incremental import (
+            ensure_full_band_index,
+        )
+
+        return spark.read.parquet(ensure_full_band_index(spark, sf_dir))
+    except Exception as exc:
+        _warn_fallback_once("corpus_bands", exc)
+        from etl_generator_demo_spark.operators.dedup_incremental import (
+            document_bands,
+        )
+
+        return document_bands(t(spark, sf_dir, "documents"))
+
+
 def corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct ``(doc_id, shingle)`` for the FULL documents corpus,
     served from the persisted shingle store (`ensure_shingle_index` —

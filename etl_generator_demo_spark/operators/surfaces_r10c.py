@@ -179,8 +179,18 @@ def x2_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: every threshold test is an integer cross-multiplication
     ``den·inter ≥ num·(|a|+|b|−inter)`` — no float division anywhere.
     Scale: the intersection relation comes from ONE inverted-index
-    join (never all-pairs; computed once, localCheckpointed), and each
-    threshold row is a pair-relation aggregate."""
+    join (never all-pairs; computed once, localCheckpointed).
+
+    r16 (guide §2.4 fewer passes): the r10 spelling re-aggregated the
+    pair relation EIGHT times (per threshold: one pair count + one
+    endpoint-distinct shuffle). Now all four thresholds are boolean
+    flag columns computed in one projection, so the sweep is exactly
+    TWO aggregates over the checkpointed pairs — one conditional-sum
+    pass for pair counts, one exploded-endpoint groupBy for
+    docs-in-pairs (max(flag) per doc, then conditional sum) — and the
+    four output rows are an inline reshape of the joined 1-row
+    results. Counts are identical: sum(flag) ≡ count(where flag),
+    max(flag) per endpoint ≡ distinct-membership."""
     from .dedup import corpus_shingles
 
     sh = corpus_shingles(spark, sf_dir)
@@ -198,35 +208,63 @@ def x2_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("card", "ca")
         .join(card.withColumnRenamed("doc_id", "doc_b"), "doc_b")
         .withColumnRenamed("card", "cb")
-        .localCheckpoint(eager=True)  # one pair relation, four reads
+        .localCheckpoint(eager=True)  # one pair relation, two reads
     )
-    outs = []
-    for num, den in JACCARD_SWEEP:
-        kept = pairs.filter(
-            den * F.col("inter") >= num * (F.col("ca") + F.col("cb") - F.col("inter"))
+    nums = [num for num, _ in JACCARD_SWEEP]
+    flagged = pairs.select(
+        "doc_a",
+        "doc_b",
+        *[
+            (
+                den * F.col("inter")
+                >= num * (F.col("ca") + F.col("cb") - F.col("inter"))
+            ).alias(f"f{num}")
+            for num, den in JACCARD_SWEEP
+        ],
+    )
+    pair_counts = flagged.agg(
+        *[
+            F.coalesce(F.sum(F.col(f"f{num}").cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"np{num}")
+            for num in nums
+        ]
+    )
+    doc_counts = (
+        flagged.select(
+            F.explode(F.array("doc_a", "doc_b")).alias("d"),
+            *[F.col(f"f{num}") for num in nums],
         )
-        docs = (
-            kept.select(F.col("doc_a").alias("d"))
-            .unionByName(kept.select(F.col("doc_b").alias("d")))
-            .distinct()
+        .groupBy("d")
+        .agg(*[F.max(f"f{num}").alias(f"f{num}") for num in nums])
+        .agg(
+            *[
+                F.coalesce(F.sum(F.col(f"f{num}").cast("long")), F.lit(0))
+                .cast("long")
+                .alias(f"nd{num}")
+                for num in nums
+            ]
         )
-        outs.append(
-            kept.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-            .crossJoin(
-                docs.agg(
-                    F.count(F.lit(1)).cast("long").alias("n_docs_in_pairs")
+    )
+    return (
+        pair_counts.crossJoin(doc_counts)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(num).cast("long").alias("tau_e2"),
+                            F.col(f"np{num}").alias("n_pairs"),
+                            F.col(f"nd{num}").alias("n_docs_in_pairs"),
+                        )
+                        for num in nums
+                    ]
                 )
-            )
-            .select(
-                F.lit(num).cast("long").alias("tau_e2"),
-                "n_pairs",
-                "n_docs_in_pairs",
-            )
+            ).alias("r")
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("tau_e2")
+        .select("r.tau_e2", "r.n_pairs", "r.n_docs_in_pairs")
+        .orderBy("tau_e2")
+    )
 
 
 # ---------------------------------------------------------------------------

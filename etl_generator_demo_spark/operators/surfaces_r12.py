@@ -124,38 +124,51 @@ def x2_removal_rematerialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Composes `x2_dup_span_removal`'s keep-first policy with the
     rebuild: removed POSITIONS are the K-expansion of every non-owner
-    occurrence start, materialized once (≤ K rows per start, distinct)
-    and anti-joined against the token relation — all stages keyed
-    (h, then doc_id) and linear in corpus tokens. The rebuild itself
-    is one per-doc sort inside groupBy (array_sort over collected
-    (pos, tk) structs — partition-order free), so the output is a
-    deterministic function of the corpus under any partitioning.
-    The boundary audit (`x2_rematerialize_boundary_audit`) proves the
-    removal is complete on this exact rebuilt relation."""
+    occurrence start, materialized once (≤ K rows per start, distinct).
+
+    r16 rebuild (guide §8 "decide with small rows, move big rows
+    once"): the r12 spelling exploded the WHOLE corpus into
+    (doc_id, pos, tk) rows, anti-joined the removed positions, and
+    re-aggregated with collect_list — two full shuffles of every
+    corpus token. The decisions, though, are just the removed-position
+    set (doc-keyed and removal-sized); so now only THAT is aggregated
+    (collect_set per doc) and joined back to the document relation,
+    and the rebuild is map-side array arithmetic over the original
+    split: kept positions = array_except(sequence(0, n-1), removed),
+    kept_text = the re-join of those elements. Token bytes never enter
+    an exchange; output is identical row-for-row (array_except is
+    membership-based, so collect_set order cannot matter; a fully
+    removed doc yields size 0 → NULL kept_text, matching the old
+    left-join NULL). The boundary audit
+    (`x2_rematerialize_boundary_audit`) still proves removal
+    completeness on the token relation spelling."""
     docs = t(spark, sf_dir, "documents")
-    kept = rematerialized_tokens(docs)
-    ka = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept_tokens"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tk"))),
-                lambda s: s["tk"],
-            ),
-            " ",
-        ).alias("kept_text"),
+    rem = (
+        removed_positions(_kgrams(docs))
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("_rem"))
     )
-    nt = docs.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    toks = F.split("text", " ")
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("_toks") - 1),
+        F.coalesce(F.col("_rem"), F.array().cast("array<int>")),
     )
+    kept_toks = F.transform(kept_pos, lambda i: F.element_at(F.col("_toks"), i + 1))
     return (
-        nt.join(ka, "doc_id", "left")
+        docs.select("doc_id", toks.alias("_toks"))
+        .join(rem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("n_tokens"),
+            kept_toks.alias("_kept"),
+        )
         .select(
             "doc_id",
             "n_tokens",
-            F.coalesce("n_kept_tokens", F.lit(0)).cast("long").alias(
-                "n_kept_tokens"
+            F.size("_kept").cast("long").alias("n_kept_tokens"),
+            F.when(F.size("_kept") > 0, F.array_join("_kept", " ")).alias(
+                "kept_text"
             ),
-            "kept_text",
         )
         .orderBy("doc_id")
     )
@@ -910,8 +923,35 @@ def x3_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lattice; recall joins the p-ranked lists to the full-dim list on
     (qid, vec_id). Work is NQ·|dims|·corpus — linear in the corpus
     with a 16× constant, never corpus×corpus. Cosines floor to e6
-    before ranking (ties broken by vec_id) for cross-engine parity."""
-    from .similarity import _as_double, cosine
+    before ranking (ties broken by vec_id) for cross-engine parity.
+
+    r16 per-task work (guide §1.2 step 2): the r12 spelling crossJoined
+    the prefix lattice FIRST and re-sliced/re-folded each (vector,
+    query, p) row from scratch — 120 multiply-adds per dot product
+    (8+16+32+64) and the corpus-side norm recomputed per query. Now
+    the four prefix dots/norms CASCADE (the p=16 fold starts from the
+    p=8 partial, exactly the same sequential op order as folding the
+    first 16 elements, so every cosine is bit-identical), corpus-side
+    prefix norms are computed once per vector BEFORE the query
+    crossJoin, query-side norms once per query row before broadcast,
+    and the lattice explode happens AFTER scoring, on the narrow
+    (p, cos6) pairs. Same oracle, ~4× fewer floating-point ops."""
+    from .similarity import _as_double
+
+    def _cascade(arr_col: str, cuts=MRL_PREFIX_DIMS):
+        """Cascaded sequential-fold prefix sums of an array column:
+        sums[i] = fold over elements [1..cuts[i]], each continuing the
+        previous partial — op order identical to a fresh fold."""
+        sums, prev_cut, prev = [], 0, F.lit(0.0)
+        for c in cuts:
+            s = F.aggregate(
+                F.slice(F.col(arr_col), prev_cut + 1, c - prev_cut),
+                prev,
+                lambda acc, v: acc + v,
+            )
+            sums.append(s)
+            prev_cut, prev = c, s
+        return sums
 
     emb = t(spark, sf_dir, "embeddings")
     q = (
@@ -919,26 +959,55 @@ def x3_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv")
         )
+        .withColumn("_qsq", F.transform("qv", lambda x: x * x))
     )
-    ps = spark.createDataFrame([(p,) for p in MRL_PREFIX_DIMS], "p int")
-    scored = (
+    q = q.select(
+        "qid",
+        "qv",
+        *[
+            s.alias(f"_nq{p}")
+            for p, s in zip(MRL_PREFIX_DIMS, _cascade("_qsq"))
+        ],
+    )
+    e = (
         emb.select("vec_id", _as_double("embedding").alias("ev"))
-        .crossJoin(F.broadcast(q))
-        .crossJoin(F.broadcast(ps))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "p",
-            "vec_id",
-            F.floor(
-                cosine(
-                    F.slice(F.col("ev"), 1, F.col("p")),
-                    F.slice(F.col("qv"), 1, F.col("p")),
-                )
-                * 1_000_000
-            ).alias("cos6"),
-        )
+        .withColumn("_esq", F.transform("ev", lambda x: x * x))
     )
+    e = e.select(
+        "vec_id",
+        "ev",
+        *[
+            s.alias(f"_ne{p}")
+            for p, s in zip(MRL_PREFIX_DIMS, _cascade("_esq"))
+        ],
+    )
+    paired = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("_prod", F.zip_with("ev", "qv", lambda x, y: x * y))
+    )
+    dots = _cascade("_prod")
+    cos6 = [
+        F.floor(
+            F.try_divide(
+                d, F.sqrt(F.col(f"_ne{p}")) * F.sqrt(F.col(f"_nq{p}"))
+            )
+            * 1_000_000
+        )
+        for p, d in zip(MRL_PREFIX_DIMS, dots)
+    ]
+    scored = paired.select(
+        "qid",
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(p).cast("int").alias("p"), c.alias("cos6"))
+                    for p, c in zip(MRL_PREFIX_DIMS, cos6)
+                ]
+            )
+        ).alias("_pc"),
+    ).select("qid", F.col("_pc.p").alias("p"), "vec_id", F.col("_pc.cos6").alias("cos6"))
     rk = F.row_number().over(
         Window.partitionBy("qid", "p").orderBy(F.desc("cos6"), "vec_id")
     )
@@ -956,6 +1025,7 @@ def x3_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", "p")
         .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
     )
+    ps = spark.createDataFrame([(p,) for p in MRL_PREFIX_DIMS], "p int")
     lattice = q.select("qid").crossJoin(F.broadcast(ps))
     rec = lattice.join(hits, ["qid", "p"], "left").select(
         "qid", "p", F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits")

@@ -702,15 +702,21 @@ def x4_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     (no corpus self-join at all — cheaper than `x2_neardup_verified`,
     which this otherwise mirrors), and the exact-Jaccard verify runs
     only over candidate (train, eval) pairs, with both shingle sides
-    semi-pruned to candidate docs first."""
-    from .dedup import banded_keys, doc_shingles, minhash_signatures
+    semi-pruned to candidate docs first.
+
+    r16 (guide §2.4): the band and shingle relations are served from
+    the PERSISTED ingest-time indexes (`corpus_bands` /
+    `corpus_shingles` — the artifacts the other x2 queries already
+    probe), with the eval split applied after the scan; both are
+    row-identical to the inline pipelines, so the oracle hash is
+    unchanged. This removes three Arrow `MapInPandas` text passes +
+    two signature groupBys from the query-time plan."""
+    from .dedup import corpus_bands, corpus_shingles
     from .textops import DECONTAM_MOD, DECONTAM_REMAINDER
 
     docs = t(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % DECONTAM_MOD == DECONTAM_REMAINDER
-    bands = banded_keys(
-        minhash_signatures(doc_shingles(docs, distinct=False))
-    )
+    bands = corpus_bands(spark, sf_dir)
     bt = bands.filter(~is_eval).select(
         F.col("doc_id").alias("train_doc"), "band_id", "band_key"
     )
@@ -724,7 +730,7 @@ def x4_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # consumed three times (two doc
         # prunes + the pair filter): materialize once
     )
-    sh = doc_shingles(docs)
+    sh = corpus_shingles(spark, sf_dir)
     sh_t = sh.join(
         F.broadcast(cand.select(F.col("train_doc").alias("doc_id")).distinct()),
         "doc_id",

@@ -380,13 +380,22 @@ def x4_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     benchmark's distinct shingle set BROADCASTS; the corpus side is
     one shingle scan + broadcast-hash semi-match, and the only
     shuffle is the per-doc count aggregation (map-combined). No
-    corpus self-join anywhere."""
-    docs = t(spark, sf_dir, "documents")
+    corpus self-join anywhere.
+
+    r16 (guide §2.4): both shingle relations are served from the
+    PERSISTED shingle index (`corpus_shingles` — the same ingest-time
+    artifact every other exact-tier shingle consumer reads), filtered
+    by the eval split AFTER the scan; shingling is per-doc, so
+    filtering before or after the text pass is row-identical and the
+    oracle hash is unchanged. This removes two Arrow `MapInPandas`
+    text passes (and the doc scan feeding them) from the query-time
+    plan — it is now two parquet scans of the index."""
+    from .dedup import corpus_shingles
+
+    sh = corpus_shingles(spark, sf_dir)
     is_bench = F.col("doc_id") % DECONTAM_MOD == DECONTAM_REMAINDER
-    bench_shingles = (
-        doc_shingles(docs.filter(is_bench)).select("shingle").distinct()
-    )
-    train_shingles = doc_shingles(docs.filter(~is_bench))  # distinct per doc
+    bench_shingles = sh.filter(is_bench).select("shingle").distinct()
+    train_shingles = sh.filter(~is_bench)  # distinct per doc
     return (
         train_shingles.join(F.broadcast(bench_shingles), "shingle")
         .groupBy("doc_id")

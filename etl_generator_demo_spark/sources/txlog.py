@@ -713,7 +713,16 @@ def d_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-parallel parquet scan over the snapshot's file list);
     the scratch table is REMOVED before returning (r14 advice: the
     previous lazy-return spelling leaked ~7 table rewrites under
-    $TMPDIR per invocation across bench/probe repetitions)."""
+    $TMPDIR per invocation across bench/probe repetitions).
+
+    r16 (guide §2.6 overlap independent jobs): the five per-version
+    rollups are independent reads of immutable committed snapshots, so
+    they run from a small thread pool instead of back-to-back — each
+    job's straggler tail back-fills with the next snapshot's tasks.
+    Results are keyed by version and re-sorted, so the output is
+    byte-identical to the sequential spelling."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from etl_generator_demo_spark.operators.relational import t
 
     o = t(spark, sf_dir, "orders").select(
@@ -735,10 +744,13 @@ def d_txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ["o_orderkey"],
         )
-        rows = []
-        for h in tab.history():
+
+        def rollup(h: dict):
             n, s = _version_rollup(tab.read(version=h["version"]))
-            rows.append((h["version"], h["op"], n, s))
+            return (h["version"], h["op"], n, s)
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            rows = sorted(pool.map(rollup, tab.history()))
     finally:
         shutil.rmtree(path, ignore_errors=True)
     return spark.createDataFrame(rows, _TT_RESULT_DDL).orderBy("version")

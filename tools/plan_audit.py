@@ -81,7 +81,12 @@ EXPECTATIONS: dict[str, dict] = {
     "sq_correlated_above_nation_avg": {"max_exchanges": 3},
     # benchmark shingle set must broadcast; shuffles = benchmark
     # distinct + per-doc count + output ordering
-    "x4_decontaminate": {"max_exchanges": 4, "min_broadcast": 1},
+    # r16: served from the persisted shingle index — warm is two
+    # index scans + broadcast semi + per-doc agg (3 shuffles); cold
+    # falls back to the inline Arrow shingle pipeline (one extra
+    # distinct shuffle)
+    "x4_decontaminate": {"max_exchanges": 3, "max_exchanges_cold": 4,
+                         "min_broadcast": 1},
     # query batch broadcasts; one narrow shuffle into the per-query
     # ranking window + output ordering
     "x3_ann_batch_topk": {"max_exchanges": 2, "min_broadcast": 1},
@@ -822,15 +827,20 @@ EXPECTATIONS: dict[str, dict] = {
     # per-n: explode+distinct + broadcast eval semi + per-doc agg,
     # three independent configs unioned
     "x4_decontam_ngram_sweep": {"max_exchanges": 12, "min_broadcast": 3},
-    # one inverted-index pair join behind localCheckpoint; per-tau
-    # pair-relation aggregates + endpoint distinct
-    "x2_jaccard_threshold_sweep": {"max_exchanges": 12, "min_broadcast": 4},
+    # one inverted-index pair join behind localCheckpoint; r16: the
+    # per-tau branches folded into ONE flag projection + two aggregates
+    # (pair-count pass + exploded-endpoint groupBy), so the plan drops
+    # from 12 exchanges / 4 crossJoin broadcasts to 3 shuffles + the
+    # single 1-row crossJoin of the two aggregate rows
+    "x2_jaccard_threshold_sweep": {"max_exchanges": 4, "min_broadcast": 1},
     # score relation behind localCheckpoint; per-tau one aggregate
     "x4_quality_threshold_sweep": {"max_exchanges": 3},
     # --- round 12 ---
     # kgram groupBy(h) + join-back + position explode distinct + anti
     # join + per-doc rebuild agg; dims of the rebuild all broadcast
-    "x2_removal_rematerialize": {"max_exchanges": 5, "min_broadcast": 2},
+    # r16 array-based rebuild: removed positions aggregate (small) +
+    # doc-keyed join back; token bytes never enter an exchange
+    "x2_removal_rematerialize": {"max_exchanges": 4, "min_broadcast": 2},
     # the kept relation feeds a second gram window + dup rollup plus
     # four single-row audits cross-joined (each its own tiny exchange)
     "x2_rematerialize_boundary_audit": {"max_exchanges": 11, "min_broadcast": 3},
@@ -902,7 +912,11 @@ EXPECTATIONS: dict[str, dict] = {
     "st_join_state_ledger": {"max_exchanges": 10, "min_broadcast": 4},
     # minhash/band pipeline + broadcast eval bands + candidate-pruned
     # shingle join + per-train rollup
-    "x4_fuzzy_decontam": {"max_exchanges": 10, "min_broadcast": 5},
+    # r16: bands + shingles served from the persisted indexes — the
+    # three inline Arrow text passes and two signature groupBys drop
+    # out of the warm plan (10 -> 6 shuffles); cold runs them inline
+    "x4_fuzzy_decontam": {"max_exchanges": 6, "max_exchanges_cold": 9,
+                          "min_broadcast": 5},
     # one scan -> bounded per-clip windows -> segment rollup + argmax
     # equi-join back
     "x5_keyframe_selection": {"max_exchanges": 3, "min_broadcast": 1},
@@ -1018,10 +1032,15 @@ EXPECTATIONS: dict[str, dict] = {
     },
     # three contamination tiers + anti-join chain + 4 stage aggregates;
     # eval sides broadcast inside every component
-    "x4_decontam_funnel": {"max_exchanges": 18, "min_broadcast": 8},
+    # r16: exact+fuzzy tiers index-served (see those entries) — warm
+    # funnel 18 -> 14 shuffles; cold = the old inline shape
+    "x4_decontam_funnel": {"max_exchanges": 14, "max_exchanges_cold": 18,
+                           "min_broadcast": 8},
     # same three tiers left-joined onto the train population + the
     # <=7-cell membership groupBy
-    "x4_decontam_tier_overlap": {"max_exchanges": 18, "min_broadcast": 8},
+    "x4_decontam_tier_overlap": {"max_exchanges": 11,
+                                 "max_exchanges_cold": 15,
+                                 "min_broadcast": 8},
     # three pruned+pushed index probes + bounded ranks + 1-row verdicts
     "x3_prefilter_selectivity_sweep": {
         "pushed_in_pruned_scan": ("ivf_list", "label"),
