@@ -8,6 +8,21 @@ The reference keeps one SQLAlchemy engine per process
 process, and all APIs accept an externally-provided session (the
 driver passes its own), so nothing below is load-bearing for
 correctness — only for performance when we own session creation.
+
+r16 (optimization guide §2.2/§9): scale-dependent settings are
+PARAMETERISED instead of constants —
+
+- ``spark.sql.shuffle.partitions`` derives from the core count
+  (1× cores locally, the value the r1-r15 records ran at 32 cores, so
+  the driver's bench stays comparable; AQE coalescing owns the rest).
+  Override with ``SPARK_GRAFT_SHUFFLE_PARTITIONS``; on a real cluster
+  set it to 2-3× total executor cores (or leave AQE's
+  ``coalescePartitions.initialPartitionNum`` to own it).
+- ``spark.sql.join.preferSortMergeJoin=false`` (guide §3.1) was
+  MEASURED and REJECTED — see the inline note below.
+- any ``SPARK_GRAFT_SPARKCONF_<key with _ for .>`` env var is passed
+  through verbatim, so deployment-specific values never need a code
+  edit (the "parameterised, not tuned-to-local[32]" rule).
 """
 
 from __future__ import annotations
@@ -16,29 +31,58 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Sized for the local[32] test rig; on a real cluster these are set per
-# deployment (shuffle.partitions ~= 2-3x total executor cores, AQE
-# coalesces the rest at runtime).
-DEFAULT_CONF: dict[str, str] = {
-    "spark.sql.shuffle.partitions": "32",
-    "spark.sql.adaptive.enabled": "true",
-    "spark.sql.adaptive.coalescePartitions.enabled": "true",
-    "spark.sql.adaptive.skewJoin.enabled": "true",
-    "spark.sql.session.timeZone": "UTC",
-    "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # 10 MB default is conservative; our dims (region/nation/supplier/
-    # part) are far below even at sf100, and broadcasting them removes
-    # the shuffle on the fact-table side entirely.
-    "spark.sql.autoBroadcastJoinThreshold": "64m",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
-    "spark.ui.enabled": "false",
-}
+
+def _shuffle_partitions(cpus: str) -> str:
+    """1× the local core count (the historical local[32] value), env-
+    overridable; non-numeric masters fall back to the r1-r15 constant."""
+    explicit = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if explicit:
+        return explicit
+    return cpus if cpus.isdigit() and int(cpus) > 0 else "32"
+
+
+def _default_conf() -> dict[str, str]:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    conf = {
+        "spark.sql.shuffle.partitions": _shuffle_partitions(cpus),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # 10 MB default is conservative; our dims (region/nation/supplier/
+        # part) are far below even at sf100, and broadcasting them removes
+        # the shuffle on the fact-table side entirely.
+        "spark.sql.autoBroadcastJoinThreshold": "64m",
+        # spark.sql.join.preferSortMergeJoin stays at its default
+        # (true): MEASURED r16 with an in-process interleaved A/B over
+        # the ten join-heaviest headliners (min-of-4 each way, one
+        # JVM, conf flipped between reps) — SHJ total 25.84 s vs SMJ
+        # 24.70 s at sf0.1; SHJ won only x2_dedup_clusters (-0.35 s)
+        # and lost g_hits/funnel/neardup/sessions by more. Flip per
+        # deployment via SPARK_GRAFT_SPARKCONF_* if a cluster's
+        # profile differs.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "spark.ui.enabled": "false",
+    }
+    # e.g. SPARK_GRAFT_SPARKCONF_spark_sql_join_preferSortMergeJoin=true
+    # (case preserved — Spark conf keys are case-sensitive; '_' -> '.')
+    prefix = "SPARK_GRAFT_SPARKCONF_"
+    for k, v in os.environ.items():
+        if k.startswith(prefix) and v:
+            conf[k[len(prefix):].replace("_", ".")] = v
+    return conf
+
+
+#: Materialized once at import for introspection/tests; get_spark()
+#: re-reads the environment so test fixtures can override per-process.
+DEFAULT_CONF: dict[str, str] = _default_conf()
 
 
 def get_spark(app_name: str = "etl-generator-demo-spark") -> SparkSession:
     """Build (or reuse) the process SparkSession."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
-    for k, v in DEFAULT_CONF.items():
+    for k, v in _default_conf().items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
