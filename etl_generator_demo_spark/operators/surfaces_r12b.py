@@ -714,7 +714,6 @@ def x4_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import corpus_bands, corpus_shingles
     from .textops import DECONTAM_MOD, DECONTAM_REMAINDER
 
-    docs = t(spark, sf_dir, "documents")
     is_eval = F.col("doc_id") % DECONTAM_MOD == DECONTAM_REMAINDER
     bands = corpus_bands(spark, sf_dir)
     bt = bands.filter(~is_eval).select(
@@ -748,9 +747,13 @@ def x4_fuzzy_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_doc", "eval_doc")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    card = docs.select("doc_id").join(
-        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("card")), "doc_id"
-    )
+    # cardinalities stay a ONE-scan full-corpus aggregate (map-combined,
+    # doc-count-sized shuffle) broadcast to both join sides. The
+    # tempting "aggregate the pruned sh_t/sh_e instead" was tried r16
+    # and reverted: those subtrees are map-side-only (scan + broadcast
+    # semi), so a second consumer re-reads the index — 4 scans replace
+    # 3 and the warm plan grows a shuffle.
+    card = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("card"))
     ct = card.select(F.col("doc_id").alias("train_doc"), F.col("card").alias("card_t"))
     ce = card.select(F.col("doc_id").alias("eval_doc"), F.col("card").alias("card_e"))
     j = (
