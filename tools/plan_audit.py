@@ -736,7 +736,12 @@ EXPECTATIONS: dict[str, dict] = {
     "x4_item_item_recs": {"max_exchanges": 9, "min_broadcast": 3},
     # HITS: per-sweep shuffles behind localCheckpoint; visible tail is
     # the two 10-row tops union (the WCC/BPE pattern)
-    "g_hits_bipartite": {"max_exchanges": 0},
+    # r16: the per-sweep checkpoint moved to the RAW aggregate-join
+    # output, so the final plan normalizes lazily — the two 1-row
+    # total aggregates (one per side) are the only exchanges left in
+    # the collected plan; the sweep work itself lives in the
+    # checkpoint jobs as before
+    "g_hits_bipartite": {"max_exchanges": 2},
     # Bellman-Ford rounds behind localCheckpoint; visible tail is the
     # bucket histogram
     "g_sssp_weighted": {"max_exchanges": 2},
