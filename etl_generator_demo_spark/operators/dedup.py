@@ -270,8 +270,21 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact shingle-set Jaccard via inverted-index join: only pairs
     sharing >=1 shingle are scored. `jaccard` is an int/int IEEE
-    division — bit-identical across engines, no rounding needed."""
-    card = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("card"))
+    division — bit-identical across engines, no rounding needed.
+
+    The per-doc cardinality relation is joined on BOTH endpoints, so
+    as two plan subtrees it is computed once only when AQE's exchange
+    reuse wins a best-effort stage-cache race — the r15/r16 plan-audit
+    WARNs (4 shuffles vs 3, +1 codegen stage, broadcasts unchanged)
+    were that race losing under box contention. Materializing it once
+    with an eager localCheckpoint (n_docs × 16 B — tiny) makes the
+    single computation DETERMINISTIC and drops both aggregate subtrees
+    from the visible plan (guide §2.4: two consumers, one exchange)."""
+    card = (
+        shingles.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("card"))
+        .localCheckpoint(eager=True)
+    )
     a, b = shingles.alias("a"), shingles.alias("b")
     inter = (
         a.join(b, "shingle")

@@ -34,11 +34,15 @@ from pyspark.sql import SparkSession
 
 def _shuffle_partitions(cpus: str) -> str:
     """1× the local core count (the historical local[32] value), env-
-    overridable; non-numeric masters fall back to the r1-r15 constant."""
+    overridable; the default ``*`` master derives from the machine's
+    actual core count (r16 ADVICE: the old constant-32 fallback meant
+    the unset-env path was NOT core-derived as documented)."""
     explicit = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     if explicit:
         return explicit
-    return cpus if cpus.isdigit() and int(cpus) > 0 else "32"
+    if cpus.isdigit() and int(cpus) > 0:
+        return cpus
+    return str(os.cpu_count() or 32)
 
 
 def _default_conf() -> dict[str, str]:
@@ -66,11 +70,14 @@ def _default_conf() -> dict[str, str]:
         "spark.ui.enabled": "false",
     }
     # e.g. SPARK_GRAFT_SPARKCONF_spark_sql_join_preferSortMergeJoin=true
-    # (case preserved — Spark conf keys are case-sensitive; '_' -> '.')
+    # (case preserved — Spark conf keys are case-sensitive; '_' -> '.',
+    # and '__' -> a literal '_' for the rare spark.hadoop.*/vendor keys
+    # that genuinely contain underscores — r16 ADVICE)
     prefix = "SPARK_GRAFT_SPARKCONF_"
     for k, v in os.environ.items():
         if k.startswith(prefix) and v:
-            conf[k[len(prefix):].replace("_", ".")] = v
+            key = k[len(prefix):].replace("__", "\0").replace("_", ".")
+            conf[key.replace("\0", "_")] = v
     return conf
 
 

@@ -505,11 +505,16 @@ EXPECTATIONS: dict[str, dict] = {
     "x2_minhash_lsh_pairs_guarded": {"max_exchanges": 5},
     # shingle-set consumers serve from the persisted distinct-shingle
     # store since r5 (ensure_shingle_index): the Arrow text pass and
-    # the distinct shuffle are ingest-time, so warm budgets tightened
+    # the distinct shuffle are ingest-time, so warm budgets tightened.
+    # r17: the per-doc cardinality relation is localCheckpointed (it
+    # fed both endpoint joins; AQE exchange reuse deduped it only when
+    # a best-effort stage-cache race won — the r15/r16 contention WARNs
+    # were that race losing), so the warm plan drops to 2 visible
+    # shuffles DETERMINISTICALLY; cold keeps the inline shingle pass.
     "x2_ngram_jaccard_pairs": {
-        "max_exchanges": 3,
+        "max_exchanges": 2,
         "min_broadcast": 2,
-        "max_exchanges_cold": 6,
+        "max_exchanges_cold": 4,
     },
     "x2_simhash_fingerprints": {"max_exchanges": 2, "max_exchanges_cold": 3},
     "x3_label_centroids": {"max_exchanges": 4},

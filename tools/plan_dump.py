@@ -1,8 +1,10 @@
 """Dump `explain("formatted")` for headline queries to plans/<tag>/.
 
 Usage:
-    python tools/plan_dump.py before [query ...]   # -> plans/r16/<q>_before.txt
-    python tools/plan_dump.py after  [query ...]   # -> plans/r16/<q>_after.txt
+    python tools/plan_dump.py before [query ...]   # -> plans/$ROUND/<q>_before.txt
+    python tools/plan_dump.py after  [query ...]   # -> plans/$ROUND/<q>_after.txt
+
+The round directory defaults to r17; override with SPARK_GRAFT_PLAN_ROUND.
 
 With no query names, dumps every bench.py HEADLINE entry. The judge
 reads these files to check plan claims (Exchange counts, join
@@ -21,7 +23,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ROUND = "r16"
+ROUND = os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r17")
 
 
 def main() -> None:

@@ -721,6 +721,92 @@ def clustered_ball_bound_arm(spark, scratch: str) -> list[dict]:
     return out
 
 
+#: Cores arm (r17; VERDICT r16 item 6): the heaviest shuffle-heavy
+#: bench headliners, timed on the LARGEST buildable fixture (the
+#: 10x-sf0.1 synth tier ≈ sf1) at two core counts, so per-core
+#: scale-out is a measured number instead of an inference from plan
+#: shapes. sf0.1 itself cannot show scale-out (every headliner is
+#: flat-to-faster at 8 cores there — fixed per-task and job overheads
+#: dominate a 17 MB fixture). Exclusions, with reasons:
+#: - x3_neardup_lsh_bucketed: the synth tier's replica embeddings are
+#:   bit-identical, so the candidate-pair relation inflates ~100x and
+#:   the run measures that data shape (also makes it minutes-long);
+#:   its scale-out proxy here is x2_removal_rematerialize (same
+#:   index-scan + wide-shuffle family on the perturbed TEXT corpus).
+#: - st_txlog_exactly_once / d_txlog_time_travel: wall clock is 4-5
+#:   sequential driver-side commit protocols (fsync + manifest link),
+#:   not cluster work — a cores ratio would measure the protocol.
+CORES_ARM_QUERIES = [
+    "x4_decontam_funnel",
+    "g_hits_bipartite",
+    "x2_removal_rematerialize",
+    "x2_jaccard_threshold_sweep",
+    "x4_bpe_merge_steps",
+]
+
+
+def cores_arm_single(spark, scratch: str, names: list[str]) -> dict:
+    """Time ``names`` on the synth tier at THIS process's core count
+    (min-of-2, noop sink for corpus-sized outputs — same methodology
+    as the main probe). Emits one JSON object on stdout."""
+    from etl_generator_demo_spark.registry import load_all
+
+    registry = load_all()
+    timings = {}
+    for name in names:
+        fn = registry[name].fn
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, scratch)
+            if name in NOOP_SINK:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.collect()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 2)
+        print(f"  cores-arm @{spark.sparkContext.master}: {name} {best:.2f}s",
+              file=sys.stderr)
+    return {
+        "master": spark.sparkContext.master,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "timings": timings,
+    }
+
+
+def cores_arm(scratch: str, cores: list[int], names: list[str]) -> dict:
+    """Spawn one child probe per core count (a JVM's master is fixed
+    for its lifetime) and merge sec@low vs sec@high + ratios."""
+    import subprocess
+
+    per_cores: dict[str, dict[str, float]] = {}
+    for n in cores:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+        cmd = [
+            sys.executable, os.path.abspath(__file__),
+            "--cores-arm-single", "--scratch", scratch, "--names", *names,
+        ]
+        out = subprocess.run(
+            cmd, env=env, capture_output=True, text=True, check=True
+        )
+        per_cores[str(n)] = json.loads(out.stdout.strip().splitlines()[-1])[
+            "timings"
+        ]
+        print(f"  cores-arm: {n} cores done", file=sys.stderr)
+    lo, hi = str(min(cores)), str(max(cores))
+    ratios = {
+        q: round(per_cores[lo][q] / per_cores[hi][q], 2)
+        for q in names
+        if per_cores[hi].get(q)
+    }
+    return {
+        "tier": "sf1-synth(10x-sf0.1)",
+        "cores": cores,
+        "sec_at": per_cores,
+        "speedup_low_to_high": ratios,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scratch", default="/tmp/sf1x10")
@@ -740,7 +826,36 @@ def main() -> None:
         action="store_true",
         help="run ONLY the clustered ball-bound pruning arm",
     )
+    ap.add_argument(
+        "--cores-arm",
+        action="store_true",
+        help="run ONLY the cores scale-out arm (spawns one child probe "
+        "per core count on the synth tier; r17)",
+    )
+    ap.add_argument(
+        "--cores-arm-single",
+        action="store_true",
+        help="internal: one child of --cores-arm at $SPARK_GRAFT_CPUS",
+    )
+    ap.add_argument(
+        "--cores", nargs="*", type=int, default=[8, 32],
+        help="core counts for --cores-arm (default 8 32)",
+    )
     args = ap.parse_args()
+
+    if args.cores_arm:
+        names = args.names if args.names else CORES_ARM_QUERIES
+        arm = cores_arm(args.scratch, args.cores, names)
+        if args.merge:
+            with open(args.merge) as fh:
+                prior = json.load(fh)
+            prior["cores_scaling"] = arm
+            with open(args.merge, "w") as fh:
+                json.dump(prior, fh)
+            print(f"merged cores arm into {args.merge}", file=sys.stderr)
+        else:
+            print(json.dumps({"cores_scaling": arm}))
+        return
 
     from etl_generator_demo_spark.registry import load_all
     from etl_generator_demo_spark.session import get_spark
@@ -748,6 +863,13 @@ def main() -> None:
     spark = get_spark("scaling-probe")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
+
+    if args.cores_arm_single:
+        print("synthesizing 10x tier (one-time)...", file=sys.stderr)
+        synthesize_10x(spark, "/root/testdata/sf0.1", args.scratch)
+        names = args.names if args.names else CORES_ARM_QUERIES
+        print(json.dumps(cores_arm_single(spark, args.scratch, names)))
+        return
 
     if args.clustered_arm:
         arm = clustered_ball_bound_arm(spark, args.scratch)

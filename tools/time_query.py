@@ -31,7 +31,14 @@ def main() -> None:
     spark = get_spark("time-query")
     spark.sparkContext.setLogLevel("ERROR")
     registry = load_all()
-    registry["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.001").collect()
+    # JVM warm-up on the smallest available fixture (r16 ADVICE: the
+    # hard-coded sf0.001 path crashed on layouts without it); fall back
+    # to sf_dir itself, and skip warm-up when nothing is readable.
+    warm_dir = os.environ.get("SPARK_GRAFT_TQ_WARM_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    if os.path.isdir(warm_dir):
+        registry["q1_pricing_summary"].fn(spark, warm_dir).collect()
     bench._warm_indexes(spark, sf_dir)
 
     for name in names:
