@@ -430,9 +430,13 @@ def embedding_neardup_pairs(
     - bucketing is served from the PERSISTED LSH index when warm (a
       column-pruned parquet scan — see ``_bucket_assignments``), with
       an Arrow numpy-matmul fallback computed inline;
-    - the candidate ``distinct`` is over the NARROW (vec_a, vec_b) id
-      pair only — carrying the two 64-dim vectors through that shuffle
-      (the naive plan) moves ~1 KB/row instead of 16 B/row;
+    - cross-table candidate dedup is PLACED by the rejoin sizing (r17):
+      broadcast plan = dedup after the cosine filter (output-sized; the
+      map-side pipeline runs exchange-free end to end), shuffle plan =
+      ``distinct`` over the NARROW (vec_a, vec_b) id pair BEFORE the
+      rejoin (the candidate relation crosses two exchanges there, so
+      the dup factor would be paid twice — and carrying the two 64-dim
+      vectors through it would move ~1 KB/row instead of 16 B/row);
     - vectors are joined back AFTER dedup, and the exact re-rank is a
       second vectorized numpy stage. The rejoin strategy is SIZED, not
       hard-coded: broadcasting the whole embeddings table is only legal
@@ -452,8 +456,20 @@ def embedding_neardup_pairs(
         a.join(b, ["lsh_table", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
-        .distinct()
     )
+    # Cross-table dedup placement is SIZED like the rejoin (r17, guide
+    # §2.4): on the broadcast plan the candidate `distinct` was the ONLY
+    # exchange between the index scan and the cosine stage — dropping it
+    # fuses bucket join → rejoin → Arrow cosine into one map-side stage
+    # and dedups AFTER the >0.4 filter instead (output-sized: ~690 rows
+    # vs 811k candidates at sf0.1; measured in-process A/B min 1.24 s vs
+    # 2.44 s). Duplicate pairs from different tables carry bit-identical
+    # cosines (same vectors, same floor), so distinct-on-output ≡
+    # distinct-on-candidates. On the 100 TB shuffle-fallback plan the
+    # rejoin shuffles the candidate relation TWICE — there the dup
+    # factor is paid twice plus Python, so candidates dedup FIRST.
+    if not broadcast_vectors:
+        cand = cand.distinct()
     ve = emb.select("vec_id", "embedding")
     # merge hint on the fallback path: without it Catalyst's size stats
     # would re-introduce the broadcast we're explicitly avoiding
@@ -488,7 +504,10 @@ def embedding_neardup_pairs(
                     }
                 )
 
-    return pairs.mapInPandas(exact_cosine, "vec_a long, vec_b long, cosine double")
+    out = pairs.mapInPandas(exact_cosine, "vec_a long, vec_b long, cosine double")
+    if broadcast_vectors:
+        out = out.distinct()  # output-sized cross-table dedup (see above)
+    return out
 
 
 @register(

@@ -35,6 +35,7 @@ def adv_emb(spark):
     )
 
 
+@pytest.mark.slow
 def test_shingle_pipeline_survives(adv_docs):
     from etl_generator_demo_spark.operators.dedup import (
         doc_shingles,

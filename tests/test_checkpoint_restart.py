@@ -7,6 +7,8 @@ streaming layer's docstrings lean on."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import time
 
@@ -40,6 +42,7 @@ def _run_once(spark, src, out, cp):
     return q
 
 
+@pytest.mark.slow
 def test_restart_recovers_offsets_and_dedup_state(spark, tmp_path):
     src, out, cp = tmp_path / "src", tmp_path / "out", tmp_path / "cp"
 

@@ -114,6 +114,7 @@ def test_kmeans_handles_degenerate_corpus_fewer_points_than_k(spark, tmp_path_fa
     assert all(len(s) == 1 for s in by_axis.values())
 
 
+@pytest.mark.slow
 def test_random_projection_matches_numpy_exactly(spark, sf_dir):
     """The projection is exact integer arithmetic: recompute every
     output component with numpy int64 from the same md5 sign matrix
@@ -138,6 +139,7 @@ def test_random_projection_matches_numpy_exactly(spark, sf_dir):
         assert got[row.vec_id] == want
 
 
+@pytest.mark.slow
 def test_ivfpq_adc_orders_by_lookup_table_distance(spark, sf_dir):
     """ADC invariants: rows sorted by adc_dist; every returned candidate
     sits in one of the 2 probed lists; ADC approximates exact distance

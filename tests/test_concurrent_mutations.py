@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import threading
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -27,6 +29,7 @@ def _seed(spark, path, n=100):
     ).write.mode("overwrite").parquet(path)
 
 
+@pytest.mark.slow
 def test_concurrent_merges_both_apply(spark, tmp_path):
     """Two merges with disjoint key ranges racing on one table: the
     serialized outcome is deterministic — BOTH source row sets present
@@ -61,6 +64,7 @@ def test_concurrent_merges_both_apply(spark, tmp_path):
     assert out.select("k").distinct().count() == 200
 
 
+@pytest.mark.slow
 def test_concurrent_update_and_delete_serialize(spark, tmp_path):
     """UPDATE and DELETE on disjoint predicates racing: both effects
     present afterwards — the update's new values AND the delete's
@@ -98,6 +102,7 @@ def test_concurrent_update_and_delete_serialize(spark, tmp_path):
     assert out.filter("k >= 90").count() == 0
 
 
+@pytest.mark.slow
 def test_lock_released_after_failed_mutation(spark, tmp_path):
     """A mutation that raises (merge cardinality error) must release
     the table lock so the next writer proceeds."""

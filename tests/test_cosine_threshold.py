@@ -65,6 +65,7 @@ def _brute_pairs(spark, path, queries, tau_e6, exclude_ids=()):
     return sorted(out)
 
 
+@pytest.mark.slow
 def test_exactness_on_clustered_corpus_list_path(spark, tmp_path):
     """List-queries (static pruning) path returns exactly the brute
     hit set on a clustered corpus where pruning fires."""
@@ -103,6 +104,7 @@ def test_exactness_on_clustered_corpus_list_path(spark, tmp_path):
     assert 0 < len(qualified) < 4
 
 
+@pytest.mark.slow
 def test_exactness_dataframe_path_matches_list_path(spark, tmp_path):
     """DataFrame-queries (DPP) path and list-queries (static) path
     return identical pair sets — and both equal brute force."""
@@ -316,6 +318,7 @@ def test_exact_topk_indexed_small_head_falls_back_exact(spark, tmp_path):
     assert got == want and len(got) == 9
 
 
+@pytest.mark.slow
 def test_randomized_differential_exactness(spark, tmp_path):
     """Seeded randomized differential: across random corpora (mixed
     cluster tightness, duplicate vectors, negative components, a zero

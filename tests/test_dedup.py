@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_generator_demo_spark.operators.dedup import (
@@ -188,6 +190,7 @@ class TestIncrementalDedup:
         ).collect()
         assert [(r["doc_id"], r["dup_of"]) for r in again] == [(100, 100)]
 
+    @pytest.mark.slow
     def test_compaction_preserves_probe_results(self, spark, tmp_path):
         """OPTIMIZE is a pure layout change: after many fragmented
         appends, compaction collapses the file count and a probe
@@ -264,6 +267,7 @@ class TestIncrementalDedup:
 
 
 class TestConnectedComponentsProperty:
+    @pytest.mark.slow
     def test_matches_union_find_on_random_graphs(self, spark):
         """Distributed min-label propagation ≡ driver-side union-find
         on a batch of random graphs (each with its own node count and

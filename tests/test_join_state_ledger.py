@@ -14,6 +14,8 @@ counter."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import json
 import time
@@ -98,6 +100,7 @@ def test_ledger_closed_form(spark):
     assert (led[3]["state_left"], led[3]["state_right"]) == (2, 2)
 
 
+@pytest.mark.slow
 def test_ledger_matches_real_stream(spark, tmp_path):
     """Replay the planted batches through a REAL two-source
     stream-stream interval join (file sources, one file per side per
@@ -195,6 +198,7 @@ def test_delay_knob_grows_state_exactly(spark):
     assert [r["state_total"] for r in led] == [2, 6, 8, 4]
 
 
+@pytest.mark.slow
 def test_empty_side_batch_keeps_high_water_real_stream(spark, tmp_path):
     """A batch where one side delivers NO rows must not reset that
     side's high water (the bug the randomized differential caught in

@@ -12,6 +12,8 @@ randomized-differential precedent).
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import random
 
@@ -108,6 +110,7 @@ def test_drop_ledger_random_differential(spark):
         assert got == want, f"trial {trial}"
 
 
+@pytest.mark.slow
 def test_state_ledger_random_differential(spark):
     from etl_generator_demo_spark.streaming.joins import join_state_ledger
 

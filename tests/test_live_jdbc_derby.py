@@ -53,6 +53,7 @@ def seeded(spark, derby_conn):
     return "T_LIVE"
 
 
+@pytest.mark.slow
 def test_live_version_probe(spark, derby_conn):
     """S3 over a real connection: liveness scan + product version via
     DatabaseMetaData through the same driver."""

@@ -66,6 +66,31 @@ def test_ngram_jaccard_card_checkpoint_same_rows(spark, tmp_path):
     assert all(3 not in k for k in got)
 
 
+def test_neardup_dedup_placement_row_identical(spark, sf_dir):
+    """r17 moved the cross-table candidate dedup AFTER the cosine
+    filter on the broadcast rejoin plan (output-sized distinct; the
+    shuffle plan keeps distinct-first). Duplicate pairs from different
+    LSH tables carry bit-identical cosines, so the two placements must
+    agree row-for-row — including the duplicate factor being fully
+    collapsed (no (vec_a, vec_b) appears twice)."""
+    from etl_generator_demo_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    bc = sorted(
+        map(tuple, embedding_neardup_pairs(
+            spark, sf_dir, broadcast_vectors=True
+        ).collect())
+    )
+    sh = sorted(
+        map(tuple, embedding_neardup_pairs(
+            spark, sf_dir, broadcast_vectors=False
+        ).collect())
+    )
+    assert bc == sh and len(bc) > 0
+    assert len({(a, b) for a, b, _ in bc}) == len(bc)
+
+
 def test_ngram_jaccard_card_computed_once_in_plan(spark, sf_dir):
     """The registered query's visible plan must not contain the per-doc
     cardinality aggregate twice: after the r17 checkpoint the aggregate

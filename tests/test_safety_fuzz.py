@@ -307,6 +307,7 @@ def _grammar_statement(draw) -> tuple[str, bool]:
 
 @settings(max_examples=400, deadline=None, derandomize=True)
 @given(sw=_grammar_statement())
+@pytest.mark.slow
 def test_gate_agrees_with_spark_parser_grammar_aware(parser, sw):
     sql, _intent = sw
     try:
@@ -328,6 +329,7 @@ def test_gate_agrees_with_spark_parser_grammar_aware(parser, sw):
 
 @settings(max_examples=400, deadline=None, derandomize=True)
 @given(sw=_grammar_statement())
+@pytest.mark.slow
 def test_grammar_strategy_reaches_spark_parser(parser, sw):
     """Meta-guard: the generated statements must not be rejected
     wholesale by Spark (a strategy drifting into 100% parse errors
@@ -344,6 +346,7 @@ def test_grammar_strategy_reaches_spark_parser(parser, sw):
 _PARSE_OK: list[bool] = []
 
 
+@pytest.mark.slow  # reads _PARSE_OK, populated by the slow sampler above
 def test_grammar_strategy_parse_rate():
     """Run after the sampler above (pytest executes in file order):
     a healthy majority of generated statements must be real SQL that

@@ -81,6 +81,7 @@ def test_ivf_recall_and_exactness_at_full_probe(spark, sf_dir):
     assert recall >= 0.2, f"IVF recall@10 = {recall} (uniform data, 4/16 lists)"
 
 
+@pytest.mark.slow
 def test_allpairs_anchor_oracle_parity_and_bucketed_recall(spark, sf_dir):
     """The global all-pairs near-dup is deliberately NOT registered (its
     plan is a nested-loop O(n²) join). Keep it honest here as the oracle

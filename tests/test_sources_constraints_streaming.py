@@ -112,6 +112,7 @@ class TestMandatoryFilters:
 
 
 class TestRealStreamingExecution:
+    @pytest.mark.slow
     def test_file_source_window_agg_matches_batch(self, spark, sf_dir, tmp_path):
         """End-to-end Structured Streaming: stream the events parquet
         through withWatermark + tumbling window, availableNow trigger,
@@ -206,6 +207,7 @@ class TestMergeAndRecovery:
 
 
 class TestStreamStreamJoin:
+    @pytest.mark.slow
     def test_two_stream_watermarked_join_matches_batch(self, spark, sf_dir, tmp_path):
         """Real stream-stream inner join: clicks and purchases staged
         as separate file streams, watermarks on both sides, the

@@ -69,6 +69,7 @@ def sliced_src(spark, tmp_path):
     return src
 
 
+@pytest.mark.slow
 def test_stream_cdc_cross_batch_transitions(spark, sliced_src):
     got = _run_stream(spark, sliced_src)
     assert set(got) == {1, 2}  # user 3 tombstoned in the last batch

@@ -41,6 +41,7 @@ def duplicated_stream_dir(spark, sf_dir, tmp_path_factory):
     return ev, str(src)
 
 
+@pytest.mark.slow
 def test_cross_batch_duplicates_dropped(spark, duplicated_stream_dir):
     from etl_generator_demo_spark.streaming.dedup import stream_dedup_keys
 

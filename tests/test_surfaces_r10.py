@@ -1,5 +1,6 @@
 """Anchors and invariants for the round-10 operator batch."""
 
+import pytest
 import datetime
 
 from pyspark.sql import functions as F
@@ -128,6 +129,7 @@ def test_item_item_recs_invariants(spark):
 # HITS
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_hits_star_hub(spark, tmp_path):
     """Customer 1 buys every part; others buy one each -> customer 1 is
     the top hub, and the part bought by EVERYONE is the top authority."""

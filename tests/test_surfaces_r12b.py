@@ -109,6 +109,7 @@ def test_sq_bits_sweep_closed_form_and_monotone(spark, tmp_path):
     assert out[2]["recall10_sum"] <= out[4]["recall10_sum"] <= out[8]["recall10_sum"]
 
 
+@pytest.mark.slow
 def test_bin_width_sweep_true_pairs_invariant(spark, tmp_path):
     """3 events for one user at t=0s, 30min, 90min: within-1h ordered
     pairs = (a,b) and (b,c) -> n_true_pairs = 2 at EVERY width (the
@@ -147,6 +148,7 @@ def test_bin_width_sweep_true_pairs_invariant(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_fuzzy_decontam_flags_planted_neardup(spark, tmp_path):
     """Doc 7 is the eval doc (7 % 20 == 7). Train doc 1 is the same
     text plus one appended token — shingle Jaccard 36/37 (~0.973),
@@ -239,6 +241,7 @@ def test_salt_factor_sweep_closed_form(spark, tmp_path):
         assert out[s]["replication_rows"] == 2 * s
 
 
+@pytest.mark.slow
 def test_kmeans_k_sweep_planted_elbow(spark, tmp_path):
     """8 distinct points: SSE is non-increasing in k, hits EXACTLY 0
     once k >= n (every point seeds its own cluster), and the non-empty
@@ -318,6 +321,7 @@ def test_hard_negative_mining_planted_geometry(spark, tmp_path):
     assert got == [(1, 1, 1, 750_000), (2, 2, 1, 500_000)]
 
 
+@pytest.mark.slow
 def test_span_corruption_matches_python_recompute(spark, tmp_path):
     """The md5 span gate recomputed in pure Python must reproduce the
     plan exactly: same starts, same merged-masked set, same run
@@ -387,6 +391,7 @@ def test_dp_epsilon_sweep_closed_form(spark, tmp_path):
     assert out[100]["n_usable_days"] == 0 and out[10_000]["n_usable_days"] == 1
 
 
+@pytest.mark.slow
 def test_media_attrition_planted_funnel(spark, tmp_path):
     """10 docs -> +2 re-encodes (ids 0,5) +2 mirrors (ids 0,7): total
     14; mirrors die at exact dedup (12); re-encodes die at the pHash

@@ -7,6 +7,8 @@ two-sided discipline every operator family here carries.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -49,6 +51,7 @@ def test_semantic_decontam_flags_planted_axis_match(spark, tmp_path):
     assert got[1]["max_cos_e6"] == 1_000_000
 
 
+@pytest.mark.slow
 def test_decontam_funnel_is_monotone_and_tier_attributed(spark, tmp_path):
     """Plant one contaminated doc per tier against eval doc 7:
     - doc 1: verbatim copy of the eval text  -> dies at the EXACT gate
@@ -107,6 +110,7 @@ def test_decontam_funnel_is_monotone_and_tier_attributed(spark, tmp_path):
     assert counts == sorted(counts, reverse=True)
 
 
+@pytest.mark.slow
 def test_tier_overlap_cells_partition_the_flagged_set(spark, tmp_path):
     """Same plant as the funnel: doc 1 is exact+fuzzy flagged (verbatim
     copy hits both gates — they share all shingles), doc 3 is

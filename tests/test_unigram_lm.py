@@ -4,6 +4,8 @@ same tie semantics), plus structural properties on the fixture."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 
 from etl_generator_demo_spark.operators.unigram_lm import (
@@ -177,6 +179,7 @@ def _py_encode_ntok(word_counts, costs):
     return out
 
 
+@pytest.mark.slow
 def test_unigram_encode_matches_python_reference(spark):
     from pyspark.sql import functions as F
 
@@ -224,6 +227,7 @@ def test_unigram_encode_matches_python_reference(spark):
         assert r["n_skipped_words"] == 0
 
 
+@pytest.mark.slow
 def test_unigram_encode_fixture_sane(spark):
     from etl_generator_demo_spark.operators.unigram_lm import (
         x4_unigram_encode_corpus,
@@ -238,6 +242,7 @@ def test_unigram_encode_fixture_sane(spark):
         assert r["chars_per_token_e6"] >= 1_000_000
 
 
+@pytest.mark.slow
 def test_vocab_sweep_fertility_monotone(spark):
     """Smaller serving vocab can only RAISE fertility (fewer multi
     tokens available → more pieces per word); the largest sweep point

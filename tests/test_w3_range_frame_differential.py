@@ -13,6 +13,8 @@ through the real Spark plan against a 5-line brute force, with exact
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -50,6 +52,7 @@ _prices = st.lists(st.one_of(_cents, _planted), min_size=1, max_size=40)
 
 @settings(max_examples=12, deadline=None)
 @given(prices=_prices)
+@pytest.mark.slow
 def test_band_count_matches_brute_force(spark, tmp_path_factory, prices):
     tmp = str(tmp_path_factory.mktemp("w3diff"))
     assert _run(spark, tmp, prices) == _brute(prices)

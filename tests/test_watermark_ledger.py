@@ -12,6 +12,8 @@ per-batch ``numRowsDroppedByWatermark`` must equal the ledger's
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import time
 
@@ -77,6 +79,7 @@ def test_ledger_two_watermark_semantics(spark):
     assert led[3]["wm_evict_us"] == _us(70.0 - 10.0)
 
 
+@pytest.mark.slow
 def test_ledger_matches_real_stream(spark, tmp_path):
     """Replay the planted batches through readStream + withWatermark +
     1-second-window aggregation (update mode: every admitted row's

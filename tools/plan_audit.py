@@ -44,9 +44,12 @@ EXPECTATIONS: dict[str, dict] = {
     "x2_minhash_lsh_pairs": {"max_exchanges": 6},
     "x3_cosine_topk": {"max_exchanges": 1, "take_ordered": True},
     # bucket stage served from the persisted LSH index (r5): the plan
-    # is an index self-join + narrow pair distinct + broadcast vector
-    # rejoin — the corpus-wide Arrow bucket matmul is ingest-time now
-    "x3_neardup_lsh_bucketed": {"max_exchanges": 3, "min_broadcast": 2},
+    # is an index self-join + broadcast vector rejoin — the corpus-wide
+    # Arrow bucket matmul is ingest-time now. r17: the candidate
+    # distinct moved AFTER the cosine filter on the broadcast plan
+    # (output-sized dedup; the map-side pipeline runs exchange-free),
+    # so warm = output distinct + final sort only
+    "x3_neardup_lsh_bucketed": {"max_exchanges": 2, "min_broadcast": 2},
     # bounded-error verdict (like IVF below): the exact tier scans the
     # corpus by design; the LSH probe branch must prune on its
     # partition columns
