@@ -48,6 +48,53 @@ def _events_has_nanos_ts(path: str) -> bool:
         return False
 
 
+#: Schema memo for immutable parquet paths: (abs path) -> (stamp,
+#: StructType). Re-inferring a parquet schema costs a driver-side
+#: footer read + JVM round trips (~160 ms measured at sf0.1) on EVERY
+#: DataFrame construction; a real deployment serves schemas from a
+#: metastore catalog and touches no files at plan time. This memo is
+#: the same idea at file level — METADATA only (never rows, never
+#: results), invalidated by the path's mtime stamp, so a rewritten
+#: fixture or index re-infers. r17, guide §5 (the driver should do
+#: almost no data work) / §6.
+_SCHEMA_MEMO: dict[str, tuple] = {}
+
+
+def _path_stamp(path: str):
+    """Cheap staleness stamp: mtime of the path plus, for directories,
+    the mtime of the newest entry (a rewrite replaces files)."""
+    import os
+
+    st = os.stat(path)
+    if not os.path.isdir(path):
+        return (st.st_mtime_ns, st.st_size)
+    entries = os.listdir(path)
+    newest = max(
+        (os.stat(os.path.join(path, e)).st_mtime_ns for e in entries),
+        default=0,
+    )
+    return (st.st_mtime_ns, len(entries), newest)
+
+
+def read_parquet_known(spark: SparkSession, path: str) -> DataFrame:
+    """``spark.read.parquet`` with the schema served from the memo when
+    the path is unchanged — skips per-build footer inference. First
+    read (or any mtime change) infers and records."""
+    import os
+
+    key = os.path.abspath(path)
+    try:
+        stamp = _path_stamp(path)
+    except OSError:
+        return spark.read.parquet(path)  # let Spark raise its own error
+    hit = _SCHEMA_MEMO.get(key)
+    if hit is not None and hit[0] == stamp:
+        return spark.read.schema(hit[1]).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_MEMO[key] = (stamp, df.schema)
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table with schema normalization.
 
@@ -71,11 +118,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # STAY set for this df's execution, which is why it is not
         # restored here.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = read_parquet_known(spark, f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = read_parquet_known(spark, f"{sf_dir}/{name}.parquet")
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))

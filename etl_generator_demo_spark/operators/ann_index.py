@@ -41,6 +41,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from etl_generator_demo_spark.catalog import read_parquet_known
 from pyspark.sql import functions as F
 
 from etl_generator_demo_spark.operators.similarity import (
@@ -303,7 +304,7 @@ def ivf_probe_topk(
     q = np.asarray(query_vec, dtype="float64")
     dists = [float(np.linalg.norm(q - np.asarray(c))) for c in centroids]
     probe = sorted(range(len(centroids)), key=lambda i: dists[i])[:n_probe]
-    idx = spark.read.parquet(path).filter(F.col("ivf_list").isin(probe))
+    idx = read_parquet_known(spark, path).filter(F.col("ivf_list").isin(probe))
     if where:
         idx = idx.filter(where)
     if exclude_ids:

@@ -56,6 +56,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from etl_generator_demo_spark.catalog import read_parquet_known
 from pyspark.sql import functions as F
 
 from etl_generator_demo_spark.operators.ann_index import (
@@ -293,7 +294,7 @@ def cosine_threshold_join(
             ).withColumn("_qn", F.lit(0.0))
         )
 
-    idx = spark.read.parquet(path)
+    idx = read_parquet_known(spark, path)
     if probe_lists is not None:
         # static pruning: literal partition filter from the driver-side
         # qualification (empty -> empty relation, scan never runs)
@@ -659,7 +660,7 @@ def exact_topk_indexed(
     qcol = F.array(*[F.lit(float(x)) for x in query_vec])
 
     def scan(lists: list[int]) -> DataFrame:
-        idx = spark.read.parquet(path).filter(F.col("ivf_list").isin(lists))
+        idx = read_parquet_known(spark, path).filter(F.col("ivf_list").isin(lists))
         if exclude_ids:
             idx = idx.filter(~F.col("vec_id").isin(list(exclude_ids)))
         return (

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_generator_demo_spark.catalog import read_parquet_known
 from etl_generator_demo_spark.operators.relational import t
 from etl_generator_demo_spark.registry import register
 
@@ -205,7 +206,7 @@ def corpus_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_full_band_index,
         )
 
-        keyed = spark.read.parquet(ensure_full_band_index(spark, sf_dir))
+        keyed = read_parquet_known(spark, ensure_full_band_index(spark, sf_dir))
         return pairs_from_banded(keyed)
     except Exception as exc:
         _warn_fallback_once("corpus_candidate_pairs", exc)
@@ -232,7 +233,7 @@ def corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_full_band_index,
         )
 
-        return spark.read.parquet(ensure_full_band_index(spark, sf_dir))
+        return read_parquet_known(spark, ensure_full_band_index(spark, sf_dir))
     except Exception as exc:
         _warn_fallback_once("corpus_bands", exc)
         from etl_generator_demo_spark.operators.dedup_incremental import (
@@ -259,7 +260,7 @@ def corpus_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_shingle_index,
         )
 
-        return spark.read.parquet(ensure_shingle_index(spark, sf_dir))
+        return read_parquet_known(spark, ensure_shingle_index(spark, sf_dir))
     except Exception as exc:
         _warn_fallback_once("corpus_shingles", exc)
         return doc_shingles(t(spark, sf_dir, "documents"))

@@ -26,6 +26,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from etl_generator_demo_spark.catalog import read_parquet_known
 from pyspark.sql import functions as F
 
 from etl_generator_demo_spark.operators.ann_index import (
@@ -242,7 +243,7 @@ def x2_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes both sides from scratch in DuckDB and must agree
     with the index-backed plan exactly."""
     index_path = ensure_corpus_band_index(spark, sf_dir)
-    corpus_bands = spark.read.parquet(index_path)
+    corpus_bands = read_parquet_known(spark, index_path)
     batch = t(spark, sf_dir, "documents").filter(
         F.col("doc_id") % BATCH_MOD == BATCH_REMAINDER
     )

@@ -28,6 +28,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from etl_generator_demo_spark.catalog import read_parquet_known
 from etl_generator_demo_spark.operators.relational import t
 from etl_generator_demo_spark.registry import register
 
@@ -374,7 +375,7 @@ def _bucket_assignments(spark: SparkSession, sf_dir: str, emb: DataFrame) -> Dat
         from etl_generator_demo_spark.operators.ann_index import ensure_lsh_index
 
         path = ensure_lsh_index(spark, sf_dir, NEARDUP_TABLES, NEARDUP_PLANES)
-        return spark.read.parquet(path).select("vec_id", "lsh_table", "bucket")
+        return read_parquet_known(spark, path).select("vec_id", "lsh_table", "bucket")
     except Exception as exc:
         from etl_generator_demo_spark.operators._fallback import warn_fallback_once
 
