@@ -51,6 +51,8 @@ from etl_generator_demo_spark.operators.similarity import (
     _floor6,
     _hyperplane,
     cosine,
+    cosine_asdouble_cols,
+    cosine_lit,
 )
 from etl_generator_demo_spark.registry import register
 
@@ -215,14 +217,16 @@ def lsh_probe_topk(
         empty = spark.read.parquet(path).limit(0)
         return empty.withColumn("cosine", F.lit(0.0)).limit(0)
     idx = spark.read.option("basePath", path).parquet(*probe_dirs)
-    cond = None
-    for tbl, bucket in enumerate(buckets):
-        clause = (F.col("lsh_table") == tbl) & (F.col("bucket") == bucket)
-        cond = clause if cond is None else (cond | clause)
+    # one parsed OR-expression instead of ~10 py4j round trips per
+    # table (r17; bucket ids are engine-generated 'b<bits>' strings,
+    # safe to inline) — same predicate, same pushdown
+    cond = " OR ".join(
+        f"(lsh_table = {tbl} AND bucket = '{bucket}')"
+        for tbl, bucket in enumerate(buckets)
+    )
     candidates = idx.filter(cond)
     if exclude_ids:
         candidates = candidates.filter(~F.col("vec_id").isin(list(exclude_ids)))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     # Rank BEFORE deduping: a vector appears in <= `tables` buckets with
     # the identical cosine, so the top k*tables ranked copies are
     # guaranteed to contain >= k distinct vectors. The global rank
@@ -230,7 +234,7 @@ def lsh_probe_topk(
     # full shuffle); the dedup then touches <= k*tables rows instead of
     # exchanging every candidate.
     ranked = (
-        candidates.withColumn("cosine", _floor6(cosine(_as_double("embedding"), q)))
+        candidates.withColumn("cosine", _floor6(cosine_lit("embedding", query_vec)))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k * tables)
     )
@@ -309,9 +313,8 @@ def ivf_probe_topk(
         idx = idx.filter(where)
     if exclude_ids:
         idx = idx.filter(~F.col("vec_id").isin(list(exclude_ids)))
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
-        idx.withColumn("cosine", _floor6(cosine(_as_double("embedding"), qcol)))
+        idx.withColumn("cosine", _floor6(cosine_lit("embedding", query_vec)))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)
     )
@@ -430,7 +433,7 @@ def lsh_probe_batch_topk(
 
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
     return (
-        cand.withColumn("cosine", _floor6(cosine(_as_double("embedding"), F.col("qv"))))
+        cand.withColumn("cosine", _floor6(cosine_asdouble_cols("embedding", "qv")))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("qid", "vec_id", "cosine")
@@ -553,17 +556,18 @@ def lsh_multiprobe_topk(
         empty = spark.read.parquet(path).limit(0)
         return empty.withColumn("cosine", F.lit(0.0)).limit(0)
     idx = spark.read.option("basePath", path).parquet(*probe_dirs)
-    cond = None
-    for tbl, buckets in enumerate(per_table):
-        clause = (F.col("lsh_table") == tbl) & (F.col("bucket").isin(buckets))
-        cond = clause if cond is None else (cond | clause)
+    cond = " OR ".join(
+        "(lsh_table = {} AND bucket IN ({}))".format(
+            tbl, ", ".join(f"'{b}'" for b in buckets)
+        )
+        for tbl, buckets in enumerate(per_table)
+    )
     candidates = idx.filter(cond)
     if exclude_ids:
         candidates = candidates.filter(~F.col("vec_id").isin(list(exclude_ids)))
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     n_probes = tables * (1 + planes)
     ranked = (
-        candidates.withColumn("cosine", _floor6(cosine(_as_double("embedding"), q)))
+        candidates.withColumn("cosine", _floor6(cosine_lit("embedding", query_vec)))
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k * n_probes)
     )
@@ -727,18 +731,18 @@ def x3_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
     ]
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
     qbuckets = query_buckets(query_vec, LSH_TABLES, LSH_PLANES)
     is_cand = None
     for tbl, b in enumerate(qbuckets):
-        # query_buckets prefixes 'b'; the raw sign-bit expr does not
+        # query_buckets prefixes 'b'; the raw sign-bit expr does not.
+        # The bucket expression rides the memoized as-double tree (r17).
         clause = lsh_bucket_expr(_as_double("embedding"), tbl, LSH_PLANES) == F.lit(
             b[1:]
         )
         is_cand = clause if is_cand is None else (is_cand | clause)
     scored = emb.filter(F.col("vec_id") != 0).select(
         "vec_id",
-        _floor6(cosine(_as_double("embedding"), qcol)).alias("cos6"),
+        _floor6(cosine_lit("embedding", query_vec)).alias("cos6"),
         is_cand.alias("is_cand"),
     )
     # A hit needs exact_rk <= k AND cand_rk <= k with k <= max(RECALL_KS),

@@ -115,12 +115,34 @@ def _bpe_oracle() -> str:
     """
 
 
+# Memoized fixed expression trees (r17): every column in the BPE merge
+# passes derives from fixed names, so the trees build once per process
+# instead of per step per DataFrame build (same construction code,
+# cached — plans and results identical). WindowSpecs are immutable and
+# reusable exactly like Columns.
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _w_word():
+    return Window.partitionBy("word").orderBy("pos")
+
+
+@_lru_cache(maxsize=None)
+def _winner_lead_cols():
+    return ("sym", "wcount", F.lead("sym").over(_w_word()).alias("nxt"))
+
+
+@_lru_cache(maxsize=None)
+def _winner_out_cols():
+    return (F.col("sym").alias("x"), F.col("nxt").alias("y"), F.col("cnt"))
+
+
 def bpe_pair_winner(s: DataFrame) -> DataFrame:
     """The 1-row winning adjacent pair (x, y, cnt) of one BPE merge
     round over a (word, wcount, pos, sym) symbol state."""
-    w_word = Window.partitionBy("word").orderBy("pos")
     pairs = (
-        s.select("sym", "wcount", F.lead("sym").over(w_word).alias("nxt"))
+        s.select(*_winner_lead_cols())
         .filter(F.col("nxt").isNotNull())
         .groupBy("sym", "nxt")
         .agg(F.sum("wcount").cast("long").alias("cnt"))
@@ -128,9 +150,7 @@ def bpe_pair_winner(s: DataFrame) -> DataFrame:
     return (
         pairs.orderBy(F.desc("cnt"), "sym", "nxt")
         .limit(1)
-        .select(
-            F.col("sym").alias("x"), F.col("nxt").alias("y"), F.col("cnt")
-        )
+        .select(*_winner_out_cols())
     )
 
 
@@ -145,11 +165,10 @@ def bpe_merge_step(s: DataFrame) -> tuple[DataFrame, DataFrame]:
     return top, bpe_merge_step_apply(s, top)
 
 
-def bpe_merge_step_apply(s: DataFrame, top: DataFrame) -> DataFrame:
-    """Apply a (possibly materialized) 1-row winner to the symbol
-    state — the greedy-leftmost merge pass of :func:`bpe_merge_step`."""
-    w_word = Window.partitionBy("word").orderBy("pos")
-    m = s.crossJoin(F.broadcast(top)).select(
+@_lru_cache(maxsize=None)
+def _apply_m_cols():
+    w_word = _w_word()
+    return (
         "word",
         "wcount",
         "pos",
@@ -163,36 +182,44 @@ def bpe_merge_step_apply(s: DataFrame, top: DataFrame) -> DataFrame:
             - F.sum((F.col("sym") == F.col("x")).cast("int")).over(w_word),
         ).alias("grp"),
     )
+
+
+@_lru_cache(maxsize=None)
+def _apply_merged_col():
     w_run = Window.partitionBy("word", "grp")
-    m2 = m.withColumn(
-        "merged",
-        F.coalesce(
-            (F.col("sym") == F.col("x")) & (F.col("nxt") == F.col("y")),
-            F.lit(False),
-        )
-        & (
-            (F.col("x") != F.col("y"))
-            | ((F.col("pos") - F.min("pos").over(w_run)) % 2 == 0)
-        ),
+    return F.coalesce(
+        (F.col("sym") == F.col("x")) & (F.col("nxt") == F.col("y")),
+        F.lit(False),
+    ) & (
+        (F.col("x") != F.col("y"))
+        | ((F.col("pos") - F.min("pos").over(w_run)) % 2 == 0)
     )
-    m3 = m2.withColumn(
-        "consumed",
-        F.coalesce(F.lag("merged").over(w_word), F.lit(False)),
+
+
+@_lru_cache(maxsize=None)
+def _apply_consumed_col():
+    return F.coalesce(F.lag("merged").over(_w_word()), F.lit(False))
+
+
+@_lru_cache(maxsize=None)
+def _apply_next_state_cols():
+    return (
+        "word",
+        "wcount",
+        F.row_number().over(_w_word()).alias("pos"),
+        F.when(F.col("merged"), F.concat(F.col("sym"), F.col("nxt")))
+        .otherwise(F.col("sym"))
+        .alias("sym"),
     )
-    nxt_state = (
-        m3.filter(~F.col("consumed"))
-        .select(
-            "word",
-            "wcount",
-            F.row_number().over(w_word).alias("pos"),
-            F.when(
-                F.col("merged"), F.concat(F.col("sym"), F.col("nxt"))
-            )
-            .otherwise(F.col("sym"))
-            .alias("sym"),
-        )
-    )
-    return nxt_state
+
+
+def bpe_merge_step_apply(s: DataFrame, top: DataFrame) -> DataFrame:
+    """Apply a (possibly materialized) 1-row winner to the symbol
+    state — the greedy-leftmost merge pass of :func:`bpe_merge_step`."""
+    m = s.crossJoin(F.broadcast(top)).select(*_apply_m_cols())
+    m2 = m.withColumn("merged", _apply_merged_col())
+    m3 = m2.withColumn("consumed", _apply_consumed_col())
+    return m3.filter(~F.col("consumed")).select(*_apply_next_state_cols())
 
 
 @register(
@@ -235,10 +262,16 @@ def x4_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         # spelling recomputed it in each consumer, costing one extra
         # full window+aggregate pass per step.
         top = bpe_pair_winner(state).localCheckpoint(eager=True)
-        state = bpe_merge_step_apply(state, top)
-        # localCheckpoint: cut the per-step plan growth (the iterative
-        # operator discipline) — state is vocabulary-sized
-        state = state.localCheckpoint(eager=True)
+        if k < BPE_STEPS:
+            # r17: the state after the LAST winner is never consumed —
+            # only `tops` feeds the output — so the final apply pass
+            # (a full vocabulary window job) is skipped outright.
+            # Measured in-process A/B: min 1.93 -> 1.52 s, identical
+            # rows. Lazy checkpoints measured no better (1.50).
+            state = bpe_merge_step_apply(state, top)
+            # localCheckpoint: cut the per-step plan growth (the
+            # iterative operator discipline) — state is vocabulary-sized
+            state = state.localCheckpoint(eager=True)
         tops.append(
             top.select(
                 F.lit(k).cast("long").alias("step"),

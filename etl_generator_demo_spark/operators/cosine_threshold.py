@@ -270,12 +270,12 @@ def cosine_threshold_join(
         )
         q = (
             queries.select("query_id", "qv")
-            .withColumn("_qn", _norm(F.col("qv")))
+            .withColumn("_qn", _norm("qv"))
             .withColumn("_qhat", qhat)
         )
         qual = (
             q.crossJoin(F.broadcast(cent))
-            .withColumn("_bound", _dot(F.col("_qhat"), F.col("c")) + F.col("r"))
+            .withColumn("_bound", _dot("_qhat", "c") + F.col("r"))
             .filter(F.col("_bound") >= F.lit(tau - BOUND_EPS))
             .select("query_id", "qv", "_qn", "ivf_list")
         )
@@ -287,7 +287,7 @@ def cosine_threshold_join(
         qual = F.broadcast(
             spark.createDataFrame(
                 rows, "query_id long, qv array<double>, ivf_list int"
-            ).withColumn("_qn", _norm(F.col("qv")))
+            ).withColumn("_qn", _norm("qv"))
             if rows
             else spark.createDataFrame(
                 [], "query_id long, qv array<double>, ivf_list int"
@@ -305,7 +305,7 @@ def cosine_threshold_join(
         "vec_id",
         _as_double("embedding").alias("_cv"),
         F.col("ivf_list"),
-    ).withColumn("_cn", _norm(F.col("_cv")))
+    ).withColumn("_cn", _norm("_cv"))
 
     if isinstance(queries, DataFrame):
         qual = F.broadcast(qual)
@@ -315,7 +315,7 @@ def cosine_threshold_join(
             "vec_id",
             "query_id",
             F.floor(
-                F.try_divide(_dot(F.col("_cv"), F.col("qv")), F.col("_cn") * F.col("_qn"))
+                F.try_divide(_dot("_cv", "qv"), F.col("_cn") * F.col("_qn"))
                 * 1_000_000
             )
             .cast("long")
@@ -647,7 +647,7 @@ def exact_topk_indexed(
     corpora prune (pytest pins both exactness and pruning there)."""
     import numpy as np
 
-    from etl_generator_demo_spark.operators.similarity import _floor6, cosine
+    from etl_generator_demo_spark.operators.similarity import _floor6, cosine_lit
 
     path, centroids, radii = ensure_cosine_ivf_index(spark, sf_dir, n_lists)
     q = np.asarray([float(x) for x in query_vec], dtype="float64")
@@ -657,14 +657,13 @@ def exact_topk_indexed(
         radii, dtype="float64"
     )
     nearest = int(bounds.argmax())
-    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
 
     def scan(lists: list[int]) -> DataFrame:
         idx = read_parquet_known(spark, path).filter(F.col("ivf_list").isin(lists))
         if exclude_ids:
             idx = idx.filter(~F.col("vec_id").isin(list(exclude_ids)))
         return (
-            idx.withColumn("cosine", _floor6(cosine(_as_double("embedding"), qcol)))
+            idx.withColumn("cosine", _floor6(cosine_lit("embedding", query_vec)))
             .orderBy(F.desc("cosine"), "vec_id")
             .limit(k)
         )

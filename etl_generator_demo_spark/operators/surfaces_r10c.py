@@ -126,6 +126,60 @@ def x2_lsh_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_SWEEP = ((30, 100), (50, 100), (70, 100), (90, 100))
 
 
+# Memoized fixed expression lists for the sweep (r17): every column
+# below derives from JACCARD_SWEEP constants and fixed names, so the
+# trees build once per process instead of per DataFrame construction
+# (same construction code, cached — plans and results identical).
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _sweep_flag_cols():
+    return tuple(
+        (
+            den * F.col("inter")
+            >= num * (F.col("ca") + F.col("cb") - F.col("inter"))
+        ).alias(f"f{num}")
+        for num, den in JACCARD_SWEEP
+    )
+
+
+@_lru_cache(maxsize=None)
+def _sweep_pair_count_cols():
+    return tuple(
+        F.coalesce(F.sum(F.col(f"f{num}").cast("long")), F.lit(0))
+        .cast("long")
+        .alias(f"np{num}")
+        for num, _ in JACCARD_SWEEP
+    )
+
+
+@_lru_cache(maxsize=None)
+def _sweep_doc_count_cols():
+    return tuple(
+        F.coalesce(F.sum(F.col(f"f{num}").cast("long")), F.lit(0))
+        .cast("long")
+        .alias(f"nd{num}")
+        for num, _ in JACCARD_SWEEP
+    )
+
+
+@_lru_cache(maxsize=None)
+def _sweep_reshape_col():
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(num).cast("long").alias("tau_e2"),
+                    F.col(f"np{num}").alias("n_pairs"),
+                    F.col(f"nd{num}").alias("n_docs_in_pairs"),
+                )
+                for num, _ in JACCARD_SWEEP
+            ]
+        )
+    )
+
+
 def _jaccard_sweep_oracle() -> str:
     rows = []
     for num, den in JACCARD_SWEEP:
@@ -211,25 +265,8 @@ def x2_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)  # one pair relation, two reads
     )
     nums = [num for num, _ in JACCARD_SWEEP]
-    flagged = pairs.select(
-        "doc_a",
-        "doc_b",
-        *[
-            (
-                den * F.col("inter")
-                >= num * (F.col("ca") + F.col("cb") - F.col("inter"))
-            ).alias(f"f{num}")
-            for num, den in JACCARD_SWEEP
-        ],
-    )
-    pair_counts = flagged.agg(
-        *[
-            F.coalesce(F.sum(F.col(f"f{num}").cast("long")), F.lit(0))
-            .cast("long")
-            .alias(f"np{num}")
-            for num in nums
-        ]
-    )
+    flagged = pairs.select("doc_a", "doc_b", *_sweep_flag_cols())
+    pair_counts = flagged.agg(*_sweep_pair_count_cols())
     doc_counts = (
         flagged.select(
             F.explode(F.array("doc_a", "doc_b")).alias("d"),
@@ -237,31 +274,11 @@ def x2_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("d")
         .agg(*[F.max(f"f{num}").alias(f"f{num}") for num in nums])
-        .agg(
-            *[
-                F.coalesce(F.sum(F.col(f"f{num}").cast("long")), F.lit(0))
-                .cast("long")
-                .alias(f"nd{num}")
-                for num in nums
-            ]
-        )
+        .agg(*_sweep_doc_count_cols())
     )
     return (
         pair_counts.crossJoin(doc_counts)
-        .select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(num).cast("long").alias("tau_e2"),
-                            F.col(f"np{num}").alias("n_pairs"),
-                            F.col(f"nd{num}").alias("n_docs_in_pairs"),
-                        )
-                        for num in nums
-                    ]
-                )
-            ).alias("r")
-        )
+        .select(_sweep_reshape_col().alias("r"))
         .select("r.tau_e2", "r.n_pairs", "r.n_docs_in_pairs")
         .orderBy("tau_e2")
     )

@@ -903,6 +903,63 @@ def _mrl_oracle() -> str:
     """
 
 
+# Memoized expression trees for the Matryoshka sweep (r17): every
+# column below derives from fixed names and the MRL_* constants, so the
+# trees are built once per process (the same construction code, cached)
+# instead of ~2.5k py4j round trips per DataFrame build. Expression
+# Columns are immutable values — reuse is exactly like reusing F.col.
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _mrl_sq(name: str):
+    return F.transform(name, lambda x: x * x)
+
+
+@_lru_cache(maxsize=None)
+def _mrl_cascade(arr_col: str, cuts: tuple = tuple(MRL_PREFIX_DIMS)):
+    """Cascaded sequential-fold prefix sums of an array column:
+    sums[i] = fold over elements [1..cuts[i]], each continuing the
+    previous partial — op order identical to a fresh fold."""
+    sums, prev_cut, prev = [], 0, F.lit(0.0)
+    for c in cuts:
+        s = F.aggregate(
+            F.slice(F.col(arr_col), prev_cut + 1, c - prev_cut),
+            prev,
+            lambda acc, v: acc + v,
+        )
+        sums.append(s)
+        prev_cut, prev = c, s
+    return tuple(sums)
+
+
+@_lru_cache(maxsize=None)
+def _mrl_prod():
+    return F.zip_with("ev", "qv", lambda x, y: x * y)
+
+
+@_lru_cache(maxsize=None)
+def _mrl_explode_col():
+    dots = _mrl_cascade("_prod")
+    cos6 = [
+        F.floor(
+            F.try_divide(
+                d, F.sqrt(F.col(f"_ne{p}")) * F.sqrt(F.col(f"_nq{p}"))
+            )
+            * 1_000_000
+        )
+        for p, d in zip(MRL_PREFIX_DIMS, dots)
+    ]
+    return F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(p).cast("int").alias("p"), c.alias("cos6"))
+                for p, c in zip(MRL_PREFIX_DIMS, cos6)
+            ]
+        )
+    )
+
+
 @register(
     "x3_matryoshka_prefix_recall",
     oracle=_mrl_oracle(),
@@ -938,75 +995,43 @@ def x3_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (p, cos6) pairs. Same oracle, ~4× fewer floating-point ops."""
     from .similarity import _as_double
 
-    def _cascade(arr_col: str, cuts=MRL_PREFIX_DIMS):
-        """Cascaded sequential-fold prefix sums of an array column:
-        sums[i] = fold over elements [1..cuts[i]], each continuing the
-        previous partial — op order identical to a fresh fold."""
-        sums, prev_cut, prev = [], 0, F.lit(0.0)
-        for c in cuts:
-            s = F.aggregate(
-                F.slice(F.col(arr_col), prev_cut + 1, c - prev_cut),
-                prev,
-                lambda acc, v: acc + v,
-            )
-            sums.append(s)
-            prev_cut, prev = c, s
-        return sums
-
     emb = t(spark, sf_dir, "embeddings")
     q = (
         emb.filter(F.col("vec_id") < MRL_NQ)
         .select(
             F.col("vec_id").alias("qid"), _as_double("embedding").alias("qv")
         )
-        .withColumn("_qsq", F.transform("qv", lambda x: x * x))
+        .withColumn("_qsq", _mrl_sq("qv"))
     )
     q = q.select(
         "qid",
         "qv",
         *[
             s.alias(f"_nq{p}")
-            for p, s in zip(MRL_PREFIX_DIMS, _cascade("_qsq"))
+            for p, s in zip(MRL_PREFIX_DIMS, _mrl_cascade("_qsq"))
         ],
     )
     e = (
         emb.select("vec_id", _as_double("embedding").alias("ev"))
-        .withColumn("_esq", F.transform("ev", lambda x: x * x))
+        .withColumn("_esq", _mrl_sq("ev"))
     )
     e = e.select(
         "vec_id",
         "ev",
         *[
             s.alias(f"_ne{p}")
-            for p, s in zip(MRL_PREFIX_DIMS, _cascade("_esq"))
+            for p, s in zip(MRL_PREFIX_DIMS, _mrl_cascade("_esq"))
         ],
     )
     paired = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
-        .withColumn("_prod", F.zip_with("ev", "qv", lambda x, y: x * y))
+        .withColumn("_prod", _mrl_prod())
     )
-    dots = _cascade("_prod")
-    cos6 = [
-        F.floor(
-            F.try_divide(
-                d, F.sqrt(F.col(f"_ne{p}")) * F.sqrt(F.col(f"_nq{p}"))
-            )
-            * 1_000_000
-        )
-        for p, d in zip(MRL_PREFIX_DIMS, dots)
-    ]
     scored = paired.select(
         "qid",
         "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(p).cast("int").alias("p"), c.alias("cos6"))
-                    for p, c in zip(MRL_PREFIX_DIMS, cos6)
-                ]
-            )
-        ).alias("_pc"),
+        _mrl_explode_col().alias("_pc"),
     ).select("qid", F.col("_pc.p").alias("p"), "vec_id", F.col("_pc.cos6").alias("cos6"))
     rk = F.row_number().over(
         Window.partitionBy("qid", "p").orderBy(F.desc("cos6"), "vec_id")

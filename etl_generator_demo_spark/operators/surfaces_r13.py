@@ -202,16 +202,16 @@ def x3_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = F.broadcast(
         e.filter(is_eval)
         .select(F.col("v").alias("ev_v"))
-        .withColumn("_ne", _norm(F.col("ev_v")))
+        .withColumn("_ne", _norm("ev_v"))
     )
     return (
         e.filter(~is_eval)
-        .withColumn("_nt", _norm(F.col("v")))
+        .withColumn("_nt", _norm("v"))
         .crossJoin(ev)
         .select(
             F.col("vec_id").alias("train_doc"),
             F.floor(
-                F.try_divide(_dot(F.col("v"), F.col("ev_v")), F.col("_nt") * F.col("_ne"))
+                F.try_divide(_dot("v", "ev_v"), F.col("_nt") * F.col("_ne"))
                 * 1_000_000
             )
             .cast("long")
@@ -317,6 +317,21 @@ def _decontam_funnel_oracle() -> str:
     """
 
 
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _funnel_stage_cols(no: int, name: str):
+    """Memoized per-stage aggregate columns (r17): fixed literals and
+    names, built once per process instead of per DataFrame build."""
+    return (
+        F.lit(no).cast("long").alias("stage_no"),
+        F.lit(name).alias("stage"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+
+
 @register(
     "x4_decontam_funnel",
     oracle=_decontam_funnel_oracle(),
@@ -376,12 +391,7 @@ def x4_decontam_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s4 = s3.join(sem_flag, "doc_id", "left_anti")
 
     def stage(no: int, name: str, df: DataFrame) -> DataFrame:
-        return df.agg(
-            F.lit(no).cast("long").alias("stage_no"),
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("n_tok").cast("long").alias("n_tokens"),
-        )
+        return df.agg(*_funnel_stage_cols(no, name))
 
     return (
         stage(1, "train_total", pop)

@@ -136,3 +136,110 @@ def test_ngram_jaccard_card_computed_once_in_plan(spark, sf_dir):
     # both card sides must be scans of the one checkpointed RDD, not
     # re-derived aggregates over the shingle relation
     assert plan.count("LogicalRDD") >= 2
+
+
+def test_lit_double_array_bit_exact(spark):
+    """`lit_double_array` (one parsed `F.expr` round trip) must be
+    bit-identical to the per-element `F.lit` spelling for arbitrary
+    doubles, including denormals/extremes: Python repr round-trips the
+    IEEE value and Spark's `<text>D` literal parses correctly-rounded."""
+    import random
+    import struct
+
+    from etl_generator_demo_spark.operators.similarity import lit_double_array
+
+    rng = random.Random(17)
+    vals = [rng.uniform(-1e6, 1e6) for _ in range(64)] + [
+        0.1, -0.0, 1e-09, 5e-324, 1.7976931348623157e308, -3.141592653589793,
+    ]
+    row = (
+        spark.range(1)
+        .select(
+            F.array(*[F.lit(float(v)) for v in vals]).alias("a"),
+            lit_double_array(vals).alias("b"),
+        )
+        .first()
+    )
+    assert [struct.pack("d", x) for x in row.a] == [
+        struct.pack("d", x) for x in row.b
+    ]
+
+
+def test_memoized_expression_trees_reusable_across_frames(spark):
+    """The lru-cached named expression trees (_dot/_norm/cosine/
+    lsh_bucket_expr) are immutable values: the SAME cached Column must
+    produce identical results when bound to two different DataFrames,
+    and equal results to a freshly-built uncached tree."""
+    from etl_generator_demo_spark.operators.similarity import (
+        _dot,
+        _norm,
+        cosine,
+    )
+
+    df1 = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], "id long, v array<double>, w array<double>"
+    )
+    df2 = spark.createDataFrame(
+        [(2, [0.5, -1.0, 2.5], [1.5, 0.0, -2.0])], "id long, v array<double>, w array<double>"
+    )
+    cached = cosine("v", "w")  # named -> cached tree
+    assert cached is cosine("v", "w")  # the memo actually serves
+    for df in (df1, df2):
+        a = df.select(cached.alias("c")).first()["c"]
+        b = df.select(
+            cosine(F.col("v"), F.col("w")).alias("c")
+        ).first()["c"]
+        assert a == b
+    # dot/norm named == column spellings
+    r = df1.select(
+        _dot("v", "w").alias("d1"),
+        _dot(F.col("v"), F.col("w")).alias("d2"),
+        _norm("v").alias("n1"),
+        _norm(F.col("v")).alias("n2"),
+    ).first()
+    assert r.d1 == r.d2 and r.n1 == r.n2
+
+
+def test_bpe_last_apply_skipped_rows_identical(spark):
+    """r17: x4_bpe_merge_steps skips the dead final apply pass (the
+    state after the last winner feeds nothing). The winner sequence
+    must match the step-by-step reference on a corpus where merges
+    cascade (the step-2 winner only exists after step 1 applied)."""
+    from etl_generator_demo_spark.operators.bpe import (
+        BPE_STEPS,
+        bpe_merge_step,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "abab abc abab cab") for i in range(3)], "doc_id long, text string"
+    )
+    # the registered query reads fixtures (tools/oracle_check.py covers
+    # it end-to-end); here pin the helper-level invariant: skipping the
+    # apply pass after the LAST winner never changes the winner rows.
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("wcount"))
+    )
+    state = vocab.select(
+        "word", "wcount", F.posexplode(F.split("word", "")).alias("pos", "sym")
+    )
+    winners_with_last_apply = []
+    s = state
+    for _ in range(BPE_STEPS):
+        top, s = bpe_merge_step(s)
+        winners_with_last_apply.append(tuple(top.first()))
+    winners_skip_last = []
+    s = state
+    for k in range(1, BPE_STEPS + 1):
+        from etl_generator_demo_spark.operators.bpe import (
+            bpe_merge_step_apply,
+            bpe_pair_winner,
+        )
+
+        top = bpe_pair_winner(s).localCheckpoint(eager=True)
+        if k < BPE_STEPS:
+            s = bpe_merge_step_apply(s, top).localCheckpoint(eager=True)
+        winners_skip_last.append(tuple(top.first()))
+    assert winners_skip_last == winners_with_last_apply
