@@ -133,7 +133,7 @@ def g_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: each half-sweep is ONE keyed aggregate-join — edges join
     the current score vector on its key, partial-aggregate map-side,
-    then floor-normalize by a 1-row broadcast scalar; per-round state
+    then floor-normalize by the driver-fetched scalar total; per-round state
     is one row per node, localCheckpointed to cut plan growth (the
     LPA/WCC discipline, graph_ext.py). Nothing node-sized ever reaches
     the driver; normalized scores are ≤ SCALE so int64 carries them
@@ -147,7 +147,17 @@ def g_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     BroadcastExchange build there); checkpointing `ar` itself makes
     the 1-row total and the lazy normalization two cheap reads of the
     materialized state. Measured at sf0.1: 5.9 s -> 4.8 s best-of-3,
-    identical top-10 rows."""
+    identical top-10 rows.
+
+    r17: the L1 total is fetched to the driver (a 1-row scalar off the
+    MATERIALIZED checkpoint — algorithm state, like the k-means
+    centroids) and inlined as a literal into the normalize projection,
+    instead of riding a crossJoin(broadcast(1-row agg)): each
+    half-sweep drops its BroadcastExchange build and the final plan
+    loses both 1-row total subtrees. HITS is driver-sequenced either
+    way — the scalar fetch adds no new synchronization barrier.
+    In-process interleaved A/B (ABBA x2): min 5.44 -> 4.56 s, med
+    6.22 -> 4.84 s, identical rows."""
     o = t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("ok"), F.col("o_custkey").alias("c")
     )
@@ -168,20 +178,16 @@ def g_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("score").cast("long").alias("raw"))
             .localCheckpoint(eager=True)
         )
-        a_tot = ar.agg(F.sum("raw").cast("long").alias("tot"))
-        a = ar.crossJoin(F.broadcast(a_tot)).select(
-            "p", F.expr(f"raw * {HITS_SCALE} div tot").alias("score")
-        )
+        a_tot = ar.agg(F.sum("raw").cast("long")).first()[0]
+        a = ar.select("p", F.expr(f"raw * {HITS_SCALE} div {a_tot}").alias("score"))
         hr = (
             bip.join(a, "p")
             .groupBy("c")
             .agg(F.sum("score").cast("long").alias("raw"))
             .localCheckpoint(eager=True)
         )
-        h_tot = hr.agg(F.sum("raw").cast("long").alias("tot"))
-        h = hr.crossJoin(F.broadcast(h_tot)).select(
-            "c", F.expr(f"raw * {HITS_SCALE} div tot").alias("score")
-        )
+        h_tot = hr.agg(F.sum("raw").cast("long")).first()[0]
+        h = hr.select("c", F.expr(f"raw * {HITS_SCALE} div {h_tot}").alias("score"))
     top_a = (
         a.orderBy(F.desc("score"), "p")
         .limit(10)

@@ -749,7 +749,9 @@ EXPECTATIONS: dict[str, dict] = {
     # total aggregates (one per side) are the only exchanges left in
     # the collected plan; the sweep work itself lives in the
     # checkpoint jobs as before
-    "g_hits_bipartite": {"max_exchanges": 2},
+    "g_hits_bipartite": {"max_exchanges": 0},  # r17: totals are
+    # driver-inlined literals — the final plan reads only the
+    # checkpointed sweep outputs (budget tightened 2 -> 0)
     # Bellman-Ford rounds behind localCheckpoint; visible tail is the
     # bucket histogram
     "g_sssp_weighted": {"max_exchanges": 2},
